@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{ChType, SchemaMapper}
+import graft.functions.Coercions._
+import graft.operators.ReplacingMerge
+
+/** SURVEY.md §2.A — the reference's ETL core as gate queries.
+  * Each key has a DuckDB oracle in `oracles` unless marked rows-only.
+  * NULLs are injected deterministically (modulo arithmetic on keys) so
+  * the coercion paths are actually exercised on the clean test data.
+  */
+object EtlQueries {
+
+  private def Q(f: (SparkSession, String) => DataFrame) = f
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1 (rows-only): ClickHouse schema mapping of every test table.
+    "schema_infer" -> Q { (s, d) =>
+      val rows = Tables.all.flatMap { t =>
+        SchemaMapper.mapSchema(Tables(s, d, t).schema).map {
+          case (c, ch) => (t, c, ch.sql)
+        }
+      }
+      import s.implicits._
+      rows.toDF("table_name", "column_name", "ch_type")
+        .orderBy("table_name", "column_name")
+    },
+
+    // A2: input_format_null_as_default coercion per target type.
+    "coerce_null_default" -> Q { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullAsDefault(when(col("l_linenumber") % 3 === 0, lit(null))
+          .otherwise(col("l_quantity")), ChType.Float64).as("qty_d"),
+        nullAsDefault(when(col("l_linenumber") % 2 === 0, lit(null))
+          .otherwise(col("l_returnflag")), ChType.Str).as("flag_d"),
+        nullAsDefault(when(col("l_partkey") % 5 === 0, lit(null))
+          .otherwise(col("l_partkey")), ChType.Int64).as("part_d"),
+        nullAsDefault(when(col("l_suppkey") % 7 === 0, lit(null))
+          .otherwise(col("l_suppkey") % 2 === 1), ChType.Bool).as("odd_supp_d")
+      ).orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // A3: UInt32/UInt64 wraparound masking.
+    "uint_wraparound" -> Q { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        toUInt32(-col("l_orderkey") * col("l_partkey")).as("u32_neg"),
+        toUInt32(col("l_orderkey") * lit(1000003L) + col("l_suppkey")).as("u32_big"),
+        toUInt64(col("l_orderkey") * lit(2654435761L)).as("u64")
+      ).orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // A4: lenient DateTime parsing (fractional seconds dropped,
+    // malformed/blank -> NULL).
+    "parse_datetime" -> Q { (s, d) =>
+      val ev = Tables.events(s, d)
+      val raw = when(col("event_id") % 97 === 0, lit("not a datetime"))
+        .when(col("event_id") % 89 === 0, lit("  "))
+        .otherwise(concat(
+          from_unixtime(expr("ts_ns div 1000000000"), "yyyy-MM-dd HH:mm:ss"),
+          lit("."), lpad(expr("(ts_ns div 1000000) % 1000").cast("string"), 3, "0")))
+      ev.select(col("event_id"), parseDateTime(raw).as("parsed_ts"))
+        .orderBy("event_id")
+    },
+
+    // A5: lenient Date parsing.
+    "parse_date" -> Q { (s, d) =>
+      val o = Tables.orders(s, d)
+      val raw = when(col("o_orderkey") % 101 === 0, lit("2024-13-45"))
+        .when(col("o_orderkey") % 103 === 0, lit(""))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      o.select(col("o_orderkey"), parseDate(raw).as("parsed_date"))
+        .orderBy("o_orderkey")
+    },
+
+    // A6: ReplacingMergeTree — latest row per (user_id, event_type).
+    // Version order on ts_us (µs) to match the oracle's on-read
+    // truncation; event_id breaks ties deterministically.
+    "replacing_merge" -> Q { (s, d) =>
+      ReplacingMerge.latestByKey(
+        Tables.events(s, d),
+        Seq("user_id", "event_type"),
+        Seq(col("ts_us"), col("event_id"))
+      ).select("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .orderBy("user_id", "event_type")
+    },
+
+    // A7: re-ingest + OPTIMIZE: second insert wins after the merge.
+    "optimize_compact" -> Q { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      val reinsert = ev
+        .withColumn("value", col("value") * 2)
+        .withColumn("ts_us", col("ts_us") + lit(3600000000L))
+      ReplacingMerge.optimize(
+        ev.unionByName(reinsert),
+        Seq("user_id", "event_type"),
+        Seq(col("ts_us"), col("event_id"))
+      ).orderBy("user_id", "event_type")
+    },
+
+    // A8: whole-catalog migration row counts.
+    "migrate_counts" -> Q { (s, d) =>
+      Tables.all.map { t =>
+        Tables(s, d, t).groupBy()
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("table_name"), col("n_rows"))
+      }.reduce(_ unionByName _).orderBy("table_name")
+    },
+
+    // A9: chunk math — bounded-batch counts at chunk_size=10000.
+    "chunked_ingest" -> Q { (s, d) =>
+      Tables.all.map { t =>
+        Tables(s, d, t).groupBy()
+          .agg(ceil(count(lit(1)) / 10000.0).cast(LongType).as("n_chunks"))
+          .select(lit(t).as("table_name"), col("n_chunks"))
+      }.reduce(_ unionByName _).orderBy("table_name")
+    }
+  )
+
+  private val tableList = Tables.all.sorted
+
+  val oracles: Map[String, String] = Map(
+    "coerce_null_default" ->
+      """SELECT l_orderkey, l_linenumber,
+        | coalesce(CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_quantity END, 0.0) AS qty_d,
+        | coalesce(CASE WHEN l_linenumber % 2 = 0 THEN NULL ELSE l_returnflag END, '') AS flag_d,
+        | coalesce(CASE WHEN l_partkey % 5 = 0 THEN NULL ELSE l_partkey END, 0) AS part_d,
+        | coalesce(CASE WHEN l_suppkey % 7 = 0 THEN NULL ELSE (l_suppkey % 2 = 1) END, false) AS odd_supp_d
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "uint_wraparound" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ((-l_orderkey) * l_partkey) & 4294967295 AS u32_neg,
+        | (l_orderkey * 1000003 + l_suppkey) & 4294967295 AS u32_big,
+        | (l_orderkey * 2654435761) AS u64
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "parse_datetime" ->
+      """SELECT event_id,
+        | try_strptime(trim(split_part(
+        |   CASE WHEN event_id % 97 = 0 THEN 'not a datetime'
+        |        WHEN event_id % 89 = 0 THEN '  '
+        |        ELSE strftime(ts, '%Y-%m-%d %H:%M:%S.%g') END, '.', 1)),
+        |   '%Y-%m-%d %H:%M:%S') AS parsed_ts
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "parse_date" ->
+      """SELECT o_orderkey,
+        | CAST(try_strptime(nullif(trim(
+        |   CASE WHEN o_orderkey % 101 = 0 THEN '2024-13-45'
+        |        WHEN o_orderkey % 103 = 0 THEN ''
+        |        ELSE strftime(o_orderdate, '%Y-%m-%d') END), ''),
+        |   '%Y-%m-%d') AS DATE) AS parsed_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "replacing_merge" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY user_id, event_type
+        |   ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "optimize_compact" ->
+      """WITH ins AS (
+        | SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events
+        | UNION ALL
+        | SELECT event_id, epoch_us(ts) + 3600000000 AS ts_us, user_id, event_type, value * 2, props FROM events
+        |)
+        |SELECT event_id, ts_us, user_id, event_type, value, props FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY user_id, event_type
+        |   ORDER BY ts_us DESC, event_id DESC) AS rn
+        | FROM ins) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "migrate_counts" -> tableList
+      .map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
+      .mkString("", " UNION ALL ", " ORDER BY table_name"),
+
+    "chunked_ingest" -> tableList
+      .map(t => s"SELECT '$t' AS table_name, CAST(ceil(count(*) / 10000.0) AS BIGINT) AS n_chunks FROM $t")
+      .mkString("", " UNION ALL ", " ORDER BY table_name")
+  )
+}

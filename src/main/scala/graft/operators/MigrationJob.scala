@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.{CatalogDiscovery, SchemaMapper}
+import graft.functions.Coercions
+import graft.sinks.ClickHouseDdl
+
+/** Whole-catalog migration pipeline — the reference's main loop
+  * (main.py:138-182) re-expressed as one declarative Spark job per
+  * table:
+  *
+  *   discover tables -> map schema -> coerce columns -> chunked write
+  *
+  * Chunking (main.py:106-116, chunk_size=10000 default) maps to
+  * `maxRecordsPerFile` on the write: output files are bounded-size
+  * batches, produced in parallel by every executor, instead of a single
+  * driver-side cursor loop. DDL for the target engine comes from
+  * ClickHouseDdl; the data lands as parquet (or through any Spark
+  * writer) already conforming to the mapped schema.
+  */
+object MigrationJob {
+
+  final case class TableReport(table: String, rows: Long, ddl: String)
+
+  /** Coerce every column of `df` to its mapped target type with
+    * null-as-default semantics (main.py:81-104).
+    */
+  def conform(df: DataFrame): DataFrame = {
+    val mapped = SchemaMapper.mapSchema(df.schema)
+    df.select(Coercions.coerceRow(mapped): _*)
+  }
+
+  /** Migrate one table: conform + bounded-batch write (main.py:157-179). */
+  def migrateTable(df: DataFrame, database: String, table: String,
+                   outDir: String, chunkSize: Long = 10000L,
+                   primaryKey: Option[String] = None): TableReport = {
+    val conformed = conform(df)
+    conformed.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", chunkSize)
+      .parquet(s"$outDir/$table")
+    val ddl = ClickHouseDdl.createTable(database, table, df.schema, primaryKey)
+    TableReport(table, conformed.count(), ddl)
+  }
+
+  /** Full catalog migration (main.py:157: for table in tables). Tables
+    * are independent — at cluster scale each is its own job and they
+    * can be submitted concurrently; rows stream through executors, the
+    * driver only sees per-table counts.
+    */
+  def migrateAll(spark: SparkSession, srcDir: String, database: String,
+                 outDir: String, chunkSize: Long = 10000L): Seq[TableReport] =
+    CatalogDiscovery.listTables(spark, srcDir).map { t =>
+      val df = spark.read.parquet(s"$srcDir/$t.parquet")
+      migrateTable(df, database, t, outDir, chunkSize)
+    }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ReplacingMergeTree semantics (reference main.py:65: `ENGINE =
+  * ReplacingMergeTree ORDER BY <key>`; main.py:178: `OPTIMIZE TABLE`
+  * forces the merge): of all rows sharing the same ORDER BY key, keep
+  * the one with the greatest version.
+  *
+  * Spark-first design: a single hash-partition on the key serves the
+  * whole merge. Two interchangeable physical strategies:
+  *
+  *   - `latestByKey` — groupBy(key).agg(max_by(struct(*cols), version)).
+  *     Partial aggregation (map-side combine) means only one surviving
+  *     row per key per input partition crosses the shuffle — at 100 TB
+  *     with heavy duplication this moves a fraction of the data a
+  *     window-function plan would.
+  *   - `latestByKeyWindow` — row_number() over (partition by key order
+  *     by version desc). Shuffles every row but preserves the input
+  *     schema/layout exactly; useful when the caller needs other window
+  *     functions over the same partitioning anyway.
+  *
+  * Determinism: callers must make `version` a total order per key (pass
+  * tie-breaker columns); otherwise survivors are arbitrary among ties,
+  * exactly like ClickHouse's unversioned ReplacingMergeTree.
+  */
+object ReplacingMerge {
+
+  /** max_by strategy: one shuffle, map-side partial agg. */
+  def latestByKey(df: DataFrame, keys: Seq[String], version: Seq[Column]): DataFrame = {
+    val cols = df.columns.toSeq
+    val ver  = struct(version: _*)
+    val row  = struct(cols.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(row, ver).as("_latest"))
+      .select(cols.map(c => col(s"_latest.$c").as(c)): _*)
+  }
+
+  /** Window strategy: same result, input layout preserved. */
+  def latestByKeyWindow(df: DataFrame, keys: Seq[String], version: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.map(_.desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** OPTIMIZE TABLE analog (main.py:178): force the merge *and* leave
+    * the data clustered by the ORDER BY key — repartition on the key
+    * and sort within partitions, which is what a merged ClickHouse part
+    * looks like and what makes downstream key-range scans cheap.
+    */
+  def optimize(df: DataFrame, keys: Seq[String], version: Seq[Column],
+               numPartitions: Option[Int] = None): DataFrame = {
+    val merged = latestByKey(df, keys, version)
+    val parted = numPartitions
+      .map(n => merged.repartition(n, keys.map(col): _*))
+      .getOrElse(merged.repartition(keys.map(col): _*))
+    parted.sortWithinPartitions(keys.map(col): _*)
+  }
+}
