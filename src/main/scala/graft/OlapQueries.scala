@@ -1,0 +1,295 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.B — the ClickHouse-style OLAP query surface the migrated
+  * data serves (reference main.py:65: ReplacingMergeTree is built to be
+  * queried like this).
+  *
+  * Determinism-by-construction for the DuckDB gate: every floating
+  * aggregate is routed through exact DECIMAL arithmetic on BOTH sides,
+  * so results are independent of partitioning/reduction order — the
+  * property that also makes them stable on a 1000-executor cluster.
+  * Ratios (avg) are a single double division of exact inputs, which is
+  * bit-deterministic on IEEE hardware.
+  *
+  * Scale notes per query are inline; see SURVEY.md §5.
+  */
+object OlapQueries {
+
+  private def Q(f: (SparkSession, String) => DataFrame) = f
+
+  private val d2 = DecimalType(18, 2)
+  private val d4 = DecimalType(18, 4)
+  private val d6 = DecimalType(18, 6)
+  private def dec2(c: String): Column = col(c).cast(d2)
+  private val one = lit(1).cast(DecimalType(3, 2))
+  /** l_extendedprice * (1 - l_discount), exact at scale 4. */
+  private def discPrice: Column =
+    (dec2("l_extendedprice") * (one - dec2("l_discount"))).cast(d4)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // B1: TPC-H Q1-style pricing summary. groupBy.agg gets map-side
+    // partial aggregation for free: at 100 TB only (flag,status) pairs
+    // cross the shuffle, not rows.
+    "q1_pricing_summary" -> Q { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2("l_quantity")).cast(d2).as("sum_qty"),
+          sum(dec2("l_extendedprice")).cast(d2).as("sum_base_price"),
+          sum(discPrice).cast(d4).as("sum_disc_price"),
+          sum((discPrice * (one + dec2("l_tax"))).cast(d6)).cast(d6).as("sum_charge"),
+          (sum(dec2("l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          (sum(dec2("l_extendedprice")).cast(DoubleType) / count(lit(1))).as("avg_price"),
+          (sum(dec2("l_discount")).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // B2: top-10 orders by revenue for a segment. Small dims broadcast;
+    // the lineitem-orders join shuffles on orderkey only after pruning
+    // to 3 columns; top-k is a sort of the *aggregated* rows.
+    "q3_top_orders" -> Q { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-03-15"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-03-15"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast(DateType).as("order_dt"),
+          col("o_orderpriority"))
+        .agg(sum(discPrice).cast(d4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // B3: 5-way star join -> per-nation revenue. region/nation/supplier
+    // broadcast (tiny at any scale); customer-orders-lineitem shuffle on
+    // their keys; the c_nationkey = s_nationkey condition prunes rows
+    // before aggregation.
+    "q5_region_revenue" -> Q { (s, d) =>
+      val asia = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+      val nat = broadcast(Tables.nation(s, d))
+      val sup = broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"))
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(asia, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(discPrice).cast(d4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // B4: selective filter + global agg. The three predicates reach the
+    // parquet scan as PushedFilters; single partial-agg shuffle of one
+    // row per partition.
+    "q6_forecast_revenue" -> Q { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((dec2("l_extendedprice") * dec2("l_discount")).cast(d4))
+          .cast(d4).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // B5: running spend + order rank per customer — ONE shuffle on
+    // o_custkey serves both window functions (same partitioning).
+    "q_window_running" -> Q { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("order_dt"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("order_dt"),
+          dec2("o_totalprice").as("price"))
+        .withColumn("order_rank", row_number().over(w))
+        .withColumn("running_spend", sum(col("price")).over(w).cast(d2))
+        .orderBy("o_custkey", "order_rank")
+    },
+
+    // B6: exact distinct per event_type (ClickHouse uniqExact). The
+    // approximate `uniq` twin is q_uniq_approx (rows-only, spec-checked
+    // against this one).
+    "q_distinct_users" -> Q { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    },
+
+    // B6b: HLL++ approximate distinct — the scale path (no exact
+    // distinct expansion; one pass, fixed-size sketch per group).
+    "q_uniq_approx" -> Q { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+        .orderBy("event_type")
+    },
+
+    // B7: top-3 heavy hitters per event_type. Aggregate first (shuffle
+    // of (type,user) pairs), then rank *within groups* — no global sort
+    // of raw events.
+    "q_topk_events" -> Q { (s, d) =>
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("user_id"))
+      Tables.events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("event_type", "rk")
+    },
+
+    // B8: tumbling 1-hour rollup (toStartOfHour). Integer bucket math on
+    // ts_us keeps both engines exact; one partial-agg shuffle.
+    "q_time_bucket" -> Q { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(expr("ts_us div 3600000000").as("hour_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2("value")).cast(d2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hour_bucket")
+    },
+
+    // B9: session windows (30-min gap) per user. lag + cumulative flag
+    // sum + final agg all share the user_id partitioning — Catalyst
+    // plans a single exchange.
+    "q_sessionize" -> Q { (s, d) =>
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      Tables.events(s, d)
+        .select("user_id", "ts_us", "event_id")
+        .withColumn("new_sess",
+          when(col("ts_us") - lag("ts_us", 1).over(byUser) > gapUs, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum("new_sess").over(byUser))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"),
+          max("ts_us").as("end_us"))
+        .orderBy("user_id", "session_idx")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_dt, o_orderpriority,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, order_dt, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_dt,
+        | CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        | row_number() OVER w AS order_rank,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_rank""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_topk_events" ->
+      """SELECT event_type, user_id, cnt, rk FROM (
+        | SELECT event_type, user_id, cnt, row_number() OVER (
+        |   PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rk
+        | FROM (SELECT event_type, user_id, count(*) AS cnt
+        |       FROM events GROUP BY event_type, user_id) g) r
+        |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+
+    "q_time_bucket" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), sess AS (
+        | SELECT user_id, ts_us, event_id,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_idx
+        | FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        | min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin
+  )
+}
