@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Fnv1a64, TextFunctions => T}
+
+/** SURVEY.md §2 C8-C11 — text analysis over the documents table. All
+  * single-pass, codegen'd column arithmetic: at 100 TB each of these is
+  * one parquet scan with no shuffle at all (the gate's ORDER BY is for
+  * comparison determinism only and would be dropped in production).
+  */
+object TextQueries {
+
+  private def Q(f: (SparkSession, String) => DataFrame) = f
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C8: token / char / BPE-ish unit counting.
+    "text_tokens" -> Q { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        T.tokenCount(col("text")).as("n_tokens"),
+        T.bpeCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    // C9: quality scoring from length/alpha/punct/stopword ratios.
+    "text_quality" -> Q { (s, d) =>
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        T.alphaCount(col("text")).as("n_alpha"),
+        T.punctCount(col("text")).as("n_punct"),
+        T.whitespaceCount(col("text")).as("n_ws"),
+        T.tokenCount(col("text")).as("n_tokens"),
+        T.stopwordHits(col("text"), T.stopwords.head._2).as("n_stop"))
+      base.select(
+        col("doc_id"), col("n_chars"), col("n_tokens"),
+        T.ratio(col("n_alpha"), col("n_chars")).as("alpha_ratio"),
+        T.ratio(col("n_punct"), col("n_chars")).as("punct_ratio"),
+        T.ratio(col("n_stop"), col("n_tokens")).as("stop_ratio"),
+        T.ratio(col("n_chars") - col("n_ws"), col("n_tokens")).as("avg_token_len"),
+        T.qualityScore(
+          T.ratio(col("n_alpha"), col("n_chars")),
+          T.ratio(col("n_chars") - col("n_ws"), col("n_tokens")),
+          T.ratio(col("n_stop"), col("n_tokens"))).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // C10: stopword-scoring language ID with deterministic tie-break.
+    "text_langid" -> Q { (s, d) =>
+      val scored = Tables.documents(s, d).select(
+        col("doc_id") +: T.stopwords.map { case (lang, words) =>
+          T.stopwordHits(col("text"), words).as(s"s_$lang")
+        }: _*)
+      scored.select(
+        col("doc_id"),
+        col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+        T.langPredict(T.stopwords.map { case (lang, _) =>
+          lang -> col(s"s_$lang")
+        }).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // C11 (rows-only, spec-oracled): 64-bit FNV-1a fingerprint via the
+    // custom codegen Expression.
+    "text_fingerprint" -> Q { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        Fnv1a64.fingerprint(col("text")).as("fp64"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private val stopRe: Map[String, String] =
+    T.stopwords.toMap.map { case (k, v) => k -> s"\\b($v)\\b" }
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id, length(text) AS n_chars,
+         | CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         | len(regexp_extract_all(text, '${T.bpePattern}')) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH base AS (
+         | SELECT doc_id, length(text) AS n_chars,
+         |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?''"-]', '', 'g')) AS n_punct,
+         |  length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_ws,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '${stopRe("en")}')) AS n_stop
+         | FROM documents)
+         |SELECT doc_id, n_chars, n_tokens,
+         | CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_chars END AS alpha_ratio,
+         | CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+         | CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+         | CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars - n_ws AS DOUBLE) / n_tokens END AS avg_token_len,
+         | 0.4 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_chars END)
+         |  + 0.3 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars - n_ws AS DOUBLE) / n_tokens END) / 8.0)
+         |  + 0.3 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 5.0) AS quality
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH s AS (
+         | SELECT doc_id,
+         |  len(regexp_extract_all(lower(text), '${stopRe("en")}')) AS s_en,
+         |  len(regexp_extract_all(lower(text), '${stopRe("de")}')) AS s_de,
+         |  len(regexp_extract_all(lower(text), '${stopRe("fr")}')) AS s_fr,
+         |  len(regexp_extract_all(lower(text), '${stopRe("es")}')) AS s_es
+         | FROM documents)
+         |SELECT doc_id, s_en, s_de, s_fr, s_es,
+         | CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |      WHEN s_fr >= s_es THEN 'fr'
+         |      ELSE 'es' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** SURVEY.md §2 C6-C7 — similarity search over the embeddings table.
+  * C6 is the exact baseline with a DuckDB oracle (dot products fold
+  * left-to-right in double on both engines — bit-identical cosines);
+  * C7 is the LSH scale path, rows-only, recall-checked in its spec.
+  */
+object VectorQueries {
+
+  private def Q(f: (SparkSession, String) => DataFrame) = f
+
+  private def probes(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C6 (oracle): brute-force exact cosine top-5 per probe. Probes
+    // broadcast; corpus scanned once; per-probe top-k via window rank.
+    "ann_bruteforce" -> Q { (s, d) =>
+      Similarity.bruteForceTopK(
+        Tables.embeddings(s, d), probes(s, d), k = 5)
+        .orderBy("probe_id", "rk")
+    },
+
+    // C7 (rows-only): LSH-bucketed approximate top-5. Only same-band
+    // corpus vectors are scored — the plan that survives a corpus too
+    // large to scan per probe.
+    "ann_lsh" -> Q { (s, d) =>
+      Similarity.lshTopK(
+        Tables.embeddings(s, d), probes(s, d), k = 5)
+        .orderBy("probe_id", "rk")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      """WITH p AS (
+        | SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        | FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        | SELECT probe_id, vec_id,
+        |  list_inner_product(pv, cv) /
+        |   (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(cv, cv))) AS cos
+        | FROM c, p WHERE vec_id <> probe_id),
+        |ranked AS (
+        | SELECT probe_id, vec_id, cos,
+        |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+        | FROM scored)
+        |SELECT probe_id, vec_id, cos, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+  )
+}

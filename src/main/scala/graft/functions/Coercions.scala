@@ -19,7 +19,15 @@ import graft.sources.ChType
   */
 object Coercions {
 
-  /** NULL-as-default per target type (main.py:86-101). */
+  /** NULL-as-default per target type (main.py:86-101).
+    *
+    * Deviation, on purpose: the reference's String branch is
+    * `str(value)` (main.py:95), which stringifies Python None to the
+    * literal "None" — an accident of the host language, not a
+    * ClickHouse semantic. `input_format_null_as_default` actually
+    * defaults a NULL String to '' server-side, and that is what we
+    * implement.
+    */
   def nullAsDefault(c: Column, t: ChType): Column = t match {
     case ChType.Int32 | ChType.Int64 | ChType.UInt32 | ChType.UInt64 =>
       coalesce(c.cast(LongType), lit(0L))

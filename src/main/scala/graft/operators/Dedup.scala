@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for the training-data pipeline (SURVEY.md §2
+  * C1-C4). Scale invariant shared by every member: FULL TEXT NEVER
+  * SHUFFLES. Signatures (8-byte hashes, 128-long minhash vectors,
+  * 64-bit simhashes) are computed map-side in one scan; only
+  * (key, doc_id, signature) tuples cross the network. Candidate
+  * generation is always bucket-equi-join (never cross join), so pair
+  * count is bounded by bucket occupancy, not n².
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: group by 64-bit content hash, keep min doc_id.
+    * Shuffles 16 bytes/row regardless of document size. Collision
+    * probability at 100 TB (~1e10 docs) ~ 1e-? birthday bound 3e-[0]—
+    * for a stronger guarantee swap xxhash64 for sha2(text, 256).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+
+  // -------------------------------------------------------------- minhash
+
+  /** Char-5-gram shingle hashes of a text column (64-bit, xxhash64). */
+  def shingleHashes(text: Column): Column =
+    expr(s"transform(sequence(1, greatest(1, length(${text.toString}) - 4)), " +
+      "i -> xxhash64(substring(" + text.toString + ", i, 5)))")
+
+  /** Deterministic permutation coefficients (seeded, 29-bit so that
+    * a*x32+b stays within a signed 64-bit range: no ANSI overflow).
+    */
+  def coeffs(n: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(((rnd.nextInt(1 << 29) | 1).toLong, rnd.nextInt(1 << 29).toLong))
+  }
+
+  /** 128-long MinHash signature over the shingle-hash array.
+    * h_j(x) = (a_j * fold32(x) + b_j) mod p, minimized over shingles —
+    * the classic Broder min-wise universal-hash family, all in
+    * codegen'd HOFs. The mod by a prime > 2^32 is what makes each h_j
+    * a different ordering of the shingle space (without it a*x+b is
+    * monotonic in x and every hash would pick the same shingle).
+    * a <= 2^29 and x32 < 2^32 keep a*x32+b within a signed 64-bit
+    * range — no overflow under ANSI mode.
+    */
+  val MinhashPrime = 4294967311L // smallest prime > 2^32
+
+  def minhashSignature(shingles: Column, nHashes: Int = 128): Column = {
+    val x32 = (h: Column) => shiftright(h, 32).bitwiseXOR(h).bitwiseAND(lit(0xFFFFFFFFL))
+    array(coeffs(nHashes).map { case (a, b) =>
+      aggregate(shingles, lit(Long.MaxValue),
+        (acc, x) => least(acc, pmod(lit(a) * x32(x) + lit(b), lit(MinhashPrime))))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs.
+    *   1. one scan: doc -> 128-minhash signature        (no shuffle)
+    *   2. explode into `bands` band-hashes per doc      (shuffle: 16B keys)
+    *   3. self-join per (band, hash) bucket -> candidates
+    *   4. signature-estimate Jaccard, threshold
+    * Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.5, nHashes: Int = 128,
+                   bands: Int = 32): DataFrame = {
+    val rowsPerBand = nHashes / bands
+    val sigs = docs.select(col(idCol).as("doc_id"),
+        minhashSignature(shingleHashes(col(textCol)), nHashes).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))")).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand.select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / nHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
+    * token hashes, assembled with OR (no overflow under ANSI).
+    */
+  def simhash(text: Column): Column = {
+    val t = text.toString
+    // SQL form: the Scala shiftleft/shiftright API only takes literal
+    // shift amounts, the SQL functions take expressions.
+    expr(
+      s"""aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) ->
+         |  acc | (CASE WHEN aggregate(
+         |      transform(split(lower($t), '\\\\s+'), tok -> xxhash64(tok)),
+         |      0, (a2, h) -> a2 + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)
+         |    ) >= 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END))""".stripMargin)
+  }
+
+  /** SimHash near-dup pairs: 4 x 16-bit bands (any shared band is a
+    * candidate — guarantees recall of all pairs within hamming 3 by
+    * pigeonhole), then exact hamming via bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
+    val banded = sigs.select(col("doc_id"), col("sh"),
+        explode(expr("transform(sequence(0, 3), " +
+          "k -> named_struct('band', k, 'bh', (sh >> (k * 16)) & 65535))")).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bh"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard via PREFIX FILTERING (Chaudhuri et al.'s
+    * SSJoin / Bayardo et al.'s All-Pairs): order every doc's distinct
+    * ngrams by ascending global document frequency; two sets with
+    * Jaccard >= t MUST share an ngram within their first
+    * |A| - ceil(t*|A|) + 1 ngrams of that order, so only those prefix
+    * ngrams enter the inverted index. 100% recall, and candidate
+    * fan-out is bounded by prefix size (small for high t) instead of a
+    * lossy df cap. Ultra-common ngrams sort last and never index —
+    * the quadratic-blowup guard falls out of the theory.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingleHashes(col(textCol))).as("ngs"))
+    val inverted = sets.select(col("doc_id"), size(col("ngs")).as("sz"),
+      explode(col("ngs")).as("ng"))
+    val dfs = inverted.groupBy("ng").agg(count(lit(1)).as("df"))
+    val prefix = inverted.join(dfs, "ng")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("ng"))))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("doc_id", "ng")
+    val cand = prefix.as("l").join(prefix.as("r"),
+        col("l.ng") === col("r.ng") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ngs", "ngs_a"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ngs", "ngs_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ngs_a"), col("ngs_b"))).cast("double") /
+          size(array_union(col("ngs_a"), col("ngs_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2 C12): treat media payloads
+  * as opaque binary columns with typed metadata extracted executor-side.
+  *
+  * The decode step is a clearly-marked deterministic STUB (this
+  * container ships no image/audio codecs); everything around it — the
+  * binary column handling, the typed Dataset batch path, partitioning,
+  * and the output schema — is the real plumbing a decode UDF would run
+  * in. Swap `decodeStub` for a real codec call and nothing else changes.
+  */
+object Multimodal {
+
+  /** Typed metadata record for a decoded media payload. */
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, sha_hex: String,
+                             width: Long, height: Long, n_frames: Long)
+
+  /** STUB decoder: deterministic fake dimensions derived from payload
+    * size + id. A real implementation would parse the container header
+    * (JPEG SOF / MP4 moov / WAV fmt) right here, per row, executor-side.
+    */
+  def decodeStub(docId: Long, nBytes: Long): (Long, Long, Long) = (
+    64L + Math.floorMod(docId * 7919L + nBytes, 1856L),
+    64L + Math.floorMod(docId * 104729L + nBytes, 1016L),
+    1L + Math.floorMod(nBytes, 240L))
+
+  /** Columnar metadata extraction — used by the gate query; pure
+    * codegen'd expressions, byte-identical to the typed path below.
+    */
+  def extractMeta(payloads: DataFrame): DataFrame =
+    payloads.select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      sha2(col("payload"), 256).as("sha_hex"),
+      (lit(64L) + pmod(col("doc_id") * 7919L + length(col("payload")), lit(1856L))).as("width"),
+      (lit(64L) + pmod(col("doc_id") * 104729L + length(col("payload")), lit(1016L))).as("height"),
+      (lit(1L) + pmod(length(col("payload")).cast("long"), lit(240L))).as("n_frames"))
+
+  /** Typed per-partition batch path — the shape a real decoder runs in
+    * (one iterator per partition, media libs initialized once per
+    * partition, rows streamed through). Equivalent output to
+    * `extractMeta`; spec asserts equality.
+    */
+  def extractMetaTyped(spark: SparkSession, payloads: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init of a real codec would happen here
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) =>
+          digest.reset()
+          val sha = digest.digest(bytes).map("%02x".format(_)).mkString
+          val (w, h, f) = decodeStub(id, bytes.length.toLong)
+          MediaMeta(id, bytes.length.toLong, sha, w, h, f)
+        }
+      }
+  }
+}

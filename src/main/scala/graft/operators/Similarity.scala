@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity for the training-data pipeline (SURVEY.md §2
+  * C5-C7): exact cosine primitives, brute-force top-k (the correctness
+  * baseline), and random-hyperplane LSH (the scale path).
+  *
+  * All dot products accumulate left-to-right in DOUBLE via codegen'd
+  * higher-order functions — bit-deterministic, matching DuckDB's
+  * list_inner_product fold for the oracle.
+  */
+object Similarity {
+
+  /** dot(a, b) in double, sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** cosine(a, b) with a fixed operation tree: dot / (sqrt(na) * sqrt(nb)). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force exact top-k neighbors of each probe vector.
+    * Probes are expected to be a SMALL set (they are broadcast — the
+    * corpus is scanned exactly once, in place, with no corpus shuffle);
+    * per-probe top-k selection happens on the joined result, keyed by
+    * probe, tie-broken by corpus id so results are total-ordered.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("probe_vec"), col("vec")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane components (seeded). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane signature: bit j = sign(dot(v, plane_j)). */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, j) =>
+      when(dot(vec, typedlit(plane)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Embedding near-duplicate pairs via LSH buckets + exact cosine
+    * rerank. Only (bucket, id, vec) shuffles; pair candidates are
+    * bounded by bucket occupancy. Cosine-similar vectors agree on most
+    * hyperplane signs, so they collide on at least one of the two
+    * half-signature buckets with high probability.
+    */
+  def embeddingPairs(vecs: DataFrame, threshold: Double = 0.99,
+                     nPlanes: Int = 16,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(nPlanes, dim)
+    val sigs = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    // two bands of nPlanes/2 bits each
+    val banded = sigs.select(col("vec_id"), col("vec"),
+        explode(array(
+          struct(lit(0).as("band"), col("sig").bitwiseAND(lit((1L << (nPlanes / 2)) - 1)).as("bh")),
+          struct(lit(1).as("band"), shiftright(col("sig"), nPlanes / 2).as("bh")))).as("bb"))
+      .select(col("vec_id"), col("vec"), col("bb.band"), col("bb.bh"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        col("l.vec").as("va"), col("r.vec").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** LSH-bucketed approximate top-k: like bruteForceTopK but each probe
+    * only scores corpus vectors sharing an LSH band — the 1000-executor
+    * path where the corpus is too big to score fully per probe. Recall
+    * vs the exact baseline is spec-checked.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nPlanes: Int = 16,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(nPlanes, dim)
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          lshSignature(col(vecCol), planes).as("sig"))
+        .select(col(id), col(vec),
+          explode(array(
+            struct(lit(0).as("band"), col("sig").bitwiseAND(lit((1L << (nPlanes / 2)) - 1)).as("bh")),
+            struct(lit(1).as("band"), shiftright(col("sig"), nPlanes / 2).as("bh")))).as("bb"))
+        .select(col(id), col(vec), col("bb.band"), col("bb.bh"))
+    val c = banded(corpus, "vec_id", "vec")
+    val p = banded(probes, "probe_id", "probe_vec")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(p),
+        c("band") === p("band") && c("bh") === p("bh") &&
+          col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("probe_vec"), col("vec"))
+      .dropDuplicates("probe_id", "vec_id")
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("probe_vec"), col("vec")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+}

@@ -1,0 +1,30 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming rollup (SURVEY.md §2 B10): the q_time_bucket /
+  * events_stream_hourly aggregation as an incremental streaming query.
+  *
+  * Works on any streaming DataFrame with (ts: timestamp, event_type,
+  * value, user_id) — file source, Kafka, or MemoryStream in tests. The
+  * 2-hour watermark bounds state: at 100 TB/day ingest the state store
+  * holds only the open windows, and late events beyond the watermark
+  * are dropped exactly like ClickHouse's materialized-view rollups
+  * would settle after merges.
+  */
+object EventsStream {
+
+  /** Tumbling 1-hour rollup per event_type. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("hour_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+}

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Fnv1a64
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Specs for the C-group (training-data pipeline) operators — these are
+  * the oracles for the rows-only gate queries.
+  */
+class FingerprintSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("fnv1a64 expression matches the reference JVM implementation") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val got = docs.select($"doc_id", Fnv1a64.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Fnv1a64.hashString(r.getString(1))).toMap
+    assert(got == want)
+  }
+
+  test("fnv1a64 known vectors (public FNV-1a test values)") {
+    // fnv1a64("") = offset basis; fnv1a64("a") = 0xaf63dc4c8601ec8c
+    assert(Fnv1a64.hashString("") == 0xcbf29ce484222325L)
+    assert(Fnv1a64.hashString("a") == 0xaf63dc4c8601ec8cL)
+    assert(Fnv1a64.hashString("foobar") == 0x85944171f73967e8L)
+  }
+
+  test("fnv1a64 null-safe and codegen/interpreted agree") {
+    val df = Seq(Some("x"), None, Some("")).toDF("s")
+    val rows = df.select(Fnv1a64.fingerprint($"s")).collect()
+    assert(rows(0).getLong(0) == Fnv1a64.hashString("x"))
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getLong(0) == 0xcbf29ce484222325L)
+  }
+}
+
+class DedupSpec extends SparkFunSuite {
+
+  private def planted(df: Array[(Long, Long)], delta: Long): Int =
+    df.count { case (a, b) => b - a == delta }
+
+  lazy val corpus = DedupQueries.corpus(spark, sf).cache()
+  lazy val nExact = Tables.documents(spark, sf)
+    .filter(col("doc_id") % 10 === 0).count().toInt
+  lazy val nNear = Tables.documents(spark, sf)
+    .filter(col("doc_id") % 10 === 5).count().toInt
+
+  test("dedup_exact finds every planted exact duplicate, nothing twice") {
+    val res = Dedup.exact(corpus, "doc_id", "text")
+    val nDocs = corpus.count()
+    val dupGroups = res.filter(col("n_copies") >= 2).count()
+    assert(res.agg(sum("n_copies")).collect()(0).getLong(0) == nDocs)
+    assert(dupGroups >= nExact) // at least the planted groups
+  }
+
+  test("minhash recovers all planted pairs with sane estimates") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(planted(keys, 1000000L) == nExact, "exact-copy recall")
+    assert(planted(keys, 2000000L) == nNear, "near-copy recall")
+    // exact copies estimate 1.0
+    pairs.filter(r => r.getLong(1) - r.getLong(0) == 1000000L)
+      .foreach(r => assert(r.getDouble(2) == 1.0))
+  }
+
+  test("simhash recovers planted pairs within hamming 3") {
+    val keys = Dedup.simhashPairs(corpus, "doc_id", "text", 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(planted(keys, 1000000L) == nExact)
+    // near copies shift the token multiset; hamming<=3 keeps most but
+    // legitimately drops heavily-shifted short docs
+    assert(planted(keys, 2000000L) >= (nNear * 0.7).toInt)
+  }
+
+  test("ngram jaccard: planted exact pairs at 1.0, near pairs high") {
+    val rows = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = rows.filter(t => t._2 - t._1 == 1000000L)
+    val near = rows.filter(t => t._2 - t._1 == 2000000L)
+    assert(exact.length == nExact)
+    exact.foreach(t => assert(t._3 == 1.0))
+    assert(near.length == nNear)
+    near.foreach(t => assert(t._3 > 0.7))
+  }
+
+  test("embedding LSH recovers planted near-identical vectors") {
+    val vecs = DedupQueries.vecCorpus(spark, sf)
+    val nPlanted = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0).count().toInt
+    val keys = Similarity.embeddingPairs(vecs, 0.99)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(planted(keys, 1000000L) >= (nPlanted * 0.9).toInt)
+  }
+}
+
+class SimilaritySpec extends SparkFunSuite {
+
+  test("brute-force top-k: k rows per probe, cosine descending, in [-1,1]") {
+    val res = VectorQueries.queries("ann_bruteforce")(spark, sf).collect()
+    val byProbe = res.groupBy(_.getLong(0))
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.length == 5, s"probe $p")
+      val cos = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(cos == cos.sorted.reverse)
+      cos.foreach(c => assert(c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("LSH top-k hits are a subset ranking of true cosine order") {
+    // every LSH result's cosine must equal the brute-force cosine for
+    // the same (probe, vec) — the bucketing only restricts candidates.
+    val bf = VectorQueries.queries("ann_bruteforce")(spark, sf)
+      .select("probe_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = VectorQueries.queries("ann_lsh")(spark, sf)
+      .select("probe_id", "vec_id", "cos").collect()
+    var overlap = 0
+    lsh.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-12); overlap += 1
+      }
+    }
+    assert(overlap > 0, "LSH found none of the true top-5")
+  }
+}
+
+class MultimodalSpec extends SparkFunSuite {
+
+  test("typed mapPartitions path equals the columnar path exactly") {
+    val payloads = MultimodalQueries.payloads(spark, sf)
+    val colPath = Multimodal.extractMeta(payloads)
+      .orderBy("doc_id").collect().toSeq
+    val typedPath = Multimodal.extractMetaTyped(spark, payloads).toDF()
+      .select("doc_id", "n_bytes", "sha_hex", "width", "height", "n_frames")
+      .orderBy("doc_id").collect().toSeq
+    assert(colPath == typedPath)
+  }
+
+  test("payload plumbing survives repartitioning (batch-shape invariance)") {
+    val payloads = MultimodalQueries.payloads(spark, sf).repartition(7)
+    val n = Multimodal.extractMetaTyped(spark, payloads).count()
+    assert(n == 500)
+  }
+}
