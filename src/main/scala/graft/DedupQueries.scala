@@ -45,8 +45,15 @@ object DedupQueries {
       Dedup.exact(corpus(s, d), "doc_id", "text").orderBy("keeper")
     },
 
-    // C2 (rows-only): MinHash+LSH near-dup candidate pairs.
+    // C2 (rows-only): MinHash+LSH near-dup clusters — LSH pairs then
+    // distributed min-propagation connected components.
     "dedup_minhash" -> Q { (s, d) =>
+      Dedup.minhashClusters(corpus(s, d), "doc_id", "text", threshold = 0.5)
+        .orderBy("doc_id")
+    },
+
+    // C2b (rows-only): the underlying candidate-pair view.
+    "dedup_minhash_pairs" -> Q { (s, d) =>
       Dedup.minhashPairs(corpus(s, d), "doc_id", "text", threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     },

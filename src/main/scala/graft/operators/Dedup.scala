@@ -70,8 +70,13 @@ object Dedup {
                    threshold: Double = 0.5, nHashes: Int = 128,
                    bands: Int = 32): DataFrame = {
     val rowsPerBand = nHashes / bands
+    // signatures are 128 aggregates over every shingle — materialize
+    // once (the self-join and estimate would otherwise recompute them
+    // per reference; at cluster scale this is a checkpoint of the
+    // signature table, thousands of times smaller than the text)
     val sigs = docs.select(col(idCol).as("doc_id"),
         minhashSignature(shingleHashes(col(textCol)), nHashes).as("sig"))
+      .localCheckpoint(eager = true)
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))")).as("bb"))
@@ -88,6 +93,52 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / nHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: every node adopts the smallest id reachable
+    * in one hop, repeated until fixpoint. Converges in O(log n) rounds
+    * of key-hash shuffles (diameter halves per round on path graphs,
+    * and near-dup clusters are tiny and dense in practice); no driver
+    * collect, no quadratic blowup — the union-find analog that
+    * distributes.
+    *
+    * Returns (doc_id, cluster_id) for every node appearing in a pair,
+    * cluster_id = min doc_id of the component.
+    */
+  def connectedComponents(pairs: DataFrame,
+                          aCol: String = "doc_a", bCol: String = "doc_b",
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+    var labels = edges.select(col("a").as("id"),
+        least(col("a"), col("b")).as("cluster_id"))
+      .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // propagate: my label := min(my label, neighbors' labels)
+      val next = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster_id", "nb_label"), "b")
+        .select(col("a").as("id"), col("nb_label"))
+        .union(labels.select(col("id"), col("cluster_id").as("nb_label")))
+        .groupBy("id").agg(min("nb_label").as("cluster_id"))
+        .localCheckpoint(eager = true) // truncate the growing lineage
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.cluster_id") =!= col("p.cluster_id")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
+  /** MinHash near-dup CLUSTERS (SURVEY §2 C2): LSH candidate pairs ->
+    * threshold -> connected components.
+    */
+  def minhashClusters(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5): DataFrame =
+    connectedComponents(minhashPairs(docs, idCol, textCol, threshold))
 
   // -------------------------------------------------------------- simhash
 
@@ -113,6 +164,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
+      .localCheckpoint(eager = true)
     val banded = sigs.select(col("doc_id"), col("sh"),
         explode(expr("transform(sequence(0, 3), " +
           "k -> named_struct('band', k, 'bh', (sh >> (k * 16)) & 65535))")).as("bb"))
@@ -142,7 +194,8 @@ object Dedup {
                         threshold: Double = 0.4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sets = docs.select(col(idCol).as("doc_id"),
-      array_distinct(shingleHashes(col(textCol))).as("ngs"))
+        array_distinct(shingleHashes(col(textCol))).as("ngs"))
+      .localCheckpoint(eager = true)
     val inverted = sets.select(col("doc_id"), size(col("ngs")).as("sz"),
       explode(col("ngs")).as("ng"))
     val dfs = inverted.groupBy("ng").agg(count(lit(1)).as("df"))

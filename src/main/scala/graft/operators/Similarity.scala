@@ -23,14 +23,40 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Turn a scored (probe_id, vec_id, cos) relation into per-probe
+    * top-k rows via the bounded TopK aggregator: partial aggregates
+    * carry at most k entries per probe per partition across the
+    * shuffle — no global sort of scored rows (SURVEY.md §5).
+    */
+  private def selectTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("probe_id")
+      .agg(graft.functions.TopK.topk(k)(col("cos"), col("vec_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col._2").as("vec_id"),
+        col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rk"))
+
   /** Brute-force exact top-k neighbors of each probe vector.
     * Probes are expected to be a SMALL set (they are broadcast — the
     * corpus is scanned exactly once, in place, with no corpus shuffle);
-    * per-probe top-k selection happens on the joined result, keyed by
-    * probe, tie-broken by corpus id so results are total-ordered.
+    * per-probe selection is the bounded TopK aggregate, tie-broken by
+    * corpus id so results are total-ordered.
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    selectTopK(
+      c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosine(col("probe_vec"), col("vec")).as("cos")), k)
+  }
+
+  /** Window-function variant of the same query — identical results,
+    * kept as the cross-check oracle for the aggregator path (and for
+    * callers that need other window functions over the same keys).
+    */
+  def bruteForceTopKWindow(corpus: DataFrame, probes: DataFrame, k: Int,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
     val w = Window.partitionBy("probe_id")
@@ -103,16 +129,13 @@ object Similarity {
         .select(col(id), col(vec), col("bb.band"), col("bb.bh"))
     val c = banded(corpus, "vec_id", "vec")
     val p = banded(probes, "probe_id", "probe_vec")
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    c.join(broadcast(p),
-        c("band") === p("band") && c("bh") === p("bh") &&
-          col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), col("probe_vec"), col("vec"))
-      .dropDuplicates("probe_id", "vec_id")
-      .select(col("probe_id"), col("vec_id"),
-        cosine(col("probe_vec"), col("vec")).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    selectTopK(
+      c.join(broadcast(p),
+          c("band") === p("band") && c("bh") === p("bh") &&
+            col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("probe_vec"), col("vec"))
+        .dropDuplicates("probe_id", "vec_id")
+        .select(col("probe_id"), col("vec_id"),
+          cosine(col("probe_vec"), col("vec")).as("cos")), k)
   }
 }

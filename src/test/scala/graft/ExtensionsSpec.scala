@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Fnv1a64
+import graft.operators.{Dedup, Similarity}
+
+class GraftExtensionsSpec extends SparkFunSuite {
+
+  test("fnv1a64 is callable from SQL after install") {
+    GraftCatalog.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      "SELECT doc_id, fnv1a64(text) AS fp FROM documents ORDER BY doc_id LIMIT 20")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = Tables.documents(spark, sf).limit(20)
+      .select(col("doc_id"), Fnv1a64.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
+  }
+
+  test("full OLAP surface reachable via spark.sql on registered views") {
+    GraftCatalog.registerTables(spark, sf)
+    val top = spark.sql(
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
+    assert(top.nonEmpty && top.map(_.getLong(1)).sum ==
+      Tables.lineitem(spark, sf).count())
+  }
+}
+
+class ConnectedComponentsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("min-propagation finds components on a known graph") {
+    // components: {1,2,3,4}, {10,11}, {20,21,22}; 4 connects via chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("minhash clusters group each planted duplicate with its source") {
+    val clusters = Dedup.minhashClusters(
+        DedupQueries.corpus(spark, sf), "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+        assert(clusters.get(id + 1000000).contains(clusters(id)),
+          s"exact copy of $id not in its cluster")
+      }
+    Tables.documents(spark, sf).filter(col("doc_id") % 10 === 5)
+      .select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+        assert(clusters.get(id + 2000000).contains(clusters(id)),
+          s"near copy of $id not in its cluster")
+      }
+  }
+}
+
+class TopKAggSpec extends SparkFunSuite {
+
+  test("aggregator top-k equals the window-function top-k exactly") {
+    val corpus = Tables.embeddings(spark, sf)
+    val probes = corpus.filter(col("vec_id") % 50 === 0)
+    val agg = Similarity.bruteForceTopK(corpus, probes, 5)
+      .orderBy("probe_id", "rk").collect().toSeq
+    val win = Similarity.bruteForceTopKWindow(corpus, probes, 5)
+      .select("probe_id", "vec_id", "cos", "rk")
+      .orderBy("probe_id", "rk").collect().toSeq
+    assert(agg.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))) ==
+      win.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))))
+  }
+}
