@@ -2,39 +2,68 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.types._
 import graft.functions.Fnv1a64Expr
 
 /** Spark-native extension point: registers graft's custom Catalyst
-  * expressions as SQL functions, so `spark.sql("SELECT fnv1a64(text)
-  * ...")` works anywhere DataFrame code does. Install either with
-  *   spark.sql.extensions=graft.GraftExtensions
-  * at session build time, or post-hoc via [[GraftExtensions.install]].
+  * expressions AND a ClickHouse-compatibility function surface, so the
+  * SQL a user of the reference engine runs against ClickHouse
+  * (main.py:65's ReplacingMergeTree tables exist to serve exactly these
+  * functions) works verbatim through `spark.sql`:
+  *
+  *   uniq, uniqExact, toStartOfHour/Day/Minute/Month, toDate,
+  *   toDateTime, toInt32/Int64, toUInt32/UInt64 (wraparound semantics,
+  *   main.py:89-91), toFloat64, fnv1a64.
+  *
+  * Install either with `spark.sql.extensions=graft.GraftExtensions` at
+  * session build time, or post-hoc via [[GraftExtensions.install]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.fnv1a64Descriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
   type FunctionDescriptor =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  val fnv1a64Descriptor: FunctionDescriptor = (
-    FunctionIdentifier("fnv1a64"),
-    new ExpressionInfo(classOf[Fnv1a64Expr].getName, "fnv1a64"),
-    (children: Seq[Expression]) => {
-      require(children.length == 1, "fnv1a64 expects exactly one argument")
-      Fnv1a64Expr(children.head)
-    })
+  private def d(name: String, clazz: Class[_] = classOf[Expression])
+               (builder: Seq[Expression] => Expression): FunctionDescriptor =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  private def one(name: String)(f: Expression => Expression): FunctionDescriptor =
+    d(name) { children =>
+      require(children.length == 1, s"$name expects exactly one argument")
+      f(children.head)
+    }
+
+  val descriptors: Seq[FunctionDescriptor] = Seq(
+    one("fnv1a64")(Fnv1a64Expr(_)),
+    // ClickHouse approximate distinct (`uniq`) -> HLL++
+    one("uniq")(c => HyperLogLogPlusPlus(c).toAggregateExpression()),
+    // exact distinct (`uniqExact`) -> COUNT(DISTINCT x)
+    one("uniqExact")(c => Count(Seq(c)).toAggregateExpression(isDistinct = true)),
+    one("toStartOfHour")(TruncTimestamp(Literal("hour"), _)),
+    one("toStartOfDay")(TruncTimestamp(Literal("day"), _)),
+    one("toStartOfMinute")(TruncTimestamp(Literal("minute"), _)),
+    one("toStartOfMonth")(TruncTimestamp(Literal("month"), _)),
+    one("toDate")(Cast(_, DateType)),
+    one("toDateTime")(Cast(_, TimestampType)),
+    one("toInt32")(Cast(_, IntegerType)),
+    one("toInt64")(Cast(_, LongType)),
+    one("toFloat64")(Cast(_, DoubleType)),
+    // UInt32/UInt64 with the reference's wraparound masking semantics
+    one("toUInt32")(c => BitwiseAnd(Cast(c, LongType), Literal(0xFFFFFFFFL))),
+    one("toUInt64")(Cast(_, LongType)))
 
   /** Register on an already-built session (tests, notebooks). */
-  def install(spark: SparkSession): Unit = {
-    val (ident, info, builder) = fnv1a64Descriptor
-    spark.sessionState.functionRegistry
-      .registerFunction(ident, info, builder)
-  }
+  def install(spark: SparkSession): Unit =
+    descriptors.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
 }
 
 /** SQL-first catalog surface: expose every test-schema table under its

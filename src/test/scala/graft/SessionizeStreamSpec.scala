@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+import graft.streaming.SessionizeStream
+
+class SessionizeStreamSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def ts(min: Int) =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("session_window groups events by 30-min gaps per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val sq = SessionizeStream.sessionWindows(
+        stream.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("sessions_builtin")
+      .outputMode("complete").start()
+    try {
+      // user 1: events at 0,10,20 (one session), then 60 (new session)
+      stream.addData(Seq((ts(0), 1L), (ts(10), 1L), (ts(20), 1L), (ts(60), 1L)))
+      sq.processAllAvailable()
+      val rows = spark.table("sessions_builtin")
+        .orderBy("user_id", "start_us").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(3) == 3L) // first session: 3 events
+      assert(rows(1).getLong(3) == 1L)
+    } finally sq.stop()
+  }
+
+  test("flatMapGroupsWithState closes sessions at the gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val sq = SessionizeStream.sessionizeWithState(spark,
+        stream.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("sessions_state")
+      .outputMode("append").start()
+    try {
+      // session A: user 1 at minutes 0,10; session B opens at minute 60
+      stream.addData(Seq((ts(0), 1L), (ts(10), 1L)))
+      sq.processAllAvailable()
+      stream.addData(Seq((ts(60), 1L)))
+      sq.processAllAvailable()
+      // drive the watermark far forward so session B times out too
+      stream.addData(Seq((ts(300), 2L)))
+      sq.processAllAvailable()
+      stream.addData(Seq((ts(400), 2L)))
+      sq.processAllAvailable()
+
+      val rows = spark.table("sessions_state")
+        .orderBy("user_id", "start_us").collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+      // user 1: session of 2 events (closed by the minute-60 event),
+      // then the singleton session closed by event-time timeout
+      assert(rows.contains((1L, 2L)), s"got ${rows.mkString(",")}")
+      assert(rows.contains((1L, 1L)), s"got ${rows.mkString(",")}")
+    } finally sq.stop()
+  }
+}
+
+class ClickHouseCompatSpec extends SparkFunSuite {
+
+  test("ClickHouse-style SQL runs verbatim through spark.sql") {
+    GraftCatalog.registerTables(spark, sf)
+    val df = spark.sql(
+      """SELECT toStartOfHour(toDateTime(ts_us / 1000000)) AS h,
+        |       uniqExact(user_id) AS exact_u,
+        |       uniq(user_id) AS approx_u,
+        |       toUInt32(-1) AS wrapped
+        |FROM events GROUP BY h ORDER BY h LIMIT 5""".stripMargin).collect()
+    assert(df.length == 5)
+    assert(df.forall(_.getLong(3) == 4294967295L))
+    df.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      assert(math.abs(r.getLong(2) - exact) / exact < 0.1)
+    }
+  }
+
+  test("uniqExact equals count distinct; toDate/toInt casts behave") {
+    GraftCatalog.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT uniqExact(o_custkey) AS u,
+        |       toDate(min(o_orderdate)) AS d0,
+        |       toInt64(max(o_orderkey)) AS mx
+        |FROM orders""".stripMargin).collect()(0)
+    val want = Tables.orders(spark, sf)
+      .selectExpr("count(DISTINCT o_custkey)").collect()(0).getLong(0)
+    assert(r.getLong(0) == want)
+  }
+}
