@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.types._
 import graft.functions.Fnv1a64Expr
 
@@ -56,7 +56,36 @@ object GraftExtensions {
     one("toFloat64")(Cast(_, DoubleType)),
     // UInt32/UInt64 with the reference's wraparound masking semantics
     one("toUInt32")(c => BitwiseAnd(Cast(c, LongType), Literal(0xFFFFFFFFL))),
-    one("toUInt64")(Cast(_, LongType)))
+    one("toUInt64")(Cast(_, LongType)),
+    // ClickHouse argMax/argMin(value, weight)
+    two("argMax")((v, w) => MaxBy(v, w).toAggregateExpression()),
+    two("argMin")((v, w) => MinBy(v, w).toAggregateExpression()),
+    // -If combinators: aggregate only rows where cond holds (the NULL
+    // branch is skipped by the underlying aggregate, exactly CH's skip)
+    one("countIf")(c =>
+      Count(Seq(If(c, Literal(1), Literal(null, IntegerType)))).toAggregateExpression()),
+    two("sumIf")((x, c) =>
+      Sum(If(c, x, Literal(null, x.dataType))).toAggregateExpression()),
+    two("avgIf")((x, c) =>
+      Average(If(c, x, Literal(null, x.dataType))).toAggregateExpression()),
+    // quantile(x[, level]) -> t-digest approximate percentile. CH's
+    // parameterized quantile(level)(x) syntax can't parse here, so the
+    // level is a second argument (documented deviation).
+    d("quantile") { children =>
+      val (x, level) = children match {
+        case Seq(a)    => (a, Literal(0.5))
+        case Seq(a, l) => (a, l)
+        case _ => throw new IllegalArgumentException(
+          "quantile expects (value) or (value, level)")
+      }
+      new ApproximatePercentile(x, level).toAggregateExpression()
+    })
+
+  private def two(name: String)(f: (Expression, Expression) => Expression): FunctionDescriptor =
+    d(name) { children =>
+      require(children.length == 2, s"$name expects exactly two arguments")
+      f(children(0), children(1))
+    }
 
   /** Register on an already-built session (tests, notebooks). */
   def install(spark: SparkSession): Unit =

@@ -27,6 +27,12 @@ object MultimodalQueries {
       Multimodal.extractMeta(payloads(s, d)).orderBy("doc_id")
     },
 
+    // C12b (oracle): per-frame work items via explode fan-out.
+    "multimodal_frames" -> Q { (s, d) =>
+      Multimodal.sampleFrames(Multimodal.extractMeta(payloads(s, d)), 7)
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // B10 (oracle): the streaming rollup's batch-equivalent answer —
     // identical logical aggregation, so the gate checks the same
     // semantics the streaming spec exercises incrementally.
@@ -48,6 +54,11 @@ object MultimodalQueries {
         | 64 + (doc_id * 104729 + octet_length(CAST(text AS BLOB))) % 1016 AS height,
         | 1 + octet_length(CAST(text AS BLOB)) % 240 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id, sha256(text) AS sha_hex,
+        | unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) % 240, 7)) AS frame_idx
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
 
     "events_stream_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,

@@ -39,6 +39,18 @@ object Multimodal {
       (lit(64L) + pmod(col("doc_id") * 104729L + length(col("payload")), lit(1016L))).as("height"),
       (lit(1L) + pmod(length(col("payload")).cast("long"), lit(240L))).as("n_frames"))
 
+  /** Frame sampling: every `everyK`-th frame index of each payload —
+    * the explode fan-out a video pipeline uses to turn one media row
+    * into per-frame work items (each would carry a decoded tensor in a
+    * real pipeline; here the index + provenance columns ARE the
+    * payload). Fan-out happens executor-side; no driver involvement.
+    */
+  def sampleFrames(meta: DataFrame, everyK: Int = 7): DataFrame =
+    meta.select(
+      col("doc_id"), col("sha_hex"),
+      explode(sequence(lit(0L), col("n_frames") - 1L, lit(everyK.toLong)))
+        .as("frame_idx"))
+
   /** Typed per-partition batch path — the shape a real decoder runs in
     * (one iterator per partition, media libs initialized once per
     * partition, rows streamed through). Equivalent output to

@@ -140,6 +140,19 @@ class MultimodalSpec extends SparkFunSuite {
     assert(colPath == typedPath)
   }
 
+  test("frame sampling fans out every 7th frame index per payload") {
+    val meta = Multimodal.extractMeta(MultimodalQueries.payloads(spark, sf))
+    val frames = Multimodal.sampleFrames(meta, 7)
+    val check = meta.select("doc_id", "n_frames").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counts = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == check.keySet)
+    counts.foreach { case (id, n) =>
+      assert(n == (check(id) + 6) / 7, s"doc $id")
+    }
+  }
+
   test("payload plumbing survives repartitioning (batch-shape invariance)") {
     val payloads = MultimodalQueries.payloads(spark, sf).repartition(7)
     val n = Multimodal.extractMetaTyped(spark, payloads).count()

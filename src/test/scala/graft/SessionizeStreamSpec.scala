@@ -77,6 +77,27 @@ class ClickHouseCompatSpec extends SparkFunSuite {
     }
   }
 
+  test("argMax/countIf/sumIf/avgIf/quantile combinators") {
+    GraftCatalog.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT argMax(event_type, value) AS top_type,
+        |       countIf(value > 5.0) AS n_big,
+        |       sumIf(value, event_type = 'click') AS click_sum,
+        |       avgIf(value, event_type = 'click') AS click_avg,
+        |       quantile(value, 0.5) AS med
+        |FROM events""".stripMargin).collect()(0)
+    val want = Tables.events(spark, sf).selectExpr(
+      "max_by(event_type, value)",
+      "count(CASE WHEN value > 5.0 THEN 1 END)",
+      "sum(CASE WHEN event_type = 'click' THEN value END)",
+      "avg(CASE WHEN event_type = 'click' THEN value END)").collect()(0)
+    assert(r.getString(0) == want.getString(0))
+    assert(r.getLong(1) == want.getLong(1))
+    assert(math.abs(r.getDouble(2) - want.getDouble(2)) < 1e-9)
+    assert(math.abs(r.getDouble(3) - want.getDouble(3)) < 1e-9)
+    assert(r.getDouble(4) > 0)
+  }
+
   test("uniqExact equals count distinct; toDate/toInt casts behave") {
     GraftCatalog.registerTables(spark, sf)
     val r = spark.sql(
