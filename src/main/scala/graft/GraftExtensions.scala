@@ -68,6 +68,11 @@ object GraftExtensions {
       Sum(If(c, x, Literal(null, x.dataType))).toAggregateExpression()),
     two("avgIf")((x, c) =>
       Average(If(c, x, Literal(null, x.dataType))).toAggregateExpression()),
+    // array/first-last aggregates
+    one("groupArray")(c => CollectList(c).toAggregateExpression()),
+    one("groupUniqArray")(c => CollectSet(c).toAggregateExpression()),
+    one("any")(c => First(c, ignoreNulls = true).toAggregateExpression()),
+    one("anyLast")(c => Last(c, ignoreNulls = true).toAggregateExpression()),
     // quantile(x[, level]) -> t-digest approximate percentile. CH's
     // parameterized quantile(level)(x) syntax can't parse here, so the
     // level is a second argument (documented deviation).

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 import graft.streaming.SessionizeStream
 
@@ -96,6 +97,25 @@ class ClickHouseCompatSpec extends SparkFunSuite {
     assert(math.abs(r.getDouble(2) - want.getDouble(2)) < 1e-9)
     assert(math.abs(r.getDouble(3) - want.getDouble(3)) < 1e-9)
     assert(r.getDouble(4) > 0)
+  }
+
+  test("groupArray/groupUniqArray/any/anyLast") {
+    GraftCatalog.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT event_type,
+        |       size(groupArray(event_id)) AS n_all,
+        |       size(groupUniqArray(user_id)) AS n_uniq,
+        |       any(event_id) AS first_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect()
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("int").as("n"),
+        countDistinct(col("user_id")).cast("int").as("u"))
+      .orderBy("event_type").collect()
+    r.zip(want).foreach { case (got, w) =>
+      assert(got.getInt(1) == w.getInt(1) && got.getInt(2) == w.getInt(2))
+    }
   }
 
   test("uniqExact equals count distinct; toDate/toInt casts behave") {
