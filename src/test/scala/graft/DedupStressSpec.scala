@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Scale-behavior spec: the fixed 500-doc test corpus can't exercise
+  * candidate-generation blowup, so this derives a ~12k-doc corpus
+  * deterministically from lineitem keys (diverse hex-word shingles,
+  * near-zero cross-doc Jaccard) and plants 5% exact duplicates.
+  * Asserts full recall AND that LSH candidate count stays linear-ish —
+  * the property that decides whether the operator survives 100 TB.
+  */
+class DedupStressSpec extends SparkFunSuite {
+
+  private lazy val corpus = {
+    val base = Tables.lineitem(spark, sf) // ~6k rows at sf0.001
+      .filter(col("l_orderkey") % 2 === 0) // ~3k docs: runtime budget
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .withColumn("doc_id",
+        col("l_orderkey") * 10 + col("l_linenumber"))
+      .withColumn("text", expr(
+        // 20 pseudo-random hex words per doc, seeded by the key
+        """array_join(transform(sequence(1, 20),
+          |  i -> hex(xxhash64(l_orderkey * 7919 + l_linenumber * 104729 + i))),
+          |' ')""".stripMargin))
+      .select("doc_id", "text")
+      // the synthetic lineitem repeats (orderkey, linenumber) pairs —
+      // dedup ids so the corpus has one row per doc
+      .dropDuplicates("doc_id")
+    // doc_id = orderkey*10 + linenumber(1..7): plant on the %40==1
+    // residue (orderkey%4==0, linenumber 1) — a real, nonempty slice
+    val dupes = base.filter(col("doc_id") % 40 === 1)
+      .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+    base.unionByName(dupes).localCheckpoint(eager = true)
+  }
+
+  test("minhash at 3k docs: full exact-dup recall, bounded candidates") {
+    val n = corpus.count()
+    val nPlanted = corpus.filter(col("doc_id") >= 100000000L).count()
+    assert(nPlanted > 50, s"degenerate plant: $nPlanted")
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val planted = pairs.count { case (a, b) => b - a == 100000000L }
+    assert(planted == nPlanted, s"recall $planted/$nPlanted")
+    // candidate survivors must be ~only the planted pairs, not O(n^2)
+    assert(pairs.length < nPlanted * 2,
+      s"${pairs.length} pairs for $n docs - candidate blowup")
+  }
+
+  test("exact dedup at 3k docs: every group accounted for") {
+    val res = Dedup.exact(corpus, "doc_id", "text")
+    assert(res.agg(sum("n_copies")).collect()(0).getLong(0) == corpus.count())
+    assert(res.filter(col("n_copies") === 2).count() ==
+      corpus.filter(col("doc_id") >= 100000000L).count())
+  }
+
+  test("ngram jaccard prefix filtering stays bounded") {
+    val nPlanted = corpus.filter(col("doc_id") >= 100000000L).count()
+    assert(nPlanted > 50, s"degenerate plant: $nPlanted")
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val planted = pairs.count { case (a, b) => b - a == 100000000L }
+    assert(planted == nPlanted, s"recall $planted/$nPlanted")
+    assert(pairs.length < nPlanted * 2, s"${pairs.length} pairs")
+  }
+}
