@@ -27,10 +27,14 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** Char-5-gram shingle hashes of a text column (64-bit, xxhash64). */
+  /** Char-5-gram shingle hashes of a text column (64-bit, xxhash64).
+    * Pure Column construction (Column.substr accepts Column positions),
+    * so any expression works as input, not just a named column.
+    */
   def shingleHashes(text: Column): Column =
-    expr(s"transform(sequence(1, greatest(1, length(${text.toString}) - 4)), " +
-      "i -> xxhash64(substring(" + text.toString + ", i, 5)))")
+    transform(
+      sequence(lit(1), greatest(lit(1), length(text) - 4)),
+      i => xxhash64(text.substr(i, lit(5))))
 
   /** Deterministic permutation coefficients (seeded, 29-bit so that
     * a*x32+b stays within a signed 64-bit range: no ANSI overflow).
@@ -146,15 +150,15 @@ object Dedup {
     * token hashes, assembled with OR (no overflow under ANSI).
     */
   def simhash(text: Column): Column = {
-    val t = text.toString
-    // SQL form: the Scala shiftleft/shiftright API only takes literal
-    // shift amounts, the SQL functions take expressions.
-    expr(
-      s"""aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) ->
-         |  acc | (CASE WHEN aggregate(
-         |      transform(split(lower($t), '\\\\s+'), tok -> xxhash64(tok)),
-         |      0, (a2, h) -> a2 + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)
-         |    ) >= 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END))""".stripMargin)
+    val thashes = transform(split(lower(text), "\\s+"), tok => xxhash64(tok))
+    // bits unrolled at the Scala level: shift amounts become literal
+    // Ints (all the Column-API shift functions accept), and the 64
+    // per-bit vote aggregates stay one codegen'd projection
+    (0 until 64).map { b =>
+      val votes = aggregate(thashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(votes >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
   }
 
   /** SimHash near-dup pairs: 4 x 16-bit bands (any shared band is a
