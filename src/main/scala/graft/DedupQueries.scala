@@ -75,6 +75,22 @@ object DedupQueries {
     "dedup_embedding" -> Q { (s, d) =>
       Similarity.embeddingPairs(vecCorpus(s, d), threshold = 0.99)
         .orderBy("vec_a", "vec_b")
+    },
+
+    // C13 (rows-only): reproducible ~20% sample keyed on doc_id —
+    // byte-identical across runs/retries (spec-checked).
+    "sample_docs" -> Q { (s, d) =>
+      graft.operators.Sampling.deterministicSample(
+        Tables.documents(s, d).select("doc_id", "lang"),
+        col("doc_id"), 0.2).orderBy("doc_id")
+    },
+
+    // C14 (rows-only): train/val/test split assignment by keyed hash.
+    "split_assign" -> Q { (s, d) =>
+      graft.operators.Sampling.splitAssign(
+        Tables.documents(s, d).select("doc_id"),
+        col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
     }
   )
 

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling & split assignment for training pipelines
+  * (SURVEY.md §2 C13-C14).
+  *
+  * Everything here is a pure function of (key, seed) — NOT rand():
+  * a failed task recompute, a re-run, or a different cluster produces
+  * byte-identical samples and splits. That determinism is what makes
+  * a 100 TB train/val/test split auditable.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  private def bucket(key: Column, seed: Long): Column =
+    pmod(xxhash64(key, lit(seed)), lit(Buckets))
+
+  /** Keep ~`frac` of rows, keyed on `key` (same key → same decision,
+    * so e.g. all chunks of one document stay together when keyed on
+    * the document id).
+    */
+  def deterministicSample(df: DataFrame, key: Column, frac: Double,
+                          seed: Long = 42L): DataFrame = {
+    require(frac >= 0 && frac <= 1)
+    df.filter(bucket(key, seed) < (frac * Buckets).toLong)
+  }
+
+  /** Assign each row a split label by hash bucket. `weights` are
+    * (label, weight) in priority order; weights are normalized.
+    */
+  def splitAssign(df: DataFrame, key: Column,
+                  weights: Seq[(String, Double)],
+                  seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0))
+    val total = weights.map(_._2).sum
+    val b = bucket(key, seed)
+    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .map(f => (f * Buckets).toLong)
+    val split = weights.zip(bounds.sliding(2).toSeq).foldRight(
+      lit(weights.last._1)) { case (((label, _), Seq(lo, hi)), rest) =>
+        when(b >= lo && b < hi, lit(label)).otherwise(rest)
+      }
+    df.withColumn("split", split)
+  }
+
+  /** Deterministic global shuffle: a total order by keyed hash. At
+    * cluster scale this is one range-partitioned sort producing a
+    * stable, seed-controlled training order.
+    */
+  def deterministicShuffle(df: DataFrame, key: Column,
+                           seed: Long = 42L): DataFrame =
+    df.orderBy(xxhash64(key, lit(seed)), key)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkFunSuite {
+
+  private lazy val docs = Tables.documents(spark, sf).select("doc_id")
+
+  test("deterministic sample: same rows every run, frac approximately honored") {
+    val a = Sampling.deterministicSample(docs, col("doc_id"), 0.2)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs, col("doc_id"), 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample not reproducible")
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.1 && frac < 0.3, s"frac $frac")
+    // different seed -> different sample
+    val c = Sampling.deterministicSample(docs, col("doc_id"), 0.2, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a != c)
+  }
+
+  test("sample monotonicity: smaller frac is a subset of larger") {
+    val small = Sampling.deterministicSample(docs, col("doc_id"), 0.1)
+      .collect().map(_.getLong(0)).toSet
+    val large = Sampling.deterministicSample(docs, col("doc_id"), 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("split assignment: total, disjoint, weight-proportional, stable") {
+    val splits = Sampling.splitAssign(docs, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = splits.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == n.toLong)
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    // stability: rerun assigns identical labels
+    val x = splits.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val y = Sampling.splitAssign(docs, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(x == y)
+  }
+
+  test("deterministic shuffle is a stable permutation") {
+    val a = Sampling.deterministicShuffle(docs, col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val b = Sampling.deterministicShuffle(docs, col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(a.sorted != a, "shuffle left input ordered") // astronomically unlikely
+    assert(a.toSet == docs.collect().map(_.getLong(0)).toSet)
+  }
+}
