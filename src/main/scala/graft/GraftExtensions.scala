@@ -68,6 +68,16 @@ object GraftExtensions {
       Sum(If(c, x, Literal(null, x.dataType))).toAggregateExpression()),
     two("avgIf")((x, c) =>
       Average(If(c, x, Literal(null, x.dataType))).toAggregateExpression()),
+    // ClickHouse topK(x, k) -> sketch-based heavy hitters
+    d("topK") { children =>
+      val (x, k) = children match {
+        case Seq(a)     => (a, Literal(10))
+        case Seq(a, kk) => (a, kk)
+        case _ => throw new IllegalArgumentException(
+          "topK expects (value) or (value, k)")
+      }
+      new ApproxTopK(x, k).toAggregateExpression()
+    },
     // array/first-last aggregates
     one("groupArray")(c => CollectList(c).toAggregateExpression()),
     one("groupUniqArray")(c => CollectSet(c).toAggregateExpression()),

@@ -99,6 +99,18 @@ class ClickHouseCompatSpec extends SparkFunSuite {
     assert(r.getDouble(4) > 0)
   }
 
+  test("topK sketch returns the true heavy hitters on skewed data") {
+    GraftCatalog.registerTables(spark, sf)
+    val sketch = spark.sql(
+      "SELECT topK(event_type, 3) AS t FROM events").collect()(0)
+      .getAs[Seq[org.apache.spark.sql.Row]](0).map(_.getString(0)).toSet
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").count()
+      .orderBy(col("count").desc).limit(3)
+      .collect().map(_.getString(0)).toSet
+    assert(sketch == exact)
+  }
+
   test("groupArray/groupUniqArray/any/anyLast") {
     GraftCatalog.registerTables(spark, sf)
     val r = spark.sql(
