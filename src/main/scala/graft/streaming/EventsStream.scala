@@ -16,6 +16,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventsStream {
 
+  /** Streaming dedup by event id: state bounded by the watermark —
+    * duplicates arriving within the horizon are dropped exactly; later
+    * ones age out of state (the at-least-once ingest companion of
+    * ReplacingMerge, which settles whatever still gets through).
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Tumbling 1-hour rollup per event_type. */
   def hourlyRollup(events: DataFrame): DataFrame =
     events
