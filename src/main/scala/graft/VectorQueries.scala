@@ -33,6 +33,15 @@ object VectorQueries {
       Similarity.lshTopK(
         Tables.embeddings(s, d), probes(s, d), k = 5)
         .orderBy("probe_id", "rk")
+    },
+
+    // C7b (rows-only): IVF — k-means coarse quantizer, probes scan
+    // their nProbe nearest cells only; recall spec-checked vs C6.
+    "ann_ivf" -> Q { (s, d) =>
+      val corpus = Tables.embeddings(s, d)
+      val model = graft.operators.IvfIndex.train(corpus, nList = 16)
+      graft.operators.IvfIndex.topK(corpus, probes(s, d), model,
+        k = 5, nProbe = 4).orderBy("probe_id", "rk")
     }
   )
 
