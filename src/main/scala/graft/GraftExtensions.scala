@@ -68,6 +68,23 @@ object GraftExtensions {
       Sum(If(c, x, Literal(null, x.dataType))).toAggregateExpression()),
     two("avgIf")((x, c) =>
       Average(If(c, x, Literal(null, x.dataType))).toAggregateExpression()),
+    // ClickHouse JSONExtract* over JSON-string columns (e.g. the
+    // events.props payload): key is a plain field name, as in CH
+    two("JSONExtractString")((j, k) => GetJsonObject(j, jsonPath(k))),
+    two("JSONExtractInt")((j, k) =>
+      Cast(GetJsonObject(j, jsonPath(k)), LongType)),
+    two("JSONExtractFloat")((j, k) =>
+      Cast(GetJsonObject(j, jsonPath(k)), DoubleType)),
+    // exact percentile companion of the t-digest `quantile`
+    d("quantileExact") { children =>
+      val (x, level) = children match {
+        case Seq(a)    => (a, Literal(0.5))
+        case Seq(a, l) => (a, l)
+        case _ => throw new IllegalArgumentException(
+          "quantileExact expects (value) or (value, level)")
+      }
+      new Percentile(x, level).toAggregateExpression()
+    },
     // ClickHouse topK(x, k) -> sketch-based heavy hitters
     d("topK") { children =>
       val (x, k) = children match {
@@ -101,6 +118,15 @@ object GraftExtensions {
       require(children.length == 2, s"$name expects exactly two arguments")
       f(children(0), children(1))
     }
+
+  /** CH passes a bare field name; JsonPath wants `$.name`. Fold the
+    * literal at registration when possible, else concat at runtime.
+    */
+  private def jsonPath(key: Expression): Expression = key match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString("$." + s.toString), StringType)
+    case e => Concat(Seq(Literal("$."), e))
+  }
 
   /** Register on an already-built session (tests, notebooks). */
   def install(spark: SparkSession): Unit =

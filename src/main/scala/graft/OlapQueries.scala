@@ -173,6 +173,20 @@ object OlapQueries {
         .orderBy("hour_bucket")
     },
 
+    // B11: semi-structured extraction — the ClickHouse JSONExtract
+    // pattern over the events.props JSON payload; get_json_object is
+    // codegen'd, so extraction happens inside the scan stage.
+    "q_json_extract" -> Q { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"),
+          count(col("k")).as("n_with_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
     // B9: session windows (30-min gap) per user. lag + cumulative flag
     // sum + final agg all share the user_id partitioning — Catalyst
     // plans a single exchange.
@@ -275,6 +289,13 @@ object OlapQueries {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        | sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        | count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+        | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

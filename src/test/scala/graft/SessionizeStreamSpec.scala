@@ -99,6 +99,25 @@ class ClickHouseCompatSpec extends SparkFunSuite {
     assert(r.getDouble(4) > 0)
   }
 
+  test("JSONExtract* and quantileExact") {
+    GraftCatalog.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT JSONExtractInt(props, 'k') AS k,
+        |       JSONExtractString(props, 'k') AS ks,
+        |       JSONExtractFloat(props, 'k') AS kf
+        |FROM events WHERE event_id = 0""".stripMargin).collect()(0)
+    val want = Tables.events(spark, sf).filter(col("event_id") === 0)
+      .selectExpr("CAST(get_json_object(props, '$.k') AS BIGINT)")
+      .collect()(0).getLong(0)
+    assert(r.getLong(0) == want)
+    assert(r.getString(1) == want.toString)
+    assert(r.getDouble(2) == want.toDouble)
+    val q = spark.sql(
+      "SELECT quantileExact(value, 0.5) AS med, quantile(value, 0.5) AS amed FROM events")
+      .collect()(0)
+    assert(math.abs(q.getDouble(0) - q.getDouble(1)) < q.getDouble(0) * 0.1)
+  }
+
   test("topK sketch returns the true heavy hitters on skewed data") {
     GraftCatalog.registerTables(spark, sf)
     val sketch = spark.sql(
