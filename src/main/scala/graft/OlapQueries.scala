@@ -187,6 +187,19 @@ object OlapQueries {
         .orderBy("event_type")
     },
 
+    // B12: ASOF join (ClickHouse ASOF JOIN) — each event matched to
+    // the user's most recent strictly-earlier purchase. One shuffle.
+    "q_asof_join" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts_us")
+      val pur = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us")
+      graft.operators.AsofJoin
+        .leftAsof(ev, pur, "user_id", "ts_us", "ts_us", strict = true)
+        .select(col("event_id"), col("asof.ts_us").as("prev_purchase_us"))
+        .orderBy("event_id")
+    },
+
     // B9: session windows (30-min gap) per user. lag + cumulative flag
     // sum + final agg all share the user_id partitioning — Catalyst
     // plans a single exchange.
@@ -289,6 +302,13 @@ object OlapQueries {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT l.event_id, epoch_us(r.ts) AS prev_purchase_us
+        |FROM events l
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND l.ts > r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type,
