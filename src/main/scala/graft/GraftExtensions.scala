@@ -95,6 +95,15 @@ object GraftExtensions {
       }
       new ApproxTopK(x, k).toAggregateExpression()
     },
+    // row-expanding arrayJoin (CH's explode) + array/string helpers
+    one("arrayJoin")(Explode(_)),
+    two("has")((arr, x) => ArrayContains(arr, x)),
+    one("empty")(c => EqualTo(Length(c), Literal(0))),
+    one("notEmpty")(c => GreaterThan(Length(c), Literal(0))),
+    one("lengthUTF8")(Length(_)),
+    // toYYYYMM: the CH partition-key idiom
+    one("toYYYYMM")(c =>
+      Cast(new DateFormatClass(c, Literal("yyyyMM")), IntegerType)),
     // array/first-last aggregates
     one("groupArray")(c => CollectList(c).toAggregateExpression()),
     one("groupUniqArray")(c => CollectSet(c).toAggregateExpression()),

@@ -118,6 +118,21 @@ class ClickHouseCompatSpec extends SparkFunSuite {
     assert(math.abs(q.getDouble(0) - q.getDouble(1)) < q.getDouble(0) * 0.1)
   }
 
+  test("arrayJoin/has/empty/notEmpty/lengthUTF8/toYYYYMM") {
+    GraftCatalog.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT arrayJoin(array(1, 2, 3)) AS x,
+        |       has(array('a','b'), 'b') AS hb,
+        |       empty('') AS e, notEmpty('x') AS ne,
+        |       lengthUTF8('héllo') AS lu,
+        |       toYYYYMM(TIMESTAMP '2024-07-25 12:00:00') AS ym""".stripMargin)
+      .collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(r(0).getBoolean(1) && r(0).getBoolean(2) && r(0).getBoolean(3))
+    assert(r(0).getInt(4) == 5) // chars, not bytes
+    assert(r(0).getInt(5) == 202407)
+  }
+
   test("topK sketch returns the true heavy hitters on skewed data") {
     GraftCatalog.registerTables(spark, sf)
     val sketch = spark.sql(
