@@ -99,12 +99,13 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list by iterative
-    * min-label propagation: every node adopts the smallest id reachable
-    * in one hop, repeated until fixpoint. Converges in O(log n) rounds
-    * of key-hash shuffles (diameter halves per round on path graphs,
-    * and near-dup clusters are tiny and dense in practice); no driver
-    * collect, no quadratic blowup — the union-find analog that
-    * distributes.
+    * min-label propagation: every node adopts the smallest label among
+    * itself and its one-hop neighbors, repeated to fixpoint. Converges
+    * in O(component diameter) rounds of key-hash shuffles — near-dup
+    * clusters are tiny and dense, so this is 2-3 rounds in practice
+    * (a pathological long-chain graph would want pointer-doubling /
+    * large-star small-star instead); no driver collect, no quadratic
+    * blowup — the union-find analog that distributes.
     *
     * Returns (doc_id, cluster_id) for every node appearing in a pair,
     * cluster_id = min doc_id of the component.
