@@ -26,6 +26,15 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-static enrichment: join the event stream against a static
+    * (or slowly-refreshed) dimension. Spark broadcasts/rescans the
+    * static side per micro-batch — no stream-side state at all, the
+    * cheapest join shape in Structured Streaming and the right one for
+    * dimension lookups at any scale.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key), "left")
+
   /** Tumbling 1-hour rollup per event_type. */
   def hourlyRollup(events: DataFrame): DataFrame =
     events

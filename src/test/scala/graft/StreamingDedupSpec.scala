@@ -7,6 +7,25 @@ import graft.streaming.EventsStream
 class StreamingDedupSpec extends SparkFunSuite {
   import spark.implicits._
 
+  test("stream-static enrichment joins the dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = MemoryStream[(Long, Double)]
+    val sq = EventsStream.enrich(
+        stream.toDF().toDF("user_id", "value"), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, 10.0), (3L, 30.0)))
+      sq.processAllAvailable()
+      stream.addData(Seq((2L, 20.0)))
+      sq.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+    } finally sq.stop()
+  }
+
   test("streaming dedup drops duplicate event ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
