@@ -70,7 +70,9 @@ object GraftExtensions {
       Average(If(c, x, Literal(null, x.dataType))).toAggregateExpression()),
     // ClickHouse JSONExtract* over JSON-string columns (e.g. the
     // events.props payload): key is a plain field name, as in CH
-    two("JSONExtractString")((j, k) => GetJsonObject(j, jsonPath(k))),
+    // missing key -> '' (CH's default-value contract), not NULL
+    two("JSONExtractString")((j, k) =>
+      Coalesce(Seq(GetJsonObject(j, jsonPath(k)), Literal("")))),
     two("JSONExtractInt")((j, k) =>
       Cast(GetJsonObject(j, jsonPath(k)), LongType)),
     two("JSONExtractFloat")((j, k) =>
@@ -98,8 +100,8 @@ object GraftExtensions {
     // row-expanding arrayJoin (CH's explode) + array/string helpers
     one("arrayJoin")(Explode(_)),
     two("has")((arr, x) => ArrayContains(arr, x)),
-    one("empty")(c => EqualTo(Length(c), Literal(0))),
-    one("notEmpty")(c => GreaterThan(Length(c), Literal(0))),
+    one("empty")(graft.functions.EmptyLike(_, negate = false)),
+    one("notEmpty")(graft.functions.EmptyLike(_, negate = true)),
     one("lengthUTF8")(Length(_)),
     // toYYYYMM: the CH partition-key idiom
     one("toYYYYMM")(c =>

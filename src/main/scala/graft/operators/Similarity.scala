@@ -33,7 +33,7 @@ object Similarity {
       .agg(graft.functions.TopK.topk(k)(col("cos"), col("vec_id")).as("top"))
       .select(col("probe_id"), posexplode(col("top")))
       .select(col("probe_id"), col("col._2").as("vec_id"),
-        col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rk"))
+        col("col._1").as("cos"), (col("pos") + 1).cast("long").as("rk"))
 
   /** Brute-force exact top-k neighbors of each probe vector.
     * Probes are expected to be a SMALL set (they are broadcast — the
@@ -64,7 +64,7 @@ object Similarity {
     c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         cosine(col("probe_vec"), col("vec")).as("cos"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
 
@@ -73,6 +73,15 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** Embedding dimensionality of `vecCol`, read from one row (a tiny
+    * LIMIT-1 job, same cost class as k-means centroid training in
+    * IvfIndex). zip_with against a wrong-length plane pads with NULLs
+    * and silently collapses every signature to one bucket — so derive,
+    * never assume.
+    */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
 
   /** Random-hyperplane signature: bit j = sign(dot(v, plane_j)). */
   def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
@@ -88,9 +97,10 @@ object Similarity {
     */
   def embeddingPairs(vecs: DataFrame, threshold: Double = 0.99,
                      nPlanes: Int = 16,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(nPlanes, dim)
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else vecDim(vecs, vecCol)
+    val planes = hyperplanes(nPlanes, d)
     val sigs = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       lshSignature(col(vecCol), planes).as("sig"))
     // two bands of nPlanes/2 bits each
@@ -116,9 +126,10 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nPlanes: Int = 16,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(nPlanes, dim)
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else vecDim(corpus, vecCol)
+    val planes = hyperplanes(nPlanes, d)
     def banded(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
           lshSignature(col(vecCol), planes).as("sig"))

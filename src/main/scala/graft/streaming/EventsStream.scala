@@ -42,7 +42,7 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 4)).as("sum_value"))
       .select(
         unix_micros(col("window.start")).as("hour_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))

@@ -17,6 +17,19 @@ class GraftExtensionsSpec extends SparkFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("empty/notEmpty work on strings AND arrays; JSONExtractString defaults to ''") {
+    GraftCatalog.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT empty('') AS e1, empty('x') AS e2,
+        |  empty(array()) AS e3, notEmpty(array(1)) AS e4,
+        |  JSONExtractString('{"a":"v"}', 'a') AS j1,
+        |  JSONExtractString('{"a":"v"}', 'missing') AS j2""".stripMargin)
+      .head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getString(4) == "v")
+    assert(r.getString(5) == "") // CH default-value contract, not NULL
+  }
+
   test("full OLAP surface reachable via spark.sql on registered views") {
     GraftCatalog.registerTables(spark, sf)
     val top = spark.sql(
@@ -68,7 +81,7 @@ class TopKAggSpec extends SparkFunSuite {
     val win = Similarity.bruteForceTopKWindow(corpus, probes, 5)
       .select("probe_id", "vec_id", "cos", "rk")
       .orderBy("probe_id", "rk").collect().toSeq
-    assert(agg.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))) ==
-      win.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))))
+    assert(agg.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))) ==
+      win.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))))
   }
 }

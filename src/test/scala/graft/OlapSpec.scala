@@ -30,9 +30,9 @@ class OlapQueriesSpec extends SparkFunSuite {
     val byType = rows.groupBy(_.getString(0))
     byType.foreach { case (t, rs) =>
       assert(rs.length == 3, s"$t has ${rs.length} rows")
-      assert(rs.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+      assert(rs.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
       // counts non-increasing with rank
-      val cnts = rs.sortBy(_.getInt(3)).map(_.getLong(2)).toSeq
+      val cnts = rs.sortBy(_.getLong(3)).map(_.getLong(2)).toSeq
       assert(cnts == cnts.sorted.reverse)
     }
   }

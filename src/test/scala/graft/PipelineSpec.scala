@@ -104,7 +104,7 @@ class SimilaritySpec extends SparkFunSuite {
     val byProbe = res.groupBy(_.getLong(0))
     byProbe.foreach { case (p, rows) =>
       assert(rows.length == 5, s"probe $p")
-      val cos = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      val cos = rows.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
       assert(cos == cos.sorted.reverse)
       cos.foreach(c => assert(c >= -1.0001 && c <= 1.0001))
     }
