@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.ChAnalytics
+
+/** Round-3 widening of the ClickHouse query surface (SURVEY.md §2.B):
+  * LIMIT BY, windowFunnel, retention, WITH TOTALS (rollup), array
+  * higher-order functions, and regex scrubbing — each with a DuckDB
+  * oracle, each designed to plan a single shuffle (or none).
+  */
+object AnalyticsQueries {
+
+  private def Q(f: (SparkSession, String) => DataFrame) = f
+
+  private val d2 = DecimalType(18, 2)
+  private val d4 = DecimalType(18, 4)
+
+  private val dayUs = 86400000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
+    // WindowGroupLimit prunes to ≤2 rows/user/partition pre-shuffle.
+    "q_limit_by" -> Q { (s, d) =>
+      ChAnalytics.limitBy(
+        Tables.events(s, d).select("user_id", "event_id", "ts_us"),
+        Seq(col("user_id")), 2, Seq(col("ts_us"), col("event_id")))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    // B14: windowFunnel(24h): view -> click -> purchase; per-level user
+    // counts. k stacked window-mins, one shuffle on user_id.
+    "q_funnel" -> Q { (s, d) =>
+      ChAnalytics.windowFunnel(
+        Tables.events(s, d).select("user_id", "ts_us", "event_type"),
+        col("user_id"), col("ts_us"), dayUs,
+        Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+        .groupBy("level").agg(count(lit(1)).as("n_users"))
+        .orderBy("level")
+    },
+
+    // B15: retention(signup, purchase, view) — cohort counts, one pass.
+    "q_retention" -> Q { (s, d) =>
+      ChAnalytics.retention(
+        Tables.events(s, d).select("user_id", "event_type"),
+        col("user_id"),
+        Seq(col("event_type") === "signup",
+          col("event_type") === "purchase",
+          col("event_type") === "view"))
+        .agg(
+          sum(when(col("r0"), 1L).otherwise(0L)).as("r0_cnt"),
+          sum(when(col("r1"), 1L).otherwise(0L)).as("r1_cnt"),
+          sum(when(col("r2"), 1L).otherwise(0L)).as("r2_cnt"))
+    },
+
+    // B16: ClickHouse WITH TOTALS via ROLLUP — per-type revenue plus
+    // the grand-total row, one aggregation (Expand feeds both levels).
+    "q_rollup_totals" -> Q { (s, d) =>
+      Tables.events(s, d)
+        .rollup("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(d2)).cast(d4).as("sum_value"),
+          grouping(col("event_type")).as("__g"))
+        .select(
+          when(col("__g") === 1, lit("TOTAL"))
+            .otherwise(col("event_type")).as("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // B17: array higher-order functions (CH arrayFilter/arrayMap/
+    // arrayReduce ≙ Spark filter/transform/aggregate) — fully codegen'd
+    // lambdas, zero shuffle.
+    "q_array_hof" -> Q { (s, d) =>
+      val toks = when(length(trim(col("text"))) === 0,
+        typedlit(Seq.empty[String]))
+        .otherwise(split(trim(col("text")), "\\s+"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("n_toks"),
+        size(filter(toks, t => length(t) > 4)).cast(LongType).as("n_long"),
+        aggregate(transform(toks, t => length(t).cast(LongType)),
+          lit(0L), (a, x) => a + x).as("sum_len"))
+        .orderBy("doc_id")
+    },
+
+    // B18: regex scrubbing (PII-shaped normalization for training
+    // corpora): emails then digit runs, zero shuffle.
+    "q_text_scrub" -> Q { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("scrubbed"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_limit_by" ->
+      """SELECT user_id, event_id, ts_us FROM (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |                     ORDER BY epoch_us(ts), event_id) AS rn
+        | FROM events)
+        |WHERE rn <= 2 ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH base AS (
+        | SELECT user_id, epoch_us(ts) AS ts, event_type FROM events
+        |), s0 AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+        | FROM base GROUP BY user_id
+        |), s1 AS (
+        | SELECT b.user_id, min(b.ts) AS t1
+        | FROM base b JOIN s0 ON b.user_id = s0.user_id
+        | WHERE b.event_type = 'click' AND s0.t0 IS NOT NULL
+        |   AND b.ts > s0.t0 AND b.ts <= s0.t0 + 86400000000
+        | GROUP BY b.user_id
+        |), s2 AS (
+        | SELECT b.user_id, min(b.ts) AS t2
+        | FROM base b JOIN s1 ON b.user_id = s1.user_id
+        |             JOIN s0 ON b.user_id = s0.user_id
+        | WHERE b.event_type = 'purchase'
+        |   AND b.ts > s1.t1 AND b.ts <= s0.t0 + 86400000000
+        | GROUP BY b.user_id)
+        |SELECT level, count(*) AS n_users FROM (
+        | SELECT s0.user_id,
+        |  CASE WHEN s2.t2 IS NOT NULL THEN 3
+        |       WHEN s1.t1 IS NOT NULL THEN 2
+        |       WHEN s0.t0 IS NOT NULL THEN 1
+        |       ELSE 0 END AS level
+        | FROM s0
+        | LEFT JOIN s1 ON s0.user_id = s1.user_id
+        | LEFT JOIN s2 ON s0.user_id = s2.user_id)
+        |GROUP BY level ORDER BY level""".stripMargin,
+
+    "q_retention" ->
+      """WITH f AS (
+        | SELECT user_id,
+        |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS f0,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f1,
+        |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f2
+        | FROM events GROUP BY user_id)
+        |SELECT
+        | CAST(sum(CASE WHEN f0 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r0_cnt,
+        | CAST(sum(CASE WHEN f0 = 1 AND f1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1_cnt,
+        | CAST(sum(CASE WHEN f0 = 1 AND f2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r2_cnt
+        |FROM f""".stripMargin,
+
+    "q_rollup_totals" ->
+      """SELECT
+        | CASE WHEN GROUPING(event_type) = 1 THEN 'TOTAL'
+        |      ELSE event_type END AS event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_value
+        |FROM events GROUP BY ROLLUP(event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "q_array_hof" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_toks,
+        | CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long,
+        | CAST(coalesce(
+        |   list_aggregate(list_transform(toks, t -> length(t)), 'sum'),
+        |   0) AS BIGINT) AS sum_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |   '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

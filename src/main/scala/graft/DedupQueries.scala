@@ -77,24 +77,81 @@ object DedupQueries {
         .orderBy("vec_a", "vec_b")
     },
 
-    // C13 (rows-only): reproducible ~20% sample keyed on doc_id —
-    // byte-identical across runs/retries (spec-checked).
+    // C1b (oracle): normalized exact dedup — lowercase, strip
+    // non-alphanumerics, collapse whitespace, THEN hash-group: the
+    // standard "exact dedup after normalization" pipeline stage. Same
+    // 1-shuffle shape as dedup_exact.
+    "dedup_exact_norm" -> Q { (s, d) =>
+      Dedup.exact(
+        corpus(s, d).select(col("doc_id"),
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+            .as("text")),
+        "doc_id", "text").orderBy("keeper")
+    },
+
+    // C13 (oracle): reproducible ~20% sample keyed on doc_id —
+    // byte-identical across runs/retries AND across engines (the
+    // portable md5 bucket; the xxhash64 fast path is spec-checked).
     "sample_docs" -> Q { (s, d) =>
       graft.operators.Sampling.deterministicSample(
         Tables.documents(s, d).select("doc_id", "lang"),
-        col("doc_id"), 0.2).orderBy("doc_id")
+        col("doc_id"), 0.2, portable = true).orderBy("doc_id")
     },
 
-    // C14 (rows-only): train/val/test split assignment by keyed hash.
+    // C14 (oracle): train/val/test split assignment by keyed hash.
     "split_assign" -> Q { (s, d) =>
       graft.operators.Sampling.splitAssign(
         Tables.documents(s, d).select("doc_id"),
-        col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        portable = true)
         .orderBy("doc_id")
     }
   )
 
+  /** DuckDB replica of Sampling.portableBucket: decode the first 8 hex
+    * chars of md5("<key>:<seed>") positionally (DuckDB 1.0 has no
+    * hex-to-int cast), then mod 1e6.
+    */
+  private def md5BucketSql(keyExpr: String, seed: Long): String = {
+    val h = s"md5($keyExpr || ':$seed')"
+    val terms = (1 to 8).map { i =>
+      val p = 1L << (4 * (8 - i))
+      s"(strpos('0123456789abcdef', substring($h,$i,1))-1)*$p"
+    }.mkString(" + ")
+    s"(($terms) % 1000000)"
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_exact_norm" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        | UNION ALL
+        | SELECT doc_id + 2000000, regexp_replace(text, '^\S+\s+\S+\s+', '')
+        | FROM documents WHERE doc_id % 10 = 5
+        |)
+        |SELECT min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |      FROM corpus)
+        |GROUP BY norm ORDER BY keeper""".stripMargin,
+
+    "sample_docs" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${md5BucketSql("CAST(doc_id AS VARCHAR)", 42L)} < 200000
+         |ORDER BY doc_id""".stripMargin,
+
+    "split_assign" ->
+      s"""SELECT doc_id,
+         | CASE WHEN bkt < 800000 THEN 'train'
+         |      WHEN bkt < 900000 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        ${md5BucketSql("CAST(doc_id AS VARCHAR)", 42L)} AS bkt
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_exact" ->
       """WITH corpus AS (
         | SELECT doc_id, text FROM documents

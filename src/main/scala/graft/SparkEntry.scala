@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlQueries.queries ++ OlapQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ VectorQueries.queries ++ MultimodalQueries.queries
+      DedupQueries.queries ++ VectorQueries.queries ++
+      MultimodalQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EtlQueries.oracles ++ OlapQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ VectorQueries.oracles ++ MultimodalQueries.oracles
+      DedupQueries.oracles ++ VectorQueries.oracles ++
+      MultimodalQueries.oracles ++ AnalyticsQueries.oracles
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ClickHouse behavioral-analytics operators (reference main.py:65 —
+  * ReplacingMergeTree tables exist to serve exactly this query family):
+  * LIMIT BY, windowFunnel, retention.
+  *
+  * All three are per-entity computations: every window/aggregate below
+  * partitions on the SAME entity key, so Catalyst plans exactly one
+  * hash exchange per query regardless of how many stages stack — the
+  * property that keeps them one-shuffle at 100 TB.
+  */
+object ChAnalytics {
+
+  /** ClickHouse `LIMIT n BY key`: the first `n` rows of each key group
+    * in `order`. row_number + filter compiles to WindowGroupLimit —
+    * partial per-partition top-n BEFORE the exchange, so only ≤n rows
+    * per key per input partition shuffle.
+    */
+  def limitBy(df: DataFrame, keys: Seq[Column], n: Int,
+              order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** ClickHouse-style windowFunnel: per entity, how deep into the
+    * `conds` sequence did it get, with every step inside `windowUs`
+    * microseconds of the step-1 time.
+    *
+    * Semantics (documented deviation, deterministic on both engines):
+    * greedy-from-earliest — step 1 anchors at the EARLIEST cond(0)
+    * event; step i+1 is the earliest cond(i) event strictly after step
+    * i and within the window of the anchor. ClickHouse searches all
+    * chains (an O(n·k) stateful scan); the greedy variant is the
+    * standard SQL-expressible form and identical on well-separated
+    * funnels.
+    *
+    * Returns (entity, level): 0 if cond(0) never fired, else the
+    * deepest step reached. The k stacked window-mins all share one
+    * partitioning: one shuffle total.
+    */
+  def windowFunnel(events: DataFrame, entity: Column, ts: Column,
+                   windowUs: Long, conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty)
+    val w = Window.partitionBy("__ent")
+    var df = events.select(
+      entity.as("__ent") +: ts.as("__ts") +:
+        conds.zipWithIndex.map { case (c, i) => c.as(s"__c$i") }: _*)
+    df = df.withColumn("__t0", min(when(col("__c0"), col("__ts"))).over(w))
+    for (i <- 1 until conds.length) {
+      df = df.withColumn(s"__t$i",
+        min(when(
+          col(s"__c$i") && col(s"__t${i - 1}").isNotNull &&
+            col("__ts") > col(s"__t${i - 1}") &&
+            col("__ts") <= col("__t0") + windowUs,
+          col("__ts"))).over(w))
+    }
+    val levels = conds.indices.map(i =>
+      when(col(s"max_t$i").isNotNull, lit(i + 1)).otherwise(lit(0)))
+    val aggs = conds.indices.map(i => max(col(s"__t$i")).as(s"max_t$i"))
+    df.groupBy(col("__ent").as("entity"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("entity"), greatest(levels: _*).as("level"))
+  }
+
+  /** ClickHouse retention(c0, c1, …): per entity, flag r0 = "c0 ever
+    * held" and ri = "c0 held AND ci held". One aggregation pass.
+    */
+  def retention(events: DataFrame, entity: Column,
+                conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty)
+    val flags = conds.zipWithIndex.map { case (c, i) =>
+      max(when(c, 1).otherwise(0)).as(s"__f$i")
+    }
+    val base = events.groupBy(entity.as("entity"))
+      .agg(flags.head, flags.tail: _*)
+    val rs = conds.indices.map { i =>
+      (if (i == 0) col("__f0") === 1
+       else col("__f0") === 1 && col(s"__f$i") === 1).as(s"r$i")
+    }
+    base.select(col("entity") +: rs: _*)
+  }
+}

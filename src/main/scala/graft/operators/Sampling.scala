@@ -18,14 +18,27 @@ object Sampling {
   private def bucket(key: Column, seed: Long): Column =
     pmod(xxhash64(key, lit(seed)), lit(Buckets))
 
+  /** Engine-portable bucket: first 8 hex chars of md5("<key>:<seed>").
+    * Same decisions are reproducible in ANY engine with md5 (DuckDB,
+    * ClickHouse, Trino…) — the auditable cross-system variant; xxhash64
+    * (codegen'd, no string round-trip) stays the in-Spark default.
+    */
+  def portableBucket(key: Column, seed: Long): Column =
+    pmod(conv(substring(md5(
+      concat_ws(":", key.cast("string"), lit(seed))), 1, 8), 16, 10)
+      .cast("long"), lit(Buckets))
+
+  private def bucketOf(key: Column, seed: Long, portable: Boolean): Column =
+    if (portable) portableBucket(key, seed) else bucket(key, seed)
+
   /** Keep ~`frac` of rows, keyed on `key` (same key → same decision,
     * so e.g. all chunks of one document stay together when keyed on
     * the document id).
     */
   def deterministicSample(df: DataFrame, key: Column, frac: Double,
-                          seed: Long = 42L): DataFrame = {
+                          seed: Long = 42L, portable: Boolean = false): DataFrame = {
     require(frac >= 0 && frac <= 1)
-    df.filter(bucket(key, seed) < (frac * Buckets).toLong)
+    df.filter(bucketOf(key, seed, portable) < (frac * Buckets).toLong)
   }
 
   /** Assign each row a split label by hash bucket. `weights` are
@@ -33,10 +46,10 @@ object Sampling {
     */
   def splitAssign(df: DataFrame, key: Column,
                   weights: Seq[(String, Double)],
-                  seed: Long = 42L): DataFrame = {
+                  seed: Long = 42L, portable: Boolean = false): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0))
     val total = weights.map(_._2).sum
-    val b = bucket(key, seed)
+    val b = bucketOf(key, seed, portable)
     val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
       .map(f => (f * Buckets).toLong)
     val split = weights.zip(bounds.sliding(2).toSeq).foldRight(

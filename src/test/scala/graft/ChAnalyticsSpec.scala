@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ChAnalytics
+
+class ChAnalyticsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // (user, ts, type) — a funnel playground:
+  //  u1: full view->click->purchase chain inside the window
+  //  u2: view then click AFTER the window (level stays 1)
+  //  u3: click/purchase but never a view (level 0)
+  //  u4: out-of-order purchase before click (purchase must be re-found
+  //      after the click to count; here it isn't -> level 2)
+  private val ev = Seq(
+    (1L, 100L, "view"), (1L, 150L, "click"), (1L, 200L, "purchase"),
+    (2L, 100L, "view"), (2L, 5000L, "click"),
+    (3L, 100L, "click"), (3L, 150L, "purchase"),
+    (4L, 100L, "view"), (4L, 120L, "purchase"), (4L, 150L, "click")
+  ).toDF("user_id", "ts", "event_type")
+
+  private val conds = Seq(
+    col("event_type") === "view",
+    col("event_type") === "click",
+    col("event_type") === "purchase")
+
+  test("windowFunnel levels: chain, window cutoff, no-anchor, ordering") {
+    val got = ChAnalytics
+      .windowFunnel(ev, col("user_id"), col("ts"), 1000L, conds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == 3) // full chain within window
+    assert(got(2L) == 1) // click outside window of anchor view
+    assert(got(3L) == 0) // never viewed
+    assert(got(4L) == 2) // purchase BEFORE click doesn't complete chain
+  }
+
+  test("windowFunnel: strictly-after steps (same-ts does not chain)") {
+    val same = Seq((9L, 100L, "view"), (9L, 100L, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = ChAnalytics
+      .windowFunnel(same, col("user_id"), col("ts"), 1000L, conds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(9L) == 1)
+  }
+
+  test("retention flags per entity") {
+    val got = ChAnalytics.retention(ev, col("user_id"),
+      Seq(col("event_type") === "view", col("event_type") === "purchase"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2)))
+      .toMap
+    assert(got(1L) == (true, true))
+    assert(got(2L) == (true, false))
+    assert(got(3L) == (false, false)) // purchase without the base cond
+    assert(got(4L) == (true, true))
+  }
+
+  test("limitBy keeps first n per key in order") {
+    val got = ChAnalytics.limitBy(ev, Seq(col("user_id")), 2,
+      Seq(col("ts"), col("event_type")))
+      .groupBy("user_id").agg(count(lit(1)).as("n"), min("ts").as("t0"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.values.forall(_._1 <= 2))
+    assert(got(1L) == (2L, 100L))
+    assert(got(3L) == (2L, 100L))
+  }
+
+  test("limitBy plans a WindowGroupLimit (partial top-n before shuffle)") {
+    val plan = ChAnalytics.limitBy(ev, Seq(col("user_id")), 2,
+      Seq(col("ts"))).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+}

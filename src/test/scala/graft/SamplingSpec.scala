@@ -46,6 +46,24 @@ class SamplingSpec extends SparkFunSuite {
     assert(x == y)
   }
 
+  test("portable md5 bucket: reproducible, in range, matches a reference row") {
+    val a = Sampling.deterministicSample(docs, col("doc_id"), 0.2, portable = true)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs, col("doc_id"), 0.2, portable = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.1 && frac < 0.3, s"frac $frac")
+    // pin one bucket value against an independently-computed reference:
+    // first 8 hex chars of md5("0:42"), mod 1e6 — the cross-engine contract
+    val bkt = docs.filter(col("doc_id") === 0)
+      .select(Sampling.portableBucket(col("doc_id"), 42L)).head().getLong(0)
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("0:42".getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    assert(bkt == java.lang.Long.parseLong(md5hex, 16) % 1000000L)
+  }
+
   test("deterministic shuffle is a stable permutation") {
     val a = Sampling.deterministicShuffle(docs, col("doc_id"))
       .collect().map(_.getLong(0)).toSeq
