@@ -72,6 +72,19 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // B19: ORDER BY … WITH FILL — gap-filled sparse hourly series
+    // (rare-event rollup densified to every hour in range).
+    "q_with_fill" -> Q { (s, d) =>
+      val sparse = Tables.events(s, d)
+        .filter(col("event_type") === "error" && col("value") > 95)
+        .groupBy(expr("ts_us div 3600000000").as("hour_bucket"))
+        .agg(count(lit(1)).as("n_events"))
+      ChAnalytics.withFill(sparse, "hour_bucket")
+        .select(col("hour_bucket"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("hour_bucket")
+    },
+
     // B17: array higher-order functions (CH arrayFilter/arrayMap/
     // arrayReduce ≙ Spark filter/transform/aggregate) — fully codegen'd
     // lambdas, zero shuffle.
@@ -162,6 +175,21 @@ object AnalyticsQueries {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_value
         |FROM events GROUP BY ROLLUP(event_type)
         |ORDER BY event_type""".stripMargin,
+
+    "q_with_fill" ->
+      """WITH agg AS (
+        | SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+        |        count(*) AS n
+        | FROM events WHERE event_type = 'error' AND value > 95
+        | GROUP BY hour_bucket
+        |), b AS (
+        | SELECT min(hour_bucket) AS lo, max(hour_bucket) AS hi FROM agg
+        |), grid AS (
+        | SELECT unnest(generate_series(lo, hi)) AS hour_bucket FROM b)
+        |SELECT g.hour_bucket,
+        | CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+        |FROM grid g LEFT JOIN agg a USING (hour_bucket)
+        |ORDER BY hour_bucket""".stripMargin,
 
     "q_array_hof" ->
       """WITH t AS (

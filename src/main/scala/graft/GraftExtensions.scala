@@ -100,12 +100,85 @@ object GraftExtensions {
     // row-expanding arrayJoin (CH's explode) + array/string helpers
     one("arrayJoin")(Explode(_)),
     two("has")((arr, x) => ArrayContains(arr, x)),
+    // CH higher-order functions take the lambda FIRST: arrayMap(x ->
+    // f(x), arr). Spark's parser hands the lambda through as a
+    // LambdaFunction child; swap into Spark's (array, lambda) order.
+    two("arrayMap")((f, arr) => ArrayTransform(arr, f)),
+    two("arrayFilter")((f, arr) => ArrayFilter(arr, f)),
+    one("arraySum") { arr =>
+      val acc  = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x    = UnresolvedNamedLambdaVariable(Seq("x"))
+      val acc2 = UnresolvedNamedLambdaVariable(Seq("acc2"))
+      ArrayAggregate(arr, Literal(0.0),
+        LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)),
+        LambdaFunction(acc2, Seq(acc2)))
+    },
+    one("arrayDistinct")(ArrayDistinct(_)),
+    one("arrayUniq")(c => Size(ArrayDistinct(c))),
+    one("arraySort")(SortArray(_, Literal(true))),
+    one("arrayReverse")(Reverse(_)),
+    d("arrayConcat")(Concat(_)),
+    d("arraySlice") { children =>
+      children match {
+        case Seq(arr, off)      => Slice(arr, off, Size(arr))
+        case Seq(arr, off, len) => Slice(arr, off, len)
+        case _ => throw new IllegalArgumentException(
+          "arraySlice expects (array, offset[, length])")
+      }
+    },
+    two("indexOf")((arr, x) => ArrayPosition(arr, x)),
+    d("arrayStringConcat") { children =>
+      children match {
+        case Seq(arr)      => ArrayJoin(arr, Literal(""), None)
+        case Seq(arr, sep) => ArrayJoin(arr, sep, None)
+        case _ => throw new IllegalArgumentException(
+          "arrayStringConcat expects (array[, separator])")
+      }
+    },
+    // splitByChar(sep, s) — CH argument order; separator is a literal
+    two("splitByChar") { (sep, s) =>
+      sep match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          StringSplit(s, Literal(java.util.regex.Pattern.quote(u.toString)),
+            Literal(-1))
+        case _ => throw new IllegalArgumentException(
+          "splitByChar expects a literal separator")
+      }
+    },
+    // multiIf(c1, v1, c2, v2, …, else) -> CASE WHEN
+    d("multiIf") { children =>
+      require(children.length >= 3 && children.length % 2 == 1,
+        "multiIf expects (cond, value)... pairs plus a final else")
+      val branches = children.dropRight(1).grouped(2)
+        .map { case Seq(c, v) => (c, v) }.toSeq
+      CaseWhen(branches, Some(children.last))
+    },
     one("empty")(graft.functions.EmptyLike(_, negate = false)),
     one("notEmpty")(graft.functions.EmptyLike(_, negate = true)),
     one("lengthUTF8")(Length(_)),
     // toYYYYMM: the CH partition-key idiom
     one("toYYYYMM")(c =>
       Cast(new DateFormatClass(c, Literal("yyyyMM")), IntegerType)),
+    one("toYYYYMMDD")(c =>
+      Cast(new DateFormatClass(c, Literal("yyyyMMdd")), IntegerType)),
+    // CH temporal component extractors
+    one("toYear")(Year(_)),
+    one("toMonth")(Month(_)),
+    one("toDayOfMonth")(DayOfMonth(_)),
+    one("toDayOfYear")(DayOfYear(_)),
+    one("toHour")(Hour(_)),
+    one("toMinute")(Minute(_)),
+    one("toSecond")(Second(_)),
+    // CH toDayOfWeek: Monday=1 … Sunday=7 (Spark WeekDay is Monday=0)
+    one("toDayOfWeek")(c => Add(WeekDay(c), Literal(1))),
+    one("toUnixTimestamp")(c =>
+      new UnixTimestamp(c, Literal("yyyy-MM-dd HH:mm:ss"))),
+    two("intDiv")((a, b) => IntegralDivide(a, b)),
+    two("modulo")((a, b) => Remainder(a, b)),
+    // NOTE: CH's dateDiff('day', s, e) cannot be registered — Spark's
+    // parser special-cases the dateDiff/datediff name and rejects quoted
+    // units before any injected builder runs. The same capability is
+    // native Spark SQL: timestampdiff(DAY, s, e) (documented deviation).
     // array/first-last aggregates
     one("groupArray")(c => CollectList(c).toAggregateExpression()),
     one("groupUniqArray")(c => CollectSet(c).toAggregateExpression()),

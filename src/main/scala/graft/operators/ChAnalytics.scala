@@ -68,6 +68,22 @@ object ChAnalytics {
       .select(col("entity"), greatest(levels: _*).as("level"))
   }
 
+  /** ClickHouse `ORDER BY … WITH FILL STEP s`: densify an integer
+    * series so every step between min and max is present (missing rows
+    * get NULLs — coalesce defaults at the call site).
+    *
+    * Scale shape: the bounds are a 2-value aggregate; the grid
+    * (`sequence` + explode) materializes (hi-lo)/step rows. WITH FILL
+    * is applied to already-aggregated series (rollups), so the join is
+    * a small shuffle on the series key — never on raw events.
+    */
+  def withFill(df: DataFrame, orderCol: String, step: Long = 1L): DataFrame = {
+    val b = df.agg(min(col(orderCol)).as("__lo"), max(col(orderCol)).as("__hi"))
+    val grid = b.select(
+      explode(sequence(col("__lo"), col("__hi"), lit(step))).as(orderCol))
+    grid.join(df, Seq(orderCol), "left")
+  }
+
   /** ClickHouse retention(c0, c1, …): per entity, flag r0 = "c0 ever
     * held" and ri = "c0 held AND ci held". One aggregation pass.
     */

@@ -35,6 +35,27 @@ object EventsStream {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
+  /** Windowed stream-stream INNER join: each left event matched to
+    * right events with the same key whose timestamp falls in
+    * [left.ts - within, left.ts]. Right columns come back prefixed
+    * `r_`. Both sides carry a `within` watermark, so Spark bounds each
+    * side's join state to the window — the only shape that stays
+    * O(window) memory on an unbounded 100 TB/day pair of streams.
+    * Matches emit immediately (inner join); the watermark exists for
+    * state eviction, not emission.
+    */
+  def joinWithin(left: DataFrame, right: DataFrame, key: String,
+                 leftTs: String = "ts", rightTs: String = "ts",
+                 within: String = "1 hour"): DataFrame = {
+    val r = right.toDF(right.columns.map("r_" + _): _*)
+    val l2 = left.withWatermark(leftTs, within)
+    val r2 = r.withWatermark(s"r_$rightTs", within)
+    l2.join(r2,
+      col(key) === col(s"r_$key") &&
+        col(s"r_$rightTs") >= col(leftTs) - expr(s"INTERVAL $within") &&
+        col(s"r_$rightTs") <= col(leftTs))
+  }
+
   /** Tumbling 1-hour rollup per event_type. */
   def hourlyRollup(events: DataFrame): DataFrame =
     events

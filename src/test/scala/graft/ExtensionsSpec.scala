@@ -30,6 +30,45 @@ class GraftExtensionsSpec extends SparkFunSuite {
     assert(r.getString(5) == "") // CH default-value contract, not NULL
   }
 
+  test("tier-4 CH functions: arrays, multiIf, temporal extractors, dateDiff") {
+    GraftCatalog.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT
+        |  arrayMap(x -> x * 2, array(1, 2, 3)) AS m,
+        |  arrayFilter(x -> x > 1, array(1, 2, 3)) AS f,
+        |  arraySum(array(1.5, 2.5)) AS s,
+        |  arrayDistinct(array(1, 1, 2)) AS dist,
+        |  arrayUniq(array(1, 1, 2)) AS uq,
+        |  arraySlice(array(10, 20, 30, 40), 2, 2) AS sl,
+        |  arraySlice(array(10, 20, 30, 40), 3) AS sl2,
+        |  indexOf(array('a', 'b'), 'b') AS idx,
+        |  arrayStringConcat(array('a', 'b'), '-') AS asc1,
+        |  splitByChar(',', 'a,b,c') AS sp,
+        |  multiIf(1 > 2, 'x', 2 > 1, 'y', 'z') AS mi,
+        |  toDayOfWeek(TIMESTAMP '2024-01-01 10:00:00') AS dow,
+        |  toYYYYMMDD(TIMESTAMP '2024-01-02 10:00:00') AS ymd,
+        |  toHour(TIMESTAMP '2024-01-01 10:30:00') AS hh,
+        |  timestampdiff(DAY, TIMESTAMP '2024-01-01 00:00:00',
+        |           TIMESTAMP '2024-01-03 00:00:00') AS dd,
+        |  intDiv(7, 2) AS idiv, modulo(7, 2) AS md""".stripMargin).head()
+    assert(r.getSeq[Int](0) == Seq(2, 4, 6))
+    assert(r.getSeq[Int](1) == Seq(2, 3))
+    assert(r.getDouble(2) == 4.0)
+    assert(r.getSeq[Int](3) == Seq(1, 2))
+    assert(r.getInt(4) == 2)
+    assert(r.getSeq[Int](5) == Seq(20, 30))
+    assert(r.getSeq[Int](6) == Seq(30, 40))
+    assert(r.getLong(7) == 2L)
+    assert(r.getString(8) == "a-b")
+    assert(r.getSeq[String](9) == Seq("a", "b", "c"))
+    assert(r.getString(10) == "y")
+    assert(r.getInt(11) == 1)      // 2024-01-01 is a Monday
+    assert(r.getInt(12) == 20240102)
+    assert(r.getInt(13) == 10)
+    assert(r.getLong(14) == 2L)
+    assert(r.getLong(15) == 3L && r.getInt(16) == 1)
+  }
+
   test("full OLAP surface reachable via spark.sql on registered views") {
     GraftCatalog.registerTables(spark, sf)
     val top = spark.sql(
