@@ -46,21 +46,24 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // min of 2 measured runs per query: guards the number against
-    // transient host scheduling noise (observed 2s -> 100s swings on
-    // identical plans in this container).
-    val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        }
+    // min of 2 measured runs per query, the passes INTERLEAVED
+    // (A,B,…,A,B,… not A,A,B,B,…): a transient host burst (observed
+    // 2s -> 100s swings on identical plans in this container) then
+    // poisons at most one of a query's two runs.
+    def runOnce(name: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
+    }
+    val passes = (1 to 2).map(_ => headline.map(n => n -> runOnce(n)).toMap)
+    val results = headline.map { name =>
+      val times = passes.flatMap(_(name))
       // a query with no successful run reports the -1 sentinel, never a
       // bogus time-to-exception
       name -> (if (times.isEmpty) -1.0 else times.min)
