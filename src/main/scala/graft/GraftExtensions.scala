@@ -77,6 +77,21 @@ object GraftExtensions {
       Cast(GetJsonObject(j, jsonPath(k)), LongType)),
     two("JSONExtractFloat")((j, k) =>
       Cast(GetJsonObject(j, jsonPath(k)), DoubleType)),
+    // multi-level exact quantiles: quantiles(x, l1, l2, …) -> array
+    // (CH's parameterized quantiles(l…)(x) syntax can't parse here;
+    // levels ride as trailing arguments — same deviation as quantile)
+    d("quantiles") { children =>
+      require(children.length >= 2,
+        "quantiles expects (value, level, level, ...)")
+      new Percentile(children.head, CreateArray(children.tail))
+        .toAggregateExpression()
+    },
+    one("medianExact")(c => new Percentile(c, Literal(0.5)).toAggregateExpression()),
+    // uniqCombined: CH's default-tier sketch — same HLL++ backing as uniq
+    one("uniqCombined")(c => HyperLogLogPlusPlus(c).toAggregateExpression()),
+    one("groupBitAnd")(c => BitAndAgg(c).toAggregateExpression()),
+    one("groupBitOr")(c => BitOrAgg(c).toAggregateExpression()),
+    one("groupBitXor")(c => BitXorAgg(c).toAggregateExpression()),
     // exact percentile companion of the t-digest `quantile`
     d("quantileExact") { children =>
       val (x, level) = children match {

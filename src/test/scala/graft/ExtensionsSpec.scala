@@ -69,6 +69,22 @@ class GraftExtensionsSpec extends SparkFunSuite {
     assert(r.getLong(15) == 3L && r.getInt(16) == 1)
   }
 
+  test("aggregate compat: quantiles, medianExact, uniqCombined, groupBit*") {
+    GraftCatalog.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT quantiles(x, 0.0, 0.5, 1.0) AS qs, medianExact(x) AS med,
+        |  uniqCombined(x) AS uc,
+        |  groupBitAnd(x) AS ba, groupBitOr(x) AS bo, groupBitXor(x) AS bx
+        |FROM (SELECT explode(array(1, 2, 3, 4, 5)) AS x)""".stripMargin)
+      .head()
+    assert(r.getSeq[Double](0) == Seq(1.0, 3.0, 5.0))
+    assert(r.getDouble(1) == 3.0)
+    assert(r.getLong(2) == 5L)
+    assert(r.getInt(3) == (1 & 2 & 3 & 4 & 5))
+    assert(r.getInt(4) == (1 | 2 | 3 | 4 | 5))
+    assert(r.getInt(5) == (1 ^ 2 ^ 3 ^ 4 ^ 5))
+  }
+
   test("full OLAP surface reachable via spark.sql on registered views") {
     GraftCatalog.registerTables(spark, sf)
     val top = spark.sql(
