@@ -33,4 +33,39 @@ class PartitionedLakeSpec extends SparkFunSuite {
     // round trip preserves every row
     assert(back.count() == ev.count())
   }
+
+  test("optimizePartition dedups + compacts one partition, leaves others alone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_opt").toString
+    // two months; month 1 has every key duplicated at two versions
+    val m1 = Seq((1L, 1L, "old", 202401), (1L, 2L, "new", 202401),
+      (2L, 1L, "only", 202401))
+    val m2 = Seq((3L, 1L, "other", 202402))
+    val df = (m1 ++ m2).toDF("k", "ver", "payload", "yyyymm")
+    // force several files in month 1 so compaction is observable
+    PartitionedLake.write(df.repartition(4), dir, Seq("yyyymm"))
+
+    val m2FilesBefore = new java.io.File(s"$dir/yyyymm=202402")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    PartitionedLake.optimizePartition(spark, dir, "yyyymm", 202401,
+      keys = Seq("k"), version = Seq("ver"), numPartitions = Some(1))
+
+    val back = PartitionedLake.read(spark, dir)
+    val m1Rows = back.filter($"yyyymm" === 202401)
+      .select("k", "ver", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(m1Rows == Set((1L, 2L, "new"), (2L, 1L, "only")))
+
+    // untouched partition: same files, same rows
+    val m2FilesAfter = new java.io.File(s"$dir/yyyymm=202402")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(m2FilesAfter == m2FilesBefore)
+    assert(back.filter($"yyyymm" === 202402).count() == 1)
+
+    // compacted: merged partition is a single file (tiny data)
+    val m1Files = new java.io.File(s"$dir/yyyymm=202401")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(m1Files.length == 1, s"expected 1 compacted file, got ${m1Files.length}")
+  }
 }
