@@ -72,6 +72,22 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // B20: the ClickHouse-compat SQL surface END-TO-END — verbatim
+    // CH-style SQL through spark.sql against GraftCatalog views with
+    // injected functions (uniqExact, countIf, sumIf), gated like any
+    // other query. uniqExact/countIf compile to the same exchanges the
+    // DataFrame forms do.
+    "q_ch_sql" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      s.sql(
+        """SELECT event_type,
+          |  uniqExact(user_id) AS n_users,
+          |  countIf(value > 100.0) AS n_big,
+          |  CAST(sumIf(CAST(value AS DECIMAL(18,2)), value > 100.0)
+          |       AS DECIMAL(18,4)) AS sum_big
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
     // B19: ORDER BY … WITH FILL — gap-filled sparse hourly series
     // (rare-event rollup densified to every hour in range).
     "q_with_fill" -> Q { (s, d) =>
@@ -175,6 +191,14 @@ object AnalyticsQueries {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_value
         |FROM events GROUP BY ROLLUP(event_type)
         |ORDER BY event_type""".stripMargin,
+
+    "q_ch_sql" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS n_users,
+        | count(*) FILTER (WHERE value > 100.0) AS n_big,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 100.0)
+        |      AS DECIMAL(18,4)) AS sum_big
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_with_fill" ->
       """WITH agg AS (

@@ -10,7 +10,9 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
     val names = if (args.nonEmpty) args.toSeq else Seq(
-      "q1_pricing_summary", "q6_forecast_revenue", "q3_top_orders", "q_sessionize", "dedup_exact")
+      "q1_pricing_summary", "q6_forecast_revenue", "q3_top_orders",
+      "q_sessionize", "dedup_exact", "q_limit_by", "q_funnel",
+      "q_rollup_totals", "q_with_fill", "q_ch_sql")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
