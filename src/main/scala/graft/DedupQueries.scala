@@ -64,8 +64,11 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // C4 (rows-only): exact char-5-gram Jaccard, prefix-filtered
-    // candidates (guaranteed recall at the threshold).
+    // C4 (oracle): exact char-5-gram Jaccard, prefix-filtered
+    // candidates (guaranteed recall at the threshold). The DuckDB
+    // oracle recomputes Jaccard over the raw gram STRINGS with no
+    // prefix filter — so it independently proves both the scores and
+    // the filter's losslessness.
     "dedup_ngram_jaccard" -> Q { (s, d) =>
       Dedup.ngramJaccardPairs(corpus(s, d), "doc_id", "text", threshold = 0.4)
         .orderBy("doc_a", "doc_b")
@@ -122,6 +125,29 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_ngram_jaccard" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        | UNION ALL
+        | SELECT doc_id + 2000000, regexp_replace(text, '^\S+\s+\S+\s+', '')
+        | FROM documents WHERE doc_id % 10 = 5
+        |), g AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   range(1, greatest(length(text) - 4, 1) + 1),
+        |   i -> substring(text, CAST(i AS BIGINT), 5))) AS ngs
+        | FROM corpus
+        |), p AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   len(list_intersect(a.ngs, b.ngs)) AS inter,
+        |   len(a.ngs) AS na, len(b.ngs) AS nb
+        | FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        | CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_exact_norm" ->
       """WITH corpus AS (
         | SELECT doc_id, text FROM documents

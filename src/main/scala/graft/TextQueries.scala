@@ -63,8 +63,10 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // C11 (rows-only, spec-oracled): 64-bit FNV-1a fingerprint via the
-    // custom codegen Expression.
+    // C11 (oracle): 64-bit FNV-1a fingerprint via the custom codegen
+    // Expression — cross-validated bit-for-bit against an independent
+    // DuckDB reimplementation (hex-decoded UTF-8 bytes folded with
+    // list_reduce in HUGEINT, mod 2^64).
     "text_fingerprint" -> Q { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -77,6 +79,26 @@ object TextQueries {
     T.stopwords.toMap.map { case (k, v) => k -> s"\\b($v)\\b" }
 
   val oracles: Map[String, String] = Map(
+    "text_fingerprint" ->
+      """WITH h AS (
+        | SELECT doc_id, lower(to_hex(encode(text))) AS hx,
+        |   CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents
+        |), b AS (
+        | SELECT doc_id, list_transform(range(1, n + 1),
+        |   i -> CAST((strpos('0123456789abcdef', substring(hx, CAST(2*i-1 AS BIGINT), 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substring(hx, CAST(2*i AS BIGINT), 1)) - 1) AS HUGEINT)) AS bytes
+        | FROM h
+        |), f AS (
+        | SELECT doc_id,
+        |   list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), bytes),
+        |     (acc, x) -> (xor(acc, x) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS u
+        | FROM b)
+        |SELECT doc_id,
+        | CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |      THEN u - CAST('18446744073709551616' AS HUGEINT)
+        |      ELSE u END AS BIGINT) AS fp64
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     "text_tokens" ->
       s"""SELECT doc_id, length(text) AS n_chars,
          | CASE WHEN length(trim(text)) = 0 THEN 0
