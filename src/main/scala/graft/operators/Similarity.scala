@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double, sequential fold. */
+  /** dot(a, b) in double, sequential left-to-right accumulation —
+    * the fused codegen kernel (graft.functions.DotProductExpr).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorOps.dot(a, b)
+
+  /** The array-HOF formulation of the same fold: semantically and
+    * bit-wise identical (spec-enforced), kept as the cross-check
+    * oracle for the codegen kernel.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
