@@ -128,6 +128,32 @@ object GraftExtensions {
         LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)),
         LambdaFunction(acc2, Seq(acc2)))
     },
+    // CH vector math, on the fused codegen kernel (DotProductExpr).
+    // SQL literals arrive as decimal arrays; DotProductExpr can't use
+    // ExpectsInputTypes (sealed outside Spark), so cast to
+    // array<double> here — exact for float/int/decimal(≤15) inputs.
+    two("arrayDotProduct")((a, b) =>
+      graft.functions.DotProductExpr(toDoubleVec(a), toDoubleVec(b))),
+    two("cosineDistance") { (a0, b0) =>
+      val (a, b) = (toDoubleVec(a0), toDoubleVec(b0))
+      val dot = graft.functions.DotProductExpr(a, b)
+      Subtract(Literal(1.0), Divide(dot,
+        Multiply(Sqrt(graft.functions.DotProductExpr(a, a)),
+          Sqrt(graft.functions.DotProductExpr(b, b)))))
+    },
+    two("L2Distance") { (a, b) =>
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val y = UnresolvedNamedLambdaVariable(Seq("y"))
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val v = UnresolvedNamedLambdaVariable(Seq("v"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+      val diffs = ZipWith(a, b, LambdaFunction(
+        Multiply(Subtract(Cast(x, DoubleType), Cast(y, DoubleType)),
+          Subtract(Cast(x, DoubleType), Cast(y, DoubleType))), Seq(x, y)))
+      Sqrt(ArrayAggregate(diffs, Literal(0.0),
+        LambdaFunction(Add(acc, v), Seq(acc, v)),
+        LambdaFunction(fin, Seq(fin))))
+    },
     one("arrayDistinct")(ArrayDistinct(_)),
     one("arrayUniq")(c => Size(ArrayDistinct(c))),
     one("arraySort")(SortArray(_, Literal(true))),
@@ -211,6 +237,9 @@ object GraftExtensions {
       }
       new ApproximatePercentile(x, level).toAggregateExpression()
     })
+
+  private def toDoubleVec(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
 
   private def two(name: String)(f: (Expression, Expression) => Expression): FunctionDescriptor =
     d(name) { children =>

@@ -69,6 +69,22 @@ class GraftExtensionsSpec extends SparkFunSuite {
     assert(r.getLong(15) == 3L && r.getInt(16) == 1)
   }
 
+  test("vector compat: arrayDotProduct, cosineDistance, L2Distance") {
+    GraftCatalog.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT
+        |  arrayDotProduct(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dp,
+        |  cosineDistance(array(1.0, 0.0), array(1.0, 0.0)) AS cd0,
+        |  cosineDistance(array(1.0, 0.0), array(0.0, 1.0)) AS cd1,
+        |  L2Distance(array(0.0, 0.0), array(3.0, 4.0)) AS l2""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 5.0)
+  }
+
   test("aggregate compat: quantiles, medianExact, uniqCombined, groupBit*") {
     GraftCatalog.registerTables(spark, sf)
     val r = spark.sql(
