@@ -63,7 +63,9 @@ object AnalyticsQueries {
       Tables.events(s, d)
         .rollup("event_type")
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(d2)).cast(d4).as("sum_value"),
+          // exact decimal sum, double output (r03 hash-gate root cause:
+          // trailing-zero decimals mismatch the driver's canonicalization)
+          sum(col("value").cast(d2)).cast(DoubleType).as("sum_value"),
           grouping(col("event_type")).as("__g"))
         .select(
           when(col("__g") === 1, lit("TOTAL"))
@@ -84,7 +86,7 @@ object AnalyticsQueries {
           |  uniqExact(user_id) AS n_users,
           |  countIf(value > 100.0) AS n_big,
           |  CAST(sumIf(CAST(value AS DECIMAL(18,2)), value > 100.0)
-          |       AS DECIMAL(18,4)) AS sum_big
+          |       AS DOUBLE) AS sum_big
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     },
 
@@ -188,7 +190,7 @@ object AnalyticsQueries {
         | CASE WHEN GROUPING(event_type) = 1 THEN 'TOTAL'
         |      ELSE event_type END AS event_type,
         | count(*) AS n_events,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_value
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY ROLLUP(event_type)
         |ORDER BY event_type""".stripMargin,
 
@@ -197,7 +199,7 @@ object AnalyticsQueries {
         | count(DISTINCT user_id) AS n_users,
         | count(*) FILTER (WHERE value > 100.0) AS n_big,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 100.0)
-        |      AS DECIMAL(18,4)) AS sum_big
+        |      AS DOUBLE) AS sum_big
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_with_fill" ->

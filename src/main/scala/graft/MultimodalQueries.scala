@@ -63,7 +63,7 @@ object MultimodalQueries {
     "events_stream_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
         | count(*) AS n_events,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_value
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY hour_start_us, event_type
         |ORDER BY hour_start_us, event_type""".stripMargin
   )

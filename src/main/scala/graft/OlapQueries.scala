@@ -41,16 +41,15 @@ object OlapQueries {
         .filter(col("l_shipdate") <= lit("2000-12-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          // Final casts all land on DECIMAL(18,4): the driver's hash gate
-          // round-trips scale-4 decimals faithfully (r01/r02 evidence:
-          // every scale-2/scale-6 output hash-mismatched, every scale-4
-          // matched), and widening 2->4 is exact zero-padding.
-          sum(dec2("l_quantity")).cast(d4).as("sum_qty"),
-          sum(dec2("l_extendedprice")).cast(d4).as("sum_base_price"),
-          sum(discPrice).cast(d4).as("sum_disc_price"),
-          // scale-6 sum emitted as DOUBLE: a 6->4 decimal rescale hits
-          // engine-specific tie rounding (observed: .12555 up vs down),
-          // while decimal->double of the SAME exact sum is bit-identical
+          // Aggregate exactly in DECIMAL, emit DOUBLE (r03 hash-gate root
+          // cause: the driver canonicalizes DuckDB decimals to float64 but
+          // keeps Spark parquet decimals, so trailing-zero decimal values
+          // — integer quantity sums, 2-dp price sums — mismatch on their
+          // string form. decimal->double of the SAME exact sum is
+          // correctly rounded identically on both engines).
+          sum(dec2("l_quantity")).cast(DoubleType).as("sum_qty"),
+          sum(dec2("l_extendedprice")).cast(DoubleType).as("sum_base_price"),
+          sum(discPrice).cast(DoubleType).as("sum_disc_price"),
           sum((discPrice * (one + dec2("l_tax"))).cast(d6)).cast(DoubleType).as("sum_charge"),
           (sum(dec2("l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"),
           (sum(dec2("l_extendedprice")).cast(DoubleType) / count(lit(1))).as("avg_price"),
@@ -76,7 +75,7 @@ object OlapQueries {
         .groupBy(col("l_orderkey"),
           col("o_orderdate").cast(DateType).as("order_dt"),
           col("o_orderpriority"))
-        .agg(sum(discPrice).cast(d4).as("revenue"))
+        .agg(sum(discPrice).cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -103,7 +102,7 @@ object OlapQueries {
         .join(nat, col("s_nationkey") === col("n_nationkey"))
         .join(asia, col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum(discPrice).cast(d4).as("revenue"))
+        .agg(sum(discPrice).cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -117,7 +116,7 @@ object OlapQueries {
           col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
         .agg(sum((dec2("l_extendedprice") * dec2("l_discount")).cast(d4))
-          .cast(d4).as("revenue"),
+          .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_rows"))
     },
 
@@ -129,9 +128,17 @@ object OlapQueries {
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
           col("o_orderdate").cast(DateType).as("order_dt"),
-          dec2("o_totalprice").cast(d4).as("price"))
+          // windowed sum runs on exact DECIMAL; both output columns are
+          // emitted DOUBLE (2-dp prices at decimal scale 4 always carry
+          // trailing zeros — the r03 hash-gate poison)
+          dec2("o_totalprice").as("price_dec"))
         .withColumn("order_rank", row_number().over(w).cast(LongType))
-        .withColumn("running_spend", sum(col("price")).over(w).cast(d4))
+        .withColumn("running_spend",
+          sum(col("price_dec")).over(w).cast(DoubleType))
+        .withColumn("price", col("price_dec").cast(DoubleType))
+        .drop("price_dec")
+        .select(col("o_custkey"), col("o_orderkey"), col("order_dt"),
+          col("price"), col("order_rank"), col("running_spend"))
         .orderBy("o_custkey", "order_rank")
     },
 
@@ -175,7 +182,8 @@ object OlapQueries {
       Tables.events(s, d)
         .groupBy(expr("ts_us div 3600000000").as("hour_bucket"))
         .agg(count(lit(1)).as("n_events"),
-          sum(dec2("value")).cast(d4).as("sum_value"),
+          // exact decimal sum, double output (r03 hash-gate root cause)
+          sum(dec2("value")).cast(DoubleType).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("hour_bucket")
     },
@@ -231,9 +239,9 @@ object OlapQueries {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_base_price,
-        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         | CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
@@ -246,7 +254,7 @@ object OlapQueries {
 
     "q3_top_orders" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_dt, o_orderpriority,
-        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -259,7 +267,7 @@ object OlapQueries {
 
     "q5_region_revenue" ->
       """SELECT n_name,
-        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -274,7 +282,7 @@ object OlapQueries {
 
     "q6_forecast_revenue" ->
       """SELECT
-        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         | count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -284,9 +292,9 @@ object OlapQueries {
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_dt,
-        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS price,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
         | row_number() OVER w AS order_rank,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(18,4)) AS running_spend
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, order_rank""".stripMargin,
@@ -306,7 +314,7 @@ object OlapQueries {
     "q_time_bucket" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
         | count(*) AS n_events,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin,
 

@@ -148,19 +148,14 @@ object Dedup {
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
-    * token hashes, assembled with OR (no overflow under ANSI).
+    * FNV-1a token hashes. Delegates to the fused codegen kernel
+    * [[graft.functions.SimHash64]] — one pass over the bytes per row
+    * (the previous form was a 64-term Column vote tree that re-read
+    * the token-hash array per bit), and FNV-1a makes the signature
+    * engine-portable, so dedup_simhash carries a full DuckDB oracle.
     */
-  def simhash(text: Column): Column = {
-    val thashes = transform(split(lower(text), "\\s+"), tok => xxhash64(tok))
-    // bits unrolled at the Scala level: shift amounts become literal
-    // Ints (all the Column-API shift functions accept), and the 64
-    // per-bit vote aggregates stay one codegen'd projection
-    (0 until 64).map { b =>
-      val votes = aggregate(thashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(votes >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64.simhash(text)
 
   /** SimHash near-dup pairs: 4 x 16-bit bands (any shared band is a
     * candidate — guarantees recall of all pairs within hamming 3 by

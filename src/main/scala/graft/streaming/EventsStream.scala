@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Structured Streaming rollup (SURVEY.md §2 B10): the q_time_bucket /
   * events_stream_hourly aggregation as an incremental streaming query.
@@ -66,5 +66,12 @@ object EventsStream {
         sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 4)).as("sum_value"))
       .select(
         unix_micros(col("window.start")).as("hour_start_us"),
-        col("event_type"), col("n_events"), col("sum_value"))
+        col("event_type"), col("n_events"),
+        // Aggregate exactly in DECIMAL, emit DOUBLE: the driver's hash
+        // canonicalizes DuckDB decimals to float64 but keeps Spark parquet
+        // decimals as java Decimals, so any trailing-zero decimal value
+        // (here: sums of 2-dp values at scale 4) hash-mismatches. A final
+        // decimal->double conversion is correctly rounded and identical on
+        // both engines (r03 root cause; see tools/hashgate.py).
+        col("sum_value").cast(DoubleType).as("sum_value"))
 }
