@@ -46,10 +46,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // min of 2 measured runs per query, the passes INTERLEAVED
+    // min of 3 measured runs per query, the passes INTERLEAVED
     // (A,B,…,A,B,… not A,A,B,B,…): a transient host burst (observed
     // 2s -> 100s swings on identical plans in this container) then
-    // poisons at most one of a query's two runs.
+    // poisons at most one of a query's runs. Two passes proved not
+    // enough (r03: dedup_exact 17.4s vs 1.9s in r02, same code —
+    // a burst spanning both passes); three gives a clean min unless
+    // the host is degraded for the entire bench window.
     def runOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
       try {
@@ -61,7 +64,7 @@ object Bench {
         None
       }
     }
-    val passes = (1 to 2).map(_ => headline.map(n => n -> runOnce(n)).toMap)
+    val passes = (1 to 3).map(_ => headline.map(n => n -> runOnce(n)).toMap)
     val results = headline.map { name =>
       val times = passes.flatMap(_(name))
       // a query with no successful run reports the -1 sentinel, never a

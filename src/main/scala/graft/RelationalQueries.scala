@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-4 widening of the relational/OLAP surface (SURVEY.md §2.B):
+  * semi/anti joins (IN / NOT EXISTS), CUBE grouping sets, moving-average
+  * window frames, moment statistics, histograms, arrayJoin (explode),
+  * and set operators — the remaining ClickHouse query shapes a user of
+  * the migrated warehouse reaches for daily.
+  *
+  * Determinism contract (hash gate): decimal arithmetic internally,
+  * BIGINT / DOUBLE / DATE / STRING outputs only; any double formula is
+  * written as the IDENTICAL expression tree on both engines so IEEE
+  * evaluation is bit-equal.
+  */
+object RelationalQueries {
+
+  private def Q(f: (SparkSession, String) => DataFrame) = f
+
+  private val d2 = DecimalType(18, 2)
+  private val d4 = DecimalType(18, 4)
+  private def dec2(c: String): Column = col(c).cast(d2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // B21: semi/anti join — per-nation customers with ≥1 order (LeftSemi)
+    // vs none (LeftAnti). Both plan as existence joins: the orders side
+    // is reduced to its join key before the shuffle, and no row ever
+    // multiplies (the 100 TB-safe way to answer IN / NOT EXISTS — never
+    // a join + distinct).
+    "q_semi_anti" -> Q { (s, d) =>
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val ord = Tables.orders(s, d).select("o_custkey")
+      val nations = cust.select("c_nationkey").distinct()
+      val withOrd = cust
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_with"))
+      val withoutOrd = cust
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_without"))
+      nations
+        .join(withOrd, Seq("c_nationkey"), "left")
+        .join(withoutOrd, Seq("c_nationkey"), "left")
+        .select(col("c_nationkey").cast(LongType).as("nationkey"),
+          coalesce(col("n_with"), lit(0L)).as("n_with"),
+          coalesce(col("n_without"), lit(0L)).as("n_without"))
+        .orderBy("nationkey")
+    },
+
+    // B22: GROUPING SETS via CUBE — revenue at every (returnflag,
+    // linestatus) granularity in ONE aggregation: Expand feeds all four
+    // grouping levels through a single partial-agg shuffle (vs 4 scans
+    // for 4 GROUP BYs).
+    "q_grouping_sets" -> Q { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec2("l_extendedprice")).cast(DoubleType).as("sum_price"),
+          (grouping(col("l_returnflag")) * 2 +
+            grouping(col("l_linestatus"))).cast(LongType).as("g"))
+        .select(
+          when(col("g") === 2 || col("g") === 3, lit("ALL"))
+            .otherwise(col("l_returnflag")).as("returnflag"),
+          when(col("g") === 1 || col("g") === 3, lit("ALL"))
+            .otherwise(col("l_linestatus")).as("linestatus"),
+          col("n_rows"), col("sum_price"), col("g"))
+        .orderBy("g", "returnflag", "linestatus")
+    },
+
+    // B23: 7-day moving average over the DAILY revenue series — window
+    // frame (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW). The global
+    // (un-partitioned) window runs over POST-AGGREGATION rows — one row
+    // per day, thousands of rows at ANY input scale — so the single-
+    // partition sort is safe at 100 TB; the heavy lifting happened in
+    // the partial-agg shuffle before it.
+    "q_moving_avg" -> Q { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast(DateType).as("day"))
+        .agg(sum(dec2("o_totalprice")).as("rev_dec"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      daily.select(
+        col("day"), col("n_orders"),
+        col("rev_dec").cast(DoubleType).as("revenue"),
+        // exact decimal sum over the frame, ONE double division at the
+        // end — identical tree in the oracle SQL
+        (sum(col("rev_dec")).over(w).cast(DoubleType) /
+          count(lit(1)).over(w).cast(DoubleType)).as("ma7"))
+        .orderBy("day")
+    },
+
+    // B24: moment statistics (CH varSamp/stddevSamp) from EXACT decimal
+    // power sums — never a streaming-variance double reduction, whose
+    // result depends on partitioning. n, Σx, Σx² are exact; the variance
+    // formula is one fixed double expression tree evaluated identically
+    // on both engines (and identically on a 1-node or 1000-node
+    // cluster — order-independence is the scale story here too).
+    "q_stat_aggs" -> Q { (s, d) =>
+      val base = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2("value")).as("sx"),
+          sum((dec2("value") * dec2("value")).cast(d4)).as("sxx"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+      val nD = col("n").cast(DoubleType)
+      val sxD = col("sx").cast(DoubleType)
+      val sxxD = col("sxx").cast(DoubleType)
+      val varS = (nD * sxxD - sxD * sxD) / (nD * (nD - lit(1.0)))
+      base.select(col("event_type"), col("n"),
+        (sxD / nD).as("mean"),
+        varS.as("var_samp"),
+        sqrt(varS).as("stddev_samp"),
+        col("min_v"), col("max_v"))
+        .orderBy("event_type")
+    },
+
+    // B25: fixed-width histogram of event values (CH histogram-style
+    // rollup): bucket = min(floor(value/50), 9). Pure column math into
+    // one partial-agg shuffle of ≤10 groups.
+    "q_histogram" -> Q { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(least(floor(col("value") / 50.0), lit(9L))
+          .cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+        .orderBy("bucket")
+    },
+
+    // B26: arrayJoin (CH) ≡ explode — token frequency table. Generate
+    // executor-side (explode never touches the driver), aggregate the
+    // (token) key; top-100 by a deterministic total order. The explode
+    // fan-out stays inside the scan stage; only (token, partial count)
+    // pairs cross the shuffle.
+    "q_array_join" -> Q { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100)
+    },
+
+    // B27: set operators — INTERSECT (purchased AND clicked) and EXCEPT
+    // (viewed but never purchased), tagged and unioned. Spark plans both
+    // as existence aggregations on the hashed key — no row blowup.
+    "q_set_ops" -> Q { (s, d) =>
+      val ev = Tables.events(s, d)
+      def ids(t: String): DataFrame =
+        ev.filter(col("event_type") === t).select("user_id")
+      val both = ids("purchase").intersect(ids("click"))
+        .select(lit("purchase_and_click").as("grp"), col("user_id"))
+      val viewOnly = ids("view").except(ids("purchase"))
+        .select(lit("view_no_purchase").as("grp"), col("user_id"))
+      both.unionByName(viewOnly).orderBy("grp", "user_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_semi_anti" ->
+      """WITH nations AS (SELECT DISTINCT c_nationkey FROM customer),
+        |w AS (
+        | SELECT c_nationkey, count(*) AS n_with FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | GROUP BY c_nationkey),
+        |wo AS (
+        | SELECT c_nationkey, count(*) AS n_without FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | GROUP BY c_nationkey)
+        |SELECT CAST(n.c_nationkey AS BIGINT) AS nationkey,
+        | CAST(coalesce(w.n_with, 0) AS BIGINT) AS n_with,
+        | CAST(coalesce(wo.n_without, 0) AS BIGINT) AS n_without
+        |FROM nations n
+        |LEFT JOIN w ON n.c_nationkey = w.c_nationkey
+        |LEFT JOIN wo ON n.c_nationkey = wo.c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT
+        | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        | count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS g
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g, returnflag, linestatus""".stripMargin,
+
+    "q_moving_avg" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+        |  count(*) AS n_orders
+        | FROM orders GROUP BY day)
+        |SELECT day, n_orders,
+        | CAST(rev_dec AS DOUBLE) AS revenue,
+        | CAST(sum(rev_dec) OVER w AS DOUBLE)
+        |   / CAST(count(*) OVER w AS DOUBLE) AS ma7
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+
+    "q_stat_aggs" ->
+      """WITH base AS (
+        | SELECT event_type, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sx,
+        |  sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        |      AS DECIMAL(18,4))) AS sxx,
+        |  min(value) AS min_v, max(value) AS max_v
+        | FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        | CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        | (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_samp,
+        | sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_samp,
+        | min_v, max_v
+        |FROM base ORDER BY event_type""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bucket,
+        | count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_array_join" ->
+      """SELECT token, count(*) AS cnt FROM (
+        | SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        | FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token
+        |ORDER BY cnt DESC, token
+        |LIMIT 100""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT 'purchase_and_click' AS grp, user_id FROM (
+        | SELECT user_id FROM events WHERE event_type = 'purchase'
+        | INTERSECT
+        | SELECT user_id FROM events WHERE event_type = 'click')
+        |UNION ALL
+        |SELECT 'view_no_purchase' AS grp, user_id FROM (
+        | SELECT user_id FROM events WHERE event_type = 'view'
+        | EXCEPT
+        | SELECT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY grp, user_id""".stripMargin
+  )
+}

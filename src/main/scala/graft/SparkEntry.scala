@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlQueries.queries ++ OlapQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ VectorQueries.queries ++
-      MultimodalQueries.queries ++ AnalyticsQueries.queries
+      MultimodalQueries.queries ++ AnalyticsQueries.queries ++
+      RelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EtlQueries.oracles ++ OlapQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ VectorQueries.oracles ++
-      MultimodalQueries.oracles ++ AnalyticsQueries.oracles
+      MultimodalQueries.oracles ++ AnalyticsQueries.oracles ++
+      RelationalQueries.oracles
 }
