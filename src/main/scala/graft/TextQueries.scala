@@ -72,6 +72,23 @@ object TextQueries {
         col("doc_id"),
         Fnv1a64.fingerprint(col("text")).as("fp64"))
         .orderBy("doc_id")
+    },
+
+    // C16 (oracle): char-trigram frequency table (the shingle
+    // distribution behind minhash/langid). Trigrams generate
+    // executor-side inside the scan stage (sequence+transform+explode);
+    // only (trigram, partial count) pairs cross the shuffle; top-100 by
+    // a deterministic total order.
+    "text_ngram_freq" -> Q { (s, d) =>
+      val t = lower(trim(col("text")))
+      val grams = when(length(t) >= 3,
+        transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+        .otherwise(typedlit(Seq.empty[String]))
+      Tables.documents(s, d)
+        .select(explode(grams).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(100)
     }
   )
 
@@ -98,6 +115,17 @@ object TextQueries {
         |      THEN u - CAST('18446744073709551616' AS HUGEINT)
         |      ELSE u END AS BIGINT) AS fp64
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_ngram_freq" ->
+      """WITH t AS (SELECT lower(trim(text)) AS s FROM documents),
+        |g AS (
+        | SELECT unnest(CASE WHEN length(s) >= 3
+        |   THEN list_transform(range(1, length(s) - 1),
+        |        i -> substring(s, CAST(i AS BIGINT), 3))
+        |   ELSE CAST([] AS VARCHAR[]) END) AS gram
+        | FROM t)
+        |SELECT gram, count(*) AS cnt FROM g
+        |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""".stripMargin,
 
     "text_tokens" ->
       s"""SELECT doc_id, length(text) AS n_chars,

@@ -42,6 +42,20 @@ object VectorQueries {
       val model = graft.operators.IvfIndex.train(corpus, nList = 16)
       graft.operators.IvfIndex.topK(corpus, probes(s, d), model,
         k = 5, nProbe = 4).orderBy("probe_id", "rk")
+    },
+
+    // C15 (oracle): per-vector stats — dim, L2 norm, sum of components.
+    // Pure codegen'd HOF arithmetic in the scan stage, zero shuffle;
+    // the norm is the same left-to-right double fold the ANN oracle
+    // already proved bit-identical across engines.
+    "vec_stats" -> Q { (s, d) =>
+      val v = transform(col("embedding"), x => x.cast("double"))
+      Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)).as("l2_norm"),
+        aggregate(v, lit(0.0), (a, x) => a + x).as("comp_sum"))
+        .orderBy("vec_id")
     }
   )
 
@@ -61,6 +75,16 @@ object VectorQueries {
         |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
         | FROM scored)
         |SELECT probe_id, vec_id, cos, rk FROM ranked
-        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
+    "vec_stats" ->
+      """WITH v AS (
+        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv,
+        |        len(embedding) AS dim
+        | FROM embeddings)
+        |SELECT vec_id, label, CAST(dim AS BIGINT) AS dim,
+        | sqrt(list_inner_product(dv, dv)) AS l2_norm,
+        | list_inner_product(dv, list_transform(dv, x -> 1.0)) AS comp_sum
+        |FROM v ORDER BY vec_id""".stripMargin
   )
 }
