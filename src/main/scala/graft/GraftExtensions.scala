@@ -236,10 +236,82 @@ object GraftExtensions {
           "quantile expects (value) or (value, level)")
       }
       new ApproximatePercentile(x, level).toAggregateExpression()
-    })
+    },
+    // --- CH URL function family (all return '' on a missing part,
+    // CH's default-value contract, vs parse_url's NULL) ---
+    one("protocol")(u => orEmpty(urlPart(u, "PROTOCOL"))),
+    one("domain")(u => orEmpty(urlPart(u, "HOST"))),
+    one("domainWithoutWWW")(u =>
+      orEmpty(RegExpReplace(urlPart(u, "HOST"), Literal("^www\\."), Literal("")))),
+    // TLD of the host, without the dot; '' when the host has none
+    one("topLevelDomain")(u =>
+      orEmpty(RegExpExtract(urlPart(u, "HOST"),
+        Literal("\\.([^.]+)$"), Literal(1)))),
+    one("path")(u => orEmpty(urlPart(u, "PATH"))),
+    one("queryString")(u => orEmpty(urlPart(u, "QUERY"))),
+    one("fragment")(u => orEmpty(urlPart(u, "REF"))),
+    two("extractURLParameter")((u, k) =>
+      orEmpty(ParseUrl(Seq(u, Literal("QUERY"), k), failOnError = false))),
+    // --- CH string functions ---
+    // position(haystack, needle) — CH argument order; 1-based, 0 = miss
+    two("position")((h, n) => new StringLocate(n, h)),
+    two("positionCaseInsensitive")((h, n) =>
+      new StringLocate(Lower(n), Lower(h))),
+    d("replaceAll") { children =>
+      require(children.length == 3, "replaceAll expects (s, from, to)")
+      StringReplace(children(0), children(1), children(2))
+    },
+    d("replaceRegexpAll") { children =>
+      require(children.length == 3,
+        "replaceRegexpAll expects (s, pattern, replacement)")
+      RegExpReplace(children(0), children(1), children(2))
+    },
+    // extract/extractAll: CH returns the first capture group when the
+    // pattern has one, else the whole match — resolvable at build time
+    // for literal patterns (group count inspected), group 0 otherwise
+    two("extract")((s, re) => RegExpExtract(s, re, chGroupIdx(re))),
+    two("extractAll")((s, re) => RegExpExtractAll(s, re, chGroupIdx(re))),
+    d("leftPad") { children =>
+      val Seq(s, len, pad) = padArgs("leftPad", children)
+      StringLPad(s, len, pad)
+    },
+    d("rightPad") { children =>
+      val Seq(s, len, pad) = padArgs("rightPad", children)
+      StringRPad(s, len, pad)
+    },
+    two("startsWith")((s, p) => StartsWith(s, p)),
+    two("endsWith")((s, p) => EndsWith(s, p)),
+    one("lowerUTF8")(Lower(_)),
+    one("upperUTF8")(Upper(_)))
 
   private def toDoubleVec(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
+
+  // failOnError=false: a malformed URL yields NULL -> '' via orEmpty
+  // (CH's contract), instead of ANSI's INVALID_URL error
+  private def urlPart(u: Expression, part: String): Expression =
+    ParseUrl(Seq(u, Literal(part)), failOnError = false)
+
+  private def orEmpty(e: Expression): Expression =
+    Coalesce(Seq(e, Literal("")))
+
+  /** CH extract/extractAll group choice: first capture group if the
+    * (literal) pattern declares one, else the whole match.
+    */
+  private def chGroupIdx(re: Expression): Expression = re match {
+    case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      val n = java.util.regex.Pattern.compile(u.toString).matcher("").groupCount()
+      Literal(if (n > 0) 1 else 0)
+    case _ => Literal(0)
+  }
+
+  private def padArgs(name: String, children: Seq[Expression]): Seq[Expression] =
+    children match {
+      case Seq(s, len)      => Seq(s, len, Literal(" "))
+      case Seq(s, len, pad) => Seq(s, len, pad)
+      case _ => throw new IllegalArgumentException(
+        s"$name expects (s, length[, pad])")
+    }
 
   private def two(name: String)(f: (Expression, Expression) => Expression): FunctionDescriptor =
     d(name) { children =>
