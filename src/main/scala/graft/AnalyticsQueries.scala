@@ -90,6 +90,22 @@ object AnalyticsQueries {
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     },
 
+    // B20b: the CH array-HOF SQL surface END-TO-END through spark.sql —
+    // splitByChar + lambda-first arrayMap + arraySum + multiIf, the
+    // composition a ClickHouse user types daily. All codegen'd HOFs in
+    // the scan stage; zero shuffle.
+    "q_ch_sql_arrays" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      s.sql(
+        """SELECT doc_id,
+          |  CAST(size(splitByChar(' ', text)) AS BIGINT) AS n_parts,
+          |  CAST(arraySum(arrayMap(t -> length(t), splitByChar(' ', text)))
+          |       AS BIGINT) AS sum_len,
+          |  multiIf(length(text) > 500, 'long',
+          |          length(text) > 100, 'mid', 'short') AS bucket
+          |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+
     // B19: ORDER BY … WITH FILL — gap-filled sparse hourly series
     // (rare-event rollup densified to every hour in range).
     "q_with_fill" -> Q { (s, d) =>
@@ -201,6 +217,17 @@ object AnalyticsQueries {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 100.0)
         |      AS DOUBLE) AS sum_big
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_ch_sql_arrays" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_parts,
+        | CAST(coalesce(list_aggregate(
+        |   list_transform(string_split(text, ' '), t -> length(t)),
+        |   'sum'), 0) AS BIGINT) AS sum_len,
+        | CASE WHEN length(text) > 500 THEN 'long'
+        |      WHEN length(text) > 100 THEN 'mid'
+        |      ELSE 'short' END AS bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_with_fill" ->
       """WITH agg AS (

@@ -157,6 +157,21 @@ object RelationalQueries {
       val viewOnly = ids("view").except(ids("purchase"))
         .select(lit("view_no_purchase").as("grp"), col("user_id"))
       both.unionByName(viewOnly).orderBy("grp", "user_id")
+    },
+
+    // B28: the salted join, gated for CORRECTNESS against the plain
+    // join's oracle — salting must preserve exact join multiplicity
+    // (the failure mode of a buggy salt is silent row loss or dup).
+    // Shape: events (big, skewed on user_id) x per-user dim; hot users
+    // fan out over 8 salt buckets. The oracle knows nothing of salts.
+    "q_salted_join" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select("user_id", "event_type")
+      val dim = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("u_events"))
+      graft.operators.SkewTools.saltedJoin(ev, dim, "user_id", salts = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("u_events")).as("sum_u"))
+        .orderBy("event_type")
     }
   )
 
@@ -236,6 +251,14 @@ object RelationalQueries {
         |GROUP BY token
         |ORDER BY cnt DESC, token
         |LIMIT 100""".stripMargin,
+
+    "q_salted_join" ->
+      """WITH dim AS (
+        | SELECT user_id, count(*) AS u_events FROM events GROUP BY user_id)
+        |SELECT event_type, count(*) AS n,
+        | CAST(sum(u_events) AS BIGINT) AS sum_u
+        |FROM events JOIN dim USING (user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_set_ops" ->
       """SELECT 'purchase_and_click' AS grp, user_id FROM (
