@@ -115,7 +115,7 @@ object DedupQueries {
     * chars of md5("<key>:<seed>") positionally (DuckDB 1.0 has no
     * hex-to-int cast), then mod 1e6.
     */
-  private def md5BucketSql(keyExpr: String, seed: Long): String = {
+  private[graft] def md5BucketSql(keyExpr: String, seed: Long): String = {
     val h = s"md5($keyExpr || ':$seed')"
     val terms = (1 to 8).map { i =>
       val p = 1L << (4 * (8 - i))

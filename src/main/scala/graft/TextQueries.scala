@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Fnv1a64, TextFunctions => T}
 
@@ -89,6 +90,45 @@ object TextQueries {
         .groupBy("gram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("gram"))
         .limit(100)
+    },
+
+    // C17 (oracle): the END-TO-END training-data cleaning pipeline —
+    // scrub PII -> quality-score -> threshold filter -> exact dedup on
+    // the scrubbed text -> deterministic 50% sample. One composition of
+    // the pipeline operators above, gated as a whole. Scale shape: the
+    // dedup window shuffles (doc_id, counts, md5) — 40 bytes/row, never
+    // the text; everything before it is codegen'd column math in the
+    // scan stage; the sample filter is a pure function of doc_id.
+    "pipeline_clean" -> Q { (s, d) =>
+      val scrubbed = Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("t"))
+      val m = scrubbed.select(
+        col("doc_id"), col("t"),
+        length(col("t")).cast("long").as("n_chars"),
+        T.alphaCount(col("t")).as("n_alpha"),
+        T.whitespaceCount(col("t")).as("n_ws"),
+        T.tokenCount(col("t")).as("n_tokens"),
+        T.stopwordHits(col("t"), T.stopwords.head._2).as("n_stop"))
+      val scored = m.select(
+        col("doc_id"), col("n_tokens"),
+        T.qualityScore(
+          T.ratio(col("n_alpha"), col("n_chars")),
+          T.ratio(col("n_chars") - col("n_ws"), col("n_tokens")),
+          T.ratio(col("n_stop"), col("n_tokens"))).as("quality"),
+        md5(col("t")).as("h"))
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      val deduped = scored
+        .filter(col("quality") >= 0.3)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      graft.operators.Sampling.deterministicSample(
+          deduped, col("doc_id"), 0.5, portable = true)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .orderBy("doc_id")
     }
   )
 
@@ -115,6 +155,37 @@ object TextQueries {
         |      THEN u - CAST('18446744073709551616' AS HUGEINT)
         |      ELSE u END AS BIGINT) AS fp64
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "pipeline_clean" ->
+      s"""WITH scrub AS (
+         | SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         |    '[0-9]+', '<NUM>', 'g') AS t
+         | FROM documents
+         |), m AS (
+         | SELECT doc_id, t, length(t) AS n_chars,
+         |  length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS n_alpha,
+         |  length(t) - length(regexp_replace(t, '\\s', '', 'g')) AS n_ws,
+         |  CASE WHEN length(trim(t)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(t), '\\s+')) END AS n_tokens,
+         |  len(regexp_extract_all(lower(t), '${stopRe("en")}')) AS n_stop
+         | FROM scrub
+         |), q AS (
+         | SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, md5(t) AS h,
+         |  0.4 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_chars END)
+         |   + 0.3 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars - n_ws AS DOUBLE) / n_tokens END) / 8.0)
+         |   + 0.3 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 5.0) AS quality
+         | FROM m
+         |), d AS (
+         | SELECT doc_id, n_tokens, quality,
+         |  row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+         | FROM q WHERE quality >= 0.3)
+         |SELECT doc_id, n_tokens, quality FROM d
+         |WHERE rn = 1
+         |  AND ${DedupQueries.md5BucketSql("CAST(doc_id AS VARCHAR)", 42L)} < 500000
+         |ORDER BY doc_id""".stripMargin,
 
     "text_ngram_freq" ->
       """WITH t AS (SELECT lower(trim(text)) AS s FROM documents),
