@@ -12,7 +12,9 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_pricing_summary", "q6_forecast_revenue", "q3_top_orders",
       "q_sessionize", "dedup_exact", "q_limit_by", "q_funnel",
-      "q_rollup_totals", "q_with_fill", "q_ch_sql")
+      "q_rollup_totals", "q_with_fill", "q_ch_sql",
+      "q_semi_anti", "q_grouping_sets", "q_moving_avg", "q_salted_join",
+      "pipeline_clean")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
