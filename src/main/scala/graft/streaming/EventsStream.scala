@@ -16,14 +16,27 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object EventsStream {
 
+  /** Set the event-time watermark only when the plan does not already
+    * carry one: Spark disallows REdefining a watermark, and requiring
+    * callers to know which operator in a composed pipeline owns it
+    * would make these combinators non-stackable (see
+    * StreamingComposeSpec: dedup -> enrich -> rollup in one query).
+    */
+  private def watermarked(df: DataFrame, tsCol: String,
+                          delay: String): DataFrame = {
+    val has = df.queryExecution.logical.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+    }.isDefined
+    if (has) df else df.withWatermark(tsCol, delay)
+  }
+
   /** Streaming dedup by event id: state bounded by the watermark —
     * duplicates arriving within the horizon are dropped exactly; later
     * ones age out of state (the at-least-once ingest companion of
     * ReplacingMerge, which settles whatever still gets through).
     */
   def dedupStream(events: DataFrame, idCols: Seq[String]): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
+    watermarked(events, "ts", "2 hours")
       .dropDuplicatesWithinWatermark(idCols)
 
   /** Stream-static enrichment: join the event stream against a static
@@ -58,8 +71,7 @@ object EventsStream {
 
   /** Tumbling 1-hour rollup per event_type. */
   def hourlyRollup(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
+    watermarked(events, "ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
