@@ -159,6 +159,21 @@ object RelationalQueries {
       both.unionByName(viewOnly).orderBy("grp", "user_id")
     },
 
+    // B29: exact quantiles (CH quantileExact / medianExact) — gated IF
+    // Spark's Percentile and DuckDB's quantile_cont share the linear
+    // interpolation tree bit-for-bit (empirically verified by this
+    // query's hash match; both compute lower + (upper-lower)*frac on
+    // exact doubles).
+    "q_quantiles" -> Q { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"))
+        .orderBy("event_type")
+    },
+
     // B28: the salted join, gated for CORRECTNESS against the plain
     // join's oracle — salting must preserve exact join multiplicity
     // (the failure mode of a buggy salt is silent row loss or dup).
@@ -251,6 +266,13 @@ object RelationalQueries {
         |GROUP BY token
         |ORDER BY cnt DESC, token
         |LIMIT 100""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT event_type,
+        | quantile_cont(value, 0.5) AS p50,
+        | quantile_cont(value, 0.9) AS p90,
+        | quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_salted_join" ->
       """WITH dim AS (
