@@ -159,6 +159,22 @@ object RelationalQueries {
       both.unionByName(viewOnly).orderBy("grp", "user_id")
     },
 
+    // B30: FULL OUTER join — per-hour click vs purchase counts, hours
+    // where either side is absent surviving with zeroed counts. Both
+    // sides are pre-aggregated before the join: the outer join shuffles
+    // one row per (hour, side), never raw events.
+    "q_outer_join" -> Q { (s, d) =>
+      def hourly(t: String) = Tables.events(s, d)
+        .filter(col("event_type") === t)
+        .groupBy(expr("ts_us div 3600000000").as("hour_bucket"))
+        .agg(count(lit(1)).as(s"n_$t"))
+      hourly("click").join(hourly("purchase"), Seq("hour_bucket"), "full_outer")
+        .select(col("hour_bucket"),
+          coalesce(col("n_click"), lit(0L)).as("n_click"),
+          coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
+        .orderBy("hour_bucket")
+    },
+
     // B29: exact quantiles (CH quantileExact / medianExact) — gated IF
     // Spark's Percentile and DuckDB's quantile_cont share the linear
     // interpolation tree bit-for-bit (empirically verified by this
@@ -266,6 +282,19 @@ object RelationalQueries {
         |GROUP BY token
         |ORDER BY cnt DESC, token
         |LIMIT 100""".stripMargin,
+
+    "q_outer_join" ->
+      """WITH c AS (
+        | SELECT epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n_click
+        | FROM events WHERE event_type = 'click' GROUP BY hour_bucket),
+        |p AS (
+        | SELECT epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n_purchase
+        | FROM events WHERE event_type = 'purchase' GROUP BY hour_bucket)
+        |SELECT coalesce(c.hour_bucket, p.hour_bucket) AS hour_bucket,
+        | CAST(coalesce(n_click, 0) AS BIGINT) AS n_click,
+        | CAST(coalesce(n_purchase, 0) AS BIGINT) AS n_purchase
+        |FROM c FULL OUTER JOIN p ON c.hour_bucket = p.hour_bucket
+        |ORDER BY hour_bucket""".stripMargin,
 
     "q_quantiles" ->
       """SELECT event_type,
