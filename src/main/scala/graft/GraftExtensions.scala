@@ -237,6 +237,30 @@ object GraftExtensions {
       }
       new ApproximatePercentile(x, level).toAggregateExpression()
     },
+    // --- CH temporal helpers (round 4) ---
+    // toStartOfWeek: CH default mode 0 = SUNDAY-start (toMonday is the
+    // Monday one); both return Date
+    one("toStartOfWeek")(c =>
+      DateSub(Cast(c, DateType), Subtract(DayOfWeek(Cast(c, DateType)), Literal(1)))),
+    one("toMonday")(c => TruncDate(Cast(c, DateType), Literal("week"))),
+    one("toStartOfQuarter")(c => TruncDate(Cast(c, DateType), Literal("quarter"))),
+    one("toStartOfYear")(c => TruncDate(Cast(c, DateType), Literal("year"))),
+    one("toQuarter")(Quarter(_)),
+    one("toISOWeek")(WeekOfYear(_)),
+    // add*/subtract*: CH preserves Date-ness on Date inputs; here Date
+    // widens to DateTime for sub-day units and stays Date via the
+    // TimestampAdd implicit cast — documented deviation for the Date+
+    // hours case only
+    two("addDays")((t, n) => new TimestampAdd("DAY", n, t)),
+    two("addHours")((t, n) => new TimestampAdd("HOUR", n, t)),
+    two("addMinutes")((t, n) => new TimestampAdd("MINUTE", n, t)),
+    two("addSeconds")((t, n) => new TimestampAdd("SECOND", n, t)),
+    two("addMonths")((t, n) => new TimestampAdd("MONTH", n, t)),
+    two("addYears")((t, n) => new TimestampAdd("YEAR", n, t)),
+    two("subtractDays")((t, n) => new TimestampAdd("DAY", UnaryMinus(n), t)),
+    two("subtractHours")((t, n) => new TimestampAdd("HOUR", UnaryMinus(n), t)),
+    two("subtractMonths")((t, n) => new TimestampAdd("MONTH", UnaryMinus(n), t)),
+    two("subtractYears")((t, n) => new TimestampAdd("YEAR", UnaryMinus(n), t)),
     // --- CH URL function family (all return '' on a missing part,
     // CH's default-value contract, vs parse_url's NULL) ---
     one("protocol")(u => orEmpty(urlPart(u, "PROTOCOL"))),
