@@ -1,0 +1,210 @@
+package graft
+
+/** Independent DuckDB reimplementations of the sketch-based dedup
+  * operators, promoting dedup_simhash / dedup_minhash_pairs /
+  * dedup_minhash from rows-only checks to full value-hash oracles.
+  *
+  * Both sketches are deterministic, so they ARE SQL-expressible once
+  * the two hash kernels are rebuilt in the oracle engine:
+  *
+  *  - FNV-1a 64 (simhash token hash): byte fold in HUGEINT mod 2^64 —
+  *    same technique the text_fingerprint oracle validated bit-for-bit.
+  *  - Spark's xxhash64 (minhash shingle hash): full XXH64 (seed 42)
+  *    staged as vectorized CTE columns. 64x64-bit products overflow
+  *    even HUGEINT, so multiplication is split-32 modular:
+  *    a*b mod 2^64 = (lo32(a)*b + (hi32(a)*b mod 2^32)*2^32) mod 2^64,
+  *    and rotl(x,r) = (x*2^r mod 2^64) + (x >> (64-r)) (disjoint bits,
+  *    so + is |). Validated against
+  *    o.a.s.sql.catalyst.expressions.XXH64 on ASCII, multi-byte and
+  *    empty inputs before wiring in.
+  *
+  * The expensive per-gram hash runs once per DISTINCT gram (row-wise,
+  * vectorized) rather than per occurrence in a nested lambda — the
+  * lambda formulation was ~430x slower in DuckDB 1.0.
+  *
+  * The minhash permutation coefficients are inlined from
+  * [[graft.operators.Dedup.coeffs]] at SQL-build time, so oracle and
+  * operator can never drift. Banding is mirrored as slice equality
+  * (the operator buckets on xxhash64 of the slice; a 64-bit band-hash
+  * collision is the only way they could differ). Connected components
+  * is a recursive-CTE reachability closure, equivalent to the
+  * operator's converged min-label propagation.
+  */
+object DedupOracles {
+
+  // ------------------------------------------------- HUGEINT bit kit
+
+  private val M64 = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+  private val M32 = "4294967296"
+  private val P1 = "CAST('11400714785074694791' AS HUGEINT)"
+  private val P2 = "CAST('14029467366897019727' AS HUGEINT)"
+  private val P3 = "1609587929392839161"
+  private val P4 = "9650029242287828579"
+  private val P5 = "2870177450012600261"
+
+  /** (a*b) mod 2^64 without 128-bit overflow (split-32 schoolbook). */
+  private def mulmod(a: String, b: String): String =
+    s"((($a) % $M32) * ($b) + (((($a) // $M32) * ($b)) % $M32) * $M32) % $M64"
+
+  private def rotl(x: String, r: Int): String =
+    s"((($x) * ${1L << r}) % $M64 + ($x) // ${1L << (64 - r)})"
+
+  // ---------------------------------------------------------- corpus
+
+  /** Same planted-duplicate construction as [[DedupQueries.corpus]]. */
+  private val corpusSql: String =
+    """corpus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      | UNION ALL
+      | SELECT doc_id + 2000000, regexp_replace(text, '^\S+\s+\S+\s+', '')
+      | FROM documents WHERE doc_id % 10 = 5
+      |)""".stripMargin
+
+  // --------------------------------------------------------- simhash
+
+  /** ASCII whitespace class of SimHash64.isWs (space TAB LF CR FF VT).
+    * Built by concatenation: Scala triple-quoted strings don't process
+    * escapes, and the SQL needs the literal control characters.
+    */
+  private val wsClass: String = "[ \t\n\r\f]+"
+
+  /** FNV-1a 64 of token t's UTF-8 bytes, as unsigned HUGEINT. */
+  private val fnvTokenSql: String = {
+    val bytes = "list_transform(range(1, CAST(octet_length(encode(t)) AS BIGINT) + 1), " +
+      "i -> CAST((strpos('0123456789abcdef', substring(lower(to_hex(encode(t))), CAST(2*i-1 AS BIGINT), 1)) - 1) * 16 " +
+      "+ (strpos('0123456789abcdef', substring(lower(to_hex(encode(t))), CAST(2*i AS BIGINT), 1)) - 1) AS HUGEINT))"
+    s"list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), $bytes), " +
+      "(acc, x) -> (xor(acc, x) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))"
+  }
+
+  private def voteSql(b: String): String =
+    s"list_sum(list_transform(hh, h -> CASE WHEN ((h >> CAST($b AS UBIGINT)) & 1) = 1 THEN 1 ELSE -1 END))"
+
+  /** Pairs within hamming<=3 over the full signature cross set — the
+    * operator's 4x16-bit banding is lossless there by pigeonhole, so
+    * the unbanded recompute doubles as a losslessness proof.
+    * sh must collapse to BIGINT before bit_count(xor(..)): in HUGEINT
+    * a negative signature carries 64 extra sign bits and every
+    * negative-signature pair silently fails the hamming test.
+    */
+  val simhashSql: String =
+    s"""WITH $corpusSql, toks AS (
+       | SELECT doc_id, list_filter(
+       |   regexp_split_to_array(lower(text), '$wsClass'), t -> t <> '') AS tk
+       | FROM corpus
+       |), hs AS (
+       | SELECT doc_id, list_transform(tk, t -> CAST($fnvTokenSql AS UBIGINT)) AS hh FROM toks
+       |), sig AS (
+       | SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(0, 63),
+       |    b -> CASE WHEN ${voteSql("b")} >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+       |   + CASE WHEN ${voteSql("63")} >= 0 THEN -9223372036854775808 ELSE 0 END AS BIGINT) AS sh
+       | FROM hs
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------------- minhash
+
+  /** XXH64(seed=42) staged row-wise over distinct grams `gd(g)` →
+    * ghash(g, x32) where x32 is the operator's 32-bit fold
+    * ((h >>> 32) ^ h) & 0xFFFFFFFF.
+    */
+  private val xxhStagesSql: String = {
+    val pow8 = "[1,256,65536,16777216,4294967296,1099511627776,281474976710656,72057594037927936]"
+    val read8 = s"list_sum(list_transform(range(0, 8), i8 -> bs[CAST(j8*8 + i8 + 1 AS BIGINT)] * CAST($pow8[CAST(i8+1 AS BIGINT)] AS HUGEINT)))"
+    val k1 = mulmod(rotl(mulmod(read8, P2), 31), P1)
+    val step8 = s"(${mulmod(rotl(s"xor(acc8, $k1)", 27), P1)} + $P4) % $M64"
+    val read4 = "list_sum(list_transform(range(0, 4), i4 -> bs[CAST((n // 8) * 8 + i4 + 1 AS BIGINT)] * CAST([1,256,65536,16777216][CAST(i4+1 AS BIGINT)] AS HUGEINT)))"
+    val h4 = s"(${mulmod(rotl(s"xor(h8, ${mulmod(read4, P1)})", 23), P2)} + $P3) % $M64"
+    val stepT = mulmod(rotl(s"xor(accT, (bs[CAST(jT + 1 AS BIGINT)] * $P5) % $M64)", 11), P1)
+    s"""gb AS (
+       | SELECT g, lower(to_hex(encode(g))) AS hx, CAST(octet_length(encode(g)) AS BIGINT) AS n FROM gd
+       |), gbytes AS (
+       | SELECT g, n, list_transform(range(1, n + 1),
+       |   i -> CAST((strpos('0123456789abcdef', hx[CAST(2*i-1 AS BIGINT)]) - 1) * 16
+       |        + (strpos('0123456789abcdef', hx[CAST(2*i AS BIGINT)]) - 1) AS HUGEINT)) AS bs
+       | FROM gb
+       |), s8 AS (
+       | SELECT g, n, bs, list_reduce(list_prepend((42 + $P5 + n) % $M64, range(0, n // 8)),
+       |   (acc8, j8) -> $step8) AS h8
+       | FROM gbytes
+       |), s4 AS (
+       | SELECT g, n, bs, CASE WHEN n % 8 >= 4 THEN $h4 ELSE h8 END AS h4
+       | FROM s8
+       |), st AS (
+       | SELECT g, list_reduce(list_prepend(h4, range((n // 8) * 8 + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END, n)),
+       |   (accT, jT) -> $stepT) AS ht
+       | FROM s4
+       |), sav1 AS (SELECT g, ${mulmod("xor(ht, ht // 8589934592)", P2)} AS h FROM st
+       |), sav2 AS (SELECT g, ${mulmod("xor(h, h // 536870912)", P3)} AS h FROM sav1
+       |), ghash AS (
+       | SELECT g, CAST(xor(xor(h, h // 4294967296) // 4294967296, xor(h, h // 4294967296) % 4294967296) AS BIGINT) AS x32
+       | FROM sav2
+       |)""".stripMargin
+  }
+
+  /** corpus → per-doc 128-long minhash signature arrays, coefficients
+    * inlined from the operator.
+    */
+  private val sigsSql: String = {
+    val cs = graft.operators.Dedup.coeffs(128)
+    val aList = cs.map(_._1).mkString("[", ",", "]")
+    val bList = cs.map(_._2).mkString("[", ",", "]")
+    s"""WITH $corpusSql, dg AS (
+       | SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+       |   p -> substring(text, CAST(p AS BIGINT), 5))) AS g
+       | FROM corpus
+       |), gd AS (SELECT DISTINCT g FROM dg
+       |), $xxhStagesSql, dx AS (
+       | SELECT DISTINCT d.doc_id, h.x32 FROM dg d JOIN ghash h USING (g)
+       |), mins AS (
+       | SELECT doc_id, j, min(($aList[CAST(j AS BIGINT)] * x32 + $bList[CAST(j AS BIGINT)]) % ${graft.operators.Dedup.MinhashPrime}) AS mh
+       | FROM dx CROSS JOIN (SELECT unnest(range(1, 129)) AS j)
+       | GROUP BY doc_id, j
+       |), sigs AS (
+       | SELECT doc_id, list(mh ORDER BY j) AS sig FROM mins GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  private val estSql: String =
+    """CAST(list_sum(list_transform(range(1, 129),
+      |    j -> CASE WHEN a.sig[CAST(j AS BIGINT)] = b.sig[CAST(j AS BIGINT)] THEN 1 ELSE 0 END)) AS DOUBLE) / 128""".stripMargin
+
+  private val bandSql: String =
+    """len(list_filter(range(0, 32),
+      |    k -> a.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)] = b.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)])) > 0""".stripMargin
+
+  val minhashPairsSql: String =
+    s"""$sigsSql
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $estSql AS est_jaccard
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE $bandSql AND $estSql >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Cluster labels: reachability closure (recursive CTE) over the
+    * thresholded pair list; label = min reachable id, matching the
+    * operator's converged min-propagation.
+    */
+  val minhashClustersSql: String =
+    s"""${sigsSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       | WHERE $bandSql AND $estSql >= 0.5
+       |), edges AS (
+       | SELECT doc_a AS a, doc_b AS b FROM pairs
+       | UNION ALL
+       | SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       | SELECT a, b FROM edges
+       | UNION
+       | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |)
+       |SELECT a AS doc_id, min(least(a, b)) AS cluster_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+}

@@ -8,9 +8,10 @@ import graft.operators.{Dedup, Similarity}
   * corpus has no natural duplicates, so each query plants them
   * deterministically: exact copies (doc_id+1M for doc_id%10=0) and
   * near copies with the first two words dropped (doc_id+2M for
-  * doc_id%10=5). The same construction is mirrored in the C1 oracle;
-  * C2-C4 are rows-only (signature algorithms aren't SQL-expressible)
-  * with ScalaTest oracles asserting planted-pair recall.
+  * doc_id%10=5). The same construction is mirrored in every oracle.
+  * C2/C2b/C3 carry full DuckDB oracles via [[DedupOracles]] (the hash
+  * kernels rebuilt in SQL); C5 stays rows-only (random-hyperplane LSH)
+  * with a ScalaTest oracle asserting planted-pair recall.
   */
 object DedupQueries {
 
@@ -125,6 +126,10 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_simhash" -> DedupOracles.simhashSql,
+    "dedup_minhash_pairs" -> DedupOracles.minhashPairsSql,
+    "dedup_minhash" -> DedupOracles.minhashClustersSql,
+
     "dedup_ngram_jaccard" ->
       """WITH corpus AS (
         | SELECT doc_id, text FROM documents
