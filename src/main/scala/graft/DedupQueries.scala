@@ -10,8 +10,9 @@ import graft.operators.{Dedup, Similarity}
   * near copies with the first two words dropped (doc_id+2M for
   * doc_id%10=5). The same construction is mirrored in every oracle.
   * C2/C2b/C3 carry full DuckDB oracles via [[DedupOracles]] (the hash
-  * kernels rebuilt in SQL); C5 stays rows-only (random-hyperplane LSH)
-  * with a ScalaTest oracle asserting planted-pair recall.
+  * kernels rebuilt in SQL); C5's oracle inlines the seeded hyperplanes
+  * the same way (sign-of-dot is exact — the dot folds bit-identically
+  * on both engines).
   */
 object DedupQueries {
 
@@ -75,7 +76,7 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // C5 (rows-only): embedding cosine near-dups via hyperplane LSH.
+    // C5 (oracle): embedding cosine near-dups via hyperplane LSH.
     "dedup_embedding" -> Q { (s, d) =>
       Similarity.embeddingPairs(vecCorpus(s, d), threshold = 0.99)
         .orderBy("vec_a", "vec_b")
@@ -126,6 +127,35 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // The planted +0.01 nudge must add in DOUBLE then narrow to FLOAT:
+    // Spark coerces float + decimal-literal to double, while a bare
+    // float + 0.01 in DuckDB adds in float32 — off by 1 ulp on some
+    // components, which moves cosines in the 10th decimal.
+    "dedup_embedding" ->
+      s"""WITH vc AS (
+         | SELECT vec_id, embedding FROM embeddings
+         | UNION ALL
+         | SELECT vec_id + 1000000,
+         |   list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT) ELSE x END)
+         | FROM embeddings WHERE vec_id % 10 = 0
+         |), dv AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM vc
+         |), sigs AS (
+         | SELECT vec_id, dv, ${VectorQueries.sigBitsSql} AS sig FROM dv
+         |), banded AS (
+         | SELECT vec_id, unnest([sig % 256, 256 + sig // 256]) AS bh FROM sigs
+         |), cand AS (
+         | SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         | FROM banded a JOIN banded b ON a.bh = b.bh AND a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b,
+         | list_inner_product(a.dv, b.dv) / (sqrt(list_inner_product(a.dv, a.dv)) * sqrt(list_inner_product(b.dv, b.dv))) AS cos
+         |FROM cand
+         | JOIN dv a ON a.vec_id = vec_a
+         | JOIN dv b ON b.vec_id = vec_b
+         |WHERE list_inner_product(a.dv, b.dv) / (sqrt(list_inner_product(a.dv, a.dv)) * sqrt(list_inner_product(b.dv, b.dv))) >= 0.99
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
     "dedup_simhash" -> DedupOracles.simhashSql,
     "dedup_minhash_pairs" -> DedupOracles.minhashPairsSql,
     "dedup_minhash" -> DedupOracles.minhashClustersSql,

@@ -7,11 +7,27 @@ import graft.operators.Similarity
 /** SURVEY.md §2 C6-C7 — similarity search over the embeddings table.
   * C6 is the exact baseline with a DuckDB oracle (dot products fold
   * left-to-right in double on both engines — bit-identical cosines);
-  * C7 is the LSH scale path, rows-only, recall-checked in its spec.
+  * C7 (LSH) carries a full oracle too: the seeded hyperplanes are
+  * inlined into the SQL at build time (like the minhash coefficients
+  * in [[DedupOracles]]), and sign-of-dot signatures are exact because
+  * the dot folds identically. Only C7b (IVF) stays rows-only — its
+  * k-means training loop isn't SQL-expressible.
   */
 object VectorQueries {
 
   private def Q(f: (SparkSession, String) => DataFrame) = f
+
+  /** The operator's 16 seeded hyperplanes for the 64-dim test
+    * embeddings, as a DuckDB signature expression over DOUBLE[] column
+    * `dv`: bit j = (dot(dv, plane_j) > 0) << j. Double literals use
+    * Java's shortest round-trip toString; DuckDB parses them to the
+    * identical bits.
+    */
+  private[graft] def sigBitsSql: String =
+    Similarity.hyperplanes(16, 64).zipWithIndex.map { case (p, j) =>
+      val lit = p.mkString("[", ",", "]")
+      s"CASE WHEN list_inner_product(dv, $lit) > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
 
   private def probes(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
@@ -26,7 +42,7 @@ object VectorQueries {
         .orderBy("probe_id", "rk")
     },
 
-    // C7 (rows-only): LSH-bucketed approximate top-5. Only same-band
+    // C7 (oracle): LSH-bucketed approximate top-5. Only same-band
     // corpus vectors are scored — the plan that survives a corpus too
     // large to scan per probe.
     "ann_lsh" -> Q { (s, d) =>
@@ -60,6 +76,32 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ann_lsh" ->
+      s"""WITH dv AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+         |), sigs AS (
+         | SELECT vec_id, dv, $sigBitsSql AS sig FROM dv
+         |), banded AS (
+         | SELECT vec_id, dv, unnest([sig % 256, 256 + sig // 256]) AS bh FROM sigs
+         |), pb AS (
+         | SELECT vec_id AS probe_id, bh FROM banded WHERE vec_id % 50 = 0
+         |), cand AS (
+         | SELECT DISTINCT p.probe_id, c.vec_id
+         | FROM banded c JOIN pb p ON c.bh = p.bh AND c.vec_id <> p.probe_id
+         |), scored AS (
+         | SELECT cand.probe_id, cand.vec_id,
+         |  list_inner_product(p.dv, c.dv) /
+         |   (sqrt(list_inner_product(p.dv, p.dv)) * sqrt(list_inner_product(c.dv, c.dv))) AS cos
+         | FROM cand
+         |  JOIN dv p ON p.vec_id = cand.probe_id
+         |  JOIN dv c ON c.vec_id = cand.vec_id
+         |), ranked AS (
+         | SELECT probe_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+         | FROM scored)
+         |SELECT probe_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked
+         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
     "ann_bruteforce" ->
       """WITH p AS (
         | SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
