@@ -18,7 +18,7 @@ object EtlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // A1 (rows-only): ClickHouse schema mapping of every test table.
+    // A1 (oracle): ClickHouse schema mapping of every test table.
     "schema_infer" -> Q { (s, d) =>
       val rows = Tables.all.flatMap { t =>
         SchemaMapper.mapSchema(Tables(s, d, t).schema).map {
@@ -128,6 +128,39 @@ object EtlQueries {
   private val tableList = Tables.all.sorted
 
   val oracles: Map[String, String] = Map(
+    // A1: independently re-derive the ClickHouse schema mapping from
+    // DuckDB's own view of the same parquet. DESCRIBE flattens
+    // ns-timestamps to TIMESTAMP, so the one Spark-visible distinction
+    // (ns surfaces as Int64 — Spark reads NANOS as LongType) comes
+    // from parquet_schema() logical types; that table function needs
+    // file paths, pinned to the sf0.01 gate data (schemas are
+    // identical across SFs, so the mapping holds at any gated SF).
+    "schema_infer" -> {
+      val describes = tableList.map(t =>
+        s"SELECT '$t' AS table_name, column_name, column_type FROM (DESCRIBE SELECT * FROM $t)")
+        .mkString(" UNION ALL ")
+      val nanos = tableList.map(t =>
+        s"SELECT '$t' AS table_name, name AS column_name FROM parquet_schema('/root/testdata/sf0.01/$t.parquet') WHERE logical_type LIKE '%NanoSeconds%'")
+        .mkString(" UNION ALL ")
+      s"""WITH cols AS ($describes), ns AS ($nanos)
+         |SELECT c.table_name, c.column_name,
+         | CASE WHEN n.column_name IS NOT NULL THEN 'Int64'
+         | ELSE CASE c.column_type
+         |  WHEN 'BIGINT' THEN 'Int64'
+         |  WHEN 'INTEGER' THEN 'Int32'
+         |  WHEN 'DOUBLE' THEN 'Float64'
+         |  WHEN 'FLOAT' THEN 'Float32'
+         |  WHEN 'VARCHAR' THEN 'String'
+         |  WHEN 'DATE' THEN 'Date'
+         |  WHEN 'TIMESTAMP' THEN 'DateTime'
+         |  WHEN 'BOOLEAN' THEN 'Boolean'
+         |  WHEN 'FLOAT[]' THEN 'Array(Float32)'
+         |  WHEN 'DOUBLE[]' THEN 'Array(Float64)'
+         |  ELSE 'String' END END AS ch_type
+         |FROM cols c LEFT JOIN ns n USING (table_name, column_name)
+         |ORDER BY table_name, column_name""".stripMargin
+    },
+
     "coerce_null_default" ->
       """SELECT l_orderkey, l_linenumber,
         | coalesce(CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_quantity END, 0.0) AS qty_d,
