@@ -100,26 +100,8 @@ object TextQueries {
     // the text; everything before it is codegen'd column math in the
     // scan stage; the sample filter is a pure function of doc_id.
     "pipeline_clean" -> Q { (s, d) =>
-      val scrubbed = Tables.documents(s, d).select(
-        col("doc_id"),
-        regexp_replace(
-          regexp_replace(col("text"),
-            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
-          "[0-9]+", "<NUM>").as("t"))
-      val m = scrubbed.select(
-        col("doc_id"), col("t"),
-        length(col("t")).cast("long").as("n_chars"),
-        T.alphaCount(col("t")).as("n_alpha"),
-        T.whitespaceCount(col("t")).as("n_ws"),
-        T.tokenCount(col("t")).as("n_tokens"),
-        T.stopwordHits(col("t"), T.stopwords.head._2).as("n_stop"))
-      val scored = m.select(
-        col("doc_id"), col("n_tokens"),
-        T.qualityScore(
-          T.ratio(col("n_alpha"), col("n_chars")),
-          T.ratio(col("n_chars") - col("n_ws"), col("n_tokens")),
-          T.ratio(col("n_stop"), col("n_tokens"))).as("quality"),
-        md5(col("t")).as("h"))
+      val scored = graft.operators.CleanPipeline.scored(
+        Tables.documents(s, d).select("doc_id", "text"))
       val w = Window.partitionBy("h").orderBy("doc_id")
       val deduped = scored
         .filter(col("quality") >= 0.3)

@@ -22,8 +22,8 @@ object EventsStream {
     * would make these combinators non-stackable (see
     * StreamingComposeSpec: dedup -> enrich -> rollup in one query).
     */
-  private def watermarked(df: DataFrame, tsCol: String,
-                          delay: String): DataFrame = {
+  private[streaming] def watermarked(df: DataFrame, tsCol: String,
+                                     delay: String): DataFrame = {
     val has = df.queryExecution.logical.collectFirst {
       case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
     }.isDefined
