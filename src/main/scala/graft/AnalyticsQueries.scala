@@ -137,6 +137,92 @@ object AnalyticsQueries {
 
     // B18: regex scrubbing (PII-shaped normalization for training
     // corpora): emails then digit runs, zero shuffle.
+    // B31: ClickHouse sequenceMatch('(?1).*(?2).*(?3)') — did each user
+    // view, then click, then purchase, in order? One shuffle on
+    // user_id; per-user state is a 1-byte-per-event code string.
+    "q_sequence_match" -> Q { (s, d) =>
+      ChAnalytics.sequenceMatch(
+        Tables.events(s, d).select("user_id", "ts_us", "event_id", "event_type"),
+        col("user_id"), Seq(col("ts_us"), col("event_id")),
+        Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        "1.*2.*3")
+        .withColumnRenamed("entity", "user_id")
+        .orderBy("user_id")
+    },
+
+    // B32: conditional-aggregate pivot (the CH countIf/sumIf idiom for
+    // wide rollups): daily event counts by type + purchase revenue in
+    // one partial-agg pass — a pivot with zero extra shuffles.
+    "q_pivot_if" -> Q { (s, d) =>
+      val dayStart = (col("ts_us") - pmod(col("ts_us"), lit(dayUs))).as("day_start_us")
+      Tables.events(s, d).groupBy(dayStart)
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          sum(when(col("event_type") === "purchase",
+            col("value").cast(d2))).cast(d4).cast(DoubleType).as("rev_purchase"))
+        .orderBy("day_start_us")
+    },
+
+    // B33: corr/covarSamp/covarPop from EXACT decimal power sums — the
+    // q_stat_aggs strategy extended to co-moments. Order-independent
+    // sums make the result identical under any partitioning (the
+    // cluster-safe form of CH's corr/covar aggregates); one fixed
+    // double formula at the end. Products of DECIMAL(18,2) need
+    // DECIMAL(38,4) sums: price² sums exceed DECIMAL(18,*) range.
+    "q_corr" -> Q { (s, d) =>
+      val d38 = DecimalType(38, 4)
+      val x = col("l_quantity").cast(d2)
+      val y = col("l_extendedprice").cast(d2)
+      val base = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast(d38)).as("sx"), sum(y.cast(d38)).as("sy"),
+          sum((x * x).cast(d38)).as("sxx"),
+          sum((y * y).cast(d38)).as("syy"),
+          sum((x * y).cast(d38)).as("sxy"))
+      val nD = col("n").cast(DoubleType)
+      def dbl(c: String) = col(c).cast(DoubleType)
+      val cxy = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+      val vx = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+      val vy = nD * dbl("syy") - dbl("sy") * dbl("sy")
+      base.select(col("l_returnflag"), col("n"),
+        (cxy / (nD * nD)).as("covar_pop"),
+        (cxy / (nD * (nD - lit(1.0)))).as("covar_samp"),
+        (cxy / (sqrt(vx) * sqrt(vy))).as("corr"))
+        .orderBy("l_returnflag")
+    },
+
+    // B34: the CH URL function family END-TO-END through spark.sql,
+    // over URLs synthesized from event columns (the corpus has no URL
+    // column); the oracle re-states each part directly from the same
+    // columns, so it independently pins the parsing semantics. All
+    // codegen'd string ops in the scan stage; zero shuffle.
+    "q_url_parse" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      s.sql(
+        """SELECT event_id,
+          |  protocol(u) AS proto,
+          |  domain(u) AS dom,
+          |  domainWithoutWWW(u) AS dom_nw,
+          |  topLevelDomain(u) AS tld,
+          |  path(u) AS upath,
+          |  queryString(u) AS qs,
+          |  extractURLParameter(u, 'q') AS q_param,
+          |  fragment(u) AS frag
+          |FROM (
+          |  SELECT event_id,
+          |    concat('https://www.', event_type, '.example.com/u/',
+          |           CAST(user_id AS STRING), '?q=', CAST(event_id AS STRING),
+          |           '&x=1#sec') AS u
+          |  FROM events)
+          |ORDER BY event_id""".stripMargin)
+    },
+
     "q_text_scrub" -> Q { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -149,6 +235,59 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sequence_match" ->
+      """SELECT user_id,
+        | regexp_matches(string_agg(c, '' ORDER BY ts_us, event_id),
+        |                '1.*2.*3') AS matched
+        |FROM (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CASE event_type WHEN 'view' THEN '1' WHEN 'click' THEN '2'
+        |       WHEN 'purchase' THEN '3' ELSE 'x' END AS c
+        | FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_pivot_if" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_start_us,
+        | count(*) AS n_events,
+        | count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        | count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |        FILTER (WHERE event_type = 'purchase') AS DECIMAL(18,4))
+        |      AS DOUBLE) AS rev_purchase
+        |FROM events GROUP BY 1 ORDER BY day_start_us""".stripMargin,
+
+    "q_corr" ->
+      """WITH base AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sx,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sy,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar_pop,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS covar_samp,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+        |FROM base ORDER BY l_returnflag""".stripMargin,
+
+    "q_url_parse" ->
+      """SELECT event_id,
+        | 'https' AS proto,
+        | 'www.' || event_type || '.example.com' AS dom,
+        | event_type || '.example.com' AS dom_nw,
+        | 'com' AS tld,
+        | '/u/' || CAST(user_id AS VARCHAR) AS upath,
+        | 'q=' || CAST(event_id AS VARCHAR) || '&x=1' AS qs,
+        | CAST(event_id AS VARCHAR) AS q_param,
+        | 'sec' AS frag
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q_limit_by" ->
       """SELECT user_id, event_id, ts_us FROM (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us,

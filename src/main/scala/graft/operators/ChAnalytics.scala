@@ -101,4 +101,37 @@ object ChAnalytics {
     }
     base.select(col("entity") +: rs: _*)
   }
+
+  /** ClickHouse sequenceMatch(pattern)(ts, cond1, …): did the entity's
+    * event stream contain the pattern? The CH pattern language maps
+    * onto a plain regex over a per-entity code string: each event
+    * becomes one character — the 1-based index of the first matching
+    * condition, or 'x' — ordered by `order`; `(?N)` becomes the digit
+    * N and `.*` stays `.*`. Strictly more general than CH (any regex
+    * over the event alphabet works, e.g. `1x*2` for "nothing between").
+    *
+    * Conditions should be disjoint per event (as in CH practice);
+    * overlaps resolve to the first matching condition.
+    *
+    * One groupBy on the entity = one shuffle; per-entity state is the
+    * code string (1 byte/event) — the same order of buffering CH's
+    * own sequenceMatch keeps per entity, and thousands of times
+    * smaller than the events themselves.
+    */
+  def sequenceMatch(events: DataFrame, entity: Column,
+                    order: Seq[Column], conds: Seq[Column],
+                    pattern: String): DataFrame = {
+    require(conds.nonEmpty && conds.size <= 9)
+    val code = conds.zipWithIndex.foldRight(lit("x")) { case ((c, i), acc) =>
+      when(c, lit((i + 1).toString)).otherwise(acc)
+    }
+    events
+      .select(entity.as("entity"),
+        struct(order :+ code.as("__c"): _*).as("__e"))
+      .groupBy("entity")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("__e"))), e => e.getField("__c")),
+        "").as("seq"))
+      .select(col("entity"), col("seq").rlike(pattern).as("matched"))
+  }
 }

@@ -69,4 +69,20 @@ class ChAnalyticsSpec extends SparkFunSuite {
       Seq(col("ts"))).queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"))
   }
+
+  test("sequenceMatch: ordered pattern over per-user event codes") {
+    def matchOf(pattern: String): Map[Long, Boolean] =
+      ChAnalytics.sequenceMatch(ev, col("user_id"), Seq(col("ts")),
+          conds, pattern)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // u1 view<click<purchase matches; u4 purchase BEFORE click doesn't
+    assert(matchOf("1.*2.*3") ==
+      Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // view then click, any gap — u1, u2, and u4 (1..3..2 contains 1.*2)
+    assert(matchOf("1.*2") ==
+      Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
+    // adjacency beyond CH: view IMMEDIATELY followed by purchase
+    assert(matchOf("13") ==
+      Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
+  }
 }
