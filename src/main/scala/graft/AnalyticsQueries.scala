@@ -137,18 +137,22 @@ object AnalyticsQueries {
 
     // B18: regex scrubbing (PII-shaped normalization for training
     // corpora): emails then digit runs, zero shuffle.
-    // B31: ClickHouse sequenceMatch('(?1).*(?2).*(?3)') — did each user
-    // view, then click, then purchase, in order? One shuffle on
-    // user_id; per-user state is a 1-byte-per-event code string.
+    // B31: ClickHouse sequenceMatch('(?1).*(?2).*(?3)') +
+    // sequenceCount('(?1).*(?2)') — did each user view→click→purchase
+    // in order, and how many non-overlapping view→click hops? Both
+    // derive from ONE per-user code-string aggregation (one shuffle;
+    // 1 byte/event state). The count gap is LAZY (`.*?`) — greedy
+    // would swallow the string and cap every count at 1.
     "q_sequence_match" -> Q { (s, d) =>
-      ChAnalytics.sequenceMatch(
+      ChAnalytics.sequenceAgg(
         Tables.events(s, d).select("user_id", "ts_us", "event_id", "event_type"),
         col("user_id"), Seq(col("ts_us"), col("event_id")),
         Seq(col("event_type") === "view",
           col("event_type") === "click",
-          col("event_type") === "purchase"),
-        "1.*2.*3")
-        .withColumnRenamed("entity", "user_id")
+          col("event_type") === "purchase"))
+        .select(col("entity").as("user_id"),
+          col("seq").rlike("1.*2.*3").as("matched"),
+          regexp_count(col("seq"), lit("1.*?2")).cast(LongType).as("n_vc"))
         .orderBy("user_id")
     },
 
@@ -236,15 +240,17 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q_sequence_match" ->
-      """SELECT user_id,
-        | regexp_matches(string_agg(c, '' ORDER BY ts_us, event_id),
-        |                '1.*2.*3') AS matched
-        |FROM (
-        | SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-        |  CASE event_type WHEN 'view' THEN '1' WHEN 'click' THEN '2'
-        |       WHEN 'purchase' THEN '3' ELSE 'x' END AS c
-        | FROM events)
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """WITH agg AS (
+        | SELECT user_id, string_agg(c, '' ORDER BY ts_us, event_id) AS seq
+        | FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |   CASE event_type WHEN 'view' THEN '1' WHEN 'click' THEN '2'
+        |        WHEN 'purchase' THEN '3' ELSE 'x' END AS c
+        |  FROM events)
+        | GROUP BY user_id)
+        |SELECT user_id, regexp_matches(seq, '1.*2.*3') AS matched,
+        | CAST(len(regexp_extract_all(seq, '1.*?2')) AS BIGINT) AS n_vc
+        |FROM agg ORDER BY user_id""".stripMargin,
 
     "q_pivot_if" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_start_us,

@@ -120,7 +120,28 @@ object ChAnalytics {
     */
   def sequenceMatch(events: DataFrame, entity: Column,
                     order: Seq[Column], conds: Seq[Column],
-                    pattern: String): DataFrame = {
+                    pattern: String): DataFrame =
+    sequenceAgg(events, entity, order, conds)
+      .select(col("entity"), col("seq").rlike(pattern).as("matched"))
+
+  /** ClickHouse sequenceCount(pattern)(ts, cond1, …): how many times
+    * the pattern occurs, scanning left-to-right and restarting after
+    * each match. That is exactly non-overlapping regex counting with
+    * LAZY gaps — pass `1.*?2`, not `1.*2` (a greedy gap would swallow
+    * the whole string and always count at most 1).
+    */
+  def sequenceCount(events: DataFrame, entity: Column,
+                    order: Seq[Column], conds: Seq[Column],
+                    pattern: String): DataFrame =
+    sequenceAgg(events, entity, order, conds)
+      .select(col("entity"),
+        regexp_count(col("seq"), lit(pattern)).cast("long").as("n_matches"))
+
+  /** Shared base of sequenceMatch/sequenceCount: per entity, the
+    * order-sorted condition-code string (one char per event).
+    */
+  def sequenceAgg(events: DataFrame, entity: Column,
+                  order: Seq[Column], conds: Seq[Column]): DataFrame = {
     require(conds.nonEmpty && conds.size <= 9)
     val code = conds.zipWithIndex.foldRight(lit("x")) { case ((c, i), acc) =>
       when(c, lit((i + 1).toString)).otherwise(acc)
@@ -132,6 +153,5 @@ object ChAnalytics {
       .agg(array_join(
         transform(array_sort(collect_list(col("__e"))), e => e.getField("__c")),
         "").as("seq"))
-      .select(col("entity"), col("seq").rlike(pattern).as("matched"))
   }
 }

@@ -85,4 +85,16 @@ class ChAnalyticsSpec extends SparkFunSuite {
     assert(matchOf("13") ==
       Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
+
+  test("sequenceCount: non-overlapping lazy-gap occurrence counts") {
+    // u5 has two full view->click hops: 1 2 1 x 2 -> lazy '1.*?2' = 2
+    val ev5 = ev.union(Seq(
+      (5L, 100L, "view"), (5L, 110L, "click"),
+      (5L, 120L, "view"), (5L, 130L, "other"), (5L, 140L, "click")
+    ).toDF("user_id", "ts", "event_type"))
+    val got = ChAnalytics.sequenceCount(ev5, col("user_id"),
+        Seq(col("ts")), conds, "1.*?2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+  }
 }
