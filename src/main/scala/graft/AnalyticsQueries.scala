@@ -106,6 +106,35 @@ object AnalyticsQueries {
           |FROM documents ORDER BY doc_id""".stripMargin)
     },
 
+    // B20c: the round-5 CH array-function batch END-TO-END through
+    // spark.sql over token-length arrays. Array-valued results are
+    // serialized to strings for the gate (array output columns are
+    // untested in the driver's hash canonicalization); every element
+    // is integer-valued so the double folds are exact on both engines.
+    "q_ch_array_funcs" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      s.sql(
+        """WITH base AS (
+          |  SELECT doc_id,
+          |    arrayMap(t -> length(t), splitByChar(' ', text)) AS lens
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(arrayMin(lens) AS BIGINT) AS min_len,
+          |  CAST(arrayMax(lens) AS BIGINT) AS max_len,
+          |  arrayAvg(lens) AS avg_len,
+          |  CAST(arrayCount(x -> x > 3, lens) AS BIGINT) AS n_gt3,
+          |  arrayExists(x -> x = 1, lens) AS has_one,
+          |  arrayAll(x -> x > 0, lens) AS all_pos,
+          |  arrayStringConcat(arrayMap(x -> CAST(x AS STRING),
+          |    arrayDifference(lens)), ',') AS diffs,
+          |  arrayStringConcat(arrayMap(x -> CAST(CAST(x AS BIGINT) AS STRING),
+          |    arrayCumSum(lens)), ',') AS cumsum,
+          |  arrayStringConcat(arrayMap(x -> CAST(x AS STRING),
+          |    arrayCompact(lens)), ',') AS compacted,
+          |  CAST(arrayReduce('uniqExact', lens) AS BIGINT) AS n_uniq
+          |FROM base ORDER BY doc_id""".stripMargin)
+    },
+
     // B19: ORDER BY … WITH FILL — gap-filled sparse hourly series
     // (rare-event rollup densified to every hour in range).
     "q_with_fill" -> Q { (s, d) =>
@@ -293,6 +322,30 @@ object AnalyticsQueries {
         | CAST(event_id AS VARCHAR) AS q_param,
         | 'sec' AS frag
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_ch_array_funcs" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  list_transform(string_split(text, ' '), t -> length(t)) AS lens
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(list_min(lens) AS BIGINT) AS min_len,
+        | CAST(list_max(lens) AS BIGINT) AS max_len,
+        | CAST(list_sum(lens) AS DOUBLE) / len(lens) AS avg_len,
+        | CAST(len(list_filter(lens, x -> x > 3)) AS BIGINT) AS n_gt3,
+        | len(list_filter(lens, x -> x = 1)) > 0 AS has_one,
+        | len(list_filter(lens, x -> NOT (x > 0))) = 0 AS all_pos,
+        | array_to_string(list_transform(range(1, len(lens) + 1),
+        |   i -> CAST(CASE WHEN i = 1 THEN 0
+        |        ELSE lens[CAST(i AS BIGINT)] - lens[CAST(i - 1 AS BIGINT)] END AS VARCHAR)), ',') AS diffs,
+        | array_to_string(list_transform(range(1, len(lens) + 1),
+        |   i -> CAST(CAST(list_sum(lens[1:CAST(i AS BIGINT)]) AS BIGINT) AS VARCHAR)), ',') AS cumsum,
+        | array_to_string(list_transform(
+        |   list_filter(range(1, len(lens) + 1),
+        |     i -> i = 1 OR lens[CAST(i AS BIGINT)] <> lens[CAST(i - 1 AS BIGINT)]),
+        |   i -> CAST(lens[CAST(i AS BIGINT)] AS VARCHAR)), ',') AS compacted,
+        | CAST(len(list_distinct(lens)) AS BIGINT) AS n_uniq
+        |FROM base ORDER BY doc_id""".stripMargin,
 
     "q_limit_by" ->
       """SELECT user_id, event_id, ts_us FROM (

@@ -120,14 +120,7 @@ object GraftExtensions {
     // LambdaFunction child; swap into Spark's (array, lambda) order.
     two("arrayMap")((f, arr) => ArrayTransform(arr, f)),
     two("arrayFilter")((f, arr) => ArrayFilter(arr, f)),
-    one("arraySum") { arr =>
-      val acc  = UnresolvedNamedLambdaVariable(Seq("acc"))
-      val x    = UnresolvedNamedLambdaVariable(Seq("x"))
-      val acc2 = UnresolvedNamedLambdaVariable(Seq("acc2"))
-      ArrayAggregate(arr, Literal(0.0),
-        LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)),
-        LambdaFunction(acc2, Seq(acc2)))
-    },
+    one("arraySum")(doubleFold),
     // CH vector math, on the fused codegen kernel (DotProductExpr).
     // SQL literals arrive as decimal arrays; DotProductExpr can't use
     // ExpectsInputTypes (sealed outside Spark), so cast to
@@ -168,6 +161,90 @@ object GraftExtensions {
       }
     },
     two("indexOf")((arr, x) => ArrayPosition(arr, x)),
+    one("arrayMin")(ArrayMin(_)),
+    one("arrayMax")(ArrayMax(_)),
+    // arrayAvg: the arraySum double fold / size — exact for int-valued
+    // elements, order-fixed for floats
+    one("arrayAvg")(arr =>
+      Divide(doubleFold(arr), Cast(Size(arr), DoubleType))),
+    // lambda-first predicates, CH argument order. arrayCount can't be
+    // Size(ArrayFilter(..)): a user-supplied lambda only resolves when
+    // the registered function's ROOT expression is a higher-order
+    // function, so the predicate body is spliced into a counting
+    // ArrayAggregate instead (the lambda's own variables ride along as
+    // the fold's element arguments).
+    two("arrayCount")((f, arr) => f match {
+      case LambdaFunction(body, args, _) =>
+        val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+        ArrayAggregate(arr, Literal(0),
+          LambdaFunction(Add(acc, If(body, Literal(1), Literal(0))), acc +: args),
+          LambdaFunction(fin, Seq(fin)))
+      case other => Size(ArrayFilter(arr, other))
+    }),
+    two("arrayExists")((f, arr) => ArrayExists(arr, f)),
+    two("arrayAll")((f, arr) => ArrayForAll(arr, f)),
+    // arrayEnumerate([a,b,c]) = [1,2,3]; the Size>0 guard keeps the
+    // empty array from producing sequence(1,0) = [1,0]
+    one("arrayEnumerate")(arr =>
+      If(GreaterThan(Size(arr), Literal(0)),
+        new Sequence(Literal(1), Size(arr), Literal(1)),
+        Literal.create(Array.empty[Int], ArrayType(IntegerType)))),
+    // arrayDifference: d[0]=0, d[i]=a[i]-a[i-1]. x-x makes a typed zero
+    // without knowing the element type; If is lazily evaluated per
+    // element, so element_at(arr, 0) never runs (ANSI would throw).
+    one("arrayDifference") { arr =>
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      ArrayTransform(arr, LambdaFunction(
+        If(EqualTo(i, Literal(0)), Subtract(x, x),
+          Subtract(x, ElementAt(arr, i))), Seq(x, i)))
+    },
+    // arrayCumSum in the fixed left-to-right double fold (quadratic
+    // array build — a compat scalar, not a 100-TB hot path)
+    one("arrayCumSum") { arr =>
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+      val last = If(EqualTo(Size(acc), Literal(0)), Literal(0.0),
+        ElementAt(acc, Literal(-1)))
+      ArrayAggregate(arr,
+        Literal.create(Array.empty[Double], ArrayType(DoubleType)),
+        LambdaFunction(Concat(Seq(acc,
+          CreateArray(Seq(Add(last, Cast(x, DoubleType)))))), Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin)))
+    },
+    // arrayCompact: drop consecutive duplicates (keep first of each run)
+    one("arrayCompact") { arr =>
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      ArrayFilter(arr, LambdaFunction(
+        If(EqualTo(i, Literal(0)), Literal(true),
+          Not(EqualNullSafe(x, ElementAt(arr, i)))), Seq(x, i)))
+    },
+    one("arrayFlatten")(Flatten(_)),
+    d("arrayZip")(ArraysZip(_)),
+    // arrayReduce('agg', arr) — the aggregate name must be a literal;
+    // resolved to the matching fold at plan time
+    d("arrayReduce") { children =>
+      val Seq(nameE, arr) = children
+      val name = nameE match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          u.toString
+        case _ => throw new IllegalArgumentException(
+          "arrayReduce expects a literal aggregate name")
+      }
+      name match {
+        case "sum" => doubleFold(arr)
+        case "min" => ArrayMin(arr)
+        case "max" => ArrayMax(arr)
+        case "avg" => Divide(doubleFold(arr), Cast(Size(arr), DoubleType))
+        case "count" => Size(arr)
+        case "uniqExact" => Size(ArrayDistinct(arr))
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce: unsupported aggregate '$other'")
+      }
+    },
     d("arrayStringConcat") { children =>
       children match {
         case Seq(arr)      => ArrayJoin(arr, Literal(""), None)
@@ -336,6 +413,19 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException(
         s"$name expects (s, length[, pad])")
     }
+
+  /** Left-to-right double sum fold over an array — the one fixed
+    * accumulation order every sum-like compat function shares (and the
+    * DuckDB oracles mirror).
+    */
+  private def doubleFold(arr: Expression): Expression = {
+    val acc  = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val x    = UnresolvedNamedLambdaVariable(Seq("x"))
+    val acc2 = UnresolvedNamedLambdaVariable(Seq("acc2"))
+    ArrayAggregate(arr, Literal(0.0),
+      LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)),
+      LambdaFunction(acc2, Seq(acc2)))
+  }
 
   private def two(name: String)(f: (Expression, Expression) => Expression): FunctionDescriptor =
     d(name) { children =>

@@ -155,4 +155,37 @@ class TopKAggSpec extends SparkFunSuite {
     assert(agg.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))) ==
       win.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))))
   }
+
+  test("CH array function batch: min/max/avg, predicates, difference/cumsum/compact/enumerate, zip, reduce") {
+    GraftCatalog.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT
+        |  arrayMin(array(3, 1, 2)) AS mn,
+        |  arrayMax(array(3, 1, 2)) AS mx,
+        |  arrayAvg(array(1, 2, 3)) AS av,
+        |  arrayCount(x -> x > 1, array(1, 2, 3)) AS cnt,
+        |  arrayExists(x -> x = 2, array(1, 2, 3)) AS ex,
+        |  arrayAll(x -> x > 0, array(1, 2, 3)) AS al,
+        |  arrayDifference(array(1, 4, 2)) AS dif,
+        |  arrayCumSum(array(1, 2, 3)) AS cs,
+        |  arrayCompact(array(1, 1, 2, 2, 1)) AS cp,
+        |  arrayEnumerate(array(9, 9, 9)) AS en,
+        |  arrayEnumerate(array()) AS en0,
+        |  arrayFlatten(array(array(1), array(2, 3))) AS fl,
+        |  arrayReduce('sum', array(1, 2, 3)) AS rsum,
+        |  arrayReduce('uniqExact', array(1, 1, 2)) AS runiq""".stripMargin)
+      .head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 3)
+    assert(r.getDouble(2) == 2.0)
+    assert(r.getInt(3) == 2)
+    assert(r.getBoolean(4) && r.getBoolean(5))
+    assert(r.getSeq[Int](6) == Seq(0, 3, -2))
+    assert(r.getSeq[Double](7) == Seq(1.0, 3.0, 6.0))
+    assert(r.getSeq[Int](8) == Seq(1, 2, 1))
+    assert(r.getSeq[Int](9) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](10) == Seq.empty)
+    assert(r.getSeq[Int](11) == Seq(1, 2, 3))
+    assert(r.getDouble(12) == 6.0)
+    assert(r.getInt(13) == 2)
+  }
 }
