@@ -77,6 +77,18 @@ object GraftExtensions {
       Cast(GetJsonObject(j, jsonPath(k)), LongType)),
     two("JSONExtractFloat")((j, k) =>
       Cast(GetJsonObject(j, jsonPath(k)), DoubleType)),
+    two("JSONExtractBool")((j, k) =>
+      Coalesce(Seq(Cast(GetJsonObject(j, jsonPath(k)), BooleanType),
+        Literal(false)))),
+    // raw JSON of the field (objects/arrays come back as JSON text)
+    two("JSONExtractRaw")((j, k) =>
+      Coalesce(Seq(GetJsonObject(j, jsonPath(k)), Literal("")))),
+    two("JSONHas")((j, k) => IsNotNull(GetJsonObject(j, jsonPath(k)))),
+    // JSONLength: array element count of the field ('' key variants and
+    // objects -> 0, CH default contract)
+    two("JSONLength")((j, k) =>
+      Coalesce(Seq(LengthOfJsonArray(GetJsonObject(j, jsonPath(k))),
+        Literal(0))).asInstanceOf[Expression]),
     // multi-level exact quantiles: quantiles(x, l1, l2, …) -> array
     // (CH's parameterized quantiles(l…)(x) syntax can't parse here;
     // levels ride as trailing arguments — same deviation as quantile)
@@ -89,6 +101,24 @@ object GraftExtensions {
     one("medianExact")(c => new Percentile(c, Literal(0.5)).toAggregateExpression()),
     // uniqCombined: CH's default-tier sketch — same HLL++ backing as uniq
     one("uniqCombined")(c => HyperLogLogPlusPlus(c).toAggregateExpression()),
+    // uniqUpTo(N)(x) -> uniqUpTo(x, N): exact count while <= N, else N+1
+    d("uniqUpTo") { children =>
+      val (x, n) = children match {
+        case Seq(a)     => (a, Literal(100))
+        case Seq(a, nn) => (a, nn)
+        case _ => throw new IllegalArgumentException(
+          "uniqUpTo expects (value[, n])")
+      }
+      Least(Seq(Count(Seq(x)).toAggregateExpression(isDistinct = true),
+        Add(Cast(n, LongType), Literal(1L))))
+    },
+    one("bitCount")(BitwiseCount(_)),
+    one("hex")(Hex(_)),
+    one("unhex")(Unhex(_)),
+    // CH MD5 returns FixedString(16) raw bytes; here: lowercase hex
+    // (Spark's md5), the form every downstream comparison wants —
+    // documented deviation
+    one("MD5")(Md5(_)),
     one("groupBitAnd")(c => BitAndAgg(c).toAggregateExpression()),
     one("groupBitOr")(c => BitOrAgg(c).toAggregateExpression()),
     one("groupBitXor")(c => BitXorAgg(c).toAggregateExpression()),

@@ -110,6 +110,68 @@ class GraftExtensionsSpec extends SparkFunSuite {
     assert(top.nonEmpty && top.map(_.getLong(1)).sum ==
       Tables.lineitem(spark, sf).count())
   }
+
+  test("CH array function batch: min/max/avg, predicates, difference/cumsum/compact/enumerate, zip, reduce") {
+    GraftCatalog.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT
+        |  arrayMin(array(3, 1, 2)) AS mn,
+        |  arrayMax(array(3, 1, 2)) AS mx,
+        |  arrayAvg(array(1, 2, 3)) AS av,
+        |  arrayCount(x -> x > 1, array(1, 2, 3)) AS cnt,
+        |  arrayExists(x -> x = 2, array(1, 2, 3)) AS ex,
+        |  arrayAll(x -> x > 0, array(1, 2, 3)) AS al,
+        |  arrayDifference(array(1, 4, 2)) AS dif,
+        |  arrayCumSum(array(1, 2, 3)) AS cs,
+        |  arrayCompact(array(1, 1, 2, 2, 1)) AS cp,
+        |  arrayEnumerate(array(9, 9, 9)) AS en,
+        |  arrayEnumerate(array()) AS en0,
+        |  arrayFlatten(array(array(1), array(2, 3))) AS fl,
+        |  arrayReduce('sum', array(1, 2, 3)) AS rsum,
+        |  arrayReduce('uniqExact', array(1, 1, 2)) AS runiq""".stripMargin)
+      .head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 3)
+    assert(r.getDouble(2) == 2.0)
+    assert(r.getInt(3) == 2)
+    assert(r.getBoolean(4) && r.getBoolean(5))
+    assert(r.getSeq[Int](6) == Seq(0, 3, -2))
+    assert(r.getSeq[Double](7) == Seq(1.0, 3.0, 6.0))
+    assert(r.getSeq[Int](8) == Seq(1, 2, 1))
+    assert(r.getSeq[Int](9) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](10) == Seq.empty)
+    assert(r.getSeq[Int](11) == Seq(1, 2, 3))
+    assert(r.getDouble(12) == 6.0)
+    assert(r.getInt(13) == 2)
+  }
+
+  test("round-5 compat batch: uniqUpTo, bitCount, hex/unhex, MD5, JSON family") {
+    GraftCatalog.registerTables(spark, sf)
+    val agg = spark.sql(
+      """SELECT uniqUpTo(event_type, 2) AS capped,
+        |       uniqUpTo(event_type, 100) AS exact_n,
+        |       uniqExact(event_type) AS truth
+        |FROM events""".stripMargin).head()
+    assert(agg.getLong(0) == 3L) // capped at n+1
+    assert(agg.getLong(1) == agg.getLong(2))
+
+    val r = spark.sql(
+      """SELECT bitCount(7) AS bc,
+        |  hex('AB') AS hx, CAST(unhex('4142') AS STRING) AS uh,
+        |  MD5('abc') AS md,
+        |  JSONHas('{"a":1}', 'a') AS h1, JSONHas('{"a":1}', 'b') AS h2,
+        |  JSONExtractBool('{"a":true}', 'a') AS b1,
+        |  JSONExtractBool('{"a":true}', 'missing') AS b2,
+        |  JSONLength('{"a":[1,2,3]}', 'a') AS jl,
+        |  JSONLength('{"a":1}', 'a') AS jl0,
+        |  JSONExtractRaw('{"a":{"b":1}}', 'a') AS raw""".stripMargin).head()
+    assert(r.getInt(0) == 3)
+    assert(r.getString(1) == "4142" && r.getString(2) == "AB")
+    assert(r.getString(3) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getBoolean(6) && !r.getBoolean(7))
+    assert(r.getInt(8) == 3 && r.getInt(9) == 0)
+    assert(r.getString(10) == """{"b":1}""")
+  }
 }
 
 class ConnectedComponentsSpec extends SparkFunSuite {
@@ -156,36 +218,4 @@ class TopKAggSpec extends SparkFunSuite {
       win.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))))
   }
 
-  test("CH array function batch: min/max/avg, predicates, difference/cumsum/compact/enumerate, zip, reduce") {
-    GraftCatalog.registerTables(spark, sf)
-    val r = spark.sql(
-      """SELECT
-        |  arrayMin(array(3, 1, 2)) AS mn,
-        |  arrayMax(array(3, 1, 2)) AS mx,
-        |  arrayAvg(array(1, 2, 3)) AS av,
-        |  arrayCount(x -> x > 1, array(1, 2, 3)) AS cnt,
-        |  arrayExists(x -> x = 2, array(1, 2, 3)) AS ex,
-        |  arrayAll(x -> x > 0, array(1, 2, 3)) AS al,
-        |  arrayDifference(array(1, 4, 2)) AS dif,
-        |  arrayCumSum(array(1, 2, 3)) AS cs,
-        |  arrayCompact(array(1, 1, 2, 2, 1)) AS cp,
-        |  arrayEnumerate(array(9, 9, 9)) AS en,
-        |  arrayEnumerate(array()) AS en0,
-        |  arrayFlatten(array(array(1), array(2, 3))) AS fl,
-        |  arrayReduce('sum', array(1, 2, 3)) AS rsum,
-        |  arrayReduce('uniqExact', array(1, 1, 2)) AS runiq""".stripMargin)
-      .head()
-    assert(r.getInt(0) == 1 && r.getInt(1) == 3)
-    assert(r.getDouble(2) == 2.0)
-    assert(r.getInt(3) == 2)
-    assert(r.getBoolean(4) && r.getBoolean(5))
-    assert(r.getSeq[Int](6) == Seq(0, 3, -2))
-    assert(r.getSeq[Double](7) == Seq(1.0, 3.0, 6.0))
-    assert(r.getSeq[Int](8) == Seq(1, 2, 1))
-    assert(r.getSeq[Int](9) == Seq(1, 2, 3))
-    assert(r.getSeq[Int](10) == Seq.empty)
-    assert(r.getSeq[Int](11) == Seq(1, 2, 3))
-    assert(r.getDouble(12) == 6.0)
-    assert(r.getInt(13) == 2)
-  }
 }
