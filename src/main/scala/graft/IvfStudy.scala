@@ -25,15 +25,22 @@ object IvfStudy {
       .select("probe_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val nList = 16
-    val model = graft.operators.IvfIndex.train(corpus, nList = nList)
-    Seq(1, 2, 4, 8).foreach { nProbe =>
-      val approx = graft.operators.IvfIndex
-        .topK(corpus, probes, model, k = k, nProbe = nProbe)
-        .select("probe_id", "vec_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val recall = (approx & exact).size.toDouble / exact.size
-      println(f"""{"nList":$nList,"nProbe":$nProbe,"recall_at_$k":$recall%.3f,"cell_fraction":${nProbe.toDouble / nList}%.3f}""")
+    // sweep nList too: at a fixed scanned-cell FRACTION, more (smaller)
+    // cells should buy recall on clustered data — the knob that keeps
+    // the scan fraction constant as the corpus grows (nList ~ sqrt(n))
+    val nLists = sys.env.get("SPARK_GRAFT_IVF_NLISTS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(16))
+    nLists.foreach { nList =>
+      val model = graft.operators.IvfIndex.train(corpus, nList = nList)
+      Seq(1, 2, 4, 8).map(p => math.min(p * nList / 16, nList)).distinct
+        .filter(_ >= 1).foreach { nProbe =>
+          val approx = graft.operators.IvfIndex
+            .topK(corpus, probes, model, k = k, nProbe = nProbe)
+            .select("probe_id", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val recall = (approx & exact).size.toDouble / exact.size
+          println(f"""{"nList":$nList,"nProbe":$nProbe,"recall_at_$k":$recall%.3f,"cell_fraction":${nProbe.toDouble / nList}%.3f}""")
+        }
     }
     spark.stop()
   }
