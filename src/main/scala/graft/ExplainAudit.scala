@@ -14,7 +14,8 @@ object ExplainAudit {
       "q_sessionize", "dedup_exact", "q_limit_by", "q_funnel",
       "q_rollup_totals", "q_with_fill", "q_ch_sql",
       "q_semi_anti", "q_grouping_sets", "q_moving_avg", "q_salted_join",
-      "pipeline_clean")
+      "pipeline_clean", "q_sequence_match", "q_pivot_if", "q_corr",
+      "q_url_parse", "q_ch_array_funcs")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
