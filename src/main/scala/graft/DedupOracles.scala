@@ -176,15 +176,37 @@ object DedupOracles {
     """CAST(list_sum(list_transform(range(1, 129),
       |    j -> CASE WHEN a.sig[CAST(j AS BIGINT)] = b.sig[CAST(j AS BIGINT)] THEN 1 ELSE 0 END)) AS DOUBLE) / 128""".stripMargin
 
-  private val bandSql: String =
-    """len(list_filter(range(0, 32),
-      |    k -> a.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)] = b.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)])) > 0""".stripMargin
+  /** Candidate pairs by banded EQUI-join (each signature explodes into
+    * its 32 four-hash band slices, serialized as join keys) — the
+    * operator's own candidate generation, O(bucket occupancy) instead
+    * of the all-pairs O(n²) filter that made the sf0.1 suite run crawl.
+    * sigs/cand are MATERIALIZED: each is referenced twice and DuckDB
+    * would otherwise recompute the whole signature pipeline per
+    * reference.
+    */
+  private val pairsSql: String =
+    s"""banded AS (
+       | SELECT doc_id, unnest(list_transform(range(0, 32),
+       |   k -> CAST(k AS VARCHAR) || ':' ||
+       |        array_to_string(sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)], ','))) AS bk
+       | FROM sigs
+       |), cand AS MATERIALIZED (
+       | SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       | FROM banded l JOIN banded r ON l.bk = r.bk AND l.doc_id < r.doc_id
+       |), pairs AS (
+       | SELECT doc_a, doc_b, $estSql AS est_jaccard
+       | FROM cand
+       |  JOIN sigs a ON a.doc_id = doc_a
+       |  JOIN sigs b ON b.doc_id = doc_b
+       | WHERE $estSql >= 0.5
+       |)""".stripMargin
+
+  private val sigsMat: String =
+    sigsSql.replaceFirst("\\), sigs AS \\(", "), sigs AS MATERIALIZED (")
 
   val minhashPairsSql: String =
-    s"""$sigsSql
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $estSql AS est_jaccard
-       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-       |WHERE $bandSql AND $estSql >= 0.5
+    s"""$sigsMat, $pairsSql
+       |SELECT doc_a, doc_b, est_jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Cluster labels: reachability closure (recursive CTE) over the
@@ -192,11 +214,7 @@ object DedupOracles {
     * operator's converged min-propagation.
     */
   val minhashClustersSql: String =
-    s"""${sigsSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
-       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-       | WHERE $bandSql AND $estSql >= 0.5
-       |), edges AS (
+    s"""${sigsMat.replaceFirst("WITH ", "WITH RECURSIVE ")}, $pairsSql, edges AS (
        | SELECT doc_a AS a, doc_b AS b FROM pairs
        | UNION ALL
        | SELECT doc_b, doc_a FROM pairs
