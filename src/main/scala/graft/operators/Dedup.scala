@@ -52,6 +52,12 @@ object Dedup {
     * monotonic in x and every hash would pick the same shingle).
     * a <= 2^29 and x32 < 2^32 keep a*x32+b within a signed 64-bit
     * range — no overflow under ANSI mode.
+    *
+    * This declarative form re-evaluates the shingle array once PER
+    * HASH (no CSE across aggregate HOFs — ~0.7 CPU-s/doc at 128
+    * hashes); the pipeline uses the fused one-pass kernel
+    * [[graft.functions.MinHash128]], spec-proven bit-identical. Kept
+    * as the reference formulation and cross-check oracle.
     */
   val MinhashPrime = 4294967311L // smallest prime > 2^32
 
@@ -74,12 +80,14 @@ object Dedup {
                    threshold: Double = 0.5, nHashes: Int = 128,
                    bands: Int = 32): DataFrame = {
     val rowsPerBand = nHashes / bands
-    // signatures are 128 aggregates over every shingle — materialize
-    // once (the self-join and estimate would otherwise recompute them
-    // per reference; at cluster scale this is a checkpoint of the
-    // signature table, thousands of times smaller than the text)
+    require(nHashes == graft.functions.MinHash128.NumHashes,
+      "the fused signature kernel is fixed at 128 hashes")
+    // one fused-kernel pass per doc; materialize once (the self-join
+    // and estimate would otherwise recompute signatures per reference;
+    // at cluster scale this is a checkpoint of the signature table,
+    // thousands of times smaller than the text)
     val sigs = docs.select(col(idCol).as("doc_id"),
-        minhashSignature(shingleHashes(col(textCol)), nHashes).as("sig"))
+        graft.functions.MinHash128.signature(col(textCol)).as("sig"))
       .localCheckpoint(eager = true)
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +

@@ -34,6 +34,18 @@ class DedupStressSpec extends SparkFunSuite {
     base.unionByName(dupes).localCheckpoint(eager = true)
   }
 
+  test("fused MinHash128 kernel is bit-identical to the declarative form") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .union(corpus.limit(200)) // mixed real + synthetic shapes
+      .union(Seq((9000001L, ""), (9000002L, "ab"), (9000003L, "exact"))
+        .toDF("doc_id", "text")) // shorter-than-shingle edges
+    val both = docs.select(
+      graft.functions.MinHash128.signature(col("text")).as("fused"),
+      Dedup.minhashSignature(Dedup.shingleHashes(col("text"))).as("ref"))
+    assert(both.filter(col("fused") =!= col("ref")).count() == 0)
+  }
+
   test("minhash at 3k docs: full exact-dup recall, bounded candidates") {
     val n = corpus.count()
     val nPlanted = corpus.filter(col("doc_id") >= 100000000L).count()
