@@ -254,6 +254,19 @@ object GraftExtensions {
     },
     one("arrayFlatten")(Flatten(_)),
     d("arrayZip")(ArraysZip(_)),
+    two("arrayIntersect")((a, b) => ArrayIntersect(a, b)),
+    two("arrayPushBack")((arr, x) => Concat(Seq(arr, CreateArray(Seq(x))))),
+    two("arrayPushFront")((arr, x) => Concat(Seq(CreateArray(Seq(x)), arr))),
+    one("arrayPopBack")(arr => Slice(arr, Literal(1), Greatest(Seq(
+      Subtract(Size(arr), Literal(1)), Literal(0))))),
+    one("arrayPopFront")(arr => Slice(arr, Literal(2), Greatest(Seq(
+      Subtract(Size(arr), Literal(1)), Literal(0))))),
+    // CH range(n) = [0, …, n-1]; empty for n <= 0
+    one("range")(n =>
+      If(GreaterThan(n, Literal(0)),
+        new Sequence(Literal(0), Subtract(Cast(n, IntegerType), Literal(1)),
+          Literal(1)),
+        Literal.create(Array.empty[Int], ArrayType(IntegerType)))),
     // arrayReduce('agg', arr) — the aggregate name must be a literal;
     // resolved to the matching fold at plan time
     d("arrayReduce") { children =>

@@ -171,6 +171,23 @@ class GraftExtensionsSpec extends SparkFunSuite {
     assert(r.getBoolean(6) && !r.getBoolean(7))
     assert(r.getInt(8) == 3 && r.getInt(9) == 0)
     assert(r.getString(10) == """{"b":1}""")
+
+    val a = spark.sql(
+      """SELECT arrayIntersect(array(1, 2, 3), array(2, 3, 4)) AS ai,
+        |  arrayPushBack(array(1, 2), 3) AS pb,
+        |  arrayPushFront(array(2, 3), 1) AS pf,
+        |  arrayPopBack(array(1, 2, 3)) AS qb,
+        |  arrayPopFront(array(1, 2, 3)) AS qf,
+        |  arrayPopBack(array()) AS qe,
+        |  range(3) AS rg, range(0) AS rg0""".stripMargin).head()
+    assert(a.getSeq[Int](0).sorted == Seq(2, 3))
+    assert(a.getSeq[Int](1) == Seq(1, 2, 3))
+    assert(a.getSeq[Int](2) == Seq(1, 2, 3))
+    assert(a.getSeq[Int](3) == Seq(1, 2))
+    assert(a.getSeq[Int](4) == Seq(2, 3))
+    assert(a.getSeq[Int](5) == Seq.empty)
+    assert(a.getSeq[Int](6) == Seq(0, 1, 2))
+    assert(a.getSeq[Int](7) == Seq.empty)
   }
 }
 
