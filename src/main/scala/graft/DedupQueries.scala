@@ -160,6 +160,13 @@ object DedupQueries {
     "dedup_minhash_pairs" -> DedupOracles.minhashPairsSql,
     "dedup_minhash" -> DedupOracles.minhashClustersSql,
 
+    // Unfiltered exact recompute over the raw gram STRINGS (the
+    // operator uses gram hashes + prefix filtering, so this
+    // independently proves both the scores and the filter's
+    // losslessness). Inverted-index form: pairs sharing zero grams
+    // have jaccard 0 < threshold, so counting only co-occurring grams
+    // is exhaustive — and O(Σ df²) instead of the all-pairs
+    // list_intersect that took an hour at sf0.1.
     "dedup_ngram_jaccard" ->
       """WITH corpus AS (
         | SELECT doc_id, text FROM documents
@@ -168,19 +175,23 @@ object DedupQueries {
         | UNION ALL
         | SELECT doc_id + 2000000, regexp_replace(text, '^\S+\s+\S+\s+', '')
         | FROM documents WHERE doc_id % 10 = 5
-        |), g AS (
-        | SELECT doc_id, list_distinct(list_transform(
+        |), g AS MATERIALIZED (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
         |   range(1, greatest(length(text) - 4, 1) + 1),
-        |   i -> substring(text, CAST(i AS BIGINT), 5))) AS ngs
+        |   i -> substring(text, CAST(i AS BIGINT), 5)))) AS gram
         | FROM corpus
-        |), p AS (
-        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |   len(list_intersect(a.ngs, b.ngs)) AS inter,
-        |   len(a.ngs) AS na, len(b.ngs) AS nb
-        | FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |), sz AS MATERIALIZED (
+        | SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+        |), inter AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        | FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
-        | CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-        |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.4
+        | CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        | JOIN sz sa ON sa.doc_id = doc_a
+        | JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_exact_norm" ->
