@@ -106,6 +106,47 @@ object EtlQueries {
       ).orderBy("user_id", "event_type")
     },
 
+    // A6b: ReplacingMergeTree(version, is_deleted) — tombstone upserts:
+    // the latest row per key wins, and a deleted-flagged winner removes
+    // the key entirely. Flag injected deterministically (event_id%7).
+    "q_replacing_deletes" -> Q { (s, d) =>
+      ReplacingMerge.latestByKeyWithDeletes(
+        Tables.events(s, d)
+          .select("event_id", "ts_us", "user_id", "event_type", "value"),
+        Seq("user_id", "event_type"),
+        Seq(col("ts_us"), col("event_id")),
+        (col("event_id") % 7 === 0).cast(IntegerType)
+      ).orderBy("user_id", "event_type")
+    },
+
+    // A6c: CollapsingMergeTree(sign) — +1 asserts, -1 cancels; a key
+    // survives iff net sign > 0, represented by its latest +1 row.
+    "q_collapsing_merge" -> Q { (s, d) =>
+      ReplacingMerge.collapse(
+        Tables.events(s, d)
+          .select("event_id", "ts_us", "user_id", "event_type", "value"),
+        Seq("user_id", "event_type"),
+        when(col("event_id") % 3 === 0, -1).otherwise(1),
+        Seq(col("ts_us"), col("event_id"))
+      ).orderBy("user_id", "event_type")
+    },
+
+    // A6d: SummingMergeTree — keys collapse to one row with summed
+    // numerics (exact DECIMAL internally, DOUBLE out) and the latest
+    // row as the representative for everything else.
+    "q_summing_merge" -> Q { (s, d) =>
+      val prepared = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts_us"), col("value").cast(DecimalType(18, 2)).as("value"))
+      ReplacingMerge.summingMerge(prepared,
+          Seq("user_id", "event_type"), Seq("value"),
+          Seq(col("ts_us"), col("event_id")))
+        .select(col("user_id"), col("event_type"),
+          col("value").cast(DecimalType(18, 4)).cast(DoubleType).as("sum_value"),
+          col("event_id").as("rep_event_id"))
+        .orderBy("user_id", "event_type")
+    },
+
     // A8: whole-catalog migration row counts.
     "migrate_counts" -> Q { (s, d) =>
       Tables.all.map { t =>
@@ -201,6 +242,49 @@ object EtlQueries {
         |   ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_replacing_deletes" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY user_id, event_type
+        |   ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1 AND event_id % 7 <> 0
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_collapsing_merge" ->
+      """WITH signed AS (
+        | SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+        |  CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS sign
+        | FROM events
+        |), net AS (
+        | SELECT user_id, event_type FROM signed
+        | GROUP BY user_id, event_type HAVING sum(sign) > 0
+        |), latest_pos AS (
+        | SELECT event_id, ts_us, user_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts_us DESC, event_id DESC) AS rn
+        | FROM signed WHERE sign > 0)
+        |SELECT p.event_id, p.ts_us, p.user_id, p.event_type, p.value
+        |FROM latest_pos p JOIN net USING (user_id, event_type)
+        |WHERE p.rn = 1 ORDER BY p.user_id, p.event_type""".stripMargin,
+
+    "q_summing_merge" ->
+      """WITH latest AS (
+        | SELECT user_id, event_type, event_id,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events
+        |), sums AS (
+        | SELECT user_id, event_type,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4))
+        |       AS DOUBLE) AS sum_value
+        | FROM events GROUP BY user_id, event_type)
+        |SELECT s.user_id, s.event_type, s.sum_value,
+        | l.event_id AS rep_event_id
+        |FROM sums s JOIN latest l
+        |  ON l.user_id = s.user_id AND l.event_type = s.event_type AND l.rn = 1
+        |ORDER BY s.user_id, s.event_type""".stripMargin,
 
     "optimize_compact" ->
       """WITH ins AS (

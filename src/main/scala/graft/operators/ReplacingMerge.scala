@@ -46,6 +46,58 @@ object ReplacingMerge {
       .drop("_rn")
   }
 
+  /** ReplacingMergeTree(version, is_deleted) — the CH 23.2+ variant:
+    * the merge keeps the latest row per key, then DROPS it entirely
+    * when that latest row is flagged deleted (tombstone upserts). Same
+    * single key shuffle; the tombstone filter is post-aggregation.
+    */
+  def latestByKeyWithDeletes(df: DataFrame, keys: Seq[String],
+                             version: Seq[Column],
+                             isDeleted: Column): DataFrame =
+    latestByKey(df.withColumn("_is_deleted", isDeleted),
+        keys, version)
+      .filter(col("_is_deleted") === 0 || !col("_is_deleted").cast("boolean"))
+      .drop("_is_deleted")
+
+  /** CollapsingMergeTree(sign): +1 rows assert state, -1 rows cancel
+    * the matching earlier +1. After a complete merge a key survives
+    * iff it has more +1s than -1s, represented by its LATEST +1 row
+    * (`version` orders rows within the key — CH uses insertion order,
+    * which a distributed engine must make explicit). One groupBy pass:
+    * partial sums and max_by cross the shuffle, never raw rows.
+    */
+  def collapse(df: DataFrame, keys: Seq[String], sign: Column,
+               version: Seq[Column]): DataFrame = {
+    val cols = df.columns.toSeq
+    val ver  = struct(version: _*)
+    val row  = struct(cols.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("_net"),
+        max_by(row, when(sign > 0, ver)).as("_latest_pos"))
+      .filter(col("_net") > 0)
+      .select(cols.map(c => col(s"_latest_pos.$c").as(c)): _*)
+  }
+
+  /** SummingMergeTree: rows sharing the ORDER BY key collapse to one
+    * row whose numeric `sumCols` are summed; every other column takes
+    * an arbitrary-but-deterministic representative (CH: "any row";
+    * here: the row with the greatest `version` for determinism). One
+    * partial-agg shuffle.
+    */
+  def summingMerge(df: DataFrame, keys: Seq[String],
+                   sumCols: Seq[String], version: Seq[Column]): DataFrame = {
+    val others = df.columns.toSeq.filterNot(c =>
+      keys.contains(c) || sumCols.contains(c))
+    val ver = struct(version: _*)
+    val rep = struct(others.map(col): _*)
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) :+
+      max_by(rep, ver).as("_rep")
+    df.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((keys.map(col) ++ sumCols.map(col) ++
+        others.map(c => col(s"_rep.$c").as(c))): _*)
+  }
+
   /** OPTIMIZE TABLE analog (main.py:178): force the merge *and* leave
     * the data clustered by the ORDER BY key — repartition on the key
     * and sort within partitions, which is what a merged ClickHouse part

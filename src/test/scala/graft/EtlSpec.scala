@@ -113,6 +113,41 @@ class ReplacingMergeSpec extends SparkFunSuite {
     val keys = merged.select("user_id", "event_type").distinct().count()
     assert(merged.count() == keys)
   }
+
+  test("latestByKeyWithDeletes: tombstone winner removes the key") {
+    val df = Seq(
+      (1L, 1L, 10.0, 0), (1L, 2L, 20.0, 1),  // latest is deleted -> gone
+      (2L, 1L, 30.0, 1), (2L, 2L, 40.0, 0),  // deletion superseded -> kept
+      (3L, 1L, 50.0, 0)                       // plain key -> kept
+    ).toDF("k", "ver", "v", "del")
+    val got = ReplacingMerge.latestByKeyWithDeletes(
+        df, Seq("k"), Seq($"ver"), $"del")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == Seq((2L, 40.0), (3L, 50.0)))
+  }
+
+  test("collapse: net-negative and balanced keys vanish; latest +1 represents") {
+    val df = Seq(
+      (1L, 1L, 10.0, 1), (1L, 2L, 11.0, -1),            // balanced -> gone
+      (2L, 1L, 20.0, 1), (2L, 2L, 21.0, 1), (2L, 3L, 22.0, -1), // net +1
+      (3L, 1L, 30.0, -1)                                 // net -1 -> gone
+    ).toDF("k", "ver", "v", "sign")
+    val got = ReplacingMerge.collapse(df, Seq("k"), $"sign", Seq($"ver"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // survivor is key 2's latest +1 row (ver 2), not the -1 at ver 3
+    assert(got == Seq((2L, 2L, 21.0)))
+  }
+
+  test("summingMerge: numerics sum, the rest comes from the latest row") {
+    val df = Seq(
+      (1L, 1L, 10.0, "first"), (1L, 2L, 5.0, "last"),
+      (2L, 7L, 1.5, "only")
+    ).toDF("k", "ver", "v", "tag")
+    val got = ReplacingMerge.summingMerge(df, Seq("k"), Seq("v"), Seq($"ver"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(3))).toSeq
+    assert(got == Seq((1L, 15.0, "last"), (2L, 1.5, "only")))
+  }
 }
 
 class DdlSpec extends SparkFunSuite {
