@@ -99,6 +99,17 @@ object GraftExtensions {
         .toAggregateExpression()
     },
     one("medianExact")(c => new Percentile(c, Literal(0.5)).toAggregateExpression()),
+    // quantileExactWeighted(x, w[, level]) — CH's weighted exact
+    // quantile; weights ride through Percentile's frequency argument
+    d("quantileExactWeighted") { children =>
+      val (x, wt, level) = children match {
+        case Seq(a, w)    => (a, w, Literal(0.5))
+        case Seq(a, w, l) => (a, w, l)
+        case _ => throw new IllegalArgumentException(
+          "quantileExactWeighted expects (value, weight[, level])")
+      }
+      new Percentile(x, level, Cast(wt, LongType)).toAggregateExpression()
+    },
     // uniqCombined: CH's default-tier sketch — same HLL++ backing as uniq
     one("uniqCombined")(c => HyperLogLogPlusPlus(c).toAggregateExpression()),
     // uniqUpTo(N)(x) -> uniqUpTo(x, N): exact count while <= N, else N+1

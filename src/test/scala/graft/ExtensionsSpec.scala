@@ -95,6 +95,11 @@ class GraftExtensionsSpec extends SparkFunSuite {
       .head()
     assert(r.getSeq[Double](0) == Seq(1.0, 3.0, 5.0))
     assert(r.getDouble(1) == 3.0)
+    // weighted exact quantile: weights stretch the value multiset
+    val w = spark.sql(
+      """SELECT quantileExactWeighted(x, w) AS med
+        |FROM VALUES (1, 1), (2, 1), (10, 8) AS t(x, w)""".stripMargin).head()
+    assert(w.getDouble(0) == 10.0)
     assert(r.getLong(2) == 5L)
     assert(r.getInt(3) == (1 & 2 & 3 & 4 & 5))
     assert(r.getInt(4) == (1 | 2 | 3 | 4 | 5))
