@@ -243,17 +243,19 @@ object GraftExtensions {
     },
     // arrayCumSum in the fixed left-to-right double fold (quadratic
     // array build — a compat scalar, not a 100-TB hot path)
-    one("arrayCumSum") { arr =>
-      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
-      val x = UnresolvedNamedLambdaVariable(Seq("x"))
-      val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
-      val last = If(EqualTo(Size(acc), Literal(0)), Literal(0.0),
-        ElementAt(acc, Literal(-1)))
-      ArrayAggregate(arr,
-        Literal.create(Array.empty[Double], ArrayType(DoubleType)),
-        LambdaFunction(Concat(Seq(acc,
-          CreateArray(Seq(Add(last, Cast(x, DoubleType)))))), Seq(acc, x)),
-        LambdaFunction(fin, Seq(fin)))
+    one("arrayCumSum")(cumSumExpr),
+    // CH groupArrayMovingSum/Avg: running sum / mean over the group in
+    // row order. Order caveat shared with groupArray: collect_list
+    // order is partition-dependent — sort upstream for determinism.
+    one("groupArrayMovingSum")(x =>
+      cumSumExpr(CollectList(x).toAggregateExpression())),
+    one("groupArrayMovingAvg") { x =>
+      val agg = CollectList(x).toAggregateExpression()
+      val cs = UnresolvedNamedLambdaVariable(Seq("cs"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      ArrayTransform(cumSumExpr(agg),
+        LambdaFunction(Divide(cs, Cast(Add(i, Literal(1)), DoubleType)),
+          Seq(cs, i)))
     },
     // arrayCompact: drop consecutive duplicates (keep first of each run)
     one("arrayCompact") { arr =>
@@ -467,6 +469,22 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException(
         s"$name expects (s, length[, pad])")
     }
+
+  /** Running double sums of an array (the arrayCumSum body, shared by
+    * the groupArrayMoving* aggregates).
+    */
+  private def cumSumExpr(arr: Expression): Expression = {
+    val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+    val last = If(EqualTo(Size(acc), Literal(0)), Literal(0.0),
+      ElementAt(acc, Literal(-1)))
+    ArrayAggregate(arr,
+      Literal.create(Array.empty[Double], ArrayType(DoubleType)),
+      LambdaFunction(Concat(Seq(acc,
+        CreateArray(Seq(Add(last, Cast(x, DoubleType)))))), Seq(acc, x)),
+      LambdaFunction(fin, Seq(fin)))
+  }
 
   /** Left-to-right double sum fold over an array — the one fixed
     * accumulation order every sum-like compat function shares (and the

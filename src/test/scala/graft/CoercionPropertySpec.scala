@@ -38,6 +38,50 @@ class CoercionPropertySpec extends SparkFunSuite {
     assert(Fnv1a64.hashString(multi) == ref(multi))
   }
 
+  test("fused MinHash128 equals the declarative Column tree on random unicode") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // strings mixing whitespace runs, multibyte chars, and short/empty
+    // shapes — the substring/byte-boundary edge cases
+    // "𝄞" (U+1D11E) is a surrogate pair — the 4-byte-UTF-8 edge
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.const("a"), Gen.const("Z"), Gen.const("7"), Gen.const(" "),
+      Gen.const("\t"), Gen.const("é"), Gen.const("語"),
+      Gen.const(new String(Character.toChars(0x1D11E)))))
+      .map(_.mkString)
+    val docs = samples(gen, 200).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val both = docs.select(
+      graft.functions.MinHash128.signature(col("text")).as("fused"),
+      graft.operators.Dedup.minhashSignature(
+        graft.operators.Dedup.shingleHashes(col("text"))).as("ref"))
+    assert(both.filter(col("fused") =!= col("ref")).count() == 0)
+  }
+
+  test("fused SimHash64 equals the documented token semantics on random unicode") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.const(' '), Gen.const('\n'),
+      Gen.const('ß'), Gen.const('中')))
+      .map(_.mkString)
+    val docs = samples(gen, 200).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    // reference: per-token FNV votes over filter(split(lower, \s+))
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val votes = (0 until 64).map { b =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(Fnv1a64.fingerprint(t).bitwiseAND(lit(1L << b)) =!= 0L, 1L)
+          .otherwise(-1L))
+    }
+    val ref = votes.zipWithIndex.map { case (v, b) =>
+      when(v >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val both = docs.select(
+      graft.functions.SimHash64.simhash(col("text")).as("fused"), ref.as("ref"))
+    assert(both.filter(col("fused") =!= col("ref")).count() == 0)
+  }
+
   test("value-based type inference is total and matches main.py:39-54") {
     import graft.sources.{ChType, SchemaMapper}
     samples(Gen.long).foreach { l =>

@@ -100,6 +100,14 @@ class GraftExtensionsSpec extends SparkFunSuite {
       """SELECT quantileExactWeighted(x, w) AS med
         |FROM VALUES (1, 1), (2, 1), (10, 8) AS t(x, w)""".stripMargin).head()
     assert(w.getDouble(0) == 10.0)
+
+    // single partition -> deterministic collect order for the moving aggs
+    val mv = spark.sql(
+      """SELECT groupArrayMovingSum(x) AS ms, groupArrayMovingAvg(x) AS ma
+        |FROM (SELECT x FROM VALUES (1), (2), (3) AS t(x) ORDER BY x
+        |      LIMIT 10)""".stripMargin).head()
+    assert(mv.getSeq[Double](0) == Seq(1.0, 3.0, 6.0))
+    assert(mv.getSeq[Double](1) == Seq(1.0, 1.5, 2.0))
     assert(r.getLong(2) == 5L)
     assert(r.getInt(3) == (1 & 2 & 3 & 4 & 5))
     assert(r.getInt(4) == (1 | 2 | 3 | 4 | 5))
