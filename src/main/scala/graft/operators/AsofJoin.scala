@@ -25,18 +25,23 @@ object AsofJoin {
     * @param leftTs/rightTs event-time columns (same comparable type)
     * @param strict  false: match right.ts <= left.ts (CH default);
     *                true: right.ts strictly earlier
+    * @param forward false: BACKWARD — the latest right at-or-before
+    *                (CH `ASOF JOIN ... <=` family); true: FORWARD —
+    *                the earliest right at-or-after (CH `>=`/`>`), the
+    *                same scan with the time axis reversed
     * @return left columns + the matched right payload as nullable
-    *         `asof` struct (null when no earlier right row exists)
+    *         `asof` struct (null when no qualifying right row exists)
     */
   def leftAsof(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               strict: Boolean = false): DataFrame = {
+               strict: Boolean = false,
+               forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
-    // at equal ts: right sorts before left for <= semantics (visible),
-    // after left for strict < (not visible)
+    // at equal ts the right row must sort before left exactly when the
+    // non-strict bound makes it visible (<= backward, >= forward)
     val (leftTag, rightTag) = if (strict) (0, 1) else (1, 0)
     val l = left.select(
       col(key).as("_k"), col(leftTs).as("_ts"), lit(leftTag).as("_side"),
@@ -46,8 +51,11 @@ object AsofJoin {
       col(key).as("_k"), col(rightTs).as("_ts"), lit(rightTag).as("_side"),
       lit(null).cast(lType).as("_l"),
       struct(right.columns.map(col).toSeq: _*).as("_r"))
+    val order =
+      if (forward) Seq(col("_ts").desc, col("_side").asc)
+      else Seq(col("_ts").asc, col("_side").asc)
     val w = Window.partitionBy("_k")
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("asof", last(col("_r"), ignoreNulls = true).over(w))

@@ -35,6 +35,29 @@ class AsofJoinSpec extends SparkFunSuite {
     assert(got((1L, 25L)).contains(101.0))
   }
 
+  test("forward >= semantics: earliest right at-or-after") {
+    val got = AsofJoin.leftAsof(trades, quotes, "k", "ts", "ts",
+        forward = true)
+      .select($"k", $"ts", $"asof.px".as("px"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got((1L, 5L)).contains(100.0))  // earliest >= 5 is ts=10
+    assert(got((1L, 10L)).contains(100.0)) // equal ts matches
+    assert(got((1L, 25L)).contains(102.0)) // earliest >= 25 is ts=30
+    assert(got((2L, 10L)).contains(50.0))
+    assert(got((3L, 99L)).isEmpty)
+  }
+
+  test("forward strict > semantics: equal timestamps do NOT match") {
+    val got = AsofJoin.leftAsof(trades, quotes, "k", "ts", "ts",
+        strict = true, forward = true)
+      .select($"k", $"ts", $"asof.px".as("px"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got((1L, 10L)).contains(101.0)) // equal ts excluded -> ts=20
+    assert(got((1L, 25L)).contains(102.0))
+  }
+
   test("every left row survives (left join), one output row each") {
     val out = AsofJoin.leftAsof(trades, quotes, "k", "ts", "ts")
     assert(out.count() == trades.count())
