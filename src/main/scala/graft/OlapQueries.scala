@@ -215,6 +215,21 @@ object OlapQueries {
         .orderBy("event_id")
     },
 
+    // B12b (round 5): the FORWARD direction — earliest purchase
+    // at-or-after each event; same single-shuffle scan, time axis
+    // reversed. Gated against DuckDB's native ASOF with the
+    // inequality flipped.
+    "q_asof_fwd" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts_us")
+      val pur = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us")
+      graft.operators.AsofJoin
+        .leftAsof(ev, pur, "user_id", "ts_us", "ts_us", forward = true)
+        .select(col("event_id"), col("asof.ts_us").as("next_purchase_us"))
+        .orderBy("event_id")
+    },
+
     // B9: session windows (30-min gap) per user. lag + cumulative flag
     // sum + final agg all share the user_id partitioning — Catalyst
     // plans a single exchange.
@@ -323,6 +338,13 @@ object OlapQueries {
         |FROM events l
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
         |ON l.user_id = r.user_id AND l.ts > r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_fwd" ->
+      """SELECT l.event_id, epoch_us(r.ts) AS next_purchase_us
+        |FROM events l
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
 
     "q_json_extract" ->
