@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.IvfIndex
+
+/** Streaming ANN serving (SURVEY.md §2 C7b's ingest-time twin): probe
+  * vectors arrive as a stream and are answered against a static
+  * IVF-indexed corpus in one streaming query.
+  *
+  * Shape: probe → nProbe nearest cells (map-side argmin against the
+  * broadcast centroid model, stateless) → stream-static equi-join with
+  * the cell-assigned corpus (no stream state at all — the cheapest
+  * join in Structured Streaming) → exact cosine on candidates →
+  * per-probe top-k on a tumbling window.
+  *
+  * The only streaming state is the windowed top-k aggregation: the
+  * bounded TopK aggregator keeps at most k entries per in-flight
+  * probe. The corpus scan per probe is |corpus| * nProbe / nList — the
+  * IVF contract — so a 1000-executor cluster serves a probe stream
+  * against a 100 TB corpus without ever scanning it per probe.
+  *
+  * A probe landing in several of its candidate cells' buckets scores
+  * each corpus vector once per shared cell; the TopK aggregator is
+  * fed DISTINCT (probe, vec) pairs via the pre-aggregation
+  * dropDuplicates on the same window, keeping duplicates from
+  * crowding the top-k.
+  */
+object AnnStream {
+
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, model: IvfIndex.Model,
+              k: Int = 5, nProbe: Int = 4, tsCol: String = "ts",
+              horizon: String = "2 hours",
+              emitWindow: String = "1 hour"): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding").as("vec"),
+      IvfIndex.assignCell(col("embedding"), model).as("cell"))
+    val p = probes.select(col("vec_id").as("probe_id"), col(tsCol),
+        col("embedding").as("probe_vec"),
+        explode(IvfIndex.probeCells(col("embedding"), model, nProbe)).as("cell"))
+    val scored = EventsStream.watermarked(p, tsCol, horizon)
+      .join(c, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col(tsCol), col("vec_id"),
+        graft.operators.Similarity.cosine(col("probe_vec"), col("vec")).as("cos"))
+      .dropDuplicatesWithinWatermark("probe_id", "vec_id")
+    scored
+      .groupBy(window(col(tsCol), emitWindow), col("probe_id"))
+      .agg(graft.functions.TopK.topk(k)(col("cos"), col("vec_id")).as("top"))
+      .select(col("probe_id"),
+        unix_micros(col("window.start")).as("window_start_us"),
+        posexplode(col("top")))
+      .select(col("probe_id"), col("window_start_us"),
+        col("col._2").as("vec_id"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+}
