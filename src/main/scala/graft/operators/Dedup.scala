@@ -106,6 +106,45 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Per-doc fused minhash signatures — the persistable "signature
+    * store" (SURVEY.md §5: thousands of times smaller than the text;
+    * at 100 TB this table is what survives between pipeline runs).
+    */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.MinHash128.signature(col(textCol)).as("sig"))
+
+  /** INCREMENTAL near-dup candidates: new documents against a
+    * historical signature STORE, without re-pairing the store against
+    * itself. Band buckets from both sides equi-join (store buckets can
+    * be precomputed/bucketed-by `bh` for an exchange-free join); only
+    * cross-side pairs emerge. The daily-increment shape at scale:
+    * work is O(increment × bucket occupancy), never O(store²).
+    *
+    * Returns (doc_id, store_id, est_jaccard) with est >= threshold.
+    */
+  def minhashPairsAgainst(incomingSigs: DataFrame, storeSigs: DataFrame,
+                          threshold: Double = 0.5,
+                          nHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val rowsPerBand = nHashes / bands
+    def banded(sigs: DataFrame, id: String) =
+      sigs.select(col("doc_id").as(id), col("sig").as(s"${id}_sig"),
+          explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))")).as("bb"))
+        .select(col(id), col(s"${id}_sig"), col("bb.band"), col("bb.bh"))
+    val inc = banded(incomingSigs, "doc_id")
+    val store = banded(storeSigs, "store_id")
+    inc.join(store, Seq("band", "bh"))
+      .select(col("doc_id"), col("store_id"),
+        col("doc_id_sig").as("sa"), col("store_id_sig").as("sb"))
+      .dropDuplicates("doc_id", "store_id")
+      .select(col("doc_id"), col("store_id"),
+        (aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / nHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Connected components over an undirected pair list by iterative
     * min-label propagation: every node adopts the smallest label among
     * itself and its one-hop neighbors, repeated to fixpoint. Converges

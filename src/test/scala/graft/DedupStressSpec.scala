@@ -46,6 +46,34 @@ class DedupStressSpec extends SparkFunSuite {
     assert(both.filter(col("fused") =!= col("ref")).count() == 0)
   }
 
+  test("incremental minhashPairsAgainst agrees with the symmetric operator") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+    val incoming = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")) // exact copies
+      .union(Seq((2000001L, "totally novel zzqx wvut plomk content " * 8))
+        .toDF("doc_id", "text"))
+    val cross = Dedup.minhashPairsAgainst(
+        Dedup.signatures(incoming, "doc_id", "text"),
+        Dedup.signatures(base, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every exact copy must hit its original in the store
+    val copies = base.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").as[Long].collect()
+    copies.foreach { id =>
+      assert(cross.contains((id + 1000000, id)), s"copy of $id missed") }
+    // the novel doc hits nothing
+    assert(!cross.exists(_._1 == 2000001L))
+    // cross-side pairs of the symmetric operator over the union match
+    val sym = Dedup.minhashPairs(base.unionByName(incoming), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val symCross = sym.collect {
+      case (a, b) if a < 1000000 && b >= 1000000 && b < 2000000 => (b, a)
+      case (a, b) if b < 1000000 && a >= 1000000 && a < 2000000 => (a, b)
+    }
+    assert(symCross == cross.filter(_._1 < 2000000))
+  }
+
   test("minhash at 3k docs: full exact-dup recall, bounded candidates") {
     val n = corpus.count()
     val nPlanted = corpus.filter(col("doc_id") >= 100000000L).count()
