@@ -89,17 +89,25 @@ object Dedup {
     val sigs = docs.select(col(idCol).as("doc_id"),
         graft.functions.MinHash128.signature(col(textCol)).as("sig"))
       .localCheckpoint(eager = true)
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // candidates travel as BARE ID PAIRS (16 bytes/row) through the
+    // band join and the dedup shuffle; the 1-KB signature arrays join
+    // back only once per DISTINCT pair. Carrying sigs through the
+    // dropDuplicates (the previous form) shuffled ~2 KB per duplicate
+    // band hit — the dominant cost on low-entropy corpora where
+    // candidates are plentiful.
+    val banded = sigs.select(col("doc_id"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))")).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
     val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand.select(col("doc_a"), col("doc_b"),
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / nHashes).as("est_jaccard"))
