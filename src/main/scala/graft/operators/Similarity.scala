@@ -110,20 +110,23 @@ object Similarity {
                      dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else vecDim(vecs, vecCol)
     val planes = hyperplanes(nPlanes, d)
-    val sigs = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
-      lshSignature(col(vecCol), planes).as("sig"))
-    // two bands of nPlanes/2 bits each
-    val banded = sigs.select(col("vec_id"), col("vec"),
+    val v = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val sigs = v.select(col("vec_id"), lshSignature(col("vec"), planes).as("sig"))
+    // two bands of nPlanes/2 bits each; candidates travel as bare id
+    // pairs through the dedup shuffle — vectors join back once per
+    // distinct pair (same fix as Dedup.minhashPairs)
+    val banded = sigs.select(col("vec_id"),
         explode(array(
           struct(lit(0).as("band"), col("sig").bitwiseAND(lit((1L << (nPlanes / 2)) - 1)).as("bh")),
           struct(lit(1).as("band"), shiftright(col("sig"), nPlanes / 2).as("bh")))).as("bb"))
-      .select(col("vec_id"), col("vec"), col("bb.band"), col("bb.bh"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bh"))
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        col("l.vec").as("va"), col("r.vec").as("vb"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+      .join(v.select(col("vec_id").as("vec_a"), col("vec").as("va")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("vec").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
@@ -139,22 +142,28 @@ object Similarity {
               dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else vecDim(corpus, vecCol)
     val planes = hyperplanes(nPlanes, d)
-    def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-          lshSignature(col(vecCol), planes).as("sig"))
-        .select(col(id), col(vec),
+    def banded(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), lshSignature(col(vecCol), planes).as("sig"))
+        .select(col(id),
           explode(array(
             struct(lit(0).as("band"), col("sig").bitwiseAND(lit((1L << (nPlanes / 2)) - 1)).as("bh")),
             struct(lit(1).as("band"), shiftright(col("sig"), nPlanes / 2).as("bh")))).as("bb"))
-        .select(col(id), col(vec), col("bb.band"), col("bb.bh"))
-    val c = banded(corpus, "vec_id", "vec")
-    val p = banded(probes, "probe_id", "probe_vec")
+        .select(col(id), col("bb.band"), col("bb.bh"))
+    val c = banded(corpus, "vec_id")
+    val p = banded(probes, "probe_id")
+    // candidate (probe, vec) ids dedup BEFORE the vectors attach —
+    // only one cosine per distinct candidate, and the dedup shuffle
+    // moves 16 bytes per band hit instead of two embedding payloads
+    val cand = c.join(broadcast(p),
+        c("band") === p("band") && c("bh") === p("bh") &&
+          col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+      .dropDuplicates("probe_id", "vec_id")
     selectTopK(
-      c.join(broadcast(p),
-          c("band") === p("band") && c("bh") === p("bh") &&
-            col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"), col("probe_vec"), col("vec"))
-        .dropDuplicates("probe_id", "vec_id")
+      cand
+        .join(broadcast(probes.select(col(idCol).as("probe_id"),
+          col(vecCol).as("probe_vec"))), "probe_id")
+        .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec_id")
         .select(col("probe_id"), col("vec_id"),
           cosine(col("probe_vec"), col("vec")).as("cos")), k)
   }
