@@ -112,6 +112,15 @@ object GraftExtensions {
     },
     // uniqCombined: CH's default-tier sketch — same HLL++ backing as uniq
     one("uniqCombined")(c => HyperLogLogPlusPlus(c).toAggregateExpression()),
+    // uniqState / uniqMerge — CH's REAGGREGATABLE distinct sketches
+    // (the AggregatingMergeTree pattern): uniqState emits a binary
+    // HLL sketch per group that can be stored and merged later;
+    // uniqMerge unions stored sketches and estimates. Partial rollups
+    // (per day / per partition) re-aggregate without touching raw data.
+    one("uniqState")(c =>
+      HllSketchAgg(c, Literal(12)).toAggregateExpression()),
+    one("uniqMerge")(c =>
+      HllSketchEstimate(HllUnionAgg(c, Literal(false)).toAggregateExpression())),
     // uniqUpTo(N)(x) -> uniqUpTo(x, N): exact count while <= N, else N+1
     d("uniqUpTo") { children =>
       val (x, n) = children match {

@@ -114,6 +114,24 @@ class GraftExtensionsSpec extends SparkFunSuite {
     assert(r.getInt(5) == (1 ^ 2 ^ 3 ^ 4 ^ 5))
   }
 
+  test("uniqState/uniqMerge: per-partition sketches reaggregate to the global estimate") {
+    GraftCatalog.registerTables(spark, sf)
+    // per-day sketch states (the AggregatingMergeTree write path) ...
+    spark.sql(
+      """SELECT ts_us - ts_us % 86400000000 AS d, uniqState(user_id) AS st
+        |FROM events GROUP BY 1""".stripMargin)
+      .createOrReplaceTempView("daily_states")
+    // ... merged later WITHOUT the raw events
+    val merged = spark.sql(
+      "SELECT uniqMerge(st) AS u FROM daily_states").head().getLong(0)
+    val direct = spark.sql(
+      "SELECT CAST(uniqExact(user_id) AS BIGINT) AS u FROM events")
+      .head().getLong(0)
+    // datasketches HLL at lgK=12 is exact-ish at this cardinality
+    assert(math.abs(merged - direct) <= math.max(1L, direct / 20),
+      s"merged=$merged direct=$direct")
+  }
+
   test("full OLAP surface reachable via spark.sql on registered views") {
     GraftCatalog.registerTables(spark, sf)
     val top = spark.sql(
