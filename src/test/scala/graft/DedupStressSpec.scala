@@ -14,7 +14,8 @@ class DedupStressSpec extends SparkFunSuite {
 
   private lazy val corpus = {
     val base = Tables.lineitem(spark, sf) // ~6k rows at sf0.001
-      .filter(col("l_orderkey") % 2 === 0) // ~3k docs: runtime budget
+      // full corpus: affordable since the fused MinHash128 kernel
+      // (the %2 runtime-budget filter predates it)
       .select(col("l_orderkey"), col("l_linenumber"))
       .withColumn("doc_id",
         col("l_orderkey") * 10 + col("l_linenumber"))
