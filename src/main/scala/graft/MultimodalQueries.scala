@@ -33,6 +33,13 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // C12c (oracle): the decode→embed stage — deterministic fake
+    // feature vectors from the payload fingerprint; plumbing, per-dim
+    // schema, and the norm fold are the real pipeline shape.
+    "multimodal_embed" -> Q { (s, d) =>
+      Multimodal.extractFeatures(payloads(s, d)).orderBy("doc_id")
+    },
+
     // B10 (oracle): the streaming rollup's batch-equivalent answer —
     // identical logical aggregation, so the gate checks the same
     // semantics the streaming spec exercises incrementally.
@@ -46,6 +53,43 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // independent FNV-1a recompute (the text_fingerprint technique)
+    // feeding the per-dim pmod stubs; norm sums left-to-right like the
+    // Spark reduce
+    "multimodal_embed" -> {
+      val dims = (0 until 8).map { j =>
+        val m = 1000003L + j
+        s"CAST(((fp64 % $m) + $m) % $m AS DOUBLE) / $m.0 AS e$j"
+      }.mkString(",\n        | ")
+      val norm = (0 until 8).map(j => s"e$j*e$j").mkString(" + ")
+      s"""WITH h AS (
+         | SELECT doc_id, lower(to_hex(encode(text))) AS hx,
+         |   CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents
+         |), b AS (
+         | SELECT doc_id, list_transform(range(1, n + 1),
+         |   i -> CAST((strpos('0123456789abcdef', substring(hx, CAST(2*i-1 AS BIGINT), 1)) - 1) * 16
+         |        + (strpos('0123456789abcdef', substring(hx, CAST(2*i AS BIGINT), 1)) - 1) AS HUGEINT)) AS bytes
+         | FROM h
+         |), f AS (
+         | SELECT doc_id,
+         |   list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), bytes),
+         |     (acc, x) -> (xor(acc, x) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS u
+         | FROM b
+         |), fp AS (
+         | SELECT doc_id,
+         |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+         |       THEN u - CAST('18446744073709551616' AS HUGEINT)
+         |       ELSE u END AS BIGINT) AS fp64
+         | FROM f
+         |), e AS (
+         | SELECT doc_id,
+         | $dims
+         | FROM fp)
+         |SELECT doc_id, e0, e1, e2, e3, e4, e5, e6, e7,
+         | sqrt($norm) AS l2_norm
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
+
     "multimodal_meta" ->
       """SELECT doc_id,
         | octet_length(CAST(text AS BLOB)) AS n_bytes,

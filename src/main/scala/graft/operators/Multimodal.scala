@@ -39,6 +39,29 @@ object Multimodal {
       (lit(64L) + pmod(col("doc_id") * 104729L + length(col("payload")), lit(1016L))).as("height"),
       (lit(1L) + pmod(length(col("payload")).cast("long"), lit(240L))).as("n_frames"))
 
+  /** STUB feature extractor (the decode → embed stage): a
+    * deterministic fake embedding derived from the payload's FNV-1a
+    * fingerprint — e_j = pmod(fp, 1000003 + j) / (1000003 + j), dims
+    * in [0, 1). A real pipeline would run the vision/audio encoder
+    * right here per row, executor-side; everything around it —
+    * columnar plumbing, per-dim schema, downstream vector math — is
+    * real and engine-portable (the gate recomputes it in DuckDB from
+    * the same bytes). Integer pmod then one exact division keeps every
+    * dim bit-identical across engines.
+    */
+  def extractFeatures(payloads: DataFrame, dims: Int = 8): DataFrame = {
+    val fp = graft.functions.Fnv1a64.fingerprint(
+      col("payload").cast("string"))
+    val es = (0 until dims).map { j =>
+      val m = 1000003L + j
+      (pmod(fp, lit(m)).cast("double") / lit(m.toDouble)).as(s"e$j")
+    }
+    payloads.select(col("doc_id") +: es: _*)
+      .select(col("doc_id") +: (0 until dims).map(j => col(s"e$j")) :+
+        sqrt((0 until dims).map(j => col(s"e$j") * col(s"e$j"))
+          .reduce(_ + _)).as("l2_norm"): _*)
+  }
+
   /** Frame sampling: every `everyK`-th frame index of each payload —
     * the explode fan-out a video pipeline uses to turn one media row
     * into per-frame work items (each would carry a decoded tensor in a
