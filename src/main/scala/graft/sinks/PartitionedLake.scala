@@ -70,4 +70,51 @@ object PartitionedLake {
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmpDir), dst))
       throw new java.io.IOException(s"rename $tmpDir -> $dst failed")
   }
+
+  /** ClickHouse `ALTER TABLE … DELETE/UPDATE … WHERE` analog: a
+    * MUTATION rewrites affected data in place. Here the unit of
+    * rewrite is the partition (CH's is the part): only partitions
+    * whose values appear in `parts` are read, transformed, and
+    * swapped via the same temp-dir rename as [[optimizePartition]];
+    * every other partition's bytes are untouched. At 100 TB the cost
+    * is proportional to the partitions hit, never the lake — and a
+    * caller that derives `parts` from the predicate's partition-key
+    * range gets CH's mutation-scoping behavior exactly.
+    */
+  def mutatePartitions(spark: SparkSession, path: String, partCol: String,
+                       parts: Seq[Any], mutate: DataFrame => DataFrame,
+                       maxRecordsPerFile: Long = 1000000L): Unit =
+    parts.foreach { p =>
+      val partDir = s"$path/$partCol=$p"
+      val mutated = mutate(spark.read.parquet(partDir))
+      val tmpDir = s"$path/.mutate_tmp_$partCol=$p"
+      mutated.write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .parquet(tmpDir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(partDir)
+      fs.delete(dst, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmpDir), dst))
+        throw new java.io.IOException(s"rename $tmpDir -> $dst failed")
+    }
+
+  /** `ALTER TABLE … DELETE WHERE pred` — rows matching `pred` vanish
+    * from the listed partitions.
+    */
+  def deleteWhere(spark: SparkSession, path: String, partCol: String,
+                  parts: Seq[Any],
+                  pred: org.apache.spark.sql.Column): Unit =
+    mutatePartitions(spark, path, partCol, parts, _.filter(!pred))
+
+  /** `ALTER TABLE … UPDATE col = expr WHERE pred` — conditional
+    * column rewrite in the listed partitions.
+    */
+  def updateWhere(spark: SparkSession, path: String, partCol: String,
+                  parts: Seq[Any], pred: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column]): Unit =
+    mutatePartitions(spark, path, partCol, parts, df =>
+      assignments.foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, when(pred, e).otherwise(col(c)))
+      })
 }

@@ -34,6 +34,43 @@ class PartitionedLakeSpec extends SparkFunSuite {
     assert(back.count() == ev.count())
   }
 
+  test("deleteWhere/updateWhere mutate only the listed partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mut").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts_us", "user_id", "value")
+      .withColumn("yyyymmdd",
+        date_format(timestamp_micros(col("ts_us")), "yyyyMMdd").cast("int"))
+    PartitionedLake.write(ev, dir, Seq("yyyymmdd"))
+    val days = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("yyyymmdd="))
+      .map(_.getName.stripPrefix("yyyymmdd=").toInt).sorted
+    assert(days.length >= 2, s"need >= 2 days, got ${days.toSeq}")
+    val (m0, m1) = (days.head, days.last)
+    def snapshot(m: Int) = PartitionedLake.read(spark, dir)
+      .filter(col("yyyymmdd") === m)
+
+    val before0 = snapshot(m0).count()
+    val victims = snapshot(m0).filter(col("event_id") % 5 === 0).count()
+    val other1 = snapshot(m1).collect().map(_.toString()).sorted.toSeq
+    assert(victims > 0)
+
+    // DELETE WHERE event_id % 5 = 0, scoped to month m0
+    PartitionedLake.deleteWhere(spark, dir, "yyyymmdd", Seq(m0),
+      col("event_id") % 5 === 0)
+    assert(snapshot(m0).count() == before0 - victims)
+    assert(snapshot(m0).filter(col("event_id") % 5 === 0).count() == 0)
+    // untouched partition is byte-for-byte the same rows
+    assert(snapshot(m1).collect().map(_.toString()).sorted.toSeq == other1)
+
+    // UPDATE value = 0 WHERE user_id % 2 = 0, scoped to month m0
+    PartitionedLake.updateWhere(spark, dir, "yyyymmdd", Seq(m0),
+      col("user_id") % 2 === 0, Map("value" -> lit(0.0)))
+    assert(snapshot(m0)
+      .filter(col("user_id") % 2 === 0 && col("value") =!= 0.0).count() == 0)
+    assert(snapshot(m0)
+      .filter(col("user_id") % 2 === 1 && col("value") === 0.0).count() == 0)
+  }
+
   test("optimizePartition dedups + compacts one partition, leaves others alone") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_opt").toString
