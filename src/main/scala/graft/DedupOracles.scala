@@ -64,11 +64,10 @@ object DedupOracles {
 
   // --------------------------------------------------------- simhash
 
-  /** ASCII whitespace class of SimHash64.isWs (space TAB LF CR FF VT).
-    * Built by concatenation: Scala triple-quoted strings don't process
-    * escapes, and the SQL needs the literal control characters.
+  /** ASCII whitespace class of SimHash64.isWs (space TAB LF CR FF VT —
+    * VT spelled \u000b so no reader mistakes it for a missing member).
     */
-  private val wsClass: String = "[ \t\n\r\f]+"
+  private val wsClass: String = "[ \t\n\r\f\u000b]+"
 
   /** FNV-1a 64 of token t's UTF-8 bytes, as unsigned HUGEINT. */
   private val fnvTokenSql: String = {

@@ -174,14 +174,16 @@ object EtlQueries {
     // ns-timestamps to TIMESTAMP, so the one Spark-visible distinction
     // (ns surfaces as Int64 — Spark reads NANOS as LongType) comes
     // from parquet_schema() logical types; that table function needs
-    // file paths, pinned to the sf0.01 gate data (schemas are
-    // identical across SFs, so the mapping holds at any gated SF).
+    // file paths, taken from the gate's data dir (Verify sets
+    // graft.oracle.sfDir from its sfDir arg; sf0.01 is the fallback
+    // for ad-hoc runs — schemas are identical across SFs anyway).
     "schema_infer" -> {
+      val sfDir = sys.props.getOrElse("graft.oracle.sfDir", "/root/testdata/sf0.01")
       val describes = tableList.map(t =>
         s"SELECT '$t' AS table_name, column_name, column_type FROM (DESCRIBE SELECT * FROM $t)")
         .mkString(" UNION ALL ")
       val nanos = tableList.map(t =>
-        s"SELECT '$t' AS table_name, name AS column_name FROM parquet_schema('/root/testdata/sf0.01/$t.parquet') WHERE logical_type LIKE '%NanoSeconds%'")
+        s"SELECT '$t' AS table_name, name AS column_name FROM parquet_schema('$sfDir/$t.parquet') WHERE logical_type LIKE '%NanoSeconds%'")
         .mkString(" UNION ALL ")
       s"""WITH cols AS ($describes), ns AS ($nanos)
          |SELECT c.table_name, c.column_name,

@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // Thread the gate's data dir into oracle SQL builders that need
+    // literal file paths (schema_infer's parquet_schema()) BEFORE any
+    // SparkEntry/EtlQueries object init can bake in the default.
+    System.setProperty("graft.oracle.sfDir", sfDir)
     // optional trailing args: restrict to named queries (fast iteration)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -89,9 +89,12 @@ object ReplacingMerge {
     val others = df.columns.toSeq.filterNot(c =>
       keys.contains(c) || sumCols.contains(c))
     val ver = struct(version: _*)
-    val rep = struct(others.map(col): _*)
-    val aggs = sumCols.map(c => sum(col(c)).as(c)) :+
-      max_by(rep, ver).as("_rep")
+    // No representative aggregate when every non-key column is summed —
+    // struct() over zero columns is not a usable max_by payload.
+    val repAgg =
+      if (others.isEmpty) Nil
+      else Seq(max_by(struct(others.map(col): _*), ver).as("_rep"))
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++ repAgg
     df.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .select((keys.map(col) ++ sumCols.map(col) ++

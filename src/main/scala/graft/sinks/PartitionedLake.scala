@@ -63,12 +63,32 @@ object PartitionedLake {
     merged.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(tmpDir)
+    swapInPlace(spark, path, partDir, tmpDir)
+  }
+
+  /** Crash-safe partition swap: dst is renamed aside, tmp renamed in,
+    * and only then is the old data deleted — every intermediate state
+    * leaves either the old or the new bytes at a recoverable path
+    * (never the delete-then-rename window where the partition is gone
+    * and a failed rename loses it for good).
+    */
+  private def swapInPlace(spark: SparkSession, path: String,
+                          partDir: String, tmpDir: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(partDir)
-    fs.delete(dst, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmpDir), dst))
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir)
+    val old = new org.apache.hadoop.fs.Path(
+      dst.getParent, "." + dst.getName + ".old")
+    fs.delete(old, true) // leftover from a previous crashed swap
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"rename $dst -> $old failed")
+    if (!fs.rename(tmp, dst)) {
+      // roll back so the partition is never left missing
+      if (fs.exists(old)) fs.rename(old, dst)
       throw new java.io.IOException(s"rename $tmpDir -> $dst failed")
+    }
+    fs.delete(old, true)
   }
 
   /** ClickHouse `ALTER TABLE … DELETE/UPDATE … WHERE` analog: a
@@ -86,17 +106,16 @@ object PartitionedLake {
                        maxRecordsPerFile: Long = 1000000L): Unit =
     parts.foreach { p =>
       val partDir = s"$path/$partCol=$p"
-      val mutated = mutate(spark.read.parquet(partDir))
+      // The partition column lives only in the directory name; surface
+      // it so a predicate like `col(partCol) === x` resolves inside
+      // `mutate`, then drop it again before the partition-local write.
+      val withPart = spark.read.parquet(partDir).withColumn(partCol, lit(p))
+      val mutated = mutate(withPart).drop(partCol)
       val tmpDir = s"$path/.mutate_tmp_$partCol=$p"
       mutated.write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .parquet(tmpDir)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      val dst = new org.apache.hadoop.fs.Path(partDir)
-      fs.delete(dst, true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmpDir), dst))
-        throw new java.io.IOException(s"rename $tmpDir -> $dst failed")
+      swapInPlace(spark, path, partDir, tmpDir)
     }
 
   /** `ALTER TABLE … DELETE WHERE pred` — rows matching `pred` vanish

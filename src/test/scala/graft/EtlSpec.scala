@@ -148,6 +148,15 @@ class ReplacingMergeSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(3))).toSeq
     assert(got == Seq((1L, 15.0, "last"), (2L, 1.5, "only")))
   }
+
+  test("summingMerge: every non-key column summed (no representative)") {
+    val df = Seq((1L, 10.0, 1L), (1L, 5.0, 2L), (2L, 1.5, 1L))
+      .toDF("k", "v", "n")
+    val got = ReplacingMerge.summingMerge(df, Seq("k"), Seq("v", "n"), Seq($"v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 15.0, 3L), (2L, 1.5, 1L)))
+  }
 }
 
 class DdlSpec extends SparkFunSuite {

@@ -71,6 +71,34 @@ class PartitionedLakeSpec extends SparkFunSuite {
       .filter(col("user_id") % 2 === 1 && col("value") === 0.0).count() == 0)
   }
 
+  test("mutate predicates may reference the partition column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mutp").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts_us", "user_id")
+      .withColumn("yyyymmdd",
+        date_format(timestamp_micros(col("ts_us")), "yyyyMMdd").cast("int"))
+    PartitionedLake.write(ev, dir, Seq("yyyymmdd"))
+    val days = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("yyyymmdd="))
+      .map(_.getName.stripPrefix("yyyymmdd=").toInt).sorted
+    val d0 = days.head
+    val before = PartitionedLake.read(spark, dir)
+      .filter(col("yyyymmdd") === d0).count()
+    assert(before > 0)
+    // The partition column lives only in the directory name, but the
+    // mutate callback must still see it (surfaced as a literal).
+    PartitionedLake.deleteWhere(spark, dir, "yyyymmdd", Seq(d0),
+      col("yyyymmdd") === d0 && col("event_id") % 2 === 0)
+    val after = PartitionedLake.read(spark, dir)
+      .filter(col("yyyymmdd") === d0)
+    assert(after.filter(col("event_id") % 2 === 0).count() == 0)
+    assert(after.count() < before)
+    // and the written partition files must NOT embed the partition col
+    val cols = spark.read
+      .parquet(s"$dir/yyyymmdd=$d0").columns.toSet
+    assert(!cols.contains("yyyymmdd"), s"partition col leaked into files: $cols")
+  }
+
   test("optimizePartition dedups + compacts one partition, leaves others alone") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_opt").toString
