@@ -10,12 +10,29 @@ import graft.operators.Similarity
   * C7 (LSH) carries a full oracle too: the seeded hyperplanes are
   * inlined into the SQL at build time (like the minhash coefficients
   * in [[DedupOracles]]), and sign-of-dot signatures are exact because
-  * the dot folds identically. Only C7b (IVF) stays rows-only — its
-  * k-means training loop isn't SQL-expressible.
+  * the dot folds identically. C7b (IVF) closes the same way with one
+  * extra step: training is bit-deterministic ([[IvfIndex.train]]), so
+  * the TRAINED centroids are inlined as SQL literals and the oracle
+  * re-derives cell assignment (argmin of the same left-to-right
+  * squared-diff fold, first-index tie-break), probe cells (top-nProbe
+  * by (dist, cell)), and in-cell cosine top-k — fully independently.
   */
 object VectorQueries {
 
   private def Q(f: (SparkSession, String) => DataFrame) = f
+
+  private[graft] val IvfNList = 16
+  private[graft] val IvfNProbe = 4
+
+  /** One model per data dir, memoized: the gate's query run and its
+    * oracle build see the identical object (training is deterministic
+    * anyway — the memo just avoids re-clustering).
+    */
+  private val ivfModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.IvfIndex.Model]
+  private[graft] def ivfModel(s: SparkSession, d: String): graft.operators.IvfIndex.Model =
+    ivfModels.getOrElseUpdate(d,
+      graft.operators.IvfIndex.train(Tables.embeddings(s, d), nList = IvfNList))
 
   /** The operator's 16 seeded hyperplanes for the 64-dim test
     * embeddings, as a DuckDB signature expression over DOUBLE[] column
@@ -51,13 +68,12 @@ object VectorQueries {
         .orderBy("probe_id", "rk")
     },
 
-    // C7b (rows-only): IVF — k-means coarse quantizer, probes scan
-    // their nProbe nearest cells only; recall spec-checked vs C6.
+    // C7b (oracle): IVF — k-means coarse quantizer, probes scan their
+    // nProbe nearest cells only; the trained centroids are inlined
+    // into the DuckDB oracle below, which re-derives everything else.
     "ann_ivf" -> Q { (s, d) =>
-      val corpus = Tables.embeddings(s, d)
-      val model = graft.operators.IvfIndex.train(corpus, nList = 16)
-      graft.operators.IvfIndex.topK(corpus, probes(s, d), model,
-        k = 5, nProbe = 4).orderBy("probe_id", "rk")
+      graft.operators.IvfIndex.topK(Tables.embeddings(s, d), probes(s, d),
+        ivfModel(s, d), k = 5, nProbe = IvfNProbe).orderBy("probe_id", "rk")
     },
 
     // C15 (oracle): per-vector stats — dim, L2 norm, sum of components.
@@ -75,7 +91,72 @@ object VectorQueries {
     }
   )
 
-  val oracles: Map[String, String] = Map(
+  /** IVF oracle, built when (a) a SparkSession is live and (b) the gate
+    * dir is known (Verify sets graft.oracle.sfDir) — then the model for
+    * that dir is trained (or recalled from the memo) and its centroids
+    * become SQL literals. Outside that context the entry is omitted and
+    * the gate falls back to the rows-only check.
+    *
+    * The SQL mirrors the operator decision-for-decision:
+    *  - dist to each centroid = list_inner_product(diff, diff) where
+    *    diff folds (dv[i] - c[i]) left-to-right — bit-identical to
+    *    [[graft.operators.IvfIndex.assignCell]]'s aggregate fold;
+    *  - corpus cell = argmin with FIRST index winning ties
+    *    (row_number ORDER BY d2, ci — Spark's array_position-of-min);
+    *  - probe cells = top-nProbe by (d2, ci) — Spark's array_sort over
+    *    (d, i) structs;
+    *  - candidate scoring + top-k identical to the ann_lsh oracle.
+    */
+  private def ivfOracle: Map[String, String] = (for {
+    s <- SparkSession.getActiveSession
+    d <- sys.props.get("graft.oracle.sfDir")
+  } yield {
+    val m = ivfModel(s, d)
+    val dim = m.centroids.head.size
+    val cents = m.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")}::DOUBLE[])" }
+      .mkString(",\n   ")
+    val diff = s"list_transform(range(1, ${dim + 1}), i -> dv[i] - cv[i])"
+    "ann_ivf" ->
+      s"""WITH dv AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+         |), cents AS (
+         | SELECT * FROM (VALUES
+         |   $cents) AS t(ci, cv)
+         |), dists AS (
+         | SELECT vec_id, ci,
+         |  list_inner_product($diff, $diff) AS d2
+         | FROM dv CROSS JOIN cents
+         |), assigned AS (
+         | SELECT vec_id, ci AS cell FROM (
+         |  SELECT vec_id, ci,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+         |  FROM dists) WHERE rn = 1
+         |), pcells AS (
+         | SELECT vec_id AS probe_id, ci AS cell FROM (
+         |  SELECT vec_id, ci,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+         |  FROM dists WHERE vec_id % 50 = 0) WHERE rn <= $IvfNProbe
+         |), cand AS (
+         | SELECT p.probe_id, c.vec_id
+         | FROM assigned c JOIN pcells p
+         |  ON c.cell = p.cell AND c.vec_id <> p.probe_id
+         |), scored AS (
+         | SELECT cand.probe_id, cand.vec_id,
+         |  list_inner_product(p.dv, c.dv) /
+         |   (sqrt(list_inner_product(p.dv, p.dv)) * sqrt(list_inner_product(c.dv, c.dv))) AS cos
+         | FROM cand
+         |  JOIN dv p ON p.vec_id = cand.probe_id
+         |  JOIN dv c ON c.vec_id = cand.vec_id
+         |), ranked AS (
+         | SELECT probe_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+         | FROM scored)
+         |SELECT probe_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked
+         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+  }).toMap
+
+  def oracles: Map[String, String] = ivfOracle ++ Map(
     "ann_lsh" ->
       s"""WITH dv AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -22,17 +20,78 @@ object IvfIndex {
     def nList: Int = centroids.size
   }
 
-  /** Train the coarse quantizer (deterministic under the seed). At
-    * 100 TB you'd train on a deterministicSample of the corpus; the
-    * model is a few KB regardless of corpus size.
+  /** Train the coarse quantizer — BIT-DETERMINISTIC: same data in,
+    * same centroids out, across runs and JVMs. That property is what
+    * lets the gate inline the trained centroids into an independent
+    * SQL oracle and hash-compare exact output rows.
+    *
+    * Shape (the FAISS-standard one): cluster a bounded sample on the
+    * driver, not the corpus on the cluster — at 100 TB the quantizer is
+    * still trained from ≤`sampleCap` vectors and the model is a few KB.
+    * Determinism comes from (a) a deterministic sample — the first
+    * `sampleCap` vectors in lexicographic vector order (a total order;
+    * equal keys are identical vectors), (b) evenly-spaced seeding from
+    * that order, (c) Lloyd's iterations whose means fold left-to-right
+    * in sample order. Distributed float reduction would surrender (c)
+    * to task completion order, which is why training is driver-side.
+    *
+    * `seed` is kept for API stability; the procedure has no random
+    * choices left to seed.
     */
   def train(vecs: DataFrame, nList: Int = 16, seed: Long = 42L,
-            vecCol: String = "embedding"): Model = {
-    val feats = vecs.select(
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val km = new KMeans().setK(nList).setSeed(seed).setMaxIter(10)
-    val model = km.fit(feats)
-    Model(model.clusterCenters.toSeq.map(_.toArray.toSeq))
+            vecCol: String = "embedding", maxIter: Int = 10,
+            sampleCap: Int = 16384): Model = {
+    val sample: Array[Array[Double]] = vecs
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+      .orderBy(col("v"))
+      .limit(sampleCap)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train IVF on an empty corpus")
+    val n = sample.length
+    val k = math.min(nList, n)
+    val dim = sample(0).length
+    var centroids = Array.tabulate(k)(j => sample((j.toLong * n / k).toInt).clone())
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        val s = sums(c); var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      moved = false
+      val next = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else {
+          val m = Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+          if (!java.util.Arrays.equals(m, centroids(c))) moved = true
+          m
+        }
+      }
+      centroids = next
+      iter += 1
+    }
+    Model(centroids.toSeq.map(_.toSeq))
+  }
+
+  /** Argmin over centroids, first index wins ties — the same rule
+    * [[assignCell]] applies distributed-side.
+    */
+  private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      val ctr = cs(c)
+      while (i < v.length) { val dd = v(i) - ctr(i); d += dd * dd; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
   }
 
   /** Squared L2 distance to one centroid, sequential fold. */

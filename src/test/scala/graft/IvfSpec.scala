@@ -24,6 +24,31 @@ class IvfSpec extends SparkFunSuite {
     assert(recall >= 0.4, s"IVF recall $recall")
   }
 
+  test("training is bit-deterministic across independent runs") {
+    val corpus = Tables.embeddings(spark, sf)
+    val a = IvfIndex.train(corpus, nList = 16)
+    // shuffle the input partitioning — the sorted driver-side sample
+    // must erase any ordering difference
+    val b = IvfIndex.train(corpus.repartition(7), nList = 16)
+    assert(a.centroids == b.centroids, "centroids differ between runs")
+  }
+
+  test("ivf oracle SQL materializes when the gate dir is set") {
+    val old = sys.props.get("graft.oracle.sfDir")
+    try {
+      System.setProperty("graft.oracle.sfDir", sf)
+      val sql = VectorQueries.oracles.get("ann_ivf")
+      assert(sql.nonEmpty, "ann_ivf oracle missing with active session + sfDir")
+      // all 16 trained centroids inlined as DOUBLE[] literals
+      assert(sql.get.split("::DOUBLE\\[\\]").length - 1 == VectorQueries.IvfNList)
+    } finally {
+      old match {
+        case Some(v) => System.setProperty("graft.oracle.sfDir", v)
+        case None => System.clearProperty("graft.oracle.sfDir")
+      }
+    }
+  }
+
   test("cell assignment is total and deterministic") {
     val corpus = Tables.embeddings(spark, sf)
     val model = IvfIndex.train(corpus, nList = 8)
