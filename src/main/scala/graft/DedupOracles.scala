@@ -49,6 +49,31 @@ object DedupOracles {
   private def rotl(x: String, r: Int): String =
     s"((($x) * ${1L << r}) % $M64 + ($x) // ${1L << (64 - r)})"
 
+  /** CTE chain computing `hu` = unsigned XXH64 (seed 42) of the 8-byte
+    * little-endian value of BIGINT column `valCol`, carried alongside
+    * `keepCols`, reading from CTE `src`, ending in CTE `xh(keepCols,
+    * hu)`. Mirrors o.a.s.sql.catalyst.expressions.XXH64.hashLong
+    * step-for-step (len-8 tail round + avalanche) — validated against
+    * an independent python XXH64 and the Spark expression itself
+    * (OlapQueriesSpec "portable hll hash kernel").
+    */
+  def xxh64LongCtes(src: String, keepCols: String, valCol: String): String =
+    s"""xu AS (
+       | SELECT $keepCols, ((CAST($valCol AS HUGEINT) % $M64) + $M64) % $M64 AS ux
+       | FROM $src
+       |), xk AS (
+       | SELECT $keepCols, ${mulmod(rotl(mulmod("ux", P2), 31), P1)} AS k1 FROM xu
+       |), xh0 AS (
+       | SELECT $keepCols, xor((42 + $P5 + 8) % $M64, k1) AS h FROM xk
+       |), xh1 AS (
+       | SELECT $keepCols, (${mulmod(rotl("h", 27), P1)} + $P4) % $M64 AS h FROM xh0
+       |), xf1 AS (SELECT $keepCols, xor(h, h // 8589934592) AS h FROM xh1
+       |), xf2 AS (SELECT $keepCols, ${mulmod("h", P2)} AS h FROM xf1
+       |), xf3 AS (SELECT $keepCols, xor(h, h // 536870912) AS h FROM xf2
+       |), xf4 AS (SELECT $keepCols, ${mulmod("h", P3)} AS h FROM xf3
+       |), xh AS (SELECT $keepCols, xor(h, h // 4294967296) AS hu FROM xf4)"""
+      .stripMargin
+
   // ---------------------------------------------------------- corpus
 
   /** Same planted-duplicate construction as [[DedupQueries.corpus]]. */

@@ -143,8 +143,8 @@ object OlapQueries {
     },
 
     // B6: exact distinct per event_type (ClickHouse uniqExact). The
-    // approximate `uniq` twin is q_uniq_approx (rows-only, spec-checked
-    // against this one).
+    // approximate `uniq` twin is q_uniq_approx (hash-gated portable
+    // sketch; spec also checks it against this one).
     "q_distinct_users" -> Q { (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
@@ -153,12 +153,14 @@ object OlapQueries {
         .orderBy("event_type")
     },
 
-    // B6b: HLL++ approximate distinct — the scale path (no exact
-    // distinct expansion; one pass, fixed-size sketch per group).
+    // B6b: approximate distinct — the scale path (no exact distinct
+    // expansion; one pass, fixed 1 KiB sketch per group). Uses the
+    // portable HLL (functions/HllPortable.scala) whose DuckDB twin
+    // hash-gates it exactly; `uniq()` CH-compat (GraftExtensions)
+    // stays on Spark's HLL++.
     "q_uniq_approx" -> Q { (s, d) =>
-      Tables.events(s, d)
-        .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      graft.functions.HllPortable.estimate(
+        Tables.events(s, d), "event_type", col("user_id"), "n_users_approx")
         .orderBy("event_type")
     },
 
@@ -317,6 +319,9 @@ object OlapQueries {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_uniq_approx" -> graft.functions.HllPortable.oracleSql(
+      "events", "event_type", "user_id", "n_users_approx"),
 
     "q_topk_events" ->
       """SELECT event_type, user_id, cnt, rk FROM (

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Portable fixed-parameter HyperLogLog (SURVEY.md §2 B6b): the
+  * approximate-distinct sketch behind `q_uniq_approx`, defined so that
+  * a DuckDB SQL reimplementation produces BIT-IDENTICAL estimates —
+  * which is what lets the gate hash-compare it (HLL++'s internals are
+  * not portable; `uniq()` CH-compat in GraftExtensions keeps mapping to
+  * HLL++, this sketch is the gated twin).
+  *
+  * Sketch definition (classic Flajolet HLL, m = 2^10 registers):
+  *  - h   = xxhash64(value as BIGINT), seed 42 (8-byte LE block);
+  *  - register index = low P bits of h; rest = h >>> P (54 bits);
+  *  - rho = (W+1) - bitlength(rest), i.e. leading zeros in rest + 1,
+  *    with rest == 0 -> W+1; registers saturate at Cap = 31;
+  *  - estimate = alpha * m^2 / sum(2^-M_j), with the standard
+  *    linear-counting branch (E <= 2.5m and empty registers exist).
+  *
+  * Cross-engine determinism by construction:
+  *  - the register sum is kept as the exact INTEGER sum of
+  *    2^(Cap - M_j) (max m * 2^Cap = 2^41 — exact in BIGINT, in
+  *    HUGEINT, and in the one double conversion), so it is reduction-
+  *    order-independent — on a 1000-executor cluster as much as
+  *    between engines;
+  *  - bitlength via length(bin(x)) — `bin` prints the minimal binary
+  *    form identically in Spark and DuckDB;
+  *  - the raw branch is one IEEE multiply + divide on Scala-
+  *    precomputed double constants (inlined into the SQL via shortest
+  *    round-trip literals) — correctly rounded, hence engine-identical;
+  *  - the linear-counting branch needs ln, which libms do NOT round
+  *    identically — but its argument is the integer empty-register
+  *    count V in [1, m], so both engines read m*ln(m/V) from the same
+  *    1024-entry constant table ([[Lut]]) instead of calling ln.
+  *
+  * Scale shape: one shuffle of (group, register, rho) — 2^10 registers
+  * of one byte each per group bound the state regardless of input
+  * size; map-side partial max applies. No row-level state survives
+  * the first aggregation.
+  */
+object HllPortable {
+
+  val P = 10
+  val M: Int = 1 << P            // 1024 registers
+  val W: Int = 64 - P            // bits feeding rho
+  val Cap = 31                   // register saturation (keeps sums in BIGINT)
+
+  /** Standard alpha_m approximation for m >= 128, fixed at build time. */
+  val Alpha: Double = 0.7213 / (1.0 + 1.079 / M)
+
+  /** alpha * m^2 * 2^Cap — numerator of the raw estimator over the
+    * SCALED register sum (sum of 2^(Cap-M_j)).
+    */
+  val Num: Double = Alpha * M.toDouble * M.toDouble * (1L << Cap).toDouble
+
+  /** Linear-counting table: Lut(v-1) = m * ln(m/v), v = 1..m. */
+  val Lut: Array[Double] =
+    Array.tabulate(M)(i => M.toDouble * math.log(M.toDouble / (i + 1)))
+
+  private val RawThreshold: Double = 2.5 * M
+
+  /** Approximate distinct `value` per `groupCol`, as column `outCol`
+    * (BIGINT). NULL values are ignored (count-distinct semantics).
+    */
+  def estimate(df: DataFrame, groupCol: String, value: Column,
+               outCol: String): DataFrame = {
+    val hashed = df.where(value.isNotNull)
+      .select(col(groupCol), xxhash64(value.cast("long")).as("_h"))
+    val rest = expr(s"shiftrightunsigned(_h, $P)")
+    val rho = when(rest === 0L, lit(W + 1))
+      .otherwise(lit(W + 1) - length(bin(rest)))
+    val regs = hashed
+      .groupBy(col(groupCol), col("_h").bitwiseAND(lit((M - 1).toLong)).as("_idx"))
+      .agg(max(least(rho, lit(Cap))).as("_reg"))
+    val agg = regs.groupBy(col(groupCol))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $Cap - _reg)")).as("_s"),
+        count(lit(1)).as("_c"))
+    val scaledSum = (col("_s") + (lit(M.toLong) - col("_c")) * lit(1L << Cap))
+      .cast("double")
+    val v = (lit(M.toLong) - col("_c")).cast("int")
+    val eRaw = lit(Num) / scaledSum
+    val e = when(v > 0 && eRaw <= lit(RawThreshold), element_at(typedlit(Lut), v))
+      .otherwise(eRaw)
+    agg.select(col(groupCol), floor(e).cast("long").as(outCol))
+  }
+
+  /** The identical sketch as DuckDB SQL over `table`, with the XXH64
+    * long kernel from [[graft.DedupOracles.xxh64LongCtes]].
+    */
+  def oracleSql(table: String, groupCol: String, valueCol: String,
+                outCol: String): String = {
+    val lut = Lut.mkString("[", ",", "]")
+    s"""WITH base AS (
+       | SELECT DISTINCT $groupCol, $valueCol AS uv FROM $table
+       | WHERE $valueCol IS NOT NULL
+       |), ${graft.DedupOracles.xxh64LongCtes("base", groupCol, "uv")},
+       |regs AS (
+       | SELECT $groupCol, CAST(hu % $M AS BIGINT) AS idx,
+       |  max(least(CASE WHEN hu // $M = 0 THEN ${W + 1}
+       |       ELSE ${W + 1} - length(bin(CAST(hu // $M AS BIGINT))) END,
+       |      $Cap)) AS reg
+       | FROM xh GROUP BY 1, 2
+       |), agg AS (
+       | SELECT $groupCol,
+       |  sum(CAST(1 AS BIGINT) << CAST($Cap - reg AS BIGINT)) AS s_present,
+       |  count(*) AS c
+       | FROM regs GROUP BY 1
+       |), est AS (
+       | SELECT $groupCol,
+       |  CAST(s_present + ($M - c) * ${1L << Cap} AS DOUBLE) AS sd,
+       |  CAST($M - c AS BIGINT) AS v
+       | FROM agg)
+       |SELECT $groupCol,
+       | CAST(floor(CASE WHEN v > 0 AND ($Num / sd) <= $RawThreshold
+       |   THEN ($lut)[CAST(v AS BIGINT)] ELSE ($Num / sd) END) AS BIGINT)
+       |  AS $outCol
+       |FROM est ORDER BY $groupCol""".stripMargin
+  }
+}

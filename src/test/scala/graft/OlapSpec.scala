@@ -11,6 +11,18 @@ class OlapQueriesSpec extends SparkFunSuite {
     }
   }
 
+  test("portable hll hash kernel: xxhash64(long) matches reference constants") {
+    // Constants from an independent python XXH64 (8-byte LE, seed 42);
+    // the DuckDB oracle kernel (DedupOracles.xxh64LongCtes) was
+    // validated against the same reference, so this test pins all
+    // three implementations together.
+    import spark.implicits._
+    val got = Seq(0L, 42L, -1L, 123456789L).toDF("x")
+      .select(xxhash64(col("x"))).as[Long].collect().toSeq
+    assert(got == Seq(-5252525462095825812L, -6876166290308861218L,
+      3858142552250413010L, 3415128141240069951L))
+  }
+
   test("q_uniq_approx is within 5% of exact distinct per event_type") {
     val exact = OlapQueries.queries("q_distinct_users")(spark, sf)
       .select("event_type", "n_users").collect()
