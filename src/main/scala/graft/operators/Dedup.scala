@@ -13,6 +13,38 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // ------------------------------------------------------ materialization
+
+  /** Strategy for materializing multiply-referenced intermediates (the
+    * signature tables and per-iteration label tables). Needed because
+    * those tables are consumed 2+ times (self-joins, estimate joins,
+    * convergence checks) — without materialization Spark would
+    * recompute the whole upstream per reference.
+    */
+  type Persist = DataFrame => DataFrame
+
+  /** Executor-local blocks (`localCheckpoint`): fastest, zero I/O
+    * outside the executors — but the blocks die with an executor, and
+    * with them the job. The right default for local / interactive use.
+    */
+  val localPersist: Persist = _.localCheckpoint(eager = true)
+
+  /** Cluster-durable: write-then-read parquet under `dir` (HDFS/S3 at
+    * scale). Survives executor loss — a lost task re-reads the
+    * materialized table instead of killing the 100-TB dedup. The
+    * tables persisted this way are signatures and labels (8-100 bytes
+    * a row), thousands of times smaller than the text, so the extra
+    * I/O is noise next to the corpus scan.
+    */
+  def reliablePersist(dir: String): Persist = {
+    val n = new java.util.concurrent.atomic.AtomicLong()
+    df => {
+      val path = s"$dir/mat_${n.getAndIncrement()}"
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    }
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: group by 64-bit content hash, keep min doc_id.
@@ -78,7 +110,7 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5, nHashes: Int = 128,
-                   bands: Int = 32): DataFrame = {
+                   bands: Int = 32, persist: Persist = localPersist): DataFrame = {
     val rowsPerBand = nHashes / bands
     require(nHashes == graft.functions.MinHash128.NumHashes,
       "the fused signature kernel is fixed at 128 hashes")
@@ -86,9 +118,8 @@ object Dedup {
     // and estimate would otherwise recompute signatures per reference;
     // at cluster scale this is a checkpoint of the signature table,
     // thousands of times smaller than the text)
-    val sigs = docs.select(col(idCol).as("doc_id"),
-        graft.functions.MinHash128.signature(col(textCol)).as("sig"))
-      .localCheckpoint(eager = true)
+    val sigs = persist(docs.select(col(idCol).as("doc_id"),
+      graft.functions.MinHash128.signature(col(textCol)).as("sig")))
     // candidates travel as BARE ID PAIRS (16 bytes/row) through the
     // band join and the dedup shuffle; the 1-KB signature arrays join
     // back only once per DISTINCT pair. Carrying sigs through the
@@ -153,36 +184,51 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** Connected components over an undirected pair list by iterative
-    * min-label propagation: every node adopts the smallest label among
-    * itself and its one-hop neighbors, repeated to fixpoint. Converges
-    * in O(component diameter) rounds of key-hash shuffles — near-dup
-    * clusters are tiny and dense, so this is 2-3 rounds in practice
-    * (a pathological long-chain graph would want pointer-doubling /
-    * large-star small-star instead); no driver collect, no quadratic
-    * blowup — the union-find analog that distributes.
+  /** Connected components over an undirected pair list: min-label
+    * propagation ACCELERATED BY POINTER DOUBLING. Each round does
+    *   1. propagate — every node adopts the smallest label among
+    *      itself and its one-hop neighbors (one edge-join shuffle);
+    *   2. double — label := label(label), halving the depth of every
+    *      label chain (one self-join of the label table).
+    * Doubling is what turns O(component diameter) rounds into
+    * O(log n): a 10k-node chain converges in ~9 rounds where plain
+    * propagation needs ~10k (DedupStressSpec proves both the bound and
+    * equality with plain propagation). Invariant making the doubling
+    * join total: every label IS a node id of the same component, and
+    * label(x) <= x — so chasing one hop always lands on a present row
+    * and never raises a label.
     *
-    * Returns (doc_id, cluster_id) for every node appearing in a pair,
-    * cluster_id = min doc_id of the component.
+    * No driver collect — the only per-round action is the O(1)
+    * changed-row convergence probe. Returns (doc_id, cluster_id) for
+    * every node appearing in a pair, cluster_id = min doc_id of the
+    * component.
     */
   def connectedComponents(pairs: DataFrame,
                           aCol: String = "doc_a", bCol: String = "doc_b",
-                          maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
-    var labels = edges.select(col("a").as("id"),
+                          maxIter: Int = 20,
+                          persist: Persist = localPersist): DataFrame = {
+    val edges = persist(pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b"))))
+    var labels = persist(edges.select(col("a").as("id"),
         least(col("a"), col("b")).as("cluster_id"))
-      .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+      .groupBy("id").agg(min("cluster_id").as("cluster_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // propagate: my label := min(my label, neighbors' labels)
-      val next = edges
+      // 1. propagate: my label := min(my label, neighbors' labels)
+      val prop = persist(edges
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster_id", "nb_label"), "b")
         .select(col("a").as("id"), col("nb_label"))
         .union(labels.select(col("id"), col("cluster_id").as("nb_label")))
-        .groupBy("id").agg(min("nb_label").as("cluster_id"))
-        .localCheckpoint(eager = true) // truncate the growing lineage
+        .groupBy("id").agg(min("nb_label").as("cluster_id")))
+      // 2. double: label := label(label) — left join is defensive (the
+      // invariant guarantees a hit), as is the least()
+      val next = persist(prop.as("c")
+        .join(prop.select(col("id").as("pid"), col("cluster_id").as("p_label")).as("p"),
+          col("c.cluster_id") === col("pid"), "left")
+        .select(col("c.id").as("id"),
+          least(col("c.cluster_id"), coalesce(col("p_label"), col("c.cluster_id")))
+            .as("cluster_id")))
       val changed = next.as("n")
         .join(labels.as("p"), col("n.id") === col("p.id"))
         .filter(col("n.cluster_id") =!= col("p.cluster_id")).limit(1).count()
@@ -197,8 +243,10 @@ object Dedup {
     * threshold -> connected components.
     */
   def minhashClusters(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = 0.5): DataFrame =
-    connectedComponents(minhashPairs(docs, idCol, textCol, threshold))
+                      threshold: Double = 0.5,
+                      persist: Persist = localPersist): DataFrame =
+    connectedComponents(minhashPairs(docs, idCol, textCol, threshold,
+      persist = persist), persist = persist)
 
   // -------------------------------------------------------------- simhash
 
@@ -217,9 +265,9 @@ object Dedup {
     * pigeonhole), then exact hamming via bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
-      .localCheckpoint(eager = true)
+                   maxHamming: Int = 3,
+                   persist: Persist = localPersist): DataFrame = {
+    val sigs = persist(docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh")))
     val banded = sigs.select(col("doc_id"), col("sh"),
         explode(expr("transform(sequence(0, 3), " +
           "k -> named_struct('band', k, 'bh', (sh >> (k * 16)) & 65535))")).as("bb"))
@@ -246,11 +294,11 @@ object Dedup {
     * the quadratic-blowup guard falls out of the theory.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double = 0.4): DataFrame = {
+                        threshold: Double = 0.4,
+                        persist: Persist = localPersist): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = docs.select(col(idCol).as("doc_id"),
-        array_distinct(shingleHashes(col(textCol))).as("ngs"))
-      .localCheckpoint(eager = true)
+    val sets = persist(docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingleHashes(col(textCol))).as("ngs")))
     val inverted = sets.select(col("doc_id"), size(col("ngs")).as("sz"),
       explode(col("ngs")).as("ng"))
     val dfs = inverted.groupBy("ng").agg(count(lit(1)).as("df"))

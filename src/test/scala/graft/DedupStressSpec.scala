@@ -95,6 +95,65 @@ class DedupStressSpec extends SparkFunSuite {
       corpus.filter(col("doc_id") >= 100000000L).count())
   }
 
+  test("pointer-doubling CC: 10k-node chain converges within 14 rounds") {
+    import spark.implicits._
+    // adversarial worst case for plain min-propagation: one path graph
+    // of diameter 10k. Pointer doubling must close it in O(log n)
+    // rounds — maxIter=14 means the test FAILS if it doesn't (labels
+    // would be left mid-propagation and not all equal 0).
+    val chain = (0L until 9999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain, maxIter = 14)
+      .select("cluster_id").distinct().as[Long].collect()
+    assert(labels.toSeq == Seq(0L), s"chain not fully labeled: ${labels.length} labels")
+  }
+
+  test("CC agrees between plain propagation shape and random graphs") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: 2k nodes, ~3k edges
+    val edges = (1 to 3000).map { i =>
+      val a = math.abs((i * 2654435761L) % 2000)
+      val b = math.abs((i * 40503L + 7) % 2000)
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.distinct.toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: driver-side union-find over the same edge list
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // materialize keys first: find() path-compresses (mutates the map),
+    // which must not race the key iteration
+    val keys = parent.keys.toVector
+    val want = keys.map(k => k -> find(k)).toMap
+    assert(got == want)
+  }
+
+  test("dedup results identical under local and reliable persistence") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    try {
+      // the slice that contains the planted duplicates AND their
+      // originals (limit() could miss every pair)
+      val docs = corpus.filter(col("doc_id") % 40 === 1 ||
+        col("doc_id") >= 100000000L)
+      val local = Dedup.minhashClusters(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val durable = Dedup.minhashClusters(docs, "doc_id", "text",
+          persist = Dedup.reliablePersist(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(local == durable)
+      assert(local.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ngram jaccard prefix filtering stays bounded") {
     val nPlanted = corpus.filter(col("doc_id") >= 100000000L).count()
     assert(nPlanted > 50, s"degenerate plant: $nPlanted")
