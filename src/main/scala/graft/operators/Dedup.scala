@@ -35,11 +35,20 @@ object Dedup {
     * tables persisted this way are signatures and labels (8-100 bytes
     * a row), thousands of times smaller than the text, so the extra
     * I/O is noise next to the corpus scan.
+    *
+    * Each call owns a unique `run_<token>` subdirectory, so two
+    * Persist instances over the same `dir` (concurrent jobs, retried
+    * drivers) never clobber each other's materializations (ADVICE r6).
+    * LIFECYCLE IS CALLER-OWNED: intermediates stay referenced by the
+    * returned DataFrames' lineage, so nothing here can know when
+    * deletion is safe — delete `dir` (or the run subdir) once the
+    * results are consumed, as the dedup specs do.
     */
   def reliablePersist(dir: String): Persist = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
     val n = new java.util.concurrent.atomic.AtomicLong()
     df => {
-      val path = s"$dir/mat_${n.getAndIncrement()}"
+      val path = s"$dir/run_$token/mat_${n.getAndIncrement()}"
       df.write.mode("overwrite").parquet(path)
       df.sparkSession.read.parquet(path)
     }
@@ -184,59 +193,102 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** Connected components over an undirected pair list: min-label
-    * propagation ACCELERATED BY POINTER DOUBLING. Each round does
-    *   1. propagate — every node adopts the smallest label among
-    *      itself and its one-hop neighbors (one edge-join shuffle);
-    *   2. double — label := label(label), halving the depth of every
-    *      label chain (one self-join of the label table).
-    * Doubling is what turns O(component diameter) rounds into
-    * O(log n): a 10k-node chain converges in ~9 rounds where plain
-    * propagation needs ~10k (DedupStressSpec proves both the bound and
-    * equality with plain propagation). Invariant making the doubling
-    * join total: every label IS a node id of the same component, and
-    * label(x) <= x — so chasing one hop always lands on a present row
-    * and never raises a label.
+  /** Connected components over an undirected pair list: the
+    * LARGE-STAR / SMALL-STAR alternation of Kiveris, Lattanzi,
+    * Mirrokni, Rastogi & Vassilvitskii, "Connected Components in
+    * MapReduce and Beyond" (SoCC '14) — the published algorithm with a
+    * PROVEN convergence bound (O(log^2 n) rounds worst-case, a handful
+    * in practice), replacing the round-6 pointer-doubling form whose
+    * single doubling hop per round needed O(diameter-ish) rounds on
+    * sparse random graphs and exhausted maxIter SILENTLY.
     *
-    * No driver collect — the only per-round action is the O(1)
-    * changed-row convergence probe. Returns (doc_id, cluster_id) for
-    * every node appearing in a pair, cluster_id = min doc_id of the
-    * component.
+    * Edge set is kept canonical (u > v, distinct). Per round:
+    *   large-star — every node u links each LARGER neighbor to the
+    *     minimum of u's closed neighborhood (one groupBy + one join);
+    *   small-star — every node u links its SMALLER neighbors and
+    *     itself to the smallest of them (one groupBy + one join).
+    * Both steps preserve connectivity exactly (no sampling, no lossy
+    * contraction); at the fixed point each component is a star rooted
+    * at its minimum id. Everything shuffled is a bare (long, long)
+    * pair — 16 bytes/row regardless of document size — so the 100-TB
+    * dedup graph costs edges × a few rounds, never text.
+    *
+    * NON-CONVERGENCE IS LOUD: if the fixed point is not reached within
+    * `maxIter` rounds this THROWS rather than returning a partial
+    * clustering (the round-6 failure mode: mid-propagation labels
+    * silently mislabel duplicate clusters downstream).
+    *
+    * No driver collect — per-round actions are the O(1) convergence
+    * probes. Returns (doc_id, cluster_id) for every node appearing in
+    * a pair (self-pairs label themselves), cluster_id = min doc_id of
+    * the component.
     */
   def connectedComponents(pairs: DataFrame,
                           aCol: String = "doc_a", bCol: String = "doc_b",
-                          maxIter: Int = 20,
-                          persist: Persist = localPersist): DataFrame = {
-    val edges = persist(pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b"))))
-    var labels = persist(edges.select(col("a").as("id"),
-        least(col("a"), col("b")).as("cluster_id"))
-      .groupBy("id").agg(min("cluster_id").as("cluster_id")))
+                          maxIter: Int = 50,
+                          persist: Persist = localPersist): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter, persist)._1
+
+  /** Test seam: also returns the number of large+small-star rounds the
+    * fixed point took, so the convergence sweep can assert the bound.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIter: Int = 50, persist: Persist = localPersist): (DataFrame, Int) = {
+    val nodes = persist(pairs.select(col(aCol).as("n"))
+      .union(pairs.select(col(bCol).as("n"))).distinct())
+    var edges = persist(pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+
+    // large-star: u's neighbors > u each link to min(closed nbhd of u).
+    // Output stays canonical: v > u in sym, and m <= u < v.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(mins, col("u") === col("c"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    // small-star: u links its smaller neighbors AND itself to the
+    // smallest of them (input edges all satisfy u > v, so min(v) is
+    // the closed-neighborhood min).
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(mins.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // 1. propagate: my label := min(my label, neighbors' labels)
-      val prop = persist(edges
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster_id", "nb_label"), "b")
-        .select(col("a").as("id"), col("nb_label"))
-        .union(labels.select(col("id"), col("cluster_id").as("nb_label")))
-        .groupBy("id").agg(min("nb_label").as("cluster_id")))
-      // 2. double: label := label(label) — left join is defensive (the
-      // invariant guarantees a hit), as is the least()
-      val next = persist(prop.as("c")
-        .join(prop.select(col("id").as("pid"), col("cluster_id").as("p_label")).as("p"),
-          col("c.cluster_id") === col("pid"), "left")
-        .select(col("c.id").as("id"),
-          least(col("c.cluster_id"), coalesce(col("p_label"), col("c.cluster_id")))
-            .as("cluster_id")))
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.cluster_id") =!= col("p.cluster_id")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      val next = persist(smallStar(largeStar(edges)))
+      // canonical distinct sets: equal counts + empty one-way except
+      // <=> set equality
+      converged = next.count() == edges.count() &&
+        next.except(edges).limit(1).count() == 0
+      edges = next
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("cluster_id"))
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not reach its fixed point within $maxIter " +
+          "large/small-star rounds - refusing to return a partial clustering " +
+          "(raise maxIter; rounds grow ~log^2 of component size)")
+    // fixed point = stars (member, root); add roots + self-pair-only
+    // nodes, which label themselves
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    val roots = nodes.join(labels, nodes("n") === labels("doc_id"), "left_anti")
+      .select(col("n").as("doc_id"), col("n").as("cluster_id"))
+    (labels.union(roots), iter)
   }
 
   /** MinHash near-dup CLUSTERS (SURVEY §2 C2): LSH candidate pairs ->

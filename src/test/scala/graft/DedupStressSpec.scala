@@ -95,30 +95,23 @@ class DedupStressSpec extends SparkFunSuite {
       corpus.filter(col("doc_id") >= 100000000L).count())
   }
 
-  test("pointer-doubling CC: 10k-node chain converges within 14 rounds") {
+  test("large/small-star CC: 10k-node chain converges in O(log n) rounds") {
     import spark.implicits._
     // adversarial worst case for plain min-propagation: one path graph
-    // of diameter 10k. Pointer doubling must close it in O(log n)
-    // rounds — maxIter=14 means the test FAILS if it doesn't (labels
-    // would be left mid-propagation and not all equal 0).
+    // of diameter 10k. Large/small-star roughly halves the diameter
+    // per round — 15 rounds observed (incl. the fixed-point-confirming
+    // round), bound asserted at 2*log2(10000)+2 = 28. maxIter=16 also
+    // proves the loop THROWS rather than mislabeling if it were slower.
     val chain = (0L until 9999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(chain, maxIter = 14)
-      .select("cluster_id").distinct().as[Long].collect()
+    val (res, rounds) = Dedup.connectedComponentsWithRounds(chain, maxIter = 16)
+    val labels = res.select("cluster_id").distinct().as[Long].collect()
     assert(labels.toSeq == Seq(0L), s"chain not fully labeled: ${labels.length} labels")
+    assert(res.count() == 10000L)
+    assert(rounds <= 28, s"chain took $rounds rounds")
   }
 
-  test("CC agrees between plain propagation shape and random graphs") {
-    import spark.implicits._
-    // deterministic pseudo-random graph: 2k nodes, ~3k edges
-    val edges = (1 to 3000).map { i =>
-      val a = math.abs((i * 2654435761L) % 2000)
-      val b = math.abs((i * 40503L + 7) % 2000)
-      (math.min(a, b), math.max(a, b))
-    }.filter { case (a, b) => a != b }.distinct.toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // reference: driver-side union-find over the same edge list
-    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+  /** Driver-side union-find reference labeling. */
+  private def unionFind(es: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElseUpdate(x, x)
@@ -131,8 +124,49 @@ class DedupStressSpec extends SparkFunSuite {
     // materialize keys first: find() path-compresses (mutates the map),
     // which must not race the key iteration
     val keys = parent.keys.toVector
-    val want = keys.map(k => k -> find(k)).toMap
+    keys.map(k => k -> find(k)).toMap
+  }
+
+  test("CC agrees between plain propagation shape and random graphs") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: 2k nodes, ~3k edges — the
+    // round-6 red case (needed 37 pointer-doubling rounds; maxIter=20
+    // exhausted silently). Large/small-star closes it in 7.
+    val edges = (1 to 3000).map { i =>
+      val a = math.abs((i * 2654435761L) % 2000)
+      val b = math.abs((i * 40503L + 7) % 2000)
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.distinct.toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
     assert(got == want)
+  }
+
+  test("CC convergence sweep: densities x sizes agree with union-find within the round bound") {
+    import spark.implicits._
+    // VERDICT r6 item 2: the two existing tests cover only the
+    // extremes (one long chain, one fixed random graph); the failing
+    // middle case was caught by luck. Sweep tree-like / ~1.5x / dense
+    // random graphs across sizes, assert exact agreement with
+    // union-find AND the ~2*log2(n) round bound.
+    for (n <- Seq(300L, 1500L, 4000L); density <- Seq(0.5, 1.5, 4.0)) {
+      // seeded splitmix-ish LCG — deterministic across runs/JVMs
+      var s = n * 17 + (density * 10).toLong
+      def next(): Long = {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        (s >>> 33) % n
+      }
+      val es = Seq.fill((n * density).toInt)((next(), next()))
+        .filter { case (a, b) => a != b }
+      val df = es.toDF("doc_a", "doc_b")
+      val (res, rounds) = Dedup.connectedComponentsWithRounds(df)
+      val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(es.map { case (a, b) => (math.min(a, b), math.max(a, b)) })
+      assert(got == want, s"n=$n density=$density disagreement")
+      val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 2
+      assert(rounds <= bound, s"n=$n density=$density took $rounds rounds (bound $bound)")
+    }
   }
 
   test("dedup results identical under local and reliable persistence") {
