@@ -168,7 +168,10 @@ object EtlQueries {
 
   private val tableList = Tables.all.sorted
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: schema_infer reads graft.oracle.sfDir, which Verify
+  // sets at startup — a val would bake in whatever the property held
+  // the first time anything touched EtlQueries (ADVICE r6).
+  def oracles: Map[String, String] = Map(
     // A1: independently re-derive the ClickHouse schema mapping from
     // DuckDB's own view of the same parquet. DESCRIBE flattens
     // ns-timestamps to TIMESTAMP, so the one Spark-visible distinction

@@ -113,7 +113,7 @@ object HllPortable {
        | FROM agg)
        |SELECT $groupCol,
        | CAST(floor(CASE WHEN v > 0 AND ($Num / sd) <= $RawThreshold
-       |   THEN ($lut)[CAST(v AS BIGINT)] ELSE ($Num / sd) END) AS BIGINT)
+       |   THEN (($lut)::DOUBLE[])[CAST(v AS BIGINT)] ELSE ($Num / sd) END) AS BIGINT)
        |  AS $outCol
        |FROM est ORDER BY $groupCol""".stripMargin
   }

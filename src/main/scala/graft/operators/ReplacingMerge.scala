@@ -95,7 +95,10 @@ object ReplacingMerge {
       if (others.isEmpty) Nil
       else Seq(max_by(struct(others.map(col): _*), ver).as("_rep"))
     val aggs = sumCols.map(c => sum(col(c)).as(c)) ++ repAgg
-    df.groupBy(keys.map(col): _*)
+    // keys-only frame: nothing to sum, no representative to pick —
+    // the merge degenerates to key dedup (aggs.head would throw)
+    if (aggs.isEmpty) df.dropDuplicates(keys)
+    else df.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .select((keys.map(col) ++ sumCols.map(col) ++
         others.map(c => col(s"_rep.$c").as(c))): _*)
