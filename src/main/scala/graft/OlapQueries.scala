@@ -232,6 +232,36 @@ object OlapQueries {
         .orderBy("event_id")
     },
 
+    // B12c (round 7): the TIME-BUCKETED asof plan — identical output
+    // to q_asof_join (same oracle), but windows partition by
+    // (user_id, hour) with boundary carry-over, so one hot user's
+    // history spreads over #hours tasks instead of serializing on one
+    // core. This is the plan to ship at 100 TB; the plain variant
+    // stays as the small-data/reference form.
+    "q_asof_bucketed" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts_us")
+      val pur = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us")
+      graft.operators.AsofJoin
+        .leftAsofBucketed(ev, pur, "user_id", "ts_us", "ts_us",
+          t => floor(t / 3600000000L), strict = true)
+        .select(col("event_id"), col("asof.ts_us").as("prev_purchase_us"))
+        .orderBy("event_id")
+    },
+
+    "q_asof_fwd_bucketed" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts_us")
+      val pur = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us")
+      graft.operators.AsofJoin
+        .leftAsofBucketed(ev, pur, "user_id", "ts_us", "ts_us",
+          t => floor(t / 3600000000L), forward = true)
+        .select(col("event_id"), col("asof.ts_us").as("next_purchase_us"))
+        .orderBy("event_id")
+    },
+
     // B9: session windows (30-min gap) per user. lag + cumulative flag
     // sum + final agg all share the user_id partitioning — Catalyst
     // plans a single exchange.
@@ -346,6 +376,22 @@ object OlapQueries {
         |ORDER BY l.event_id""".stripMargin,
 
     "q_asof_fwd" ->
+      """SELECT l.event_id, epoch_us(r.ts) AS next_purchase_us
+        |FROM events l
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // same semantics as the plain variants — the bucketed plan must be
+    // output-identical, so it faces the identical oracle
+    "q_asof_bucketed" ->
+      """SELECT l.event_id, epoch_us(r.ts) AS prev_purchase_us
+        |FROM events l
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND l.ts > r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_fwd_bucketed" ->
       """SELECT l.event_id, epoch_us(r.ts) AS next_purchase_us
         |FROM events l
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r

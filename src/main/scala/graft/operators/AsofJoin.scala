@@ -62,4 +62,80 @@ object AsofJoin {
       .filter(col("_l").isNotNull)
       .select(leftCols.map(c => col(s"_l.$c").as(c)) :+ col("asof"): _*)
   }
+
+  /** TIME-BUCKETED left as-of join — same output contract as
+    * [[leftAsof]], different plan: windows partition by (key, bucket)
+    * instead of key alone, so ONE INSTRUMENT WITH 10^9 TICKS spreads
+    * over #buckets tasks instead of serializing on one core (the
+    * round-5/6 scale-killer on [[leftAsof]]).
+    *
+    * Boundary carry-over makes the per-bucket windows exact: a left
+    * row early in bucket B may need a right row from an earlier
+    * bucket, so
+    *   1. per (key, bucket): the edge right payload (latest for
+    *      backward, earliest for forward) — one partial-agg shuffle,
+    *      ONE ROW per populated cell;
+    *   2. per key, over the TINY cell table (#buckets rows, not
+    *      #ticks): running carry of the edge payload from
+    *      earlier (later, when forward) buckets — the only
+    *      key-partitioned window left, bounded by the bucket count;
+    *   3. per (key, bucket): the usual tag-union-window scan, SEEDED
+    *      with the carried payload as a row sorting before (after)
+    *      everything in the bucket.
+    * Cross-bucket matches are strictly earlier/later in time (bucket
+    * fn is monotone), so strictness only matters inside a bucket,
+    * where the [[leftAsof]] side-tag ordering is reused verbatim.
+    *
+    * @param bucket monotone non-decreasing mapping from the ts column
+    *               to an orderable bucket id — e.g.
+    *               `t => date_trunc("hour", t)` or
+    *               `t => floor(unix_timestamp(t) / 86400)`. Coarser =
+    *               fewer carry rows; finer = more parallelism on hot
+    *               keys. Must be the SAME time scale for both sides.
+    */
+  def leftAsofBucketed(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       bucket: Column => Column,
+                       strict: Boolean = false,
+                       forward: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val leftCols = left.columns.toSeq
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields)
+    val (leftTag, rightTag) = if (strict) (0, 1) else (1, 0)
+
+    val rB = right.select(col(key).as("_k"), bucket(col(rightTs)).as("_b"),
+      col(rightTs).as("_ts"), struct(right.columns.map(col).toSeq: _*).as("_r"))
+    // 1. edge payload per populated right cell
+    val edgeAgg = if (forward) min_by(col("_r"), col("_ts")) else max_by(col("_r"), col("_ts"))
+    val summary = rB.groupBy("_k", "_b").agg(edgeAgg.as("_edge"))
+    // 2. carry per cell either side touches (left-only cells need one too)
+    val cells = left.select(col(key).as("_k"), bucket(col(leftTs)).as("_b"))
+      .union(rB.select(col("_k"), col("_b"))).distinct()
+    val carryOrder = if (forward) col("_b").desc else col("_b").asc
+    val wCarry = Window.partitionBy("_k").orderBy(carryOrder)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = cells.join(summary, Seq("_k", "_b"), "left")
+      .withColumn("_carry", last(col("_edge"), ignoreNulls = true).over(wCarry))
+      .filter(col("_carry").isNotNull)
+      .select(col("_k"), col("_b"), col("_carry"))
+    // 3. seeded in-bucket scan
+    val l = left.select(col(key).as("_k"), bucket(col(leftTs)).as("_b"),
+      lit(0).as("_seed"), col(leftTs).as("_ts"), lit(leftTag).as("_side"),
+      struct(leftCols.map(col): _*).as("_l"), lit(null).cast(rType).as("_r"))
+    val r = rB.select(col("_k"), col("_b"), lit(0).as("_seed"), col("_ts"),
+      lit(rightTag).as("_side"), lit(null).cast(lType).as("_l"), col("_r"))
+    val seeds = carries.select(col("_k"), col("_b"), lit(1).as("_seed"),
+      lit(null).cast(l.schema("_ts").dataType).as("_ts"), lit(0).as("_side"),
+      lit(null).cast(lType).as("_l"), col("_carry").as("_r"))
+    val order =
+      if (forward) Seq(col("_seed").desc, col("_ts").desc, col("_side").asc)
+      else Seq(col("_seed").desc, col("_ts").asc, col("_side").asc)
+    val w = Window.partitionBy("_k", "_b").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r).unionByName(seeds)
+      .withColumn("asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_l").isNotNull)
+      .select(leftCols.map(c => col(s"_l.$c").as(c)) :+ col("asof"): _*)
+  }
 }

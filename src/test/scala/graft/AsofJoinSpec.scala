@@ -62,4 +62,58 @@ class AsofJoinSpec extends SparkFunSuite {
     val out = AsofJoin.leftAsof(trades, quotes, "k", "ts", "ts")
     assert(out.count() == trades.count())
   }
+
+  private def collectAsof(df: org.apache.spark.sql.DataFrame) =
+    df.select($"k", $"ts", $"asof.px".as("px"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+  test("bucketed variant agrees with leftAsof on all four semantics at a boundary-heavy width") {
+    // width 8 puts quote ts=10/20/30 and trade ts=5/10/25 in distinct
+    // buckets with matches crossing every boundary (5->none, 10->10,
+    // 25->20), exercising the carry path on each combination
+    for (strict <- Seq(false, true); forward <- Seq(false, true)) {
+      val base = collectAsof(
+        AsofJoin.leftAsof(trades, quotes, "k", "ts", "ts", strict, forward))
+      val buck = collectAsof(AsofJoin.leftAsofBucketed(
+        trades, quotes, "k", "ts", "ts", t => floor(t / 8), strict, forward))
+      assert(buck == base, s"strict=$strict forward=$forward")
+    }
+  }
+
+  test("bucketed variant agrees on a skewed corpus across bucket widths") {
+    // one hot key carrying 85% of the rows — the shape that serializes
+    // leftAsof's per-key window; right timestamps are made unique per
+    // key so both plans' tie-breaks can't diverge
+    var s = 0x9E3779B97F4A7C15L
+    def next(m: Long): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 33) % m
+    }
+    val left = (1 to 3000).map { _ =>
+      val k = if (next(100) < 85) 0L else 1 + next(40)
+      (k, next(100000))
+    }
+    val right = (1 to 1200).map { _ =>
+      val k = if (next(100) < 85) 0L else 1 + next(40)
+      (k, next(100000))
+    }.distinct.groupBy(identity).keys.toSeq // unique (k, ts)
+    val lDf = left.toDF("k", "ts")
+    val rDf = right.map { case (k, t) => (k, t, k * 1e6 + t) }.toDF("k", "ts", "px")
+    // no-match is None, NOT Double.NaN — NaN != NaN under Scala's
+    // numeric ==, which would make every unmatched row "disagree"
+    def collectMulti(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"ts", $"asof.px").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    for (width <- Seq(1L, 64L, 4096L, 1000000L);
+         strict <- Seq(false, true); forward <- Seq(false, true)) {
+      val base = collectMulti(
+        AsofJoin.leftAsof(lDf, rDf, "k", "ts", "ts", strict, forward))
+      val buck = collectMulti(AsofJoin.leftAsofBucketed(lDf, rDf, "k", "ts", "ts",
+        t => floor(t / width), strict, forward))
+      assert(buck == base, s"width=$width strict=$strict forward=$forward")
+    }
+  }
 }
