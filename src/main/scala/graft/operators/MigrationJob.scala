@@ -30,16 +30,33 @@ object MigrationJob {
     df.select(Coercions.coerceRow(mapped): _*)
   }
 
-  /** Migrate one table: conform + bounded-batch write (main.py:157-179). */
+  /** Migrate one table: conform + bounded-batch write (main.py:157-179).
+    *
+    * ORDER BY resolution (main.py:124): an explicit `primaryKey` wins
+    * (the declared-pk path — PRAGMA via JDBC); otherwise, when
+    * `inferPk`, [[graft.sources.PrimaryKeyInference]] derives a
+    * data-confirmed key from the schema naming convention; otherwise
+    * the DDL falls back to `tuple()` like the reference with a pk-less
+    * table. Composite keys render as `(a, b)`.
+    */
   def migrateTable(df: DataFrame, database: String, table: String,
                    outDir: String, chunkSize: Long = 10000L,
-                   primaryKey: Option[String] = None): TableReport = {
+                   primaryKey: Option[String] = None,
+                   inferPk: Boolean = true): TableReport = {
     val conformed = conform(df)
     conformed.write
       .mode("overwrite")
       .option("maxRecordsPerFile", chunkSize)
       .parquet(s"$outDir/$table")
-    val ddl = ClickHouseDdl.createTable(database, table, df.schema, primaryKey)
+    val orderBy = primaryKey.orElse {
+      if (inferPk)
+        graft.sources.PrimaryKeyInference.infer(df, table).map {
+          case Seq(one) => one
+          case many     => many.mkString("(", ", ", ")")
+        }
+      else None
+    }
+    val ddl = ClickHouseDdl.createTable(database, table, df.schema, orderBy)
     TableReport(table, conformed.count(), ddl)
   }
 

@@ -22,6 +22,16 @@ object SqliteSource {
       .option("query", "SELECT name FROM sqlite_master WHERE type='table'")
       .load()
 
+  /** Declared-primary-key discovery statement (main.py:124): SQLite
+    * reports pk membership in `PRAGMA table_info` column `pk` (1-based
+    * position within the key, 0 = not part of it). Runnable through the
+    * same JDBC `query` option as [[listTables]]; the caller orders by
+    * `pk` and feeds the names to ClickHouseDdl.createTable — the
+    * DECLARED tier of [[PrimaryKeyInference]].
+    */
+  def primaryKeyPragma(table: String): String =
+    s"SELECT name, pk FROM pragma_table_info('$table') WHERE pk > 0 ORDER BY pk"
+
   /** One table, optionally split into `numPartitions` ranges of
     * `partitionColumn` so executors read in parallel — the distributed
     * analog of the reference's chunked cursor (main.py:106-116).

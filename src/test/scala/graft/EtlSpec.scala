@@ -177,6 +177,63 @@ class DdlSpec extends SparkFunSuite {
   }
 }
 
+class PrimaryKeyInferenceSpec extends SparkFunSuite {
+  import graft.sources.PrimaryKeyInference
+
+  test("single-column keys inferred and data-confirmed across the catalog") {
+    for ((t, want) <- Seq("events" -> "event_id", "orders" -> "o_orderkey",
+        "customer" -> "c_custkey", "documents" -> "doc_id",
+        "embeddings" -> "vec_id", "nation" -> "n_nationkey",
+        "region" -> "r_regionkey", "supplier" -> "s_suppkey",
+        "part" -> "p_partkey")) {
+      assert(PrimaryKeyInference.infer(Tables(spark, sf, t), t)
+        .contains(Seq(want)), t)
+    }
+  }
+
+  test("no unique candidate prefix -> None (synthetic lineitem even dups its TPC-H pk)") {
+    assert(PrimaryKeyInference.infer(Tables.lineitem(spark, sf), "lineitem",
+      maxCols = 3).isEmpty)
+  }
+
+  test("composite key found by greedy extension") {
+    import spark.implicits._
+    // single best candidate (ends in 'key') is not unique; extending
+    // with the rank-3 'number' column is
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("o_orderkey", "l_linenumber")
+    assert(PrimaryKeyInference.infer(df, "lineitem")
+      .contains(Seq("o_orderkey", "l_linenumber")))
+  }
+
+  test("nothing key-ish named -> None without scanning") {
+    import spark.implicits._
+    val df = Seq(("a", "b")).toDF("name", "label")
+    assert(PrimaryKeyInference.infer(df, "t").isEmpty)
+  }
+
+  test("unconfirmed mode trusts the top-ranked name") {
+    import spark.implicits._
+    val df = Seq((1L, 1L), (1L, 2L)).toDF("t_id", "n")
+    assert(PrimaryKeyInference.infer(df, "t", confirm = false)
+      .contains(Seq("t_id")))
+  }
+
+  test("migrateTable threads the inferred key into the DDL") {
+    val out = java.nio.file.Files.createTempDirectory("graft-pk").toString
+    try {
+      val rep = graft.operators.MigrationJob.migrateTable(
+        Tables.orders(spark, sf), "db", "orders", out)
+      assert(rep.ddl.contains("ORDER BY o_orderkey"), rep.ddl)
+      // pk-less table falls back to tuple() exactly like the reference
+      val repLi = graft.operators.MigrationJob.migrateTable(
+        Tables.lineitem(spark, sf), "db", "lineitem", out)
+      assert(repLi.ddl.endsWith("ORDER BY tuple()"), repLi.ddl)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+}
+
 class MigrationJobSpec extends SparkFunSuite {
   test("migrateAll conforms, chunks, and counts every table") {
     val out = java.nio.file.Files.createTempDirectory("graft-mig").toString
