@@ -71,4 +71,27 @@ object MigrationJob {
       val df = spark.read.parquet(s"$srcDir/$t.parquet")
       migrateTable(df, database, t, outDir, chunkSize)
     }
+
+  /** The reference's ACTUAL loop, end-to-end over a live JDBC source
+    * (main.py:138-182): discover tables, read each partitioned on its
+    * declared key, conform, chunk-write, emit pk-driven DDL. The
+    * declared pk (DatabaseMetaData) takes precedence; tables without
+    * one fall through to [[graft.sources.PrimaryKeyInference]]'s
+    * heuristic inside migrateTable. Proven in-sandbox against embedded
+    * Derby (JdbcMigrationSpec); identical calls serve SQLite once its
+    * driver is on the classpath.
+    */
+  def migrateJdbc(spark: SparkSession, url: String, database: String,
+                  outDir: String, chunkSize: Long = 10000L,
+                  numPartitions: Int = 8): Seq[TableReport] = {
+    import graft.sources.JdbcCatalog
+    JdbcCatalog.listTables(url).map { t =>
+      val pk = JdbcCatalog.primaryKey(url, t)
+      val df = JdbcCatalog.readTable(spark, url, t,
+        JdbcCatalog.partitionKey(spark, url, t), numPartitions)
+      val declared = if (pk.isEmpty) None
+        else Some(if (pk.size == 1) pk.head else pk.mkString("(", ", ", ")"))
+      migrateTable(df, database, t.toLowerCase, outDir, chunkSize, declared)
+    }
+  }
 }
