@@ -46,13 +46,16 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // min of 3 measured runs per query, the passes INTERLEAVED
+    // min of 5 measured runs per query, the passes INTERLEAVED
     // (A,B,…,A,B,… not A,A,B,B,…): a transient host burst (observed
     // 2s -> 100s swings on identical plans in this container) then
     // poisons at most one of a query's runs. Two passes proved not
-    // enough (r03: dedup_exact 17.4s vs 1.9s in r02, same code —
-    // a burst spanning both passes); three gives a clean min unless
-    // the host is degraded for the entire bench window.
+    // enough (r03: dedup_exact 17.4s vs 1.9s in r02, same code — a
+    // burst spanning both passes). Round 7 calibration: three
+    // whole-bench invocations of ONE jar spanned 11.5-13.6 s total
+    // (±18%, every query moving together — host throughput, not
+    // plans), so three passes still let a slow window inflate a
+    // round's number; five passes cost ~25 s more and tighten the min.
     def runOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
       try {
@@ -64,7 +67,7 @@ object Bench {
         None
       }
     }
-    val passes = (1 to 3).map(_ => headline.map(n => n -> runOnce(n)).toMap)
+    val passes = (1 to 5).map(_ => headline.map(n => n -> runOnce(n)).toMap)
     val results = headline.map { name =>
       val times = passes.flatMap(_(name))
       // a query with no successful run reports the -1 sentinel, never a
