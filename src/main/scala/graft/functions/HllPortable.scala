@@ -62,11 +62,27 @@ object HllPortable {
 
   /** Approximate distinct `value` per `groupCol`, as column `outCol`
     * (BIGINT). NULL values are ignored (count-distinct semantics).
+    *
+    * Hash dispatch (round-7, closes the long-only wart): integral /
+    * boolean values go through the 8-byte-LE kernel (`cast("long")`)
+    * that [[oracleSql]] reproduces bit-exactly in DuckDB; every other
+    * type (string, binary, float, …) is hashed NATIVELY by Spark's
+    * xxhash64 over its own representation — same sketch math, same
+    * accuracy, but no cross-engine oracle (DuckDB would need a
+    * variable-length XXH64 kernel). Previously a string column
+    * silently cast to NULL → one register → estimate ~1.
     */
   def estimate(df: DataFrame, groupCol: String, value: Column,
                outCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dt = df.select(value).schema.head.dataType
+    val hv = dt match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+        xxhash64(value.cast("long"))
+      case _ => xxhash64(value)
+    }
     val hashed = df.where(value.isNotNull)
-      .select(col(groupCol), xxhash64(value.cast("long")).as("_h"))
+      .select(col(groupCol), hv.as("_h"))
     val rest = expr(s"shiftrightunsigned(_h, $P)")
     val rho = when(rest === 0L, lit(W + 1))
       .otherwise(lit(W + 1) - length(bin(rest)))
