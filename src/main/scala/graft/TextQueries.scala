@@ -111,6 +111,31 @@ object TextQueries {
           deduped, col("doc_id"), 0.5, portable = true)
         .select(col("doc_id"), col("n_tokens"), col("quality"))
         .orderBy("doc_id")
+    },
+
+    // C18 (oracle): benchmark decontamination — train docs sharing a
+    // 5-word shingle with the eval split (doc_id % 7 == 0). Corpus
+    // explodes to 16-byte (doc_id, gram-hash) pairs in the scan stage;
+    // the eval gram set broadcasts; the oracle joins on the gram
+    // STRINGS, so the hash-bucketed operator is also proven collision-
+    // free on this corpus.
+    "text_contaminate" -> Q { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val eval = docs.where(col("doc_id") % 7 === 0)
+      val train = docs.where(col("doc_id") % 7 =!= 0)
+      graft.operators.Contamination.report(train, eval, "doc_id", "text", 5)
+        .orderBy("doc_id")
+    },
+
+    // C19 (oracle): GPT-style sequence packing — concatenate docs in
+    // shard order, split at every 2048-token boundary. One shuffle on
+    // shard; prefix sums per shard; output is the doc -> training-
+    // window placement map.
+    "pack_sequences" -> Q { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.SequencePacker.pack(docs, "doc_id", "n_tokens", 32, 2048)
+        .orderBy("doc_id")
     }
   )
 
@@ -206,6 +231,40 @@ object TextQueries {
          |  + 0.3 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars - n_ws AS DOUBLE) / n_tokens END) / 8.0)
          |  + 0.3 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 5.0) AS quality
          |FROM base ORDER BY doc_id""".stripMargin,
+
+    "text_contaminate" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        | FROM documents WHERE length(trim(text)) > 0
+        |), g AS (
+        | SELECT doc_id, unnest(list_transform(range(0, len(tk) - 4),
+        |   i -> array_to_string(list_slice(tk, CAST(i + 1 AS BIGINT), CAST(i + 5 AS BIGINT)), ' '))) AS gram
+        | FROM toks WHERE len(tk) >= 5
+        |), gd AS (SELECT DISTINCT doc_id, gram FROM g
+        |), ev AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 7 = 0
+        |), agg AS (
+        | SELECT doc_id, count(*) AS n_grams,
+        |  sum(CASE WHEN gram IN (SELECT gram FROM ev) THEN 1 ELSE 0 END) AS n_hit
+        | FROM gd WHERE doc_id % 7 <> 0 GROUP BY 1)
+        |SELECT doc_id, n_grams, CAST(n_hit AS BIGINT) AS n_hit,
+        | CAST(n_hit AS DOUBLE) / n_grams AS hit_ratio
+        |FROM agg WHERE n_hit > 0 ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (
+        | SELECT doc_id, doc_id % 32 AS shard,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        | FROM documents
+        |), p AS (
+        | SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        | FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, shard, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+        | CAST(tok_offset // 2048 AS BIGINT) AS pack_first,
+        | CAST((tok_offset + n_tokens - 1) // 2048 AS BIGINT) AS pack_last
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       s"""WITH s AS (
