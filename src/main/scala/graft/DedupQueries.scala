@@ -110,6 +110,38 @@ object DedupQueries {
         col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
         portable = true)
         .orderBy("doc_id")
+    },
+
+    // C20 (oracle): quality-weighted Bernoulli sampling — keep docs
+    // with probability = quality score (round 7). The weight gate is
+    // one IEEE divide+multiply against the integer md5 bucket, so the
+    // oracle reproduces decisions bit-identically (no ln/pow).
+    "sample_weighted" -> Q { (s, d) =>
+      import graft.functions.{TextFunctions => T}
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        T.alphaCount(col("text")).as("n_alpha"),
+        T.whitespaceCount(col("text")).as("n_ws"),
+        T.tokenCount(col("text")).as("n_tokens"),
+        T.stopwordHits(col("text"), T.stopwords.head._2).as("n_stop"))
+      val scored = base.select(col("doc_id"), T.qualityScore(
+        T.ratio(col("n_alpha"), col("n_chars")),
+        T.ratio(col("n_chars") - col("n_ws"), col("n_tokens")),
+        T.ratio(col("n_stop"), col("n_tokens"))).as("quality"))
+      graft.operators.Sampling.weightedSample(
+          scored, col("doc_id"), col("quality"), 1.0, seed = 7L, portable = true)
+        .orderBy("doc_id")
+    },
+
+    // C21 (oracle): stratified sample — the 20 hash-first docs per
+    // language (round 7). One shuffle on the stratum; WindowGroupLimit
+    // prunes partitions to top-n before the final sort.
+    "sample_stratified" -> Q { (s, d) =>
+      graft.operators.Sampling.stratifiedSample(
+          Tables.documents(s, d).select("doc_id", "lang"),
+          col("lang"), col("doc_id"), 20, portable = true)
+        .orderBy("doc_id")
     }
   )
 
@@ -223,6 +255,34 @@ object DedupQueries {
          |        ${md5BucketSql("CAST(doc_id AS VARCHAR)", 42L)} AS bkt
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH base AS (
+         | SELECT doc_id, length(text) AS n_chars,
+         |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+         |  length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_ws,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '${TextQueries.stopRe("en")}')) AS n_stop
+         | FROM documents
+         |), q AS (
+         | SELECT doc_id,
+         |  0.4 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_chars END)
+         |   + 0.3 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars - n_ws AS DOUBLE) / n_tokens END) / 8.0)
+         |   + 0.3 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 5.0) AS quality
+         | FROM base)
+         |SELECT doc_id, quality FROM q
+         |WHERE CAST(${md5BucketSql("CAST(doc_id AS VARCHAR)", 7L)} AS DOUBLE)
+         |      < (quality / 1.0) * 1000000
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM (
+         | SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${md5BucketSql("CAST(doc_id AS VARCHAR)", 42L)}, doc_id) AS rn
+         | FROM documents)
+         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """WITH corpus AS (

@@ -139,7 +139,7 @@ object TextQueries {
     }
   )
 
-  private val stopRe: Map[String, String] =
+  private[graft] val stopRe: Map[String, String] =
     T.stopwords.toMap.map { case (k, v) => k -> s"\\b($v)\\b" }
 
   val oracles: Map[String, String] = Map(

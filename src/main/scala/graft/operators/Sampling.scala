@@ -66,4 +66,37 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, key: Column,
                            seed: Long = 42L): DataFrame =
     df.orderBy(xxhash64(key, lit(seed)), key)
+
+  /** Weight-proportional Bernoulli sampling (round 7): keep a row with
+    * probability `weight / maxWeight` — the quality-weighted
+    * subsampling pass of a training pipeline (downweight low-quality
+    * documents instead of hard-thresholding them). Deterministic like
+    * everything here: same (key, seed, weight) → same decision, and
+    * the comparison is one IEEE divide + multiply on the integer-
+    * valued bucket, so the portable variant reproduces bit-identically
+    * in any engine with md5 — no ln/pow, which libms round
+    * differently. Weights above `maxWeight` simply always keep.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     maxWeight: Double, seed: Long = 42L,
+                     portable: Boolean = false): DataFrame = {
+    require(maxWeight > 0)
+    df.filter(bucketOf(key, seed, portable).cast("double") <
+      weight / maxWeight * Buckets)
+  }
+
+  /** Deterministic stratified sample: the `n` hash-first rows of each
+    * stratum (language-balanced subcorpora, per-source caps). One
+    * shuffle on the stratum; WindowGroupLimit prunes each partition to
+    * its top-n before the final sort, so a 10^9-row stratum ships only
+    * n rows. Ties cannot occur: (bucket, key) is a total order.
+    */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column, n: Int,
+                       seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    require(n > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(bucketOf(key, seed, portable), key)
+    df.withColumn("_smp_rn", row_number().over(w))
+      .filter(col("_smp_rn") <= n).drop("_smp_rn")
+  }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.IvfIndex
 
 /** Streaming ANN serving (SURVEY.md §2 C7b's ingest-time twin): probe
@@ -52,5 +53,42 @@ object AnnStream {
       .select(col("probe_id"), col("window_start_us"),
         col("col._2").as("vec_id"), col("col._1").as("cos"),
         (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  /** IVF serving with PERIODIC CENTROID RE-TRAIN (round 7; the carried
+    * round-6 candidate): the corpus at `corpusPath` grows while the
+    * query runs, so the quantizer must follow it. foreachBatch is the
+    * one Structured Streaming seam where a stream-static join's static
+    * side (and a broadcast model) may legally refresh between batches.
+    *
+    * Per micro-batch: re-read the corpus (new vectors become
+    * candidates IMMEDIATELY — the current model assigns them cells on
+    * read, the standard IVF insert path), and every `retrainEvery`
+    * batches re-run the bounded k-means so quantization quality
+    * follows the drifting distribution. Model training cost is
+    * amortized: a ≤16k-row deterministic sample + driver k-means
+    * (IvfIndex.train), a few seconds against a micro-batch cadence of
+    * minutes. Between refreshes the model is stale but never wrong —
+    * recall degrades gracefully with drift, results are still exact
+    * cosines over the probed cells.
+    *
+    * `onBatch` receives each batch's answers (same schema as
+    * [[IvfIndex.topK]]) — write to the serving sink there.
+    */
+  def ivfServeRetrain(probes: DataFrame, corpusPath: String,
+                      onBatch: (DataFrame, Long) => Unit,
+                      k: Int = 5, nProbe: Int = 4, nList: Int = 16,
+                      retrainEvery: Int = 4): StreamingQuery = {
+    var model: IvfIndex.Model = null
+    var batches = 0L
+    probes.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val corpus = batch.sparkSession.read.parquet(corpusPath)
+        if (model == null || batches % retrainEvery == 0)
+          model = IvfIndex.train(corpus, nList)
+        batches += 1
+        onBatch(IvfIndex.topK(corpus, batch, model, k, nProbe), id)
+      }
+      .start()
   }
 }

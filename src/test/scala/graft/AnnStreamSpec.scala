@@ -45,4 +45,76 @@ class AnnStreamSpec extends SparkFunSuite {
         s"stream=${got.size} batch=${expected.size} diff=${(got diff expected).take(3)}")
     } finally sq.stop()
   }
+
+  test("ivfServeRetrain follows a growing corpus; retrain refreshes the model") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ann_retrain").toString
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val v1 = all.filter(col("vec_id") < 300)
+    v1.write.mode("overwrite").parquet(dir)
+
+    val probes = all.filter(col("vec_id") % 50 === 0).filter(col("vec_id") < 300)
+    val probeRows = probes.as[(Long, Array[Float])].collect().toSeq
+
+    val answers = scala.collection.mutable.Map[Long, Set[(Long, Long, Long)]]()
+    val stream = MemoryStream[(Long, Array[Float])]
+    val sq = AnnStream.ivfServeRetrain(
+      stream.toDF().toDF("vec_id", "embedding"), dir,
+      (out, id) => answers(id) =
+        out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet,
+      k = 5, nProbe = 3, nList = 8, retrainEvery = 1)
+    try {
+      // batch 0: model trained on v1, answers == batch topK over v1
+      stream.addData(probeRows)
+      sq.processAllAvailable()
+      val m1 = IvfIndex.train(v1, nList = 8)
+      val exp1 = IvfIndex.topK(v1, probes, m1, k = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(answers(0L) == exp1)
+
+      // corpus grows; retrainEvery=1 -> batch 1 re-trains on v2 and
+      // the new vectors are candidates
+      all.write.mode("overwrite").parquet(dir)
+      stream.addData(probeRows)
+      sq.processAllAvailable()
+      val m2 = IvfIndex.train(all, nList = 8)
+      val exp2 = IvfIndex.topK(all, probes, m2, k = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(answers(1L) == exp2)
+      assert(exp1 != exp2, "growing the corpus should change some answer")
+    } finally sq.stop()
+  }
+
+  test("a stale model still serves vectors inserted after training") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ann_stale").toString
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val v1 = all.filter(col("vec_id") < 300)
+    v1.write.mode("overwrite").parquet(dir)
+
+    val probes = all.filter(col("vec_id") % 50 === 0).filter(col("vec_id") < 300)
+    val probeRows = probes.as[(Long, Array[Float])].collect().toSeq
+
+    val answers = scala.collection.mutable.Map[Long, Set[(Long, Long, Long)]]()
+    val stream = MemoryStream[(Long, Array[Float])]
+    // retrainEvery huge -> model stays the batch-0 one forever
+    val sq = AnnStream.ivfServeRetrain(
+      stream.toDF().toDF("vec_id", "embedding"), dir,
+      (out, id) => answers(id) =
+        out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet,
+      k = 5, nProbe = 3, nList = 8, retrainEvery = 1000)
+    try {
+      stream.addData(probeRows)
+      sq.processAllAvailable()
+      all.write.mode("overwrite").parquet(dir)
+      stream.addData(probeRows)
+      sq.processAllAvailable()
+      // batch 1: OLD model, NEW corpus — the IVF insert path: new
+      // vectors are assigned cells by the stale quantizer and served
+      val m1 = IvfIndex.train(v1, nList = 8)
+      val exp = IvfIndex.topK(all, probes, m1, k = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(answers(1L) == exp)
+    } finally sq.stop()
+  }
 }

@@ -64,6 +64,35 @@ class SamplingSpec extends SparkFunSuite {
     assert(bkt == java.lang.Long.parseLong(md5hex, 16) % 1000000L)
   }
 
+  test("weighted sample: w=0 never keeps, w>=max always keeps, monotone in w") {
+    val weighted = docs.withColumn("w0", lit(0.0))
+      .withColumn("wmax", lit(1.0))
+      .withColumn("wlo", lit(0.2)).withColumn("whi", lit(0.6))
+    assert(Sampling.weightedSample(weighted, col("doc_id"), col("w0"), 1.0).count() == 0)
+    assert(Sampling.weightedSample(weighted, col("doc_id"), col("wmax"), 1.0).count()
+      == docs.count())
+    val lo = Sampling.weightedSample(weighted, col("doc_id"), col("wlo"), 1.0)
+      .collect().map(_.getLong(0)).toSet
+    val hi = Sampling.weightedSample(weighted, col("doc_id"), col("whi"), 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi), "same key must keep under a higher weight")
+    val n = docs.count().toDouble
+    assert(lo.size / n > 0.1 && lo.size / n < 0.3, s"w=0.2 kept ${lo.size / n}")
+  }
+
+  test("stratified sample: exactly min(n, |stratum|) per stratum, stable") {
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val sizes = langs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Sampling.stratifiedSample(langs, col("lang"), col("doc_id"), 20)
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == sizes.map { case (l, c) => l -> math.min(20L, c) })
+    val again = Sampling.stratifiedSample(langs, col("lang"), col("doc_id"), 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getLong(0)).toSet)
+  }
+
   test("deterministic shuffle is a stable permutation") {
     val a = Sampling.deterministicShuffle(docs, col("doc_id"))
       .collect().map(_.getLong(0)).toSeq
