@@ -190,6 +190,19 @@ object OlapQueries {
         .orderBy("hour_bucket")
     },
 
+    // B10b (round 7): Z-order clustering key over (user_id, hour) —
+    // the file-skipping layout for conjunctive user×time predicates.
+    // The gate proves the Morton interleave bit-exactly; the layout
+    // win itself (tight per-file min-max boxes) is spec-measured in
+    // ZOrderSpec.
+    "q_zorder" -> Q { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          graft.operators.ZOrder.zValue(
+            col("user_id"), expr("ts_us div 3600000000")).as("z"))
+        .orderBy("event_id")
+    },
+
     // B11: semi-structured extraction — the ClickHouse JSONExtract
     // pattern over the events.props JSON payload; get_json_object is
     // codegen'd, so extraction happens inside the scan stage.
@@ -367,6 +380,11 @@ object OlapQueries {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin,
+
+    "q_zorder" ->
+      s"""SELECT event_id,
+         | ${graft.operators.ZOrder.zValueSql("user_id", "(epoch_us(ts) // 3600000000)")} AS z
+         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_asof_join" ->
       """SELECT l.event_id, epoch_us(r.ts) AS prev_purchase_us
