@@ -77,7 +77,7 @@ object DedupOracles {
   // ---------------------------------------------------------- corpus
 
   /** Same planted-duplicate construction as [[DedupQueries.corpus]]. */
-  private val corpusSql: String =
+  private[graft] val corpusSql: String =
     """corpus AS (
       | SELECT doc_id, text FROM documents
       | UNION ALL

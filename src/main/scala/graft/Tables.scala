@@ -4,12 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loader for the driver-generated test tables (TESTDATA.md).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's µs timestamps
-  * cannot hold — we read it as a raw Long (`spark.sql.legacy.parquet.
-  * nanosAsLong`) and expose it as `ts_ns`. DuckDB (the oracle) truncates
-  * the same column to µs on read, so gate queries compare on exact
-  * integers (`ts_us` = ts_ns / 1000 = DuckDB `epoch_us(ts)`) or on
-  * second-level truncations, never on raw sub-second timestamps.
+  * `events.ts` has shipped in two encodings across data drops:
+  * TIMESTAMP(NANOS) (read as a raw Long via `spark.sql.legacy.parquet.
+  * nanosAsLong`) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Both
+  * normalize to the same internal surface — `ts_us` (epoch µs, = DuckDB
+  * `epoch_us(ts)` under the UTC session timezone every entry point
+  * sets) and `ts_ns` (int64 nanos) — so every downstream query and
+  * oracle compares on exact integers, never on raw sub-second
+  * timestamps.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -28,14 +30,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
-  /** events with `ts_ns` (raw int64 nanos) and `ts_us` (µs, = DuckDB's
-    * on-read truncation) replacing the unreadable ns timestamp.
+  /** events with `ts_ns` (int64 nanos) and `ts_us` (epoch µs, = DuckDB's
+    * `epoch_us(ts)`) replacing the raw `ts` column, whichever parquet
+    * encoding the data drop used.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    apply(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000")) // integer div: double would lose ns bits
+    val raw = apply(s, d, "events")
+    val normalized = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) drop
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000")) // integer div: double would lose ns bits
+      case _ => // TIMESTAMP(MICROS) drop: NTZ→LTZ cast is exact under the UTC session tz
+        raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("ts_ns", col("ts_us") * lit(1000L))
+          .drop("ts")
+    }
+    normalized.select("event_id", "ts_ns", "user_id", "event_type",
+      "value", "props", "ts_us")
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -136,6 +136,24 @@ object TextQueries {
         .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"))
       graft.operators.SequencePacker.pack(docs, "doc_id", "n_tokens", 32, 2048)
         .orderBy("doc_id")
+    },
+
+    // C22 (oracle): Gopher-style rule filter — token-count bounds, mean
+    // word length, stopword presence, distinct-token ratio, all as
+    // integer cross-multiplications. Pure codegen scan, zero shuffle.
+    "text_gopher_rules" -> Q { (s, d) =>
+      graft.operators.QualityRules.ruleFlags(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // C23 (oracle): repetition metrics — most frequent token / adjacent
+    // bigram per doc. Tokens hash to 64 bits in the scan stage; the
+    // oracle groups the strings, proving the hashing collision-free.
+    "text_repetition" -> Q { (s, d) =>
+      graft.operators.QualityRules.repetition(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -265,6 +283,59 @@ object TextQueries {
         | CAST(tok_offset // 2048 AS BIGINT) AS pack_first,
         | CAST((tok_offset + n_tokens - 1) // 2048 AS BIGINT) AS pack_last
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "text_gopher_rules" ->
+      s"""WITH toks AS (
+         | SELECT doc_id,
+         |  CASE WHEN length(trim(text)) > 0
+         |       THEN regexp_split_to_array(lower(trim(text)), '\\s+')
+         |       ELSE CAST([] AS VARCHAR[]) END AS tk,
+         |  length(regexp_replace(trim(text), '\\s', '', 'g')) AS word_chars,
+         |  len(regexp_extract_all(lower(text), '${stopRe("en")}')) AS n_stop
+         | FROM documents
+         |), m AS (
+         | SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |  CAST(word_chars AS BIGINT) AS word_chars,
+         |  CAST(n_stop AS BIGINT) AS n_stop
+         | FROM toks)
+         |SELECT doc_id, n_tokens, n_distinct, word_chars, n_stop,
+         | (n_tokens >= 20 AND n_tokens <= 90) AS rule_count,
+         | (word_chars >= 2 * n_tokens AND word_chars <= 8 * n_tokens) AS rule_wordlen,
+         | (n_stop >= 2) AS rule_stop,
+         | (10 * n_distinct >= 3 * n_tokens) AS rule_distinct,
+         | ((n_tokens >= 20 AND n_tokens <= 90)
+         |  AND (word_chars >= 2 * n_tokens AND word_chars <= 8 * n_tokens)
+         |  AND (n_stop >= 2)
+         |  AND (10 * n_distinct >= 3 * n_tokens)) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH base AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        | FROM documents WHERE length(trim(text)) > 0
+        |), b2 AS (
+        | SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens
+        | FROM base WHERE len(tk) >= 2
+        |), wcnt AS (
+        | SELECT doc_id, max(c) AS top_word_cnt FROM (
+        |   SELECT doc_id, count(*) AS c FROM (
+        |     SELECT doc_id, unnest(tk) AS u FROM b2) GROUP BY doc_id, u)
+        | GROUP BY doc_id
+        |), bcnt AS (
+        | SELECT doc_id, max(c) AS top_bigram_cnt FROM (
+        |   SELECT doc_id, count(*) AS c FROM (
+        |     SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |       i -> tk[i] || ' ' || tk[i + 1])) AS u FROM b2)
+        |   GROUP BY doc_id, u)
+        | GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        | CAST(w.top_word_cnt AS BIGINT) AS top_word_cnt,
+        | CAST(w.top_word_cnt AS DOUBLE) / b.n_tokens AS top_word_frac,
+        | CAST(c.top_bigram_cnt AS BIGINT) AS top_bigram_cnt,
+        | CAST(c.top_bigram_cnt AS DOUBLE) / (b.n_tokens - 1) AS top_bigram_frac
+        |FROM b2 b JOIN wcnt w USING (doc_id) JOIN bcnt c USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "text_langid" ->
       s"""WITH s AS (

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality rules and repetition metrics
+  * (SURVEY.md §2 C22/C23) — the rule-based filtering pass every
+  * large-scale pre-training pipeline runs before dedup (Rae et al.
+  * 2021 "Scaling Language Models" §A1.1; C4's heuristics are the same
+  * family).
+  *
+  * Scale shape: [[ruleFlags]] is pure codegen'd column arithmetic —
+  * one parquet scan, zero shuffle, identical at 100 TB. [[repetition]]
+  * explodes to 16-byte (doc_id, token-hash) pairs inside the scan
+  * stage (the text never shuffles) and aggregates twice on
+  * (doc_id, hash) — both stages get map-side partial aggregation and
+  * the key space is per-document, so there is no global hot key.
+  *
+  * Every threshold is an integer cross-multiplication (e.g. mean word
+  * length ∈ [lo, hi] as `lo·n ≤ chars ≤ hi·n`), never a float divide,
+  * so the decisions reproduce bit-identically in any engine.
+  */
+object QualityRules {
+
+  /** Whitespace tokens of lower(trim(text)); empty text -> empty array. */
+  private def tokens(text: Column): Column =
+    when(length(trim(text)) > 0, split(lower(trim(text)), "\\s+"))
+      .otherwise(typedlit(Seq.empty[String]))
+
+  /** Per-document rule flags:
+    *   - rule_count:    minTokens <= n_tokens <= maxTokens
+    *   - rule_wordlen:  mean token length in [minLen, maxLen]
+    *                    (integer form: minLen*n <= word_chars <= maxLen*n)
+    *   - rule_stop:     at least minStopHits English stopword hits
+    *   - rule_distinct: distinct-token ratio >= 0.3 (10*distinct >= 3*n)
+    *   - keep:          conjunction of the four
+    *
+    * Output columns: id, n_tokens, n_distinct, word_chars, the four
+    * rule booleans, keep.
+    */
+  def ruleFlags(docs: DataFrame, idCol: String, textCol: String,
+                minTokens: Int = 20, maxTokens: Int = 90,
+                minLen: Int = 2, maxLen: Int = 8,
+                minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTokens = size(toks).cast("long")
+    // word chars = non-whitespace chars of the trimmed text
+    val wordChars = length(regexp_replace(trim(t), "\\s", "")).cast("long")
+    val nStop = graft.functions.TextFunctions
+      .stopwordHits(t, graft.functions.TextFunctions.stopwords.head._2)
+    docs.select(
+      col(idCol),
+      nTokens.as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      wordChars.as("word_chars"),
+      nStop.as("n_stop"))
+      .withColumn("rule_count",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("rule_wordlen",
+        col("word_chars") >= lit(minLen.toLong) * col("n_tokens") &&
+          col("word_chars") <= lit(maxLen.toLong) * col("n_tokens"))
+      .withColumn("rule_stop", col("n_stop") >= minStopHits)
+      .withColumn("rule_distinct",
+        lit(10L) * col("n_distinct") >= lit(3L) * col("n_tokens"))
+      .withColumn("keep",
+        col("rule_count") && col("rule_wordlen") &&
+          col("rule_stop") && col("rule_distinct"))
+  }
+
+  /** Per-document repetition metrics: the most frequent token and the
+    * most frequent adjacent bigram, as counts plus one-divide
+    * fractions (top_word_frac = cnt/n_tokens,
+    * top_bigram_frac = cnt/(n_tokens-1)). Docs need >= 2 tokens.
+    *
+    * Tokens/bigrams hash to 64 bits in the scan stage; the oracle
+    * groups the strings themselves, so a gate pass also proves the
+    * hashing collision-free on the corpus (same acceptance as the
+    * minhash band join).
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    val base = docs
+      .where(size(toks) >= 2)
+      .select(col(idCol), size(toks).cast("long").as("n_tokens"),
+        toks.as("_toks"), bigrams.as("_bi"))
+
+    def topCount(exploded: Column, out: String) =
+      base.select(col(idCol), col("n_tokens"), explode(exploded).as("_u"))
+        .select(col(idCol), col("n_tokens"), xxhash64(col("_u")).as("_uh"))
+        .groupBy(col(idCol), col("_uh"))
+        .agg(max("n_tokens").as("n_tokens"), count(lit(1)).as("_cnt"))
+        .groupBy(col(idCol))
+        .agg(max("n_tokens").as("n_tokens"), max("_cnt").as(out))
+
+    topCount(col("_toks"), "top_word_cnt")
+      .join(topCount(col("_bi"), "top_bigram_cnt").drop("n_tokens"), Seq(idCol))
+      .select(col(idCol), col("n_tokens"),
+        col("top_word_cnt"),
+        (col("top_word_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("top_word_frac"),
+        col("top_bigram_cnt"),
+        (col("top_bigram_cnt").cast("double") / (col("n_tokens") - 1).cast("double"))
+          .as("top_bigram_frac"))
+  }
+}
