@@ -41,10 +41,19 @@ object Tables {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) drop
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts_us", expr("ts_ns div 1000")) // integer div: double would lose ns bits
-      case _ => // TIMESTAMP(MICROS) drop: NTZ→LTZ cast is exact under the UTC session tz
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        // TIMESTAMP(MICROS) drop: NTZ→LTZ cast is exact under the UTC session tz
         raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
           .withColumn("ts_ns", col("ts_us") * lit(1000L))
           .drop("ts")
+      case other =>
+        // fail loudly: a future drop with a different encoding (string,
+        // INT96, nanos without the nanosAsLong conf) would otherwise be
+        // silently mis-normalized into wrong µs values everywhere
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected INT64 nanos " +
+            "or TIMESTAMP/TIMESTAMP_NTZ micros — extend Tables.events deliberately")
     }
     normalized.select("event_id", "ts_ns", "user_id", "event_type",
       "value", "props", "ts_us")

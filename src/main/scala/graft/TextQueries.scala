@@ -154,8 +154,33 @@ object TextQueries {
       graft.operators.QualityRules.repetition(
           Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // C24 (oracle): cross-document duplicate spans (Lee et al. 2022)
+    // over the planted-duplicate corpus — per doc, how many of its
+    // distinct 8-token windows also occur in another document. Windows
+    // hash to 64 bits in the scan stage (16-byte pairs, text never
+    // shuffles); the oracle joins the window STRINGS, proving the
+    // hashing collision-free on this corpus.
+    "text_span_dedup" -> Q { (s, d) =>
+      graft.operators.SpanDedup.report(
+          DedupQueries.corpus(s, d), "doc_id", "text", 8)
+        .orderBy("doc_id")
     }
   )
+
+  // text_gopher_rules oracle predicates — thresholds interpolated from
+  // QualityRules' shared constants (the same values ruleFlags defaults
+  // to), so changing a Scala default moves both sides together.
+  private val QR = graft.operators.QualityRules
+  private val gopherCount =
+    s"(n_tokens >= ${QR.DefaultMinTokens} AND n_tokens <= ${QR.DefaultMaxTokens})"
+  private val gopherWordlen =
+    s"(word_chars >= ${QR.DefaultMinWordLen} * n_tokens AND " +
+      s"word_chars <= ${QR.DefaultMaxWordLen} * n_tokens)"
+  private val gopherStop = s"(n_stop >= ${QR.DefaultMinStopHits})"
+  private val gopherDistinct =
+    s"(${QR.DistinctRatioDen} * n_distinct >= ${QR.DistinctRatioNum} * n_tokens)"
 
   private[graft] val stopRe: Map[String, String] =
     T.stopwords.toMap.map { case (k, v) => k -> s"\\b($v)\\b" }
@@ -300,14 +325,11 @@ object TextQueries {
          |  CAST(n_stop AS BIGINT) AS n_stop
          | FROM toks)
          |SELECT doc_id, n_tokens, n_distinct, word_chars, n_stop,
-         | (n_tokens >= 20 AND n_tokens <= 90) AS rule_count,
-         | (word_chars >= 2 * n_tokens AND word_chars <= 8 * n_tokens) AS rule_wordlen,
-         | (n_stop >= 2) AS rule_stop,
-         | (10 * n_distinct >= 3 * n_tokens) AS rule_distinct,
-         | ((n_tokens >= 20 AND n_tokens <= 90)
-         |  AND (word_chars >= 2 * n_tokens AND word_chars <= 8 * n_tokens)
-         |  AND (n_stop >= 2)
-         |  AND (10 * n_distinct >= 3 * n_tokens)) AS keep
+         | $gopherCount AS rule_count,
+         | $gopherWordlen AS rule_wordlen,
+         | $gopherStop AS rule_stop,
+         | $gopherDistinct AS rule_distinct,
+         | ($gopherCount AND $gopherWordlen AND $gopherStop AND $gopherDistinct) AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
@@ -350,6 +372,22 @@ object TextQueries {
          |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
          |      WHEN s_fr >= s_es THEN 'fr'
          |      ELSE 'es' END AS lang_pred
-         |FROM s ORDER BY doc_id""".stripMargin
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_span_dedup" ->
+      s"""WITH ${DedupOracles.corpusSql}, toks AS (
+         | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+         | FROM corpus WHERE length(trim(text)) > 0
+         |), g AS (
+         | SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
+         |   i -> array_to_string(list_slice(tk, CAST(i + 1 AS BIGINT), CAST(i + 8 AS BIGINT)), ' '))) AS win
+         | FROM toks WHERE len(tk) >= 8
+         |), gd AS (SELECT DISTINCT doc_id, win FROM g
+         |), wd AS (SELECT win, count(*) AS n_docs FROM gd GROUP BY win)
+         |SELECT gd.doc_id, count(*) AS win_total,
+         | CAST(sum(CASE WHEN wd.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS win_dup,
+         | CAST(sum(CASE WHEN wd.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+         |FROM gd JOIN wd USING (win)
+         |GROUP BY gd.doc_id ORDER BY doc_id""".stripMargin
   )
 }

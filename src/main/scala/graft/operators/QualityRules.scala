@@ -22,6 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object QualityRules {
 
+  /** Default rule thresholds — the single source of truth shared by
+    * [[ruleFlags]]'s defaults AND the text_gopher_rules oracle SQL
+    * (TextQueries interpolates these), so a changed default cannot
+    * silently break gate parity.
+    */
+  private[graft] val DefaultMinTokens = 20
+  private[graft] val DefaultMaxTokens = 90
+  private[graft] val DefaultMinWordLen = 2
+  private[graft] val DefaultMaxWordLen = 8
+  private[graft] val DefaultMinStopHits = 2
+  /** distinct-token ratio >= DistinctRatioNum/DistinctRatioDen,
+    * decided as the integer cross-multiplication
+    * `DistinctRatioDen * n_distinct >= DistinctRatioNum * n_tokens`. */
+  private[graft] val DistinctRatioNum = 3
+  private[graft] val DistinctRatioDen = 10
+
   /** Whitespace tokens of lower(trim(text)); empty text -> empty array. */
   private def tokens(text: Column): Column =
     when(length(trim(text)) > 0, split(lower(trim(text)), "\\s+"))
@@ -39,9 +55,11 @@ object QualityRules {
     * rule booleans, keep.
     */
   def ruleFlags(docs: DataFrame, idCol: String, textCol: String,
-                minTokens: Int = 20, maxTokens: Int = 90,
-                minLen: Int = 2, maxLen: Int = 8,
-                minStopHits: Int = 2): DataFrame = {
+                minTokens: Int = DefaultMinTokens,
+                maxTokens: Int = DefaultMaxTokens,
+                minLen: Int = DefaultMinWordLen,
+                maxLen: Int = DefaultMaxWordLen,
+                minStopHits: Int = DefaultMinStopHits): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
     val nTokens = size(toks).cast("long")
@@ -62,7 +80,8 @@ object QualityRules {
           col("word_chars") <= lit(maxLen.toLong) * col("n_tokens"))
       .withColumn("rule_stop", col("n_stop") >= minStopHits)
       .withColumn("rule_distinct",
-        lit(10L) * col("n_distinct") >= lit(3L) * col("n_tokens"))
+        lit(DistinctRatioDen.toLong) * col("n_distinct") >=
+          lit(DistinctRatioNum.toLong) * col("n_tokens"))
       .withColumn("keep",
         col("rule_count") && col("rule_wordlen") &&
           col("rule_stop") && col("rule_distinct"))
