@@ -8,6 +8,9 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // second live JDBC dialect for the migration-loop spec (Derby ships
+  // on Spark's classpath; DuckDB resolves from the same offline cache)
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test,
 )
 Test / fork := true
 run / fork := true

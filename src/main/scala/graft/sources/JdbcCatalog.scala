@@ -27,11 +27,15 @@ object JdbcCatalog {
   }
 
   /** User tables — the `sqlite_master` scan (main.py:144) via the
-    * portable metadata call (type TABLE excludes system tables).
+    * portable metadata call. The type filter names both spellings a
+    * dialect may report ("TABLE": Derby/SQLite/Postgres; "BASE TABLE":
+    * DuckDB's information_schema passthrough) — either way system
+    * tables and views stay excluded.
     */
   def listTables(url: String, schemaPattern: String = null): Seq[String] =
     withConnection(url) { c =>
-      val rs = c.getMetaData.getTables(null, schemaPattern, "%", Array("TABLE"))
+      val rs = c.getMetaData.getTables(null, schemaPattern, "%",
+        Array("TABLE", "BASE TABLE"))
       Iterator.continually(rs).takeWhile(_.next())
         .map(_.getString("TABLE_NAME")).toList.sorted
     }
@@ -76,8 +80,13 @@ object JdbcCatalog {
     }
   }
 
-  /** The leading declared-pk column IF Spark reads it as integral —
-    * the partition column a range-partitioned extract wants.
+  /** The leading declared-pk column IF Spark reads it as an integer-
+    * valued type — the partition column a range-partitioned extract
+    * wants. Scale-0 decimals count: some dialects surface BIGINT with
+    * precision 20 (unsigned headroom), which Spark maps to
+    * DecimalType(20,0) rather than LongType (observed live on DuckDB;
+    * SQLite's loose affinity produces the same shape), and Spark's
+    * JDBC source range-partitions numeric columns either way.
     */
   def partitionKey(spark: SparkSession, url: String, table: String): Option[String] = {
     val pk = primaryKey(url, table)
@@ -85,8 +94,11 @@ object JdbcCatalog {
       val schema = spark.read.format("jdbc")
         .option("url", url).option("dbtable", table).load().schema
       schema.fields.find(_.name.equalsIgnoreCase(c))
-        .exists(f => Seq(ByteType, ShortType, IntegerType, LongType)
-          .contains(f.dataType))
+        .exists(f => f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+          case _ => false
+        })
     }
   }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.DriverManager
+
+/** End-to-end CLI parity check: graft.Migrate's main() run the way a
+  * user would (flags in, staged parquet + printed DDL out) against a
+  * live embedded Derby — the argparse surface of main.py:184-204
+  * mapped onto the distributed loop.
+  */
+class MigrateCliSpec extends SparkFunSuite {
+
+  test("flag parsing mirrors the reference surface") {
+    val c = Migrate.parse(Array(
+      "--sqlite", "/tmp/x.db",
+      "--clickhouse-host", "ch1", "--clickhouse-port", "8123",
+      "--clickhouse-user", "u", "--clickhouse-password", "p",
+      "--clickhouse-database", "analytics",
+      "--chunk-size", "500", "--num-partitions", "3", "--dry-run"))
+    assert(c.jdbcUrl == "jdbc:sqlite:/tmp/x.db")
+    assert(c.chHost == "ch1" && c.chPort == 8123)
+    assert(c.chUser == "u" && c.chPassword == "p")
+    assert(c.chDatabase == "analytics")
+    assert(c.chunkSize == 500L && c.numPartitions == 3 && c.dryRun)
+    intercept[IllegalArgumentException](Migrate.parse(Array("--bogus")))
+    intercept[IllegalArgumentException](Migrate.parse(Array[String]()))
+  }
+
+  test("main() migrates a live Derby catalog end-to-end in dry-run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_derby").toString
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE EVENTS (ID BIGINT NOT NULL PRIMARY KEY, " +
+        "KIND VARCHAR(16), SCORE DOUBLE)")
+      val ins = c.prepareStatement("INSERT INTO EVENTS VALUES (?, ?, ?)")
+      (1 to 200).foreach { i =>
+        ins.setLong(1, i.toLong); ins.setString(2, s"k${i % 4}")
+        ins.setDouble(3, i * 0.5); ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally c.close()
+
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_out").toString
+    val stdout = new java.io.ByteArrayOutputStream()
+    try {
+      Console.withOut(new java.io.PrintStream(stdout)) {
+        Migrate.main(Array(
+          "--jdbc-url", url.stripSuffix(";create=true"),
+          "--clickhouse-database", "db",
+          "--chunk-size", "50", "--num-partitions", "2",
+          "--out", out))
+      }
+      val printed = stdout.toString
+      // staged parquet is real and complete
+      assert(spark.read.parquet(s"$out/events").count() == 200L)
+      // the reference's statement sequence is printed in dry-run
+      assert(printed.contains("CREATE TABLE IF NOT EXISTS db.events"))
+      assert(printed.contains("ORDER BY ID") || printed.contains("ORDER BY id"))
+      assert(printed.contains("INSERT INTO db.events"))
+      assert(printed.contains("OPTIMIZE TABLE db.events"))
+      assert(printed.contains("200 rows"))
+      // the spec's shared session survives main()
+      assert(!spark.sparkContext.isStopped)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+}
