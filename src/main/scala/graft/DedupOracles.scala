@@ -46,8 +46,10 @@ object DedupOracles {
   private def mulmod(a: String, b: String): String =
     s"((($a) % $M32) * ($b) + (((($a) // $M32) * ($b)) % $M32) * $M32) % $M64"
 
+  // BigInt on both shift constants: 1L << 63 would overflow Long for
+  // r = 1 (the merge-round rotation) and emit a NEGATIVE divisor
   private def rotl(x: String, r: Int): String =
-    s"((($x) * ${1L << r}) % $M64 + ($x) // ${1L << (64 - r)})"
+    s"((($x) * ${BigInt(1) << r}) % $M64 + ($x) // ${BigInt(1) << (64 - r)})"
 
   /** CTE chain computing `hu` = unsigned XXH64 (seed 42) of the 8-byte
     * little-endian value of BIGINT column `valCol`, carried alongside
@@ -73,6 +75,96 @@ object DedupOracles {
        |), xf4 AS (SELECT $keepCols, ${mulmod("h", P3)} AS h FROM xf3
        |), xh AS (SELECT $keepCols, xor(h, h // 4294967296) AS hu FROM xf4)"""
       .stripMargin
+
+  /** CTE chain computing `hu` = unsigned XXH64 (seed 42) of the UTF-8
+    * BYTES of string column `strCol` — the VARIABLE-LENGTH kernel
+    * (Spark's `xxhash64` over a string), generalizing [[xxh64LongCtes]]
+    * beyond the fixed 8-byte long case. Reads from CTE `src`, carries
+    * `keepCols`, ends in CTE `xh(keepCols, hu)`.
+    *
+    * Structure mirrors the public XXH64 spec step-for-step:
+    *  - >=32-byte inputs fold 32-byte stripes through 4 accumulator
+    *    lanes; lanes are INDEPENDENT across stripes, so each is its own
+    *    `list_reduce` over that lane's 8-byte words (no struct-typed
+    *    accumulator needed), then the rotl-sum + 4 merge rounds;
+    *  - <32-byte inputs start at seed + P5;
+    *  - the tail runs up to three 8-byte rounds, one 4-byte round and
+    *    up to three 1-byte rounds, exactly in that order;
+    *  - the final avalanche is shared with the long kernel.
+    *
+    * Bytes come from the hex of `encode()` (the technique the
+    * text_fingerprint oracle validated bit-for-bit); 64-bit words
+    * assemble little-endian via a reversed reduce (acc*256+b keeps all
+    * intermediates < 2^72, well inside HUGEINT).
+    */
+  def xxh64BytesCtes(src: String, keepCols: String, strCol: String): String = {
+    val hexB = (i: String) =>
+      s"(CAST((strpos('0123456789abcdef', substring(hx, CAST(2*($i)+1 AS BIGINT), 1)) - 1) * 16 " +
+        s"+ (strpos('0123456789abcdef', substring(hx, CAST(2*($i)+2 AS BIGINT), 1)) - 1) AS HUGEINT))"
+    // little-endian word of the w bytes at 0-based offset o
+    def word(o: String, w: Int) =
+      s"list_reduce(list_reverse(list_slice(bs, CAST(($o)+1 AS BIGINT), CAST(($o)+$w AS BIGINT))), (a, x) -> a * 256 + x)"
+    def addmod(a: String, b: String) = s"((($a) + ($b)) % $M64)"
+    // one stripe round: acc' = rotl31(acc + w*P2) * P1
+    def round(acc: String, w: String) =
+      mulmod(rotl(addmod(acc, mulmod(w, P2)), 31), P1)
+    def round0(v: String) = mulmod(rotl(mulmod(v, P2), 31), P1)
+    // lane fold: init_i folded through this lane's word per stripe
+    def lane(i: Int, init: String) =
+      s"list_reduce(list_prepend($init, list_transform(range(0, n // 32), " +
+        s"s -> ${word(s"32*s + ${8 * (i - 1)}", 8)})), (acc, w) -> ${round("acc", "w")})"
+    val inits = Seq(
+      s"(42 + $P1 + $P2) % $M64",              // v1
+      s"(42 + $P2) % $M64",                    // v2
+      s"CAST(42 AS HUGEINT)",                  // v3
+      s"($M64 + 42 - $P1) % $M64")             // v4 (seed - P1, kept unsigned)
+    def mergeRound(h: String, v: String) =
+      s"((${mulmod(s"xor($h, ${round0(v)})", P1)} + $P4) % $M64)"
+    val rotlSum =
+      s"((${rotl("v1", 1)} + ${rotl("v2", 7)} + ${rotl("v3", 12)} + ${rotl("v4", 18)}) % $M64)"
+    val merged = Seq("v1", "v2", "v3", "v4").foldLeft(rotlSum)(mergeRound)
+    s"""bx AS (
+       | SELECT $keepCols, lower(to_hex(encode($strCol))) AS hx,
+       |  CAST(octet_length(encode($strCol)) AS BIGINT) AS n
+       | FROM $src
+       |), bb AS (
+       | SELECT $keepCols, n,
+       |  list_transform(range(0, n), i -> ${hexB("i")}) AS bs
+       | FROM bx
+       |), blanes AS (
+       | SELECT $keepCols, n, bs,
+       |  ${lane(1, inits(0))} AS v1, ${lane(2, inits(1))} AS v2,
+       |  ${lane(3, inits(2))} AS v3, ${lane(4, inits(3))} AS v4
+       | FROM bb
+       |), bh0 AS (
+       | SELECT $keepCols, n, bs,
+       |  ((CASE WHEN n >= 32 THEN $merged ELSE (42 + $P5) % $M64 END) + n) % $M64 AS h
+       | FROM blanes
+       |), bh8 AS ( -- up to three tail 8-byte rounds
+       | SELECT $keepCols, n, bs,
+       |  list_reduce(list_prepend(h, list_transform(range(0, (n % 32) // 8),
+       |    k -> ${word("32*(n // 32) + 8*k", 8)})),
+       |   (h, w) -> (${mulmod(s"${rotl(s"xor(h, ${round0("w")})", 27)} % $M64", P1)} + $P4) % $M64) AS h
+       | FROM bh0
+       |), bh4 AS ( -- one tail 4-byte round when n%8 >= 4
+       | SELECT $keepCols, n, bs,
+       |  CASE WHEN n % 8 >= 4
+       |   THEN (${mulmod(s"${rotl(s"xor(h, ${mulmod(word("n - (n % 8)", 4), P1)})", 23)} % $M64", P2)} + $P3) % $M64
+       |   ELSE h END AS h
+       | FROM bh8
+       |), bh1 AS ( -- up to three tail 1-byte rounds
+       | SELECT $keepCols, n,
+       |  list_reduce(list_prepend(h, list_transform(range(n - (n % 4), n),
+       |    j -> bs[CAST(j + 1 AS BIGINT)])),
+       |   (h, b) -> ${mulmod(s"${rotl(s"xor(h, ${mulmod("b", P5)})", 11)} % $M64", P1)}) AS h
+       | FROM bh4
+       |), bf1 AS (SELECT $keepCols, xor(h, h // 8589934592) AS h FROM bh1
+       |), bf2 AS (SELECT $keepCols, ${mulmod("h", P2)} AS h FROM bf1
+       |), bf3 AS (SELECT $keepCols, xor(h, h // 536870912) AS h FROM bf2
+       |), bf4 AS (SELECT $keepCols, ${mulmod("h", P3)} AS h FROM bf3
+       |), xh AS (SELECT $keepCols, xor(h, h // 4294967296) AS hu FROM bf4)"""
+      .stripMargin
+  }
 
   // ---------------------------------------------------------- corpus
 

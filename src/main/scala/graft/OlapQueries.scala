@@ -164,6 +164,16 @@ object OlapQueries {
         .orderBy("event_type")
     },
 
+    // B6c (round 8): the same sketch over a STRING column — exercises
+    // the native variable-length hash path (previously spec-only; now
+    // the DuckDB oracle rebuilds full XXH64 over the UTF-8 bytes, so
+    // the gate hash-compares this path too).
+    "q_uniq_approx_str" -> Q { (s, d) =>
+      graft.functions.HllPortable.estimate(
+        Tables.events(s, d), "event_type", col("props"), "n_props_approx")
+        .orderBy("event_type")
+    },
+
     // B7: top-3 heavy hitters per event_type. Aggregate first (shuffle
     // of (type,user) pairs), then rank *within groups* — no global sort
     // of raw events.
@@ -365,6 +375,9 @@ object OlapQueries {
 
     "q_uniq_approx" -> graft.functions.HllPortable.oracleSql(
       "events", "event_type", "user_id", "n_users_approx"),
+
+    "q_uniq_approx_str" -> graft.functions.HllPortable.oracleSql(
+      "events", "event_type", "props", "n_props_approx", stringKernel = true),
 
     "q_topk_events" ->
       """SELECT event_type, user_id, cnt, rk FROM (

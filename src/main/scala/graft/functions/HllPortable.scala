@@ -102,15 +102,23 @@ object HllPortable {
   }
 
   /** The identical sketch as DuckDB SQL over `table`, with the XXH64
-    * long kernel from [[graft.DedupOracles.xxh64LongCtes]].
+    * long kernel from [[graft.DedupOracles.xxh64LongCtes]]; set
+    * `stringKernel = true` for string-typed `valueCol` — then the hash
+    * is the round-8 VARIABLE-LENGTH byte kernel
+    * ([[graft.DedupOracles.xxh64BytesCtes]], bit-exact vs Spark's
+    * `xxhash64` over strings in XxHashBytesOracleSpec), closing the
+    * "native-hash path has no cross-engine oracle" asymmetry.
     */
   def oracleSql(table: String, groupCol: String, valueCol: String,
-                outCol: String): String = {
+                outCol: String, stringKernel: Boolean = false): String = {
     val lut = Lut.mkString("[", ",", "]")
+    val kernel =
+      if (stringKernel) graft.DedupOracles.xxh64BytesCtes("base", groupCol, "uv")
+      else graft.DedupOracles.xxh64LongCtes("base", groupCol, "uv")
     s"""WITH base AS (
        | SELECT DISTINCT $groupCol, $valueCol AS uv FROM $table
        | WHERE $valueCol IS NOT NULL
-       |), ${graft.DedupOracles.xxh64LongCtes("base", groupCol, "uv")},
+       |), $kernel,
        |regs AS (
        | SELECT $groupCol, CAST(hu % $M AS BIGINT) AS idx,
        |  max(least(CASE WHEN hu // $M = 0 THEN ${W + 1}
