@@ -18,6 +18,37 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, n_bytes: Long, sha_hex: String,
                              width: Long, height: Long, n_frames: Long)
 
+  /** What a decoder reports per payload. */
+  final case class MediaDecoded(width: Long, height: Long, nFrames: Long)
+
+  /** The codec seam: implement this and pass it to [[extractMetaTyped]]
+    * to run a REAL decoder — nothing else in the pipeline changes.
+    * Lifecycle contract (the shape native media libs need):
+    *  - the instance is constructed on the DRIVER and serialized to
+    *    executors, so fields must be lightweight config (paths, flags);
+    *  - `open()` runs once per partition BEFORE the first row — load
+    *    native libraries / allocate codec contexts here, into
+    *    `@transient` or lazily-initialized fields;
+    *  - `decode()` runs per row, executor-side, and may throw — a real
+    *    pipeline wraps it with its corrupt-payload policy;
+    *  - `close()` runs at task completion (success OR failure, via
+    *    `TaskContext.addTaskCompletionListener`) — free native memory
+    *    here.
+    */
+  trait MediaDecoder extends Serializable {
+    def open(): Unit = ()
+    def decode(docId: Long, payload: Array[Byte]): MediaDecoded
+    def close(): Unit = ()
+  }
+
+  /** The honest in-sandbox decoder: [[decodeStub]] behind the seam. */
+  object StubMediaDecoder extends MediaDecoder {
+    override def decode(docId: Long, payload: Array[Byte]): MediaDecoded = {
+      val (w, h, f) = decodeStub(docId, payload.length.toLong)
+      MediaDecoded(w, h, f)
+    }
+  }
+
   /** STUB decoder: deterministic fake dimensions derived from payload
     * size + id. A real implementation would parse the container header
     * (JPEG SOF / MP4 moov / WAV fmt) right here, per row, executor-side.
@@ -75,22 +106,28 @@ object Multimodal {
         .as("frame_idx"))
 
   /** Typed per-partition batch path — the shape a real decoder runs in
-    * (one iterator per partition, media libs initialized once per
-    * partition, rows streamed through). Equivalent output to
-    * `extractMeta`; spec asserts equality.
+    * (one iterator per partition, codec initialized once per partition
+    * via [[MediaDecoder.open]], released at task completion, rows
+    * streamed through). With the default [[StubMediaDecoder]] the
+    * output is byte-identical to `extractMeta`; spec asserts equality
+    * and the open/decode/close lifecycle.
     */
-  def extractMetaTyped(spark: SparkSession, payloads: DataFrame): Dataset[MediaMeta] = {
+  def extractMetaTyped(spark: SparkSession, payloads: DataFrame,
+                       decoder: MediaDecoder = StubMediaDecoder): Dataset[MediaMeta] = {
     import spark.implicits._
     payloads.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init of a real codec would happen here
+        decoder.open()
+        // release native resources on success AND failure/cancellation
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => decoder.close()))
         val digest = java.security.MessageDigest.getInstance("SHA-256")
         it.map { case (id, bytes) =>
           digest.reset()
           val sha = digest.digest(bytes).map("%02x".format(_)).mkString
-          val (w, h, f) = decodeStub(id, bytes.length.toLong)
-          MediaMeta(id, bytes.length.toLong, sha, w, h, f)
+          val d = decoder.decode(id, bytes)
+          MediaMeta(id, bytes.length.toLong, sha, d.width, d.height, d.nFrames)
         }
       }
   }

@@ -158,4 +158,31 @@ class MultimodalSpec extends SparkFunSuite {
     val n = Multimodal.extractMetaTyped(spark, payloads).count()
     assert(n == 500)
   }
+
+  test("decoder seam: open once per partition, decode per row, close at task end") {
+    val sc = spark.sparkContext
+    val opens = sc.longAccumulator("opens")
+    val decodes = sc.longAccumulator("decodes")
+    val closes = sc.longAccumulator("closes")
+    class CountingDecoder extends Multimodal.MediaDecoder {
+      override def open(): Unit = opens.add(1)
+      override def decode(docId: Long, payload: Array[Byte]): Multimodal.MediaDecoded = {
+        decodes.add(1)
+        Multimodal.StubMediaDecoder.decode(docId, payload)
+      }
+      override def close(): Unit = closes.add(1)
+    }
+    val payloads = MultimodalQueries.payloads(spark, sf).repartition(5)
+    val out = Multimodal.extractMetaTyped(spark, payloads, new CountingDecoder)
+    assert(out.count() == 500)
+    assert(opens.value == 5, s"open per partition, got ${opens.value}")
+    assert(closes.value == 5, s"close per task, got ${closes.value}")
+    assert(decodes.value == 500, s"decode per row, got ${decodes.value}")
+    // swapping the decoder changes nothing else: stub output unchanged
+    val viaSeam = Multimodal.extractMetaTyped(spark, payloads).toDF()
+      .orderBy("doc_id").collect().toSeq
+    val columnar = Multimodal.extractMeta(payloads)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaSeam == columnar)
+  }
 }
