@@ -142,6 +142,28 @@ object DedupQueries {
           Tables.documents(s, d).select("doc_id", "lang"),
           col("lang"), col("doc_id"), 20, portable = true)
         .orderBy("doc_id")
+    },
+
+    // C25 (oracle, round 8): domain mixing toward target proportions —
+    // weights en:de:fr:es = 5:2:2:1 over the lang column ('zh' absent
+    // from targets = weight 0, dropped). Output is the per-domain plan
+    // plus what the deterministic Bernoulli keep actually realized.
+    "mix_domains" -> Q { (s, d) =>
+      import graft.functions.{TextFunctions => T}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        T.tokenCount(col("text")).as("n_tokens"))
+      val targets = Seq(("en", 5L), ("de", 2L), ("fr", 2L), ("es", 1L))
+      val kept = graft.operators.DomainMix
+        .sample(docs, "doc_id", "lang", "n_tokens", targets, seed = 7L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("kept_tokens"))
+      graft.operators.DomainMix.plan(docs, "lang", "n_tokens", targets)
+        .join(kept, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_kept", "kept_tokens"))
+        .select(col("lang"), col("n_docs"), col("t_tokens"), col("weight"),
+          col("budget_tokens"), col("goal_tokens"), col("keep_frac"),
+          col("n_kept"), col("kept_tokens"))
+        .orderBy("lang")
     }
   )
 
@@ -283,6 +305,42 @@ object DedupQueries {
          |    ORDER BY ${md5BucketSql("CAST(doc_id AS VARCHAR)", 42L)}, doc_id) AS rn
          | FROM documents)
          |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "mix_domains" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, lang,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+         | FROM documents
+         |), tw AS (
+         | SELECT * FROM (VALUES ('en', 5), ('de', 2), ('fr', 2), ('es', 1)) t(lang, weight)
+         |), totals AS (
+         | SELECT lang, count(*) AS n_docs, sum(n_tokens) AS t_tokens FROM tok GROUP BY 1
+         |), pl AS (
+         | SELECT tw.lang, CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(t_tokens, 0) AS BIGINT) AS t_tokens,
+         |  CAST(weight AS BIGINT) AS weight
+         | FROM tw LEFT JOIN totals USING (lang)
+         |), pl2 AS (
+         | SELECT *, min((t_tokens * 10) // weight) OVER () AS budget_tokens FROM pl
+         |), pl3 AS (
+         | SELECT *, (weight * budget_tokens) // 10 AS goal_tokens FROM pl2
+         |), pl4 AS (
+         | SELECT *, CASE WHEN t_tokens = 0 THEN 0.0
+         |   ELSE least(1.0, CAST(goal_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE)) END AS keep_frac
+         | FROM pl3
+         |), kept AS (
+         | SELECT t.lang, count(*) AS n_kept, sum(t.n_tokens) AS kept_tokens
+         | FROM tok t JOIN pl4 USING (lang)
+         | WHERE CAST(${md5BucketSql("CAST(doc_id AS VARCHAR)", 7L)} AS DOUBLE)
+         |       < keep_frac * 1000000.0
+         | GROUP BY 1)
+         |SELECT lang, n_docs, t_tokens, weight,
+         | CAST(budget_tokens AS BIGINT) AS budget_tokens,
+         | CAST(goal_tokens AS BIGINT) AS goal_tokens, keep_frac,
+         | CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         | CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
+         |FROM pl4 LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
 
     "dedup_exact" ->
       """WITH corpus AS (

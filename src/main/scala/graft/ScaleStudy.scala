@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Offline scale harness (not part of the driver contract): replicate
+  * the largest shipped SF by `k` with shifted keys and measure how the
+  * headline queries scale — the empirical step behind SURVEY §5's
+  * design arguments ("would this plan survive a 100× scale-up?").
+  *
+  * Replication semantics chosen to scale the AXES that matter:
+  *  - facts (lineitem/orders/events) grow k× with disjoint key ranges;
+  *    events also grows the USER population k× (distinct-count and
+  *    sessionize state scale), with time density growing in place;
+  *  - documents replicates text verbatim under new doc_ids — at scale,
+  *    duplication RISES, so dedup sees a harder (more realistic) input;
+  *  - embeddings grows the corpus k× (brute-force ANN cost scales);
+  *  - dimensions (region..part) stay fixed, like real warehouses.
+  *
+  * Run: `sbt "runMain graft.ScaleStudy [baseDir] [k] [workDir]"`.
+  * Prints one JSON line: per-query seconds at base and at k×, plus the
+  * time ratio (ideal scan-bound behavior on fixed cores ≈ k; anything
+  * wildly above k is a scale-killer to hunt).
+  */
+object ScaleStudy {
+
+  private val shift = 100000000L // key offset per replica — disjoint ranges
+
+  private def replicate(spark: SparkSession, base: String, out: String,
+                        k: Int): Unit = {
+    val fs = new java.io.File(out)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+    // dims: link by rewrite (small)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      Tables(spark, base, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    def scaled(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val src = Tables(spark, base, t)
+      val un = (0 until k).map(i => f(src, i)).reduce(_.unionByName(_))
+      un.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    scaled("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * shift)) }
+    scaled("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * shift)) }
+    scaled("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * shift))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L)) }
+    scaled("documents") { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)) }
+    scaled("embeddings") { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)) }
+    new java.io.File(fs, "_DONE").createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val work = args.lift(2).getOrElse(s"/tmp/graft_scale_x$k")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    replicate(spark, base, work, k)
+
+    def timeOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm codegen at the smallest SF
+    Bench.headline.foreach { n =>
+      try timeOnce(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }
+    }
+    // interleaved passes (same rationale as Bench), min-of-3
+    val passes = (1 to 3).map { _ =>
+      Bench.headline.map { n =>
+        n -> (timeOnce(n, base), timeOnce(n, work))
+      }.toMap
+    }
+    val rows = Bench.headline.map { n =>
+      val bs = passes.map(_(n)._1).min
+      val ss = passes.map(_(n)._2).min
+      (n, bs, ss, ss / bs)
+    }
+    val qs = rows.map { case (n, b, s, r) =>
+      f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"scale_study","k":$k,"queries":$qs}""")
+    spark.stop()
+  }
+}

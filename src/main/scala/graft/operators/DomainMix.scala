@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Domain mixing toward target proportions (SURVEY.md §2 C25) — the
+  * data-mixture step every large pre-training corpus goes through
+  * (The Pile's per-set epochs, LLaMA's sampling proportions): given
+  * integer target weights per domain, compute the largest mixed corpus
+  * honoring those proportions WITHOUT upsampling any domain, and the
+  * per-domain keep fraction that realizes it.
+  *
+  * Arithmetic is integer-first for cross-engine determinism: with
+  * W = Σ weights, the achievable token budget is
+  * B = min_j floor(T_j * W / w_j) (the bottleneck domain keeps ~100%),
+  * each domain's goal is G_j = floor(w_j * B / W), and the only float
+  * op is the final keep_frac = G_j / T_j — one IEEE divide, portable
+  * (the sample_weighted precedent). T_j * W stays under 2^63 until
+  * ~10^16 tokens per domain at weight 100 — beyond any current corpus;
+  * the products are documented bounds, not silent truncation.
+  *
+  * Scale shape: one token-sum aggregation over the corpus (map-side
+  * partials), a #domains-row plan (the unpartitioned min-window runs
+  * over domain COUNT rows, not data rows), then a broadcast join of
+  * the plan back onto the corpus with the deterministic md5-bucket
+  * Bernoulli keep — same machinery as [[Sampling.weightedSample]],
+  * document-level, so expected kept tokens per domain ≈ G_j (an exact
+  * token-level knapsack would serialize; the Bernoulli approximation
+  * is the standard, distributable choice).
+  */
+object DomainMix {
+
+  private val Buckets = 1000000L
+
+  /** Per-domain mixing plan: (domain, n_docs, t_tokens, weight,
+    * budget_tokens, goal_tokens, keep_frac). Domains absent from
+    * `targets` are dropped (weight-0 semantics); target domains absent
+    * from the corpus make the budget 0 — loudly visible in every row
+    * rather than silently ignored.
+    */
+  def plan(docs: DataFrame, domainCol: String, tokenCol: String,
+           targets: Seq[(String, Long)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "targets must be positive integer weights")
+    val w = targets.map(_._2).sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targetDf = targets.toDF(domainCol, "weight")
+    val totals = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("t_tokens"))
+    // right join keeps target domains missing from the corpus: their
+    // 0-token rows force budget_tokens to 0 everywhere (loud, correct)
+    val joined = totals.join(broadcast(targetDf), Seq(domainCol), "right")
+      .na.fill(0L, Seq("n_docs", "t_tokens"))
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division, which
+    // loses exactness past 2^53 tokens — integer div matches DuckDB's
+    // `//` bit-for-bit at any scale
+    joined
+      .withColumn("_b_cand", expr(s"(t_tokens * $w) div weight"))
+      .withColumn("budget_tokens", min(col("_b_cand")).over(Window.partitionBy()))
+      .withColumn("goal_tokens", expr(s"(weight * budget_tokens) div $w"))
+      .withColumn("keep_frac",
+        when(col("t_tokens") === 0L, lit(0.0))
+          .otherwise(least(lit(1.0),
+            col("goal_tokens").cast("double") / col("t_tokens").cast("double"))))
+      .drop("_b_cand")
+  }
+
+  /** The corpus filtered to the mix: broadcast the plan, keep each doc
+    * with probability keep_frac via the deterministic portable bucket
+    * (same key → same decision on any engine/rerun).
+    */
+  def sample(docs: DataFrame, idCol: String, domainCol: String,
+             tokenCol: String, targets: Seq[(String, Long)],
+             seed: Long = 42L): DataFrame = {
+    val p = plan(docs, domainCol, tokenCol, targets)
+      .select(col(domainCol), col("keep_frac"))
+    docs.join(broadcast(p), Seq(domainCol))
+      .filter(Sampling.portableBucket(col(idCol), seed).cast("double") <
+        col("keep_frac") * lit(Buckets.toDouble))
+  }
+}
