@@ -341,4 +341,55 @@ object DedupOracles {
        |)
        |SELECT a AS doc_id, min(least(a, b)) AS cluster_id
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** Cluster-representative selection (C26): the cluster closure above
+    * extended with the portable quality kernel (the sample_weighted
+    * construction, over the corpus) and a per-cluster quality-argmax.
+    * Singletons (docs in no pair) label themselves via the LEFT JOIN —
+    * matching Dedup.keepBest exactly.
+    *
+    * A `def`, and the stopword regex comes from TextFunctions directly:
+    * a `val` interpolating TextQueries.stopRe deadlocked object
+    * initialization (DedupQueries.oracles -> this -> TextQueries ->
+    * DedupOracles, mid-init) and silently produced a NULL oracle.
+    */
+  private def stopReEn: String =
+    s"\\b(${graft.functions.TextFunctions.stopwords.head._2})\\b"
+
+  def keepBestSql: String =
+    s"""${sigsMat.replaceFirst("WITH ", "WITH RECURSIVE ")}, $pairsSql, edges AS (
+       | SELECT doc_a AS a, doc_b AS b FROM pairs
+       | UNION ALL
+       | SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       | SELECT a, b FROM edges
+       | UNION
+       | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), clusters AS (
+       | SELECT a AS doc_id, min(least(a, b)) AS cluster_id FROM reach GROUP BY a
+       |), qbase AS (
+       | SELECT doc_id, length(text) AS n_chars,
+       |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+       |  length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_ws,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |  len(regexp_extract_all(lower(text), '$stopReEn')) AS n_stop
+       | FROM corpus
+       |), qual AS (
+       | SELECT doc_id,
+       |  0.4 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_chars END)
+       |   + 0.3 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars - n_ws AS DOUBLE) / n_tokens END) / 8.0)
+       |   + 0.3 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 5.0) AS quality
+       | FROM qbase
+       |), lab AS (
+       | SELECT q.doc_id, coalesce(c.cluster_id, q.doc_id) AS cluster_id, q.quality
+       | FROM qual q LEFT JOIN clusters c USING (doc_id)
+       |), ranked AS (
+       | SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality DESC, doc_id) AS rn,
+       |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+       | FROM lab)
+       |SELECT cluster_id, doc_id AS keeper,
+       | CAST(n_members AS BIGINT) AS n_members, quality AS best_quality
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 }

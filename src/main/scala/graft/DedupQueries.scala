@@ -144,6 +144,23 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // C26 (oracle, round 8): cluster-representative selection — keep
+    // the highest-quality member of every minhash near-dup cluster
+    // (the production dedup policy: drop the boilerplate copy, keep
+    // the clean one), singletons kept as their own cluster.
+    "dedup_keep_best" -> Q { (s, d) =>
+      import graft.functions.{TextFunctions => T}
+      val c = corpus(s, d)
+      val quality = T.qualityScore(
+        T.ratio(T.alphaCount(col("text")), length(col("text")).cast("long")),
+        T.ratio(length(col("text")).cast("long") - T.whitespaceCount(col("text")),
+          T.tokenCount(col("text"))),
+        T.ratio(T.stopwordHits(col("text"), T.stopwords.head._2),
+          T.tokenCount(col("text"))))
+      Dedup.keepBest(c, "doc_id", "text", quality, threshold = 0.5)
+        .orderBy("cluster_id")
+    },
+
     // C25 (oracle, round 8): domain mixing toward target proportions —
     // weights en:de:fr:es = 5:2:2:1 over the lang column ('zh' absent
     // from targets = weight 0, dropped). Output is the per-domain plan
@@ -305,6 +322,8 @@ object DedupQueries {
          |    ORDER BY ${md5BucketSql("CAST(doc_id AS VARCHAR)", 42L)}, doc_id) AS rn
          | FROM documents)
          |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best" -> DedupOracles.keepBestSql,
 
     "mix_domains" ->
       s"""WITH tok AS (

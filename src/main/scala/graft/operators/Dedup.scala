@@ -300,6 +300,37 @@ object Dedup {
     connectedComponents(minhashPairs(docs, idCol, textCol, threshold,
       persist = persist), persist = persist)
 
+  /** Cluster-representative selection (SURVEY §2 C26): keep the
+    * highest-QUALITY member of each near-dup cluster, not the smallest
+    * id — what a production pipeline actually wants from dedup (drop
+    * the boilerplate copy, keep the clean one). Docs in no cluster are
+    * their own singleton (kept). Ties break on id, so selection is
+    * total and rerun-stable given bit-identical quality scores (which
+    * the portable quality kernel provides).
+    *
+    * Scale shape: the cluster labeling is [[minhashClusters]] (id-only
+    * shuffles); the argmax is one window over cluster_id — a single
+    * shuffle of (id, cluster, quality) triples, never text.
+    */
+  def keepBest(docs: DataFrame, idCol: String, textCol: String,
+               quality: Column, threshold: Double = 0.5,
+               persist: Persist = localPersist): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = minhashClusters(docs, idCol, textCol, threshold, persist)
+    val lab = docs.select(col(idCol), quality.as("_q"))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"), col("_q"))
+    val byCluster = Window.partitionBy("cluster_id")
+    lab
+      .withColumn("_rn", row_number().over(
+        byCluster.orderBy(col("_q").desc, col(idCol))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("_rn") === 1)
+      .select(col("cluster_id"), col(idCol).as("keeper"),
+        col("n_members"), col("_q").as("best_quality"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of

@@ -65,6 +65,31 @@ class DedupSpec extends SparkFunSuite {
       .foreach(r => assert(r.getDouble(2) == 1.0))
   }
 
+  test("keepBest keeps the best-quality member per cluster, not the min id") {
+    import spark.implicits._
+    // quality = doc_id % 7 as a double: deterministic, and for planted
+    // pairs (d, d+1M) quality differs whenever 1M % 7 != 0 (it isn't)
+    val q = (col("doc_id") % 7).cast("double")
+    val res = Dedup.keepBest(corpus, "doc_id", "text", q, threshold = 0.5)
+    val byCluster = res.select("cluster_id", "keeper", "n_members", "best_quality")
+      .as[(Long, Long, Long, Double)].collect()
+    // every corpus doc is in exactly one cluster (keeper rows partition it)
+    assert(byCluster.map(_._3).sum == corpus.count())
+    // clusters and membership from the plain clustering
+    val clusters = Dedup.minhashClusters(corpus, "doc_id", "text", 0.5)
+      .as[(Long, Long)].collect().groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    byCluster.filter(_._3 >= 2).foreach { case (cid, keeper, _, bq) =>
+      val members = clusters(cid)
+      val want = members.map(id => (-(id % 7).toDouble, id)).min._2
+      assert(keeper == want, s"cluster $cid keeper")
+      assert(bq == (want % 7).toDouble)
+    }
+    // at least the planted exact-dup clusters exist and often keep the
+    // HIGHER id (1M-shifted copy wins when (d+1M)%7 > d%7) — proving
+    // the selection is by quality, not min id
+    assert(byCluster.exists { case (cid, keeper, n, _) => n >= 2 && keeper != cid })
+  }
+
   test("simhash recovers planted pairs within hamming 3") {
     val keys = Dedup.simhashPairs(corpus, "doc_id", "text", 3)
       .select("doc_a", "doc_b").collect()
