@@ -144,6 +144,29 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // C25b (oracle, round 8): epoch-aware mixing — zh weighted 3:1
+    // against en forces UPSAMPLING (zh runs 3 full epochs, en is
+    // subsampled), the LLaMA-style repeated-pass mixture.
+    "mix_epochs" -> Q { (s, d) =>
+      import graft.functions.{TextFunctions => T}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        T.tokenCount(col("text")).as("n_tokens"))
+      val targets = Seq(("en", 1L), ("zh", 3L))
+      val kept = graft.operators.DomainMix
+        .sampleEpochs(docs, "doc_id", "lang", "n_tokens", targets,
+          maxEpochs = 3, seed = 7L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept_rows"), sum("n_tokens").as("kept_tokens"))
+      graft.operators.DomainMix
+        .planEpochs(docs, "lang", "n_tokens", targets, maxEpochs = 3)
+        .join(kept, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_kept_rows", "kept_tokens"))
+        .select(col("lang"), col("n_docs"), col("t_tokens"), col("weight"),
+          col("budget_tokens"), col("goal_tokens"), col("epochs"),
+          col("last_frac"), col("n_kept_rows"), col("kept_tokens"))
+        .orderBy("lang")
+    },
+
     // C26 (oracle, round 8): cluster-representative selection — keep
     // the highest-quality member of every minhash near-dup cluster
     // (the production dedup policy: drop the boilerplate copy, keep
@@ -324,6 +347,55 @@ object DedupQueries {
          |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
     "dedup_keep_best" -> DedupOracles.keepBestSql,
+
+    "mix_epochs" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, lang,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+         | FROM documents
+         |), tw AS (
+         | SELECT * FROM (VALUES ('en', 1), ('zh', 3)) t(lang, weight)
+         |), totals AS (
+         | SELECT lang, count(*) AS n_docs, sum(n_tokens) AS t_tokens FROM tok GROUP BY 1
+         |), base AS (
+         | SELECT tw.lang, CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(t_tokens, 0) AS BIGINT) AS t_tokens,
+         |  CAST(weight AS BIGINT) AS weight
+         | FROM tw LEFT JOIN totals USING (lang)
+         |), p1 AS (
+         | SELECT *, min((t_tokens * 3 * 4) // weight) OVER () AS budget_tokens FROM base
+         |), p2 AS (
+         | SELECT *, (weight * budget_tokens) // 4 AS goal_tokens FROM p1
+         |), p3 AS (
+         | SELECT *, CASE WHEN t_tokens = 0 THEN 0
+         |   ELSE (goal_tokens + t_tokens - 1) // t_tokens END AS epochs FROM p2
+         |), pl AS (
+         | SELECT *, CASE WHEN t_tokens = 0 THEN 0.0
+         |   ELSE CAST(goal_tokens - (epochs - 1) * t_tokens AS DOUBLE)
+         |        / CAST(t_tokens AS DOUBLE) END AS last_frac
+         | FROM p3
+         |), exp0 AS (
+         | SELECT t.doc_id, t.lang, t.n_tokens, pl.epochs, pl.last_frac
+         | FROM tok t JOIN pl USING (lang) WHERE pl.epochs > 0
+         |), exp AS (
+         | SELECT doc_id, lang, n_tokens, epochs, last_frac,
+         |  unnest(range(0, epochs)) AS epoch
+         | FROM exp0
+         |), kept AS (
+         | SELECT lang, count(*) AS n_kept_rows, sum(n_tokens) AS kept_tokens
+         | FROM exp
+         | WHERE epoch < epochs - 1
+         |    OR CAST(${md5BucketSql("CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)", 7L)} AS DOUBLE)
+         |       < last_frac * 1000000.0
+         | GROUP BY 1)
+         |SELECT lang, n_docs, t_tokens, weight,
+         | CAST(budget_tokens AS BIGINT) AS budget_tokens,
+         | CAST(goal_tokens AS BIGINT) AS goal_tokens,
+         | CAST(epochs AS BIGINT) AS epochs, last_frac,
+         | CAST(coalesce(n_kept_rows, 0) AS BIGINT) AS n_kept_rows,
+         | CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
+         |FROM pl LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
 
     "mix_domains" ->
       s"""WITH tok AS (

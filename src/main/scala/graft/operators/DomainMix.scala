@@ -80,4 +80,65 @@ object DomainMix {
       .filter(Sampling.portableBucket(col(idCol), seed).cast("double") <
         col("keep_frac") * lit(Buckets.toDouble))
   }
+
+  /** Epoch-aware plan — the UPSAMPLING variant (LLaMA-style: a scarce
+    * high-weight domain repeats for up to `maxEpochs` passes while big
+    * domains are subsampled). Budget becomes
+    * B = min_j floor(T_j * maxEpochs * W / w_j); each domain realizes
+    * its goal G_j = floor(w_j * B / W) as `epochs_j = ceil(G_j / T_j)`
+    * full passes with the LAST pass Bernoulli-kept at
+    * last_frac_j = (G_j - (epochs_j - 1) * T_j) / T_j. Same integer
+    * `div` arithmetic; `epochs = 1` degrades exactly to [[plan]].
+    *
+    * Output adds (epochs, last_frac) to the plan columns.
+    */
+  def planEpochs(docs: DataFrame, domainCol: String, tokenCol: String,
+                 targets: Seq[(String, Long)], maxEpochs: Int): DataFrame = {
+    require(maxEpochs >= 1)
+    val w = targets.map(_._2).sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targetDf = targets.toDF(domainCol, "weight")
+    val totals = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("t_tokens"))
+    totals.join(broadcast(targetDf), Seq(domainCol), "right")
+      .na.fill(0L, Seq("n_docs", "t_tokens"))
+      .withColumn("_b_cand", expr(s"(t_tokens * $maxEpochs * $w) div weight"))
+      .withColumn("budget_tokens", min(col("_b_cand")).over(Window.partitionBy()))
+      .withColumn("goal_tokens", expr(s"(weight * budget_tokens) div $w"))
+      .withColumn("epochs",
+        when(col("t_tokens") === 0L, lit(0L))
+          .otherwise(expr("(goal_tokens + t_tokens - 1) div t_tokens")))
+      .withColumn("last_frac",
+        when(col("t_tokens") === 0L, lit(0.0))
+          .otherwise(
+            (col("goal_tokens") - (col("epochs") - 1L) * col("t_tokens"))
+              .cast("double") / col("t_tokens").cast("double")))
+      .drop("_b_cand")
+  }
+
+  /** The epoch-expanded corpus: each doc appears `epochs_j` times with
+    * an `epoch` column (0-based), the final epoch Bernoulli-kept at
+    * last_frac. Expansion is an executor-side sequence explode off the
+    * broadcast plan — no driver loop, and the repeated text is the
+    * SAME row replayed, so downstream shuffles see it once per kept
+    * epoch (what a training-order writer wants).
+    */
+  def sampleEpochs(docs: DataFrame, idCol: String, domainCol: String,
+                   tokenCol: String, targets: Seq[(String, Long)],
+                   maxEpochs: Int, seed: Long = 42L): DataFrame = {
+    val p = planEpochs(docs, domainCol, tokenCol, targets, maxEpochs)
+      .select(col(domainCol), col("epochs"), col("last_frac"))
+    docs.join(broadcast(p), Seq(domainCol))
+      .filter(col("epochs") > 0L)
+      .withColumn("epoch",
+        explode(expr("sequence(CAST(0 AS BIGINT), epochs - 1)")))
+      // full epochs always keep; the last keeps at last_frac — bucket
+      // keyed on (id, epoch) so each pass draws independently
+      .filter(col("epoch") < col("epochs") - 1L ||
+        Sampling.portableBucket(
+          concat_ws("#", col(idCol).cast("string"), col("epoch").cast("string")),
+          seed).cast("double") < col("last_frac") * lit(Buckets.toDouble))
+      .drop("epochs", "last_frac")
+  }
 }

@@ -56,6 +56,48 @@ class DomainMixSpec extends SparkFunSuite {
     assert(again == kept.orderBy("doc_id").collect().toSeq)
   }
 
+  test("planEpochs: scarce high-weight domain upsamples, maxEpochs binds the budget") {
+    // books is 10x scarcer but weighted equal: with 3 epochs allowed it
+    // repeats ~3x and web downsamples to match
+    val docs = corpus(
+      (1L to 90L).map(i => (i, "web", 100L)) ++
+      (91L to 99L).map(i => (i, "books", 100L)): _*)
+    val p = DomainMix.planEpochs(docs, "domain", "n_tokens",
+        Seq(("web", 1L), ("books", 1L)), maxEpochs = 3)
+      .select("domain", "t_tokens", "budget_tokens", "goal_tokens", "epochs", "last_frac")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // W=2, T_web=9000, T_books=900, E=3:
+    // B = min(9000*3*2/1, 900*3*2/1) = 5400; G_j = 2700 each
+    assert(p("web")._3 == 5400L && p("books")._3 == 5400L)
+    assert(p("web")._4 == 2700L && p("books")._4 == 2700L)
+    assert(p("books")._5 == 3L)                       // 3 passes
+    assert(p("books")._6 == 900.0 / 900.0)            // last pass keeps all
+    assert(p("web")._5 == 1L)
+    assert(math.abs(p("web")._6 - 2700.0 / 9000.0) < 1e-12)
+  }
+
+  test("sampleEpochs: full epochs keep everything, expansion is deterministic") {
+    val docs = corpus(
+      (1L to 50L).map(i => (i, "web", 10L)) ++
+      (51L to 55L).map(i => (i, "books", 10L)): _*)
+    val targets = Seq(("web", 1L), ("books", 1L))
+    val out = DomainMix.sampleEpochs(docs, "doc_id", "domain", "n_tokens",
+      targets, maxEpochs = 4)
+    // books: T=50, goal = min(500*2*4... B = min(500*8/1, 50*8/1)=400; G=200
+    // epochs_books = ceil(200/50) = 4, last_frac = 50/50 = 1 -> all 4 epochs full
+    val books = out.filter($"domain" === "books")
+    assert(books.count() == 5 * 4)
+    assert(books.groupBy("doc_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 4L))
+    // epoch column is 0..3
+    assert(books.select("epoch").distinct().as[Long].collect().sorted.toSeq
+      == Seq(0L, 1L, 2L, 3L))
+    val again = DomainMix.sampleEpochs(docs, "doc_id", "domain", "n_tokens",
+      targets, maxEpochs = 4).orderBy("doc_id", "epoch").collect().toSeq
+    assert(again == out.orderBy("doc_id", "epoch").collect().toSeq)
+  }
+
   test("sample: domains outside the targets are dropped entirely") {
     val docs = corpus((1L, "web", 10L), (2L, "spam", 10L))
     val kept = DomainMix.sample(docs, "doc_id", "domain", "n_tokens",
