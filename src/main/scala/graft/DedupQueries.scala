@@ -167,6 +167,17 @@ object DedupQueries {
         .orderBy("lang")
     },
 
+    // C27 (oracle, round 8): training-export manifest — deterministic
+    // shard assignment + order-independent bit_xor checksum per shard,
+    // recomputable by ANY engine with md5 to audit a delivered corpus.
+    "export_manifest" -> Q { (s, d) =>
+      import graft.functions.{TextFunctions => T}
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        T.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.TrainExport.manifest(docs, "doc_id", "n_tokens", 8)
+        .orderBy("shard")
+    },
+
     // C26 (oracle, round 8): cluster-representative selection — keep
     // the highest-quality member of every minhash near-dup cluster
     // (the production dedup policy: drop the boilerplate copy, keep
@@ -347,6 +358,12 @@ object DedupQueries {
          |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
     "dedup_keep_best" -> DedupOracles.keepBestSql,
+
+    "export_manifest" -> graft.operators.TrainExport.manifestSql(
+      "documents", "doc_id",
+      """CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END""".stripMargin,
+      8),
 
     "mix_epochs" ->
       s"""WITH tok AS (
