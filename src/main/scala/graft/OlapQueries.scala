@@ -255,6 +255,21 @@ object OlapQueries {
         .orderBy("event_id")
     },
 
+    // B12d (round 8): NEAREST direction (pandas merge_asof nearest) —
+    // the closest purchase in either direction, ties to the earlier
+    // one. Both carries run as two frames over ONE window sort (single
+    // shuffle); the oracle composes DuckDB's backward + forward ASOF.
+    "q_asof_nearest" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts_us")
+      val pur = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us")
+      graft.operators.AsofJoin
+        .leftAsofNearest(ev, pur, "user_id", "ts_us", "ts_us")
+        .select(col("event_id"), col("asof.ts_us").as("nearest_purchase_us"))
+        .orderBy("event_id")
+    },
+
     // B12c (round 7): the TIME-BUCKETED asof plan — identical output
     // to q_asof_join (same oracle), but windows partition by
     // (user_id, hour) with boundary carry-over, so one hot user's
@@ -412,6 +427,26 @@ object OlapQueries {
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
         |ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // nearest = closer of the backward and forward matches, ties to
+    // the earlier (backward) side — composed from two native ASOFs
+    "q_asof_nearest" ->
+      """WITH pur AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        | SELECT l.event_id, epoch_us(l.ts) AS lts, epoch_us(r.ts) AS bts
+        | FROM events l
+        | ASOF LEFT JOIN pur r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |), f AS (
+        | SELECT l.event_id, epoch_us(r.ts) AS fts
+        | FROM events l
+        | ASOF LEFT JOIN pur r ON l.user_id = r.user_id AND l.ts <= r.ts
+        |)
+        |SELECT b.event_id, CASE
+        |  WHEN fts IS NULL THEN bts
+        |  WHEN bts IS NULL THEN fts
+        |  WHEN (lts - bts) <= (fts - lts) THEN bts ELSE fts
+        | END AS nearest_purchase_us
+        |FROM b JOIN f USING (event_id) ORDER BY b.event_id""".stripMargin,
 
     // same semantics as the plain variants — the bucketed plan must be
     // output-identical, so it faces the identical oracle

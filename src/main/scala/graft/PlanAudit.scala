@@ -1,0 +1,23 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    Seq("mix_domains", "mix_epochs", "export_manifest", "text_span_dedup",
+      "q_uniq_approx_str", "dedup_keep_best").foreach { q =>
+      println(s"======== $q")
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      // condensed: exchanges, joins, scans
+      plan.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Scan parquet") ||
+        l.contains("HashAggregate") && l.contains("partial") || l.contains("Window"))
+        .foreach(l => println(l.take(200)))
+    }
+    spark.stop()
+  }
+}

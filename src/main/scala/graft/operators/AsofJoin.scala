@@ -138,4 +138,53 @@ object AsofJoin {
       .filter(col("_l").isNotNull)
       .select(leftCols.map(c => col(s"_l.$c").as(c)) :+ col("asof"): _*)
   }
+
+  /** NEAREST as-of join (pandas `merge_asof(direction='nearest')`,
+    * which neither ClickHouse nor DuckDB expresses as one ASOF): for
+    * every left row, the right row minimizing |right.ts - left.ts|
+    * within the key; equal distance breaks toward the EARLIER right
+    * row (deterministic, matching the backward-preferred convention).
+    *
+    * Same single-shuffle shape as [[leftAsof]]: one tag-union, one
+    * sort — the backward carry (`last` over preceding rows) and the
+    * forward carry (`first` over following rows) are two frames over
+    * the SAME window ordering, so Spark computes both in one
+    * WindowExec pass. At equal ts the right row sorts before the left
+    * (non-strict backward), so a zero-distance match arrives via the
+    * backward carry and the tie-break keeps it.
+    *
+    * `rightTs` must be a numeric epoch column (the distance subtract).
+    */
+  def leftAsofNearest(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val leftCols = left.columns.toSeq
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields)
+    val l = left.select(
+      col(key).as("_k"), col(leftTs).as("_ts"), lit(1).as("_side"),
+      struct(leftCols.map(col): _*).as("_l"),
+      lit(null).cast(rType).as("_r"))
+    val r = right.select(
+      col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
+      lit(null).cast(lType).as("_l"),
+      struct(right.columns.map(col).toSeq: _*).as("_r"))
+    val base = Window.partitionBy("_k").orderBy(col("_ts").asc, col("_side").asc)
+    val wBack = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val back = last(col("_r"), ignoreNulls = true).over(wBack)
+    val fwd = first(col("_r"), ignoreNulls = true).over(wFwd)
+    val dBack = col("_ts") - col("_back").getField(rightTs)
+    val dFwd = col("_fwd").getField(rightTs) - col("_ts")
+    l.unionByName(r)
+      .withColumn("_back", back)
+      .withColumn("_fwd", fwd)
+      .filter(col("_l").isNotNull)
+      .withColumn("asof",
+        when(col("_fwd").isNull, col("_back"))
+          .when(col("_back").isNull, col("_fwd"))
+          .when(dBack <= dFwd, col("_back"))
+          .otherwise(col("_fwd")))
+      .select(leftCols.map(c => col(s"_l.$c").as(c)) :+ col("asof"): _*)
+  }
 }

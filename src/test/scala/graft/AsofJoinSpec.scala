@@ -35,6 +35,19 @@ class AsofJoinSpec extends SparkFunSuite {
     assert(got((1L, 25L)).contains(101.0))
   }
 
+  test("nearest: closest side wins, equal distance prefers the earlier right") {
+    val got = AsofJoin.leftAsofNearest(trades, quotes, "k", "ts", "ts")
+      .select($"k", $"ts", $"asof.px".as("px"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got((1L, 5L)).contains(100.0))  // only forward exists (ts=10)
+    assert(got((1L, 10L)).contains(100.0)) // zero-distance exact match
+    assert(got((1L, 25L)).contains(101.0)) // |25-20|=5 = |30-25|: tie -> earlier
+    assert(got((2L, 10L)).contains(50.0))  // forward to ts=15
+    assert(got((3L, 99L)).isEmpty)         // key with no right rows
+    assert(got.size == 5)                  // left join: every left row once
+  }
+
   test("forward >= semantics: earliest right at-or-after") {
     val got = AsofJoin.leftAsof(trades, quotes, "k", "ts", "ts",
         forward = true)
