@@ -76,6 +76,15 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // C28 (oracle, round 8): asymmetric n-gram CONTAINMENT — catches a
+    // doc quoted inside another (near-1.0 containment, low Jaccard).
+    // Ordered pairs; oracle recomputes over gram strings with no
+    // prefix filter, proving the filter lossless in BOTH directions.
+    "dedup_containment" -> Q { (s, d) =>
+      Dedup.containmentPairs(corpus(s, d), "doc_id", "text", threshold = 0.9)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // C5 (oracle): embedding cosine near-dups via hyperplane LSH.
     "dedup_embedding" -> Q { (s, d) =>
       Similarity.embeddingPairs(vecCorpus(s, d), threshold = 0.99)
@@ -358,6 +367,30 @@ object DedupQueries {
          |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
     "dedup_keep_best" -> DedupOracles.keepBestSql,
+
+    "dedup_containment" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        | UNION ALL
+        | SELECT doc_id + 2000000, regexp_replace(text, '^\S+\s+\S+\s+', '')
+        | FROM documents WHERE doc_id % 10 = 5
+        |), g AS MATERIALIZED (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(length(text) - 4, 1) + 1),
+        |   i -> substring(text, CAST(i AS BIGINT), 5)))) AS gram
+        | FROM corpus
+        |), sz AS MATERIALIZED (
+        | SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+        |), inter AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        | FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / sa.n AS containment
+        |FROM inter JOIN sz sa ON sa.doc_id = doc_a
+        |WHERE CAST(i AS DOUBLE) / sa.n >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "export_manifest" -> graft.operators.TrainExport.manifestSql(
       "documents", "doc_id",

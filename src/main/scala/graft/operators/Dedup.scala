@@ -402,4 +402,45 @@ object Dedup {
           size(array_union(col("ngs_a"), col("ngs_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Exact n-gram CONTAINMENT pairs (SURVEY §2 C28) — the ASYMMETRIC
+    * overlap c(a→b) = |A∩B| / |A| that Jaccard misses: a short doc
+    * fully quoted inside a long one scores near 1.0 on containment
+    * but low on Jaccard (the union is dominated by the long doc).
+    * Output is ORDERED pairs (doc_a, doc_b, containment >= t).
+    *
+    * Same prefix-filter theory as [[ngramJaccardPairs]]: c(a→b) >= t
+    * forces |A∩B| >= t·|A|, so at least one of A's first
+    * |A| - ceil(t·|A|) + 1 globally-RAREST grams must be in B — only
+    * those prefix grams probe the inverted index. The probed posting
+    * lists are therefore the short ones by construction (a hot gram is
+    * never anyone's prefix), which is what bounds candidate fan-out at
+    * corpus scale; recall stays 100% per the pigeonhole bound.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.9,
+                       persist: Persist = localPersist): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = persist(docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingleHashes(col(textCol))).as("ngs")))
+    val inverted = persist(sets.select(col("doc_id"), size(col("ngs")).as("sz"),
+      explode(col("ngs")).as("ng")))
+    val dfs = inverted.groupBy("ng").agg(count(lit(1)).as("df"))
+    val prefix = inverted.join(dfs, "ng")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("ng"))))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("doc_id", "ng")
+    val cand = prefix.as("l").join(inverted.select("doc_id", "ng").as("r"),
+        col("l.ng") === col("r.ng") && col("l.doc_id") =!= col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ngs").as("ngs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ngs").as("ngs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ngs_a"), col("ngs_b"))).cast("double") /
+          size(col("ngs_a"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
 }

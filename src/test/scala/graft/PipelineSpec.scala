@@ -65,6 +65,27 @@ class DedupSpec extends SparkFunSuite {
       .foreach(r => assert(r.getDouble(2) == 1.0))
   }
 
+  test("containment catches a quoted doc that jaccard misses") {
+    import spark.implicits._
+    val quoted = "this exact paragraph is reproduced verbatim inside the longer document"
+    val filler = (1 to 30).map(i => s"unrelated sentence number $i talking about other things").mkString(" ")
+    val docs = Seq(
+      (1L, quoted),                 // the short original
+      (2L, s"$filler $quoted"),     // long doc quoting it wholesale
+      (3L, "completely different content with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    // the short doc is contained in the long one...
+    assert(cont.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.9 })
+    // ...but NOT vice versa (asymmetric), and doc 3 pairs with nobody
+    assert(!cont.exists { case (a, b, _) => a == 2L && b == 1L })
+    assert(!cont.exists { case (a, b, _) => a == 3L || b == 3L })
+    // jaccard at the same bar misses the quote entirely
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9).count()
+    assert(jac == 0L)
+  }
+
   test("keepBest keeps the best-quality member per cluster, not the min id") {
     import spark.implicits._
     // quality = doc_id % 7 as a double: deterministic, and for planted
