@@ -166,6 +166,15 @@ object TextQueries {
       graft.operators.SpanDedup.report(
           DedupQueries.corpus(s, d), "doc_id", "text", 8)
         .orderBy("doc_id")
+    },
+
+    // C24b (oracle, round 8): the remediation half — rebuild each doc
+    // with duplicated 8-token windows REMOVED; the oracle reconstructs
+    // the scrubbed strings over the window strings themselves.
+    "text_span_scrub" -> Q { (s, d) =>
+      graft.operators.SpanDedup.scrub(
+          DedupQueries.corpus(s, d), "doc_id", "text", 8)
+        .orderBy("doc_id")
     }
   )
 
@@ -388,6 +397,35 @@ object TextQueries {
          | CAST(sum(CASE WHEN wd.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS win_dup,
          | CAST(sum(CASE WHEN wd.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
          |FROM gd JOIN wd USING (win)
-         |GROUP BY gd.doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY gd.doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_span_scrub" ->
+      s"""WITH ${DedupOracles.corpusSql}, toks AS (
+         | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+         | FROM corpus WHERE length(trim(text)) > 0
+         |), p0 AS (
+         | SELECT doc_id, tk, unnest(range(0, len(tk) - 7)) AS s
+         | FROM toks WHERE len(tk) >= 8
+         |), g AS (
+         | SELECT doc_id, s,
+         |  array_to_string(list_slice(tk, CAST(s + 1 AS BIGINT), CAST(s + 8 AS BIGINT)), ' ') AS win
+         | FROM p0
+         |), wd AS (
+         | SELECT win FROM (SELECT DISTINCT doc_id, win FROM g)
+         | GROUP BY win HAVING count(*) > 1
+         |), ds AS (
+         | SELECT doc_id, list(s) AS starts FROM g JOIN wd USING (win) GROUP BY doc_id
+         |), lab AS (
+         | SELECT t.doc_id, t.tk, coalesce(ds.starts, []) AS starts
+         | FROM toks t LEFT JOIN ds USING (doc_id)
+         |), kept AS (
+         | SELECT doc_id, tk, list_transform(list_filter(range(0, len(tk)),
+         |   i -> NOT len(list_filter(starts, st -> i >= st AND i < st + 8)) > 0),
+         |   i -> tk[CAST(i + 1 AS BIGINT)]) AS kt
+         | FROM lab)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         | CAST(len(tk) - len(kt) AS BIGINT) AS n_removed,
+         | coalesce(array_to_string(kt, ' '), '') AS scrubbed
+         |FROM kept ORDER BY doc_id""".stripMargin
   )
 }

@@ -43,4 +43,46 @@ object SpanDedup {
       .withColumn("dup_frac",
         col("win_dup").cast("double") / col("win_total").cast("double"))
   }
+
+  /** The REMEDIATION half of Lee et al. 2022: rebuild each document
+    * with every cross-document duplicated W-token window REMOVED (a
+    * token goes if ANY dup window covers it). Output:
+    * (id, n_tokens, n_removed, scrubbed) for every doc with >= 1
+    * token; docs shorter than W keep everything.
+    *
+    * Scale shape: positional windows hash in the scan stage (24-byte
+    * (id, start, hash) triples — text never shuffles into the
+    * frequency count); the per-doc dup-start list comes back through
+    * one (id → starts) aggregation and joins the original row, where
+    * the rebuild is pure executor-side HOF array work. A doc's state
+    * is bounded by its own window count.
+    */
+  def scrub(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol),
+        split(lower(trim(col(textCol))), "\\s+").as("_tk"))
+      .filter(length(trim(col(textCol))) > 0)
+    // 0-based window starts: s covers tokens s .. s+w-1
+    val g = toks
+      .filter(size(col("_tk")) >= w)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(_tk) - $w), " +
+          s"s -> named_struct('s', s, 'wh', xxhash64(array_join(slice(_tk, s + 1, $w), ' '))))"))
+        .as("_g"))
+      .select(col(idCol), col("_g.s").as("_s"), col("_g.wh").as("_wh"))
+    val dupWins = g.select(col(idCol), col("_wh")).distinct()
+      .groupBy("_wh").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") > 1)
+    val dupStarts = g.join(dupWins, Seq("_wh"))
+      .groupBy(col(idCol)).agg(collect_list(col("_s")).as("_starts"))
+    toks.join(dupStarts, Seq(idCol), "left")
+      .withColumn("_starts", coalesce(col("_starts"), typedlit(Seq.empty[Int])))
+      .withColumn("_kept", expr(
+        s"transform(filter(transform(_tk, (t, i) -> named_struct('t', t, 'i', i)), " +
+          s"p -> NOT exists(_starts, st -> p.i >= st AND p.i < st + $w)), p -> p.t)"))
+      .select(col(idCol),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        (size(col("_tk")) - size(col("_kept"))).cast("long").as("n_removed"),
+        array_join(col("_kept"), " ").as("scrubbed"))
+  }
 }

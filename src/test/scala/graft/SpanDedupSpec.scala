@@ -34,6 +34,25 @@ class SpanDedupSpec extends SparkFunSuite {
     assert(got.map(_._1) == Seq(1L, 2L))
   }
 
+  test("scrub removes exactly the duplicated spans, keeps unique text intact") {
+    val boiler = "one two three four"
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma"),   // 7 tokens, shares the 4-window
+      (2L, s"$boiler delta epsilon zeta"), // shares it at the start
+      (3L, "entirely unrelated words that stay whole"),
+      (4L, "tiny")                          // < w: untouched
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.scrub(docs, "doc_id", "text", 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1: only window [one two three four] (positions 2..5) is shared
+    // -> tokens 2..5 go, alpha beta gamma stay
+    assert(got(0) == (1L, 7L, 4L, "alpha beta gamma"))
+    assert(got(1) == (2L, 7L, 4L, "delta epsilon zeta"))
+    assert(got(2) == (3L, 6L, 0L, "entirely unrelated words that stay whole"))
+    assert(got(3) == (4L, 1L, 0L, "tiny"))
+  }
+
   test("a viral window in many docs stays one count-side row (report still exact)") {
     val boiler = "standard license header text block"
     val docs = (1L to 50L).map(i => (i, s"$boiler unique$i tail$i"))
