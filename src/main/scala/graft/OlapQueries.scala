@@ -174,6 +174,25 @@ object OlapQueries {
         .orderBy("event_type")
     },
 
+    // B6d (round 8): REAGGREGATABILITY of the portable sketch — per-
+    // (type, day) register states (the uniqState write path) merged by
+    // register max (uniqMerge), then estimated. The oracle is the
+    // DIRECT single-pass DuckDB estimate, so a gate pass proves
+    // merge-of-partials == direct, bit-exactly — the AggregatingMerge-
+    // Tree rollup contract at any grain.
+    "uniq_merge_portable" -> Q { (s, d) =>
+      import graft.functions.HllPortable
+      val ev = Tables.events(s, d)
+        .withColumn("day", expr("ts_us div 86400000000"))
+      val daily = HllPortable.registers(ev, Seq("event_type", "day"),
+        col("user_id"))
+      val merged = daily.groupBy("event_type", "_idx")
+        .agg(max("_reg").as("_reg"))
+      HllPortable.estimateFromRegisters(merged, Seq("event_type"),
+          "n_users_approx")
+        .orderBy("event_type")
+    },
+
     // B7: top-3 heavy hitters per event_type. Aggregate first (shuffle
     // of (type,user) pairs), then rank *within groups* — no global sort
     // of raw events.
@@ -393,6 +412,11 @@ object OlapQueries {
 
     "q_uniq_approx_str" -> graft.functions.HllPortable.oracleSql(
       "events", "event_type", "props", "n_props_approx", stringKernel = true),
+
+    // the DIRECT estimate: equality with the merged-partials Spark
+    // plan is exactly the reaggregation-correctness statement
+    "uniq_merge_portable" -> graft.functions.HllPortable.oracleSql(
+      "events", "event_type", "user_id", "n_users_approx"),
 
     "q_topk_events" ->
       """SELECT event_type, user_id, cnt, rk FROM (

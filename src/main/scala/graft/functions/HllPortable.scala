@@ -73,7 +73,20 @@ object HllPortable {
     * silently cast to NULL → one register → estimate ~1.
     */
   def estimate(df: DataFrame, groupCol: String, value: Column,
-               outCol: String): DataFrame = {
+               outCol: String): DataFrame =
+    estimateFromRegisters(registers(df, Seq(groupCol), value),
+      Seq(groupCol), outCol)
+
+  /** The sketch STATE per group: one (groupCols..., _idx, _reg) row
+    * per populated register — the CH `uniqState` analog for this
+    * portable sketch. States are REAGGREGATABLE: union sketches by
+    * taking max(_reg) per (coarser-group, _idx), then estimate with
+    * [[estimateFromRegisters]] — per-day partials roll up to any
+    * coarser grain without touching raw data, because register max is
+    * associative and commutative.
+    */
+  def registers(df: DataFrame, groupCols: Seq[String],
+                value: Column): DataFrame = {
     import org.apache.spark.sql.types._
     val dt = df.select(value).schema.head.dataType
     val hv = dt match {
@@ -82,14 +95,20 @@ object HllPortable {
       case _ => xxhash64(value)
     }
     val hashed = df.where(value.isNotNull)
-      .select(col(groupCol), hv.as("_h"))
+      .select(groupCols.map(col) :+ hv.as("_h"): _*)
     val rest = expr(s"shiftrightunsigned(_h, $P)")
     val rho = when(rest === 0L, lit(W + 1))
       .otherwise(lit(W + 1) - length(bin(rest)))
-    val regs = hashed
-      .groupBy(col(groupCol), col("_h").bitwiseAND(lit((M - 1).toLong)).as("_idx"))
+    hashed
+      .groupBy(groupCols.map(col) :+
+        col("_h").bitwiseAND(lit((M - 1).toLong)).as("_idx"): _*)
       .agg(max(least(rho, lit(Cap))).as("_reg"))
-    val agg = regs.groupBy(col(groupCol))
+  }
+
+  /** Estimate from (possibly merged) register rows. */
+  def estimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
+                            outCol: String): DataFrame = {
+    val agg = regs.groupBy(groupCols.map(col): _*)
       .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $Cap - _reg)")).as("_s"),
         count(lit(1)).as("_c"))
     val scaledSum = (col("_s") + (lit(M.toLong) - col("_c")) * lit(1L << Cap))
@@ -98,7 +117,7 @@ object HllPortable {
     val eRaw = lit(Num) / scaledSum
     val e = when(v > 0 && eRaw <= lit(RawThreshold), element_at(typedlit(Lut), v))
       .otherwise(eRaw)
-    agg.select(col(groupCol), floor(e).cast("long").as(outCol))
+    agg.select(groupCols.map(col) :+ floor(e).cast("long").as(outCol): _*)
   }
 
   /** The identical sketch as DuckDB SQL over `table`, with the XXH64
