@@ -34,6 +34,19 @@ object VectorQueries {
     ivfModels.getOrElseUpdate(d,
       graft.operators.IvfIndex.train(Tables.embeddings(s, d), nList = IvfNList))
 
+  // m=16 subspaces (4 dims each) x 16 centroids: the recall sweep on
+  // this corpus gave 0.18 (m=4,k=16) / 0.46 (m=8,k=64) / 0.48
+  // (m=16,k=16) / 0.6 (m=16,k=64) vs exact L2 — m=16,k=16 is the
+  // operating point: best recall per inlined-codebook byte
+  private[graft] val PqM = 16
+  private[graft] val PqK = 16
+  private val pqModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.PqIndex.PqModel]
+  private[graft] def pqModel(s: SparkSession, d: String): graft.operators.PqIndex.PqModel =
+    pqModels.getOrElseUpdate(d,
+      graft.operators.PqIndex.train(Tables.embeddings(s, d), dim = 64,
+        m = PqM, k = PqK))
+
   /** The operator's 16 seeded hyperplanes for the 64-dim test
     * embeddings, as a DuckDB signature expression over DOUBLE[] column
     * `dv`: bit j = (dot(dv, plane_j) > 0) << j. Double literals use
@@ -74,6 +87,16 @@ object VectorQueries {
     "ann_ivf" -> Q { (s, d) =>
       graft.operators.IvfIndex.topK(Tables.embeddings(s, d), probes(s, d),
         ivfModel(s, d), k = 5, nProbe = IvfNProbe).orderBy("probe_id", "rk")
+    },
+
+    // C29 (oracle, round 8): product quantization — the compressed-
+    // domain ADC scan (Jégou et al. 2011): corpus collapses to m-byte
+    // codes, probes carry m×k lookup tables, every candidate costs m
+    // table reads and a fixed-order 3-add. Trained codebooks inline
+    // into the oracle like ann_ivf's centroids.
+    "ann_pq" -> Q { (s, d) =>
+      graft.operators.PqIndex.topK(Tables.embeddings(s, d), probes(s, d),
+        pqModel(s, d), k = 5).orderBy("probe_id", "rk")
     },
 
     // C15 (oracle): per-vector stats — dim, L2 norm, sum of components.
@@ -156,7 +179,91 @@ object VectorQueries {
          |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
   }).toMap
 
-  def oracles: Map[String, String] = ivfOracle ++ Map(
+  /** DuckDB replica of the PQ pipeline — same lazy binding as
+    * [[ivfOracle]] (needs the session + sfDir to train the codebooks
+    * it inlines). Decision-for-decision: per-subspace codes via
+    * row_number(ORDER BY dd, ci) argmin, probe LUTs as sj/ci-ordered
+    * nested lists, ADC as the SAME fixed left-to-right 4-term add.
+    */
+  private def pqOracle: Map[String, String] = (for {
+    s <- SparkSession.getActiveSession
+    d <- sys.props.get("graft.oracle.sfDir")
+  } yield {
+    val m = pqModel(s, d)
+    val dsub = m.dSub
+    // BIT-EXACT transport, not text: DuckDB 1.0's literal parser is off
+    // by one ulp on some double strings — including EXACT decimal
+    // expansions (observed live: 30/1024 centroid components mis-
+    // parsed) — which surfaces here because the LUT distances ARE an
+    // output column. So each centroid component ships as its IEEE-754
+    // fields and is rebuilt with sign * mantissa * 2^e: the mantissa
+    // (< 2^53) and the power of two are exactly representable and the
+    // multiplies are pure exponent shifts, so ANY engine recovers the
+    // identical bits (validated 1024/1024 against this DuckDB).
+    def exact(x: Double): String = {
+      val bits = java.lang.Double.doubleToLongBits(x)
+      if (x == 0.0) "0.0"
+      else {
+        val sign = if (bits < 0) -1 else 1
+        val expF = ((bits >> 52) & 0x7FFL).toInt
+        val frac = bits & 0xFFFFFFFFFFFFFL
+        val (mant, e) =
+          if (expF == 0) (frac, -1074) else (frac | (1L << 52), expF - 1075)
+        s"($sign * $mant::DOUBLE * pow(2.0, $e))"
+      }
+    }
+    val cents = (for {
+      (cb, j) <- m.subCentroids.zipWithIndex
+      (c, ci) <- cb.zipWithIndex
+    } yield s"($j, $ci, ${c.map(exact).mkString("[", ",", "]")}::DOUBLE[])")
+      .mkString(",\n   ")
+    // explicit left-to-right fold, NOT list_inner_product: the ADC
+    // distance is an OUTPUT column here, and list_inner_product's
+    // accumulation rounds differently in the last ulp (fused multiply-
+    // add), which the hash gate would catch — the fold reproduces
+    // Spark's aggregate() bit-for-bit
+    val diff =
+      s"list_transform(range(1, ${dsub + 1}), i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))"
+    val adc = (1 to m.m)
+      .map(j => s"p.lut[$j][c.codes[$j] + 1]").mkString(" + ")
+    "ann_pq" ->
+      s"""WITH dv AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+         |), sc AS (
+         | SELECT * FROM (VALUES
+         |   $cents) AS t(sj, ci, cv)
+         |), slices AS (
+         | SELECT vec_id, s.sj,
+         |  list_slice(dv, s.sj * $dsub + 1, (s.sj + 1) * $dsub) AS sv
+         | FROM dv CROSS JOIN (SELECT DISTINCT sj FROM sc) s
+         |), dd AS (
+         | SELECT vec_id, slices.sj, ci,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $diff), (a, x) -> a + x) AS dd
+         | FROM slices JOIN sc ON sc.sj = slices.sj
+         |), codes AS (
+         | SELECT vec_id, list(code ORDER BY sj) AS codes FROM (
+         |  SELECT vec_id, sj, ci AS code FROM (
+         |   SELECT vec_id, sj, ci,
+         |    row_number() OVER (PARTITION BY vec_id, sj ORDER BY dd, ci) AS rn
+         |   FROM dd) WHERE rn = 1)
+         | GROUP BY vec_id
+         |), plut0 AS (
+         | SELECT vec_id AS probe_id, sj, list(dd ORDER BY ci) AS l
+         | FROM dd WHERE vec_id % 50 = 0 GROUP BY 1, 2
+         |), plut AS (
+         | SELECT probe_id, list(l ORDER BY sj) AS lut FROM plut0 GROUP BY 1
+         |), scored AS (
+         | SELECT p.probe_id, c.vec_id, $adc AS ad2
+         | FROM codes c CROSS JOIN plut p WHERE c.vec_id <> p.probe_id
+         |), ranked AS (
+         | SELECT probe_id, vec_id, ad2,
+         |  row_number() OVER (PARTITION BY probe_id ORDER BY ad2, vec_id) AS rk
+         | FROM scored)
+         |SELECT probe_id, vec_id, ad2, CAST(rk AS BIGINT) AS rk FROM ranked
+         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+  }).toMap
+
+  def oracles: Map[String, String] = ivfOracle ++ pqOracle ++ Map(
     "ann_lsh" ->
       s"""WITH dv AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings

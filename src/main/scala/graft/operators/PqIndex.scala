@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization ANN (SURVEY.md §2 C29) — Jégou et al. 2011,
+  * the FAISS `PQ` stage: split each d-dim vector into `m` subspaces,
+  * vector-quantize each subspace against its own k-centroid codebook,
+  * and score probes against the CODES via asymmetric distance
+  * computation (ADC) — a per-probe lookup table turns each candidate
+  * into m table reads and m-1 adds.
+  *
+  * Why it matters at 100 TB: a 768-dim float32 corpus is ~3 KB/vector;
+  * PQ codes at m=16, k=256 are 16 BYTES/vector — the corpus collapses
+  * ~200×, usually into memory. IVF bounds WHICH vectors are scored;
+  * PQ bounds the COST and MEMORY of scoring each one. The two compose
+  * (IVF-PQ) by running ADC inside probed cells only.
+  *
+  * Determinism discipline (same as [[IvfIndex]]): per-subspace
+  * codebooks train with the identical bit-deterministic driver-side
+  * k-means on the sliced sample; encoding is first-index argmin; the
+  * ADC sum is a FIXED left-to-right m-term add — so the trained
+  * codebooks inline into a DuckDB oracle that re-derives codes, LUTs
+  * and rankings bit-exactly.
+  */
+object PqIndex {
+
+  /** m codebooks of k centroids over d/m-dim subspaces. */
+  final case class PqModel(subCentroids: Seq[Seq[Seq[Double]]]) {
+    def m: Int = subCentroids.size
+    def k: Int = subCentroids.head.size
+    def dSub: Int = subCentroids.head.head.size
+  }
+
+  /** Train per-subspace codebooks — delegates each subspace to the
+    * bit-deterministic [[IvfIndex.train]] over the sliced vectors.
+    */
+  def train(vecs: DataFrame, dim: Int, m: Int = 4, k: Int = 16,
+            vecCol: String = "embedding", sampleCap: Int = 16384): PqModel = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dSub = dim / m
+    PqModel((0 until m).map { j =>
+      IvfIndex.train(
+        vecs.select(slice(col(vecCol), j * dSub + 1, dSub).as("embedding")),
+        nList = k, sampleCap = sampleCap).centroids
+    })
+  }
+
+  private def dist2(vec: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec, typedlit(centroid),
+        (x, c) => { val dd = x.cast("double") - c; dd * dd }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PQ codes for a vector column: array of m argmin centroid indices
+    * (first index wins ties), computed map-side against the broadcast
+    * codebooks — the 100 TB encode pass is one scan, zero shuffle.
+    */
+  def encode(vec: Column, model: PqModel): Column =
+    array(model.subCentroids.zipWithIndex.map { case (cents, j) =>
+      val sv = slice(vec, j * model.dSub + 1, model.dSub)
+      val dists = array(cents.map(c => dist2(sv, c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+
+  /** Per-probe ADC lookup table: m × k squared distances from the
+    * probe's subvectors to every codebook centroid.
+    */
+  def lut(vec: Column, model: PqModel): Column =
+    array(model.subCentroids.zipWithIndex.map { case (cents, j) =>
+      val sv = slice(vec, j * model.dSub + 1, model.dSub)
+      array(cents.map(c => dist2(sv, c)): _*)
+    }: _*)
+
+  /** Exhaustive ADC top-k over the coded corpus: probes broadcast with
+    * their LUTs; every candidate costs m element_at reads and a fixed
+    * left-to-right (m-1)-add — the compressed-domain scan that replaces
+    * touching raw floats. Ranking: (approx distance asc, vec_id).
+    */
+  def topK(corpus: DataFrame, probes: DataFrame, model: PqModel, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coded = corpus.select(col(idCol).as("vec_id"),
+      encode(col(vecCol), model).as("codes"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      lut(col(vecCol), model).as("lut"))
+    val ad2 = (0 until model.m).map { j =>
+      element_at(element_at(col("lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val scored = coded.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), ad2.as("ad2"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("ad2").asc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("ad2"),
+        col("rk").cast("long").as("rk"))
+  }
+}
