@@ -99,6 +99,15 @@ object VectorQueries {
         pqModel(s, d), k = 5).orderBy("probe_id", "rk")
     },
 
+    // C29b (oracle, round 8): IVF-PQ — the full FAISS composition:
+    // probed cells bound WHICH vectors are scored, codes bound the
+    // scoring cost. Both trained models inline into one oracle.
+    "ann_ivfpq" -> Q { (s, d) =>
+      graft.operators.PqIndex.topKIvf(Tables.embeddings(s, d), probes(s, d),
+        ivfModel(s, d), pqModel(s, d), k = 5, nProbe = IvfNProbe)
+        .orderBy("probe_id", "rk")
+    },
+
     // C15 (oracle): per-vector stats — dim, L2 norm, sum of components.
     // Pure codegen'd HOF arithmetic in the scan stage, zero shuffle;
     // the norm is the same left-to-right double fold the ANN oracle
@@ -226,8 +235,9 @@ object VectorQueries {
       s"list_transform(range(1, ${dsub + 1}), i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))"
     val adc = (1 to m.m)
       .map(j => s"p.lut[$j][c.codes[$j] + 1]").mkString(" + ")
-    "ann_pq" ->
-      s"""WITH dv AS (
+    // shared CTE chain: per-vector codes + per-probe LUTs
+    val pqCtes =
+      s"""dv AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
          |), sc AS (
          | SELECT * FROM (VALUES
@@ -252,16 +262,55 @@ object VectorQueries {
          | FROM dd WHERE vec_id % 50 = 0 GROUP BY 1, 2
          |), plut AS (
          | SELECT probe_id, list(l ORDER BY sj) AS lut FROM plut0 GROUP BY 1
-         |), scored AS (
-         | SELECT p.probe_id, c.vec_id, $adc AS ad2
-         | FROM codes c CROSS JOIN plut p WHERE c.vec_id <> p.probe_id
-         |), ranked AS (
+         |)""".stripMargin
+    val rankTail =
+      s""", ranked AS (
          | SELECT probe_id, vec_id, ad2,
          |  row_number() OVER (PARTITION BY probe_id ORDER BY ad2, vec_id) AS rk
          | FROM scored)
          |SELECT probe_id, vec_id, ad2, CAST(rk AS BIGINT) AS rk FROM ranked
          |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
-  }).toMap
+    // IVF coarse-quantizer CTEs (cell decisions only — ranking-robust,
+    // same transport as the ann_ivf oracle)
+    val im = ivfModel(s, d)
+    val idim = im.centroids.head.size
+    val icents = im.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.map(exact).mkString("[", ",", "]")}::DOUBLE[])" }
+      .mkString(",\n   ")
+    val idiff = s"list_transform(range(1, ${idim + 1}), i -> dv[i] - icv[i])"
+    val ivfCtes =
+      s""", ic AS (
+         | SELECT * FROM (VALUES
+         |   $icents) AS t(ici, icv)
+         |), idist AS (
+         | SELECT vec_id, ici, list_inner_product($idiff, $idiff) AS id2
+         | FROM dv CROSS JOIN ic
+         |), assigned AS (
+         | SELECT vec_id, ici AS cell FROM (
+         |  SELECT vec_id, ici,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY id2, ici) AS rn
+         |  FROM idist) WHERE rn = 1
+         |), pcells AS (
+         | SELECT vec_id AS probe_id, ici AS cell FROM (
+         |  SELECT vec_id, ici,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY id2, ici) AS rn
+         |  FROM idist WHERE vec_id % 50 = 0) WHERE rn <= $IvfNProbe
+         |)""".stripMargin
+    Map(
+      "ann_pq" ->
+        s"""WITH $pqCtes, scored AS (
+           | SELECT p.probe_id, c.vec_id, $adc AS ad2
+           | FROM codes c CROSS JOIN plut p WHERE c.vec_id <> p.probe_id
+           |)$rankTail""".stripMargin,
+      "ann_ivfpq" ->
+        s"""WITH $pqCtes$ivfCtes, scored AS (
+           | SELECT p.probe_id, c.vec_id, $adc AS ad2
+           | FROM assigned a
+           |  JOIN pcells pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+           |  JOIN codes c ON c.vec_id = a.vec_id
+           |  JOIN plut p ON p.probe_id = pc.probe_id
+           |)$rankTail""".stripMargin)
+  }).getOrElse(Map.empty)
 
   def oracles: Map[String, String] = ivfOracle ++ pqOracle ++ Map(
     "ann_lsh" ->

@@ -79,18 +79,42 @@ object PqIndex {
     */
   def topK(corpus: DataFrame, probes: DataFrame, model: PqModel, k: Int,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val coded = corpus.select(col(idCol).as("vec_id"),
       encode(col(vecCol), model).as("codes"))
     val p = probes.select(col(idCol).as("probe_id"),
       lut(col(vecCol), model).as("lut"))
+    rank(coded.join(broadcast(p), col("vec_id") =!= col("probe_id")), model, k)
+  }
+
+  /** IVF-PQ — the full FAISS shape: the coarse quantizer bounds WHICH
+    * vectors are scored (probe-cell equi-join instead of the exhaustive
+    * pair set), PQ bounds the COST and MEMORY of scoring each one (ADC
+    * over codes). At 100 TB the candidate stream is cells-worth of
+    * 16-byte codes, never raw floats.
+    */
+  def topKIvf(corpus: DataFrame, probes: DataFrame, ivf: IvfIndex.Model,
+              model: PqModel, k: Int, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val coded = corpus.select(col(idCol).as("vec_id"),
+      encode(col(vecCol), model).as("codes"),
+      IvfIndex.assignCell(col(vecCol), ivf).as("cell"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      lut(col(vecCol), model).as("lut"),
+      explode(IvfIndex.probeCells(col(vecCol), ivf, nProbe)).as("cell"))
+    rank(coded.join(broadcast(p),
+      coded("cell") === p("cell") && col("vec_id") =!= col("probe_id")), model, k)
+  }
+
+  /** Shared ADC scoring + (ad2 asc, vec_id) ranking over candidate
+    * (codes, lut) pairs.
+    */
+  private def rank(cand: DataFrame, model: PqModel, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ad2 = (0 until model.m).map { j =>
       element_at(element_at(col("lut"), j + 1),
         element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
-    val scored = coded.join(broadcast(p), col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), ad2.as("ad2"))
-    scored
+    cand.select(col("probe_id"), col("vec_id"), ad2.as("ad2"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("ad2").asc, col("vec_id"))))
       .filter(col("rk") <= k)
