@@ -44,6 +44,18 @@ object TrainExport {
       .agg(count(lit(1)).as("n_rows"), sum(col(tokenCol)).as("n_tokens"),
         expr("bit_xor(_ck)").as("checksum"))
 
+  /** Merge stacked manifest rows (e.g. per-micro-batch manifests of
+    * disjoint row sets) into one: counts and token sums ADD, checksums
+    * XOR — both commutative and associative, so manifests compose in
+    * any order and any grouping. This law is what makes INCREMENTAL
+    * delivery auditable: the manifest of a union is the merge of the
+    * parts' manifests.
+    */
+  def mergeManifests(stacked: DataFrame): DataFrame =
+    stacked.groupBy("shard")
+      .agg(sum("n_rows").as("n_rows"), sum("n_tokens").as("n_tokens"),
+        expr("bit_xor(checksum)").as("checksum"))
+
   /** Write `docs` as one parquet dir per shard under `dir`, rows in
     * the seeded-hash training order, plus the manifest at
     * `dir/_manifest`. Returns the manifest.
