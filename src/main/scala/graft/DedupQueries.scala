@@ -176,6 +176,27 @@ object DedupQueries {
         .orderBy("lang")
     },
 
+    // C30 (oracle, round 8): the round-8 pipeline composed END-TO-END
+    // as one gated query — Gopher rule filter → domain mixing (en:de:
+    // fr:es = 5:2:2:1 over the survivors) → sharded export manifest.
+    // Each stage is independently gated; this proves the COMPOSITION
+    // (the filter changes the domain totals the mix plans against, the
+    // mix changes the population the manifest checksums).
+    "pipeline_train_export" -> Q { (s, d) =>
+      import graft.functions.{TextFunctions => T}
+      val kept = graft.operators.QualityRules
+        .ruleFlags(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("keep"))
+        .select("doc_id", "n_tokens")
+        .join(Tables.documents(s, d).select("doc_id", "lang"), Seq("doc_id"))
+      val targets = Seq(("en", 5L), ("de", 2L), ("fr", 2L), ("es", 1L))
+      val mixed = graft.operators.DomainMix
+        .sample(kept, "doc_id", "lang", "n_tokens", targets, seed = 7L)
+      graft.operators.TrainExport
+        .manifest(mixed, "doc_id", "n_tokens", 8)
+        .orderBy("shard")
+    },
+
     // C27 (oracle, round 8): training-export manifest — deterministic
     // shard assignment + order-independent bit_xor checksum per shard,
     // recomputable by ANY engine with md5 to audit a delivered corpus.
@@ -391,6 +412,58 @@ object DedupQueries {
         |FROM inter JOIN sz sa ON sa.doc_id = doc_a
         |WHERE CAST(i AS DOUBLE) / sa.n >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "pipeline_train_export" -> {
+      val QR = graft.operators.QualityRules
+      // stopword regex from TextFunctions directly — referencing
+      // TextQueries.stopRe from this val risks the object-init cycle
+      // that NULLed keepBestSql (see DedupOracles.stopReEn)
+      val stopReEn = s"\\b(${graft.functions.TextFunctions.stopwords.head._2})\\b"
+      s"""WITH toks AS (
+         | SELECT doc_id, lang,
+         |  CASE WHEN length(trim(text)) > 0
+         |       THEN regexp_split_to_array(lower(trim(text)), '\\s+')
+         |       ELSE CAST([] AS VARCHAR[]) END AS tk,
+         |  length(regexp_replace(trim(text), '\\s', '', 'g')) AS word_chars,
+         |  len(regexp_extract_all(lower(text), '$stopReEn')) AS n_stop
+         | FROM documents
+         |), met AS (
+         | SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |  CAST(word_chars AS BIGINT) AS word_chars,
+         |  CAST(n_stop AS BIGINT) AS n_stop
+         | FROM toks
+         |), kept AS (
+         | SELECT doc_id, lang, n_tokens FROM met
+         | WHERE n_tokens >= ${QR.DefaultMinTokens} AND n_tokens <= ${QR.DefaultMaxTokens}
+         |   AND word_chars >= ${QR.DefaultMinWordLen} * n_tokens
+         |   AND word_chars <= ${QR.DefaultMaxWordLen} * n_tokens
+         |   AND n_stop >= ${QR.DefaultMinStopHits}
+         |   AND ${QR.DistinctRatioDen} * n_distinct >= ${QR.DistinctRatioNum} * n_tokens
+         |), tw AS (
+         | SELECT * FROM (VALUES ('en', 5), ('de', 2), ('fr', 2), ('es', 1)) t(lang, weight)
+         |), totals AS (
+         | SELECT lang, sum(n_tokens) AS t_tokens FROM kept GROUP BY 1
+         |), pl AS (
+         | SELECT tw.lang, CAST(coalesce(t_tokens, 0) AS BIGINT) AS t_tokens,
+         |  CAST(weight AS BIGINT) AS weight
+         | FROM tw LEFT JOIN totals USING (lang)
+         |), p2 AS (
+         | SELECT *, min((t_tokens * 10) // weight) OVER () AS budget_tokens FROM pl
+         |), p3 AS (
+         | SELECT *, (weight * budget_tokens) // 10 AS goal_tokens FROM p2
+         |), p4 AS (
+         | SELECT lang, CASE WHEN t_tokens = 0 THEN 0.0
+         |  ELSE least(1.0, CAST(goal_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE)) END AS keep_frac
+         | FROM p3
+         |), mixed AS (
+         | SELECT k.doc_id, k.n_tokens FROM kept k JOIN p4 USING (lang)
+         | WHERE CAST(${md5BucketSql("CAST(doc_id AS VARCHAR)", 7L)} AS DOUBLE)
+         |       < keep_frac * 1000000.0
+         |)
+         |${graft.operators.TrainExport.manifestSql("mixed", "doc_id", "n_tokens", 8)}"""
+        .stripMargin
+    },
 
     "export_manifest" -> graft.operators.TrainExport.manifestSql(
       "documents", "doc_id",
