@@ -73,9 +73,21 @@ object DomainMix {
     */
   def sample(docs: DataFrame, idCol: String, domainCol: String,
              tokenCol: String, targets: Seq[(String, Long)],
-             seed: Long = 42L): DataFrame = {
-    val p = plan(docs, domainCol, tokenCol, targets)
-      .select(col(domainCol), col("keep_frac"))
+             seed: Long = 42L): DataFrame =
+    sampleWithPlan(docs, idCol, domainCol,
+      plan(docs, domainCol, tokenCol, targets), seed)
+
+  /** [[sample]] against a PRECOMPUTED plan (any DataFrame carrying
+    * `domainCol` and `keep_frac` — normally [[plan]]'s output, cached
+    * or persisted). This is the one-scan path at scale: materialize
+    * the #domains-row plan once (its totals aggregation is the only
+    * pass over the corpus), then every downstream consumer pays a
+    * single filter-join scan instead of re-deriving the totals.
+    */
+  def sampleWithPlan(docs: DataFrame, idCol: String, domainCol: String,
+                     precomputedPlan: DataFrame,
+                     seed: Long = 42L): DataFrame = {
+    val p = precomputedPlan.select(col(domainCol), col("keep_frac"))
     docs.join(broadcast(p), Seq(domainCol))
       .filter(Sampling.portableBucket(col(idCol), seed).cast("double") <
         col("keep_frac") * lit(Buckets.toDouble))
@@ -95,6 +107,8 @@ object DomainMix {
   def planEpochs(docs: DataFrame, domainCol: String, tokenCol: String,
                  targets: Seq[(String, Long)], maxEpochs: Int): DataFrame = {
     require(maxEpochs >= 1)
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "targets must be positive integer weights")
     val w = targets.map(_._2).sum
     val spark = docs.sparkSession
     import spark.implicits._

@@ -70,10 +70,27 @@ object TrainExport {
       .sortWithinPartitions("shard", "_ord")
       .drop("_ord")
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
-    val m = manifest(docs, idCol, tokenCol, nShards, seed)
+    // The stored manifest describes the bytes actually written, not a
+    // second scan of `docs`: if the input is not perfectly
+    // deterministic across actions (re-read mutated source, unstable
+    // sample), a re-derived manifest would checksum a corpus that was
+    // never delivered. Reading the fresh shard files back makes
+    // stored == verify-recomputed true by construction.
+    val spark = docs.sparkSession
+    val m = recompute(spark.read.parquet(dir), idCol, tokenCol, seed)
     m.coalesce(1).write.mode("overwrite").parquet(s"$dir/_manifest")
-    m
+    spark.read.parquet(s"$dir/_manifest")
   }
+
+  /** Manifest recomputed from delivered shard files (shard is the
+    * partition column of the written layout). */
+  private[graft] def recompute(data: DataFrame, idCol: String,
+                               tokenCol: String, seed: Long): DataFrame =
+    data.select(col("shard").cast("long").as("shard"), col(tokenCol),
+        checksum60(col(idCol), seed).as("_ck"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum(col(tokenCol)).as("n_tokens"),
+        expr("bit_xor(_ck)").as("checksum"))
 
   /** Audit a written export: recompute the manifest from the shard
     * files and diff against the stored one. Returns the discrepancy
@@ -82,20 +99,25 @@ object TrainExport {
     */
   def verify(spark: SparkSession, dir: String, idCol: String,
              tokenCol: String, seed: Long = 42L): DataFrame = {
-    val stored = spark.read.parquet(s"$dir/_manifest")
-    val data = spark.read.parquet(dir)
-    val recomputed = data
-      .select(col("shard").cast("long").as("shard"), col(tokenCol),
-        checksum60(col(idCol), seed).as("_ck"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_rows"), sum(col(tokenCol)).as("n_tokens"),
-        expr("bit_xor(_ck)").as("checksum"))
+    val stored = readManifest(spark, dir)
+    val recomputed = recompute(spark.read.parquet(dir), idCol, tokenCol, seed)
     stored.withColumn("side", lit("stored"))
       .unionByName(recomputed.withColumn("side", lit("recomputed")))
       .groupBy("shard", "n_rows", "n_tokens", "checksum")
       .agg(count(lit(1)).as("sides"))
       .filter(col("sides") =!= 2)
   }
+
+  /** The stored manifest of an export. The batch writer stores one
+    * merged file; the streaming writer ([[graft.streaming.ExportStream]])
+    * stores one manifest per committed micro-batch under
+    * `_manifest/batch=<id>` — merging on read (counts add, checksums
+    * XOR) makes both layouts one API, and lets a retried micro-batch
+    * OVERWRITE its own manifest instead of double-merging it.
+    */
+  def readManifest(spark: SparkSession, dir: String): DataFrame =
+    mergeManifests(spark.read.parquet(s"$dir/_manifest")
+      .select("shard", "n_rows", "n_tokens", "checksum"))
 
   /** DuckDB replica of [[manifest]] over `table` (oracle seam). */
   def manifestSql(table: String, idCol: String, tokenExpr: String,

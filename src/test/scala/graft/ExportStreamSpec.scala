@@ -33,7 +33,7 @@ class ExportStreamSpec extends SparkFunSuite {
     val expected = TrainExport.manifest(
         docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 4)
       .orderBy("shard").collect().toSeq
-    val stored = spark.read.parquet(s"$dir/_manifest")
+    val stored = TrainExport.readManifest(spark, dir)
       .orderBy("shard").collect().toSeq
     assert(stored == expected)
 
@@ -42,6 +42,26 @@ class ExportStreamSpec extends SparkFunSuite {
 
     // and the data itself is complete
     assert(spark.read.parquet(dir).count() == 300L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("a retried micro-batch replaces its delivery — no duplicates, audit clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_retry").toString
+    val b0 = (1L to 80L).map(i => (i, i % 7)).toDF("doc_id", "n_tokens")
+    val b1 = (81L to 150L).map(i => (i, i % 7)).toDF("doc_id", "n_tokens")
+    ExportStream.deliverBatch(b0, 0L, "doc_id", "n_tokens", dir, nShards = 4)
+    ExportStream.deliverBatch(b1, 1L, "doc_id", "n_tokens", dir, nShards = 4)
+    // simulate a foreachBatch retry: batch 1 re-runs with the SAME id
+    ExportStream.deliverBatch(b1, 1L, "doc_id", "n_tokens", dir, nShards = 4)
+
+    assert(spark.read.parquet(dir).count() == 150L)
+    val expected = TrainExport.manifest(
+        b0.unionByName(b1), "doc_id", "n_tokens", 4)
+      .orderBy("shard").collect().toSeq
+    val stored = TrainExport.readManifest(spark, dir)
+      .orderBy("shard").collect().toSeq
+    assert(stored == expected)
+    assert(TrainExport.verify(spark, dir, "doc_id", "n_tokens").count() == 0)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
