@@ -190,8 +190,13 @@ object DedupQueries {
         .select("doc_id", "n_tokens")
         .join(Tables.documents(s, d).select("doc_id", "lang"), Seq("doc_id"))
       val targets = Seq(("en", 5L), ("de", 2L), ("fr", 2L), ("es", 1L))
+      // one-scan mixing: materialize the #domains-row plan once (the
+      // only pass that aggregates the corpus), then the sample pays a
+      // single filter-join scan instead of re-deriving the totals
+      val mixPlan = graft.operators.DomainMix
+        .plan(kept, "lang", "n_tokens", targets).cache()
       val mixed = graft.operators.DomainMix
-        .sample(kept, "doc_id", "lang", "n_tokens", targets, seed = 7L)
+        .sampleWithPlan(kept, "doc_id", "lang", mixPlan, seed = 7L)
       graft.operators.TrainExport
         .manifest(mixed, "doc_id", "n_tokens", 8)
         .orderBy("shard")

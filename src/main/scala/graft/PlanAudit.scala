@@ -9,13 +9,14 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
     Seq("mix_domains", "mix_epochs", "export_manifest", "text_span_dedup",
-      "q_uniq_approx_str", "dedup_keep_best").foreach { q =>
+      "q_uniq_approx_str", "dedup_keep_best", "pipeline_train_export").foreach { q =>
       println(s"======== $q")
       val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
       // condensed: exchanges, joins, scans
       plan.linesIterator.filter(l =>
         l.contains("Exchange") || l.contains("Join") || l.contains("Scan parquet") ||
-        l.contains("HashAggregate") && l.contains("partial") || l.contains("Window"))
+        l.contains("HashAggregate") && l.contains("partial") || l.contains("Window") ||
+        l.contains("InMemoryTableScan") || l.contains("InMemoryRelation"))
         .foreach(l => println(l.take(200)))
     }
     spark.stop()
