@@ -12,8 +12,17 @@ import org.apache.spark.sql.functions._
   *  - facts (lineitem/orders/events) grow k× with disjoint key ranges;
   *    events also grows the USER population k× (distinct-count and
   *    sessionize state scale), with time density growing in place;
-  *  - documents replicates text verbatim under new doc_ids — at scale,
-  *    duplication RISES, so dedup sees a harder (more realistic) input;
+  *  - documents grow k× under new doc_ids with a per-replica Caesar
+  *    rotation of the letters (a cheap codegen `translate`): replicas
+  *    of one doc are NOT near-dups of each other, so the corpus keeps
+  *    a CONSTANT duplication rate and duplicate-GROUP sizes as it
+  *    grows — the realistic 100 TB model. (Verbatim replication would
+  *    instead grow every near-dup group k×, inflating candidate pairs
+  *    ~k² — a group-size stress, not a scale model; the near-dup ops'
+  *    ratios would then measure the replication artifact, not the
+  *    plan. Within a replica the rotation is one substitution cipher,
+  *    so token boundaries, doc lengths, and every within-replica
+  *    duplicate relation are preserved exactly.)
   *  - embeddings grows the corpus k× (brute-force ANN cost scales);
   *  - dimensions (region..part) stay fixed, like real warehouses.
   *
@@ -48,7 +57,11 @@ object ScaleStudy {
       df.withColumn("event_id", col("event_id") + lit(i * shift))
         .withColumn("user_id", col("user_id") + lit(i * 10000000L)) }
     scaled("documents") { (df, i) =>
-      df.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)) }
+      val abc = "abcdefghijklmnopqrstuvwxyz"
+      val rot = abc.drop(i % 26) + abc.take(i % 26)
+      df.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", translate(col("text"),
+          abc + abc.toUpperCase, rot + rot.toUpperCase)) }
     scaled("embeddings") { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)) }
     new java.io.File(fs, "_DONE").createNewFile()
@@ -57,7 +70,8 @@ object ScaleStudy {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
-    val work = args.lift(2).getOrElse(s"/tmp/graft_scale_x$k")
+    // r9 suffix: the replica layout changed (per-replica text rotation)
+    val work = args.lift(2).getOrElse(s"/tmp/graft_scale_r9_x$k")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,17 +92,20 @@ object ScaleStudy {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // headline + the LLM-pipeline set (round 9): the scale mandate's
+    // own operators get measured ratios, not design arguments
+    val studied = Bench.headline ++ Bench.pipeline
     // warm codegen at the smallest SF
-    Bench.headline.foreach { n =>
+    studied.foreach { n =>
       try timeOnce(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
     // interleaved passes (same rationale as Bench), min-of-3
     val passes = (1 to 3).map { _ =>
-      Bench.headline.map { n =>
+      studied.map { n =>
         n -> (timeOnce(n, base), timeOnce(n, work))
       }.toMap
     }
-    val rows = Bench.headline.map { n =>
+    val rows = studied.map { n =>
       val bs = passes.map(_(n)._1).min
       val ss = passes.map(_(n)._2).min
       (n, bs, ss, ss / bs)

@@ -175,6 +175,17 @@ object TextQueries {
       graft.operators.SpanDedup.scrub(
           DedupQueries.corpus(s, d), "doc_id", "text", 8)
         .orderBy("doc_id")
+    },
+
+    // C24c (oracle, round 9): maximal duplicated runs — adjacent
+    // duplicated 8-token windows merged into maximal token intervals
+    // (the distributable approximation of Lee et al.'s exact-substring
+    // dedup); the oracle re-merges the intervals with the same
+    // lag + running-sum island detection over window STRINGS.
+    "text_span_runs" -> Q { (s, d) =>
+      graft.operators.SpanDedup.runs(
+          DedupQueries.corpus(s, d), "doc_id", "text", 8)
+        .orderBy("doc_id", "run_id")
     }
   )
 
@@ -426,6 +437,38 @@ object TextQueries {
          |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
          | CAST(len(tk) - len(kt) AS BIGINT) AS n_removed,
          | coalesce(array_to_string(kt, ' '), '') AS scrubbed
-         |FROM kept ORDER BY doc_id""".stripMargin
+         |FROM kept ORDER BY doc_id""".stripMargin,
+
+    "text_span_runs" ->
+      s"""WITH ${DedupOracles.corpusSql}, toks AS (
+         | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+         | FROM corpus WHERE length(trim(text)) > 0
+         |), p0 AS (
+         | SELECT doc_id, tk, unnest(range(0, len(tk) - 7)) AS s
+         | FROM toks WHERE len(tk) >= 8
+         |), g AS (
+         | SELECT doc_id, s,
+         |  array_to_string(list_slice(tk, CAST(s + 1 AS BIGINT), CAST(s + 8 AS BIGINT)), ' ') AS win
+         | FROM p0
+         |), wd AS (
+         | SELECT win FROM (SELECT DISTINCT doc_id, win FROM g)
+         | GROUP BY win HAVING count(*) > 1
+         |), ds AS (
+         | SELECT doc_id, s FROM g JOIN wd USING (win)
+         |), m AS (
+         | SELECT doc_id, s,
+         |  CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+         |    OR s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) > 8
+         |   THEN 1 ELSE 0 END AS nw
+         | FROM ds
+         |), r AS (
+         | SELECT doc_id, s,
+         |  sum(nw) OVER (PARTITION BY doc_id ORDER BY s) - 1 AS run_id
+         | FROM m)
+         |SELECT doc_id, CAST(run_id AS BIGINT) AS run_id,
+         | CAST(min(s) AS BIGINT) AS run_start,
+         | CAST(max(s) + 7 AS BIGINT) AS run_end,
+         | CAST(max(s) - min(s) + 8 AS BIGINT) AS run_tokens
+         |FROM r GROUP BY doc_id, run_id ORDER BY doc_id, run_id""".stripMargin
   )
 }

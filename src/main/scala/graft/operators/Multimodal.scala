@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY.md §2 C12): treat media payloads
   * as opaque binary columns with typed metadata extracted executor-side.
   *
-  * The decode step is a clearly-marked deterministic STUB (this
-  * container ships no image/audio codecs); everything around it — the
-  * binary column handling, the typed Dataset batch path, partitioning,
-  * and the output schema — is the real plumbing a decode UDF would run
-  * in. Swap `decodeStub` for a real codec call and nothing else changes.
+  * Image decode is REAL ([[Multimodal.ImageIoDecoder]], round 9): the
+  * JDK's `javax.imageio` parses PNG/BMP/GIF/JPEG headers executor-side
+  * behind the [[Multimodal.MediaDecoder]] seam. Formats the JDK has no
+  * codec for (video/audio) fall back to the clearly-marked
+  * deterministic stub; everything around the seam — binary column
+  * handling, the typed Dataset batch path, partitioning, output
+  * schema — is the same plumbing either way.
   */
 object Multimodal {
 
@@ -46,6 +48,41 @@ object Multimodal {
     override def decode(docId: Long, payload: Array[Byte]): MediaDecoded = {
       val (w, h, f) = decodeStub(docId, payload.length.toLong)
       MediaDecoded(w, h, f)
+    }
+  }
+
+  /** REAL image decoder (round 9) — `javax.imageio` ships in the JDK,
+    * so PNG / BMP / GIF / JPEG / WBMP (+ TIFF on JDK 9+) decode with
+    * zero added dependencies. Reads ONLY the header: `getWidth(0)` /
+    * `getHeight(0)` parse dimensions without decoding pixel data, the
+    * right cost profile for a metadata scan over binary payloads.
+    * `getNumImages(allowSearch = true)` counts frames (real for
+    * animated GIF / multi-page TIFF; 1 for stills).
+    *
+    * Payloads no JDK reader recognizes fall through to `fallback`
+    * (default: the deterministic stub) — the corrupt-or-exotic-payload
+    * policy stays the caller's, and a corpus mixing real images with
+    * formats the JDK lacks (video, audio) keeps flowing.
+    */
+  final class ImageIoDecoder(fallback: MediaDecoder = StubMediaDecoder)
+      extends MediaDecoder {
+    override def open(): Unit =
+      // no disk-backed stream cache on executors: decode from memory
+      javax.imageio.ImageIO.setUseCache(false)
+    override def decode(docId: Long, payload: Array[Byte]): MediaDecoded = {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (readers.hasNext) {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            MediaDecoded(r.getWidth(0).toLong, r.getHeight(0).toLong,
+              math.max(1, r.getNumImages(true)).toLong)
+          } finally r.dispose()
+        } else fallback.decode(docId, payload)
+      } finally if (in != null) in.close()
     }
   }
 

@@ -58,10 +58,68 @@ object SpanDedup {
     * is bounded by its own window count.
     */
   def scrub(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val toks = docs
+    val toks = tokenized(docs, idCol, textCol)
+    val dupStarts = dupStartRows(toks, idCol, w)
+      .groupBy(col(idCol)).agg(collect_list(col("_s")).as("_starts"))
+    toks.join(dupStarts, Seq(idCol), "left")
+      .withColumn("_starts", coalesce(col("_starts"), typedlit(Seq.empty[Int])))
+      .withColumn("_kept", expr(
+        s"transform(filter(transform(_tk, (t, i) -> named_struct('t', t, 'i', i)), " +
+          s"p -> NOT exists(_starts, st -> p.i >= st AND p.i < st + $w)), p -> p.t)"))
       .select(col(idCol),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        (size(col("_tk")) - size(col("_kept"))).cast("long").as("n_removed"),
+        array_join(col("_kept"), " ").as("scrubbed"))
+  }
+
+  /** Maximal duplicated RUNS (round 9) — the distributable
+    * approximation of Lee et al. 2022's headline exact-substring
+    * method: adjacent or overlapping cross-doc-duplicated W-token
+    * windows merge into MAXIMAL token intervals, so a 200-token
+    * license block reports as ONE (start, end) run instead of ~193
+    * fixed-W windows. Two dup starts s1 < s2 share a run iff their
+    * covered intervals [s, s+W-1] touch or overlap, i.e. s2 - s1 <= W.
+    *
+    * Output: (id, run_id, run_start, run_end, run_tokens) with run_id
+    * 0-based per doc in position order; start/end are inclusive
+    * 0-based token indices.
+    *
+    * Scale shape: identical to [[scrub]] through the dup-start rows
+    * (text never shuffles); the merge is one window over
+    * (id ORDER BY start) — lag + running-sum island detection, per-doc
+    * partitions, rows stream through with no arrays and no driver
+    * involvement.
+    */
+  def runs(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_s"))
+    dupStartRows(tokenized(docs, idCol, textCol), idCol, w)
+      .withColumn("_prev", lag(col("_s"), 1).over(byDoc))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("_s") - col("_prev") > w, 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("_new")).over(byDoc) - 1L)
+      .groupBy(col(idCol), col("run_id"))
+      .agg(min(col("_s")).cast("long").as("run_start"),
+        (max(col("_s")) + lit(w - 1)).cast("long").as("run_end"))
+      .withColumn("run_tokens", col("run_end") - col("run_start") + 1L)
+  }
+
+  /** Whitespace tokenization shared by [[scrub]] and [[runs]]. */
+  private def tokenized(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol),
         split(lower(trim(col(textCol))), "\\s+").as("_tk"))
       .filter(length(trim(col(textCol))) > 0)
+
+  /** (id, _s) for every 0-based window start s whose W-token window
+    * also occurs in at least one OTHER document — the shared scan
+    * stage: positional windows hash in place (24-byte triples), the
+    * frequency table is one (hash -> n_docs) agg, the join back is
+    * co-partitioned on the hash.
+    */
+  private def dupStartRows(toks: DataFrame, idCol: String,
+                           w: Int): DataFrame = {
     // 0-based window starts: s covers tokens s .. s+w-1
     val g = toks
       .filter(size(col("_tk")) >= w)
@@ -73,16 +131,6 @@ object SpanDedup {
     val dupWins = g.select(col(idCol), col("_wh")).distinct()
       .groupBy("_wh").agg(count(lit(1)).as("_nd"))
       .filter(col("_nd") > 1)
-    val dupStarts = g.join(dupWins, Seq("_wh"))
-      .groupBy(col(idCol)).agg(collect_list(col("_s")).as("_starts"))
-    toks.join(dupStarts, Seq(idCol), "left")
-      .withColumn("_starts", coalesce(col("_starts"), typedlit(Seq.empty[Int])))
-      .withColumn("_kept", expr(
-        s"transform(filter(transform(_tk, (t, i) -> named_struct('t', t, 'i', i)), " +
-          s"p -> NOT exists(_starts, st -> p.i >= st AND p.i < st + $w)), p -> p.t)"))
-      .select(col(idCol),
-        size(col("_tk")).cast("long").as("n_tokens"),
-        (size(col("_tk")) - size(col("_kept"))).cast("long").as("n_removed"),
-        array_join(col("_kept"), " ").as("scrubbed"))
+    g.join(dupWins, Seq("_wh")).select(col(idCol), col("_s"))
   }
 }

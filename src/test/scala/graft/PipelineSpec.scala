@@ -205,6 +205,38 @@ class MultimodalSpec extends SparkFunSuite {
     assert(n == 500)
   }
 
+  test("ImageIoDecoder decodes REAL image bytes; unknown formats fall back to the stub") {
+    import spark.implicits._
+    // real encoded images, generated in-memory with the same JDK codecs
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => img.setRGB(x, 0, x * 31))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"encode $fmt")
+      bos.toByteArray
+    }
+    val png = encode("png", 640, 480)
+    val bmp = encode("bmp", 31, 17)
+    val gif = encode("gif", 8, 8)
+    val notAnImage = Array.tabulate[Byte](100)(_.toByte)
+    val payloads = Seq(
+      (1L, png), (2L, bmp), (3L, gif), (4L, notAnImage)
+    ).toDF("doc_id", "payload").repartition(2)
+
+    val out = Multimodal.extractMetaTyped(spark, payloads,
+        new Multimodal.ImageIoDecoder())
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).width == 640L && out(1L).height == 480L && out(1L).n_frames == 1L)
+    assert(out(2L).width == 31L && out(2L).height == 17L)
+    assert(out(3L).width == 8L && out(3L).height == 8L)
+    // no JDK reader claims the junk payload -> deterministic stub values
+    val (sw, sh, sf_) = Multimodal.decodeStub(4L, 100L)
+    assert(out(4L).width == sw && out(4L).height == sh && out(4L).n_frames == sf_)
+    // the non-decode columns are decoder-independent
+    assert(out(1L).n_bytes == png.length.toLong)
+  }
+
   test("decoder seam: open once per partition, decode per row, close at task end") {
     val sc = spark.sparkContext
     val opens = sc.longAccumulator("opens")

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.SpanDedup
 
 class SpanDedupSpec extends SparkFunSuite {
@@ -51,6 +53,45 @@ class SpanDedupSpec extends SparkFunSuite {
     assert(got(1) == (2L, 7L, 4L, "delta epsilon zeta"))
     assert(got(2) == (3L, 6L, 0L, "entirely unrelated words that stay whole"))
     assert(got(3) == (4L, 1L, 0L, "tiny"))
+  }
+
+  test("runs merge adjacent dup windows into one maximal interval") {
+    // a 10-token shared block in both docs: at w=4 it yields 7 dup
+    // window starts per doc, all overlapping -> exactly ONE run
+    val block = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    val docs = Seq(
+      (1L, s"alpha beta $block gamma"),
+      (2L, s"$block delta")
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.runs(docs, "doc_id", "text", 4)
+      .orderBy("doc_id", "run_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 2L, 11L, 10L),  // tokens 2..11 = the block
+      (2L, 0L, 0L, 9L, 10L)))
+  }
+
+  test("separated dup spans stay separate runs; run cover equals scrub removal") {
+    val s1 = "one two three four"
+    val s2 = "five six seven eight"
+    val docs = Seq(
+      // two shared 4-blocks separated by >w unique tokens -> 2 runs
+      (1L, s"$s1 u1 u2 u3 u4 u5 $s2"),
+      (2L, s"$s1 v1 v2 v3 v4 v5 $s2"),
+      (3L, "wholly unique filler text with no shared spans at all")
+    ).toDF("doc_id", "text")
+    val runs = SpanDedup.runs(docs, "doc_id", "text", 4)
+    val perDoc = runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"), sum("run_tokens").as("covered"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(perDoc == Seq((1L, 2L, 8L), (2L, 2L, 8L)))
+    // the merged-run cover IS the scrub removal set: per doc,
+    // sum(run_tokens) == n_removed
+    val removed = SpanDedup.scrub(docs, "doc_id", "text", 4)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    perDoc.foreach { case (id, _, covered) =>
+      assert(covered == removed(id), s"doc $id") }
+    assert(removed(3L) == 0L)
   }
 
   test("a viral window in many docs stays one count-side row (report still exact)") {
