@@ -47,6 +47,22 @@ object VectorQueries {
       graft.operators.PqIndex.train(Tables.embeddings(s, d), dim = 64,
         m = PqM, k = PqK))
 
+  /** Residual codebooks (round 9): same m×k budget, trained on
+    * vec − cell-centroid — the FAISS IVFPQ default. PqStudy (nProbe=4,
+    * recall@5 vs exact L2, sf0.1): residual >= raw at every swept
+    * (m,k) — 0.15 vs 0.13 (m=8,k=16), 0.230 vs 0.225 (16,16), 0.375
+    * vs 0.365 (16,64) — but raw wins on the 200-vector sf0.01 corpus:
+    * near-random data has little cluster structure for residuals to
+    * exploit, so the advantage is corpus-dependent here and the
+    * operator ships as a VARIANT, not a replacement (SURVEY §12).
+    */
+  private val pqResModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.PqIndex.PqModel]
+  private[graft] def pqResModel(s: SparkSession, d: String): graft.operators.PqIndex.PqModel =
+    pqResModels.getOrElseUpdate(d,
+      graft.operators.PqIndex.trainResidual(Tables.embeddings(s, d),
+        ivfModel(s, d), dim = 64, m = PqM, k = PqK))
+
   /** The operator's 16 seeded hyperplanes for the 64-dim test
     * embeddings, as a DuckDB signature expression over DOUBLE[] column
     * `dv`: bit j = (dot(dv, plane_j) > 0) << j. Double literals use
@@ -106,6 +122,18 @@ object VectorQueries {
       graft.operators.PqIndex.topKIvf(Tables.embeddings(s, d), probes(s, d),
         ivfModel(s, d), pqModel(s, d), k = 5, nProbe = IvfNProbe)
         .orderBy("probe_id", "rk")
+    },
+
+    // C29c (oracle, round 9): residual IVF-PQ — codes quantize
+    // vec − cell-centroid (FAISS IVFPQ's by_residual): residuals
+    // concentrate near the origin, so the same 16-byte code budget
+    // buys materially higher recall. Probe LUTs are per probed CELL
+    // (the probe's residual is cell-relative); both trained models
+    // inline into the oracle bit-exactly.
+    "ann_ivfpq_residual" -> Q { (s, d) =>
+      graft.operators.PqIndex.topKIvfResidual(Tables.embeddings(s, d),
+        probes(s, d), ivfModel(s, d), pqResModel(s, d), k = 5,
+        nProbe = IvfNProbe).orderBy("probe_id", "rk")
     },
 
     // C15 (oracle): per-vector stats — dim, L2 norm, sum of components.
@@ -296,6 +324,57 @@ object VectorQueries {
          |   row_number() OVER (PARTITION BY vec_id ORDER BY id2, ici) AS rn
          |  FROM idist WHERE vec_id % 50 = 0) WHERE rn <= $IvfNProbe
          |)""".stripMargin
+    // residual-PQ chain (round 9): corpus codes from the residual vs
+    // the vector's OWN cell; probe LUTs PER PROBED CELL. Same exact
+    // transport, same argmin/fold/add disciplines as the raw chain.
+    val rm = pqResModel(s, d)
+    val rcents = (for {
+      (cb, j) <- rm.subCentroids.zipWithIndex
+      (c, ci) <- cb.zipWithIndex
+    } yield s"($j, $ci, ${c.map(exact).mkString("[", ",", "]")}::DOUBLE[])")
+      .mkString(",\n   ")
+    val resv = s"list_transform(range(1, ${idim + 1}), i -> dv[i] - icv[i])"
+    val resCtes =
+      s""", rsc AS (
+         | SELECT * FROM (VALUES
+         |   $rcents) AS t(sj, ci, cv)
+         |), crv AS (
+         | SELECT a.vec_id, a.cell, $resv AS rv
+         | FROM assigned a JOIN dv USING (vec_id) JOIN ic ON ic.ici = a.cell
+         |), cslices AS (
+         | SELECT vec_id, s.sj,
+         |  list_slice(rv, s.sj * $dsub + 1, (s.sj + 1) * $dsub) AS sv
+         | FROM crv CROSS JOIN (SELECT DISTINCT sj FROM rsc) s
+         |), cdd AS (
+         | SELECT vec_id, cslices.sj, ci,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $diff), (a, x) -> a + x) AS dd
+         | FROM cslices JOIN rsc ON rsc.sj = cslices.sj
+         |), rcodes AS (
+         | SELECT vec_id, list(code ORDER BY sj) AS codes FROM (
+         |  SELECT vec_id, sj, ci AS code FROM (
+         |   SELECT vec_id, sj, ci,
+         |    row_number() OVER (PARTITION BY vec_id, sj ORDER BY dd, ci) AS rn
+         |   FROM cdd) WHERE rn = 1)
+         | GROUP BY vec_id
+         |), prv AS (
+         | SELECT pc.probe_id, pc.cell, $resv AS rv
+         | FROM pcells pc JOIN dv ON dv.vec_id = pc.probe_id
+         |  JOIN ic ON ic.ici = pc.cell
+         |), pslices AS (
+         | SELECT probe_id, cell, s.sj,
+         |  list_slice(rv, s.sj * $dsub + 1, (s.sj + 1) * $dsub) AS sv
+         | FROM prv CROSS JOIN (SELECT DISTINCT sj FROM rsc) s
+         |), pdd AS (
+         | SELECT probe_id, cell, pslices.sj, ci,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $diff), (a, x) -> a + x) AS dd
+         | FROM pslices JOIN rsc ON rsc.sj = pslices.sj
+         |), rplut0 AS (
+         | SELECT probe_id, cell, sj, list(dd ORDER BY ci) AS l
+         | FROM pdd GROUP BY 1, 2, 3
+         |), rplut AS (
+         | SELECT probe_id, cell, list(l ORDER BY sj) AS lut
+         | FROM rplut0 GROUP BY 1, 2
+         |)""".stripMargin
     Map(
       "ann_pq" ->
         s"""WITH $pqCtes, scored AS (
@@ -309,6 +388,15 @@ object VectorQueries {
            |  JOIN pcells pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
            |  JOIN codes c ON c.vec_id = a.vec_id
            |  JOIN plut p ON p.probe_id = pc.probe_id
+           |)$rankTail""".stripMargin,
+      "ann_ivfpq_residual" ->
+        s"""WITH dv AS (
+           | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+           |)$ivfCtes$resCtes, scored AS (
+           | SELECT p.probe_id, a.vec_id, $adc AS ad2
+           | FROM assigned a
+           |  JOIN rplut p ON p.cell = a.cell AND a.vec_id <> p.probe_id
+           |  JOIN rcodes c ON c.vec_id = a.vec_id
            |)$rankTail""".stripMargin)
   }).getOrElse(Map.empty)
 

@@ -105,6 +105,59 @@ object PqIndex {
       coded("cell") === p("cell") && col("vec_id") =!= col("probe_id")), model, k)
   }
 
+  /** The vector minus its coarse cell's centroid (round 9) — what
+    * FAISS's IVFPQ actually quantizes (`by_residual`): residuals
+    * concentrate near the origin with far less variance than raw
+    * vectors, so the same m×k code budget spends its centroids on a
+    * much smaller ball — the standard single biggest recall win at
+    * fixed code size. Pure map-side arithmetic: centroid lookup from
+    * the broadcast model + one zip_with subtract.
+    */
+  def residual(vec: Column, ivf: IvfIndex.Model, cell: Column): Column = {
+    val cents = typedlit(ivf.centroids)
+    zip_with(vec, element_at(cents, cell + 1),
+      (x, c) => x.cast("double") - c)
+  }
+
+  /** Train codebooks on RESIDUALS (vec − assigned-cell centroid)
+    * instead of raw vectors. Same bit-deterministic driver-side
+    * k-means; the residual transform is itself deterministic given the
+    * (deterministic) IVF model, so these codebooks inline into the
+    * oracle exactly like the raw ones.
+    */
+  def trainResidual(vecs: DataFrame, ivf: IvfIndex.Model, dim: Int,
+                    m: Int = 4, k: Int = 16, vecCol: String = "embedding",
+                    sampleCap: Int = 16384): PqModel = {
+    val res = vecs.select(residual(col(vecCol), ivf,
+      IvfIndex.assignCell(col(vecCol), ivf)).as("embedding"))
+    train(res, dim, m, k, "embedding", sampleCap)
+  }
+
+  /** IVF-PQ over residual codes — the full FAISS IVFPQ serving shape.
+    * Differences from [[topKIvf]]: corpus codes encode the residual
+    * against the vector's OWN cell, and each probe builds one LUT PER
+    * PROBED CELL (its residual is cell-relative), so the broadcast
+    * probe side is nProbe rows per probe, each carrying its own m×k
+    * table. Candidate cost is unchanged: m table reads + fixed-order
+    * adds over 16-byte codes.
+    */
+  def topKIvfResidual(corpus: DataFrame, probes: DataFrame,
+                      ivf: IvfIndex.Model, model: PqModel, k: Int,
+                      nProbe: Int = 4, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val coded = corpus
+      .withColumn("cell", IvfIndex.assignCell(col(vecCol), ivf))
+      .select(col(idCol).as("vec_id"), col("cell"),
+        encode(residual(col(vecCol), ivf, col("cell")), model).as("codes"))
+    val p = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"),
+        explode(IvfIndex.probeCells(col(vecCol), ivf, nProbe)).as("cell"))
+      .select(col("probe_id"), col("cell"),
+        lut(residual(col("_pv"), ivf, col("cell")), model).as("lut"))
+    rank(coded.join(broadcast(p),
+      coded("cell") === p("cell") && col("vec_id") =!= col("probe_id")), model, k)
+  }
+
   /** Shared ADC scoring + (ad2 asc, vec_id) ranking over candidate
     * (codes, lut) pairs.
     */
