@@ -177,6 +177,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // C31 (oracle, round 9): REAL BPE token counts — greedy merge-table
+    // encoding (Sennrich et al. 2016) via the codegen'd BpeTokensExpr
+    // with its Zipf-exploiting executor-side word memo; replaces the
+    // regex token proxy as the unit training budgets are planned in.
+    // The oracle re-applies the identical embedded merge table with a
+    // recursive CTE over the corpus's DISTINCT words, one leftmost
+    // lowest-rank merge per recursion step — the exact kernel loop.
+    "text_bpe_tokens" -> Q { (s, d) =>
+      val t = lower(trim(col("text")))
+      Tables.documents(s, d)
+        .where(length(t) > 0)
+        .select(col("doc_id"),
+          size(split(t, "\\s+")).cast("long").as("n_words"),
+          graft.functions.Bpe.tokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    // C31b (oracle, round 9): sequence packing under the REAL BPE
+    // budget — the packer unchanged, fed n_bpe instead of whitespace
+    // counts, so training-window layout is planned in the unit the
+    // model actually consumes. The oracle composes the BPE recursive
+    // CTE with the packing prefix-sum SQL.
+    "pack_sequences_bpe" -> Q { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Bpe.tokenCount(col("text")).as("n_bpe"))
+      graft.operators.SequencePacker.pack(docs, "doc_id", "n_bpe", 32, 2048)
+        .orderBy("doc_id")
+    },
+
     // C24c (oracle, round 9): maximal duplicated runs — adjacent
     // duplicated 8-token windows merged into maximal token intervals
     // (the distributable approximation of Lee et al.'s exact-substring
@@ -205,7 +235,86 @@ object TextQueries {
   private[graft] val stopRe: Map[String, String] =
     T.stopwords.toMap.map { case (k, v) => k -> s"\\b($v)\\b" }
 
+  /** The embedded demo merge table as a DuckDB VARCHAR[] literal of
+    * 'a' || chr(1) || 'b' pair keys, in rank order — 1-based
+    * list_position IS the (rank+1), and 0 means "not a merge".
+    */
+  private def bpeMergeLit: String =
+    graft.functions.Bpe.DemoMerges.map { case (a, b) =>
+      s"'${a.replace("'", "''")}' || chr(1) || '${b.replace("'", "''")}'"
+    }.mkString("[", ",", "]")
+
+  /** text_bpe_tokens oracle: per-word greedy BPE as a recursive CTE —
+    * each step merges the leftmost occurrence of the lowest-rank
+    * adjacent pair; a word is final when no adjacent pair is in the
+    * table. Runs over DISTINCT words, then joins counts back to the
+    * word occurrences (the oracle-side mirror of the kernel's memo).
+    * DuckDB 1.0 pitfall: list_position returns 0, not NULL, on a
+    * miss — the filters test `x > 0`, not `IS NOT NULL`.
+    */
+  private def bpeCtes: String =
+    s"""toks AS (
+       | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       | FROM documents WHERE length(trim(text)) > 0
+       |), w AS (
+       | SELECT DISTINCT unnest(tk) AS word FROM toks
+       |), enc AS (
+       | SELECT word,
+       |  list_transform(range(1, length(word) + 1),
+       |    i -> substring(word, CAST(i AS BIGINT), 1)) AS ts
+       | FROM w
+       | UNION ALL
+       | SELECT word,
+       |  list_concat(list_concat(list_slice(ts, 1, bi - 1),
+       |    [ts[bi] || ts[bi + 1]]), list_slice(ts, bi + 2, len(ts))) AS ts
+       | FROM (
+       |  SELECT word, ts,
+       |   list_position(pr, list_min(list_filter(pr, x -> x > 0))) AS bi
+       |  FROM (
+       |   SELECT word, ts,
+       |    list_transform(range(1, len(ts)),
+       |      i -> list_position($bpeMergeLit, ts[i] || chr(1) || ts[i + 1])) AS pr
+       |   FROM enc))
+       | WHERE bi IS NOT NULL
+       |), fin AS (
+       | SELECT word, CAST(len(ts) AS BIGINT) AS n
+       | FROM (
+       |  SELECT word, ts,
+       |   list_transform(range(1, len(ts)),
+       |     i -> list_position($bpeMergeLit, ts[i] || chr(1) || ts[i + 1])) AS pr
+       |  FROM enc)
+       | WHERE len(list_filter(pr, x -> x > 0)) = 0
+       |), docw AS (
+       | SELECT doc_id, unnest(tk) AS word FROM toks)""".stripMargin
+
+  private def bpeTokensSql: String =
+    s"""WITH RECURSIVE $bpeCtes
+       |SELECT doc_id,
+       | CAST(count(*) AS BIGINT) AS n_words,
+       | CAST(sum(n) AS BIGINT) AS n_bpe
+       |FROM docw JOIN fin USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def bpePackSql: String =
+    s"""WITH RECURSIVE $bpeCtes, cnt AS (
+       | SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens
+       | FROM docw JOIN fin USING (word) GROUP BY doc_id
+       |), t AS (
+       | SELECT doc_id, doc_id % 32 AS shard, n_tokens
+       | FROM cnt WHERE n_tokens > 0
+       |), p AS (
+       | SELECT doc_id, shard, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+       | FROM t)
+       |SELECT doc_id, shard, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+       | CAST(tok_offset // 2048 AS BIGINT) AS pack_first,
+       | CAST((tok_offset + n_tokens - 1) // 2048 AS BIGINT) AS pack_last
+       |FROM p ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_tokens" -> bpeTokensSql,
+    "pack_sequences_bpe" -> bpePackSql,
     "text_fingerprint" ->
       """WITH h AS (
         | SELECT doc_id, lower(to_hex(encode(text))) AS hx,
