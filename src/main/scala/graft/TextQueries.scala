@@ -207,6 +207,16 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // C32 (oracle, round 9): RAG-style overlapping chunking — 64-token
+    // chunks advancing 48 tokens, so consecutive chunks share 16
+    // tokens of context. Pure executor-side array work in the scan
+    // stage, zero shuffle.
+    "docs_chunk" -> Q { (s, d) =>
+      graft.operators.Chunker.chunk(Tables.documents(s, d),
+          "doc_id", "text", 64, 16)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // C24c (oracle, round 9): maximal duplicated runs — adjacent
     // duplicated 8-token windows merged into maximal token intervals
     // (the distributable approximation of Lee et al.'s exact-substring
@@ -315,6 +325,21 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "text_bpe_tokens" -> bpeTokensSql,
     "pack_sequences_bpe" -> bpePackSql,
+
+    "docs_chunk" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        | FROM documents WHERE length(trim(text)) > 0
+        |), c AS (
+        | SELECT doc_id, tk,
+        |  unnest(range(0, (greatest(len(tk) - 16, 1) + 47) // 48)) AS chunk_id
+        | FROM toks)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        | CAST(chunk_id * 48 AS BIGINT) AS chunk_start,
+        | CAST(least(64, len(tk) - chunk_id * 48) AS BIGINT) AS n_chunk_tokens,
+        | array_to_string(list_slice(tk, CAST(chunk_id * 48 + 1 AS BIGINT),
+        |   CAST(chunk_id * 48 + 64 AS BIGINT)), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_fingerprint" ->
       """WITH h AS (
         | SELECT doc_id, lower(to_hex(encode(text))) AS hx,
