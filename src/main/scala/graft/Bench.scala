@@ -27,7 +27,7 @@ object Bench {
     "dedup_minhash", "dedup_simhash", "dedup_containment",
     "dedup_keep_best", "text_span_dedup", "text_span_scrub",
     "mix_domains", "pack_sequences", "ann_ivfpq",
-    "pipeline_train_export")
+    "pipeline_train_export", "text_bpe_tokens", "docs_chunk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
