@@ -226,6 +226,54 @@ object TextQueries {
       graft.operators.SpanDedup.runs(
           DedupQueries.corpus(s, d), "doc_id", "text", 8)
         .orderBy("doc_id", "run_id")
+    },
+
+    // C32 (oracle, round 9): PII redaction. The synthetic corpus has
+    // no organic PII, so the gate PLANTS it derivably (email / IPv4 /
+    // phone built from doc_id+source by integer arithmetic, identical
+    // on both engines) and verifies the scrubber finds and redacts
+    // every instance — counts AND the rewritten text are gated.
+    "text_pii_scrub" -> Q { (s, d) =>
+      val P = graft.operators.PiiScrub
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@"), col("source"), lit(".example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 223).cast("string"),
+            lit("."), (col("doc_id") % 251).cast("string"),
+            lit("."), ((col("doc_id") % 254) + 1).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 9"),
+            lpad(((col("doc_id") * 7919) % 100000000).cast("string"), 8, "0")))
+          .otherwise(lit(""))).as("planted"))
+      val (e, i, p, t) = P.scrub(col("planted"))
+      planted.select(col("doc_id"), e.as("n_emails"), i.as("n_ips"),
+        p.as("n_phones"), t.as("scrubbed")).orderBy("doc_id")
+    },
+
+    // C33 (oracle, round 9): rarity-weighted keyword extraction — the
+    // top-3 terms per doc by (tf DESC, df ASC, term): the all-integer
+    // tf/df ranking, chosen over tf·idf because idf's ln() is a libm
+    // call whose last ulp differs across engines (mathematically-equal
+    // products like 2·ln(10) vs ln(100) then rank differently) —
+    // SURVEY §11's "no ln/pow in a decision rule" discipline.
+    "text_top_terms" -> Q { (s, d) =>
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val ranked = tf.join(df, "term")
+        .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("term"))))
+        .where(col("rk") <= 3)
+      ranked.select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("rk").cast("long").as("rk")).orderBy("doc_id", "rk")
     }
   )
 
@@ -322,9 +370,69 @@ object TextQueries {
        | CAST((tok_offset + n_tokens - 1) // 2048 AS BIGINT) AS pack_last
        |FROM p ORDER BY doc_id""".stripMargin
 
+  /** text_pii_scrub oracle: the same plant (integer arithmetic), the
+    * same regex constants (Java∩RE2 subset — interpolated from
+    * [[graft.operators.PiiScrub]] so both sides move together), the
+    * same count-then-redact staging under RE2.
+    */
+  private def piiScrubSql: String = {
+    val P = graft.operators.PiiScrub
+    s"""WITH planted AS (
+       | SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+       |   CAST(doc_id AS VARCHAR) || '@' || source || '.example.com'
+       |   ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' from 10.' ||
+       |   CAST(doc_id % 223 AS VARCHAR) || '.' ||
+       |   CAST(doc_id % 251 AS VARCHAR) || '.' ||
+       |   CAST(doc_id % 254 + 1 AS VARCHAR)
+       |   ELSE '' END ||
+       |  CASE WHEN doc_id % 7 = 0 THEN ' call 9' ||
+       |   lpad(CAST((doc_id * 7919) % 100000000 AS VARCHAR), 8, '0')
+       |   ELSE '' END AS planted
+       | FROM documents
+       |), s1 AS (
+       | SELECT doc_id,
+       |  CAST(len(regexp_extract_all(planted, '${P.EmailRe}')) AS BIGINT) AS n_emails,
+       |  regexp_replace(planted, '${P.EmailRe}', '${P.EmailTag}', 'g') AS t1
+       | FROM planted
+       |), s2 AS (
+       | SELECT doc_id, n_emails,
+       |  CAST(len(regexp_extract_all(t1, '${P.Ipv4Re}')) AS BIGINT) AS n_ips,
+       |  regexp_replace(t1, '${P.Ipv4Re}', '${P.IpTag}', 'g') AS t2
+       | FROM s1
+       |), s3 AS (
+       | SELECT doc_id, n_emails, n_ips,
+       |  CAST(len(regexp_extract_all(t2, '${P.PhoneRe}')) AS BIGINT) AS n_phones,
+       |  regexp_replace(t2, '${P.PhoneRe}', '${P.PhoneTag}', 'g') AS scrubbed
+       | FROM s2)
+       |SELECT doc_id, n_emails, n_ips, n_phones, scrubbed
+       |FROM s3 ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "text_bpe_tokens" -> bpeTokensSql,
     "pack_sequences_bpe" -> bpePackSql,
+    "text_pii_scrub" -> piiScrubSql,
+
+    "text_top_terms" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        | FROM documents
+        |), toks2 AS (
+        | SELECT doc_id, term FROM toks WHERE len(term) > 0
+        |), tf AS (
+        | SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1, 2
+        |), df AS (
+        | SELECT term, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY 1
+        |), ranked AS (
+        | SELECT doc_id, term, tf, df,
+        |  row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY tf DESC, df ASC, term) AS rk
+        | FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        | CAST(df AS BIGINT) AS df, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "docs_chunk" ->
       """WITH toks AS (

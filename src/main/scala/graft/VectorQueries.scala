@@ -78,6 +78,12 @@ object VectorQueries {
   private def probes(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
 
+  // SemDeDup cosine threshold: pairwise cosines on this corpus put the
+  // 99.9th percentile at ~0.38 (max 0.51), so 0.35 marks a real but
+  // small semantic-duplicate set — the gate is non-trivial in both
+  // directions (some dropped, most kept)
+  private[graft] val SemTau = 0.35
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // C6 (oracle): brute-force exact cosine top-5 per probe. Probes
@@ -136,6 +142,26 @@ object VectorQueries {
         nProbe = IvfNProbe).orderBy("probe_id", "rk")
     },
 
+    // C31 (oracle, round 9): SemDeDup (Abbas et al. 2023) — semantic
+    // dedup INSIDE k-means cells: the coarse quantizer bounds the
+    // pairwise-cosine work to Σ|cell|², min-id-wins keeps one
+    // representative per neighborhood. Reuses the ann_ivf quantizer;
+    // the oracle re-derives cells from the inlined centroids and
+    // replays the keep rule.
+    "dedup_semantic" -> Q { (s, d) =>
+      graft.operators.SemDedup.flag(Tables.embeddings(s, d),
+        ivfModel(s, d), tau = SemTau).orderBy("vec_id")
+    },
+
+    // C34 (oracle, round 9): kNN label propagation — classify each
+    // probe by majority vote of its 5 nearest labeled neighbors,
+    // vote ties toward the smallest label. The standard
+    // weak-labeling / eval-probing step over an embedded corpus.
+    "ann_knn_classify" -> Q { (s, d) =>
+      Similarity.knnClassify(Tables.embeddings(s, d), probes(s, d), k = 5)
+        .orderBy("probe_id")
+    },
+
     // C15 (oracle): per-vector stats — dim, L2 norm, sum of components.
     // Pure codegen'd HOF arithmetic in the scan stage, zero shuffle;
     // the norm is the same left-to-right double fold the ANN oracle
@@ -177,7 +203,7 @@ object VectorQueries {
       .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")}::DOUBLE[])" }
       .mkString(",\n   ")
     val diff = s"list_transform(range(1, ${dim + 1}), i -> dv[i] - cv[i])"
-    "ann_ivf" ->
+    val assignCtes =
       s"""WITH dv AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
          |), cents AS (
@@ -192,7 +218,9 @@ object VectorQueries {
          |  SELECT vec_id, ci,
          |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
          |  FROM dists) WHERE rn = 1
-         |), pcells AS (
+         |)""".stripMargin
+    val ivfSql =
+      s"""$assignCtes, pcells AS (
          | SELECT vec_id AS probe_id, ci AS cell FROM (
          |  SELECT vec_id, ci,
          |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
@@ -214,7 +242,29 @@ object VectorQueries {
          | FROM scored)
          |SELECT probe_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked
          |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
-  }).toMap
+    // same quantizer, SemDeDup keep rule: lower-id in-cell neighbors
+    // within tau are counted per victim; keep = none exist. Cell and
+    // the tau comparison are DECISIONS (ranking-robust to literal
+    // transport, like ann_ivf's), the outputs are integers.
+    val semSql =
+      s"""$assignCtes, pairs AS (
+         | SELECT b.vec_id AS b_id, count(*) AS n_dup_lower
+         | FROM assigned a
+         |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN dv va ON va.vec_id = a.vec_id
+         |  JOIN dv vb ON vb.vec_id = b.vec_id
+         | WHERE list_inner_product(va.dv, vb.dv) /
+         |  (sqrt(list_inner_product(va.dv, va.dv)) *
+         |   sqrt(list_inner_product(vb.dv, vb.dv))) >= $SemTau
+         | GROUP BY 1
+         |)
+         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+         | coalesce(p.n_dup_lower, 0) AS n_dup_lower,
+         | CAST(coalesce(p.n_dup_lower, 0) = 0 AS BIGINT) AS keep
+         |FROM assigned a LEFT JOIN pairs p ON p.b_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    Map("ann_ivf" -> ivfSql, "dedup_semantic" -> semSql)
+  }).getOrElse(Map.empty)
 
   /** DuckDB replica of the PQ pipeline — same lazy binding as
     * [[ivfOracle]] (needs the session + sfDir to train the codebooks
@@ -443,6 +493,31 @@ object VectorQueries {
         | FROM scored)
         |SELECT probe_id, vec_id, cos, rk FROM ranked
         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
+    "ann_knn_classify" ->
+      """WITH p AS (
+        | SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        | FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        | SELECT probe_id, vec_id,
+        |  list_inner_product(pv, cv) /
+        |   (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(cv, cv))) AS cos
+        | FROM c, p WHERE vec_id <> probe_id),
+        |nn AS (
+        | SELECT probe_id, vec_id FROM (
+        |  SELECT probe_id, vec_id,
+        |   row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored) WHERE rk <= 5),
+        |votes AS (
+        | SELECT nn.probe_id, CAST(e.label AS BIGINT) AS label,
+        |  count(*) AS n_votes
+        | FROM nn JOIN embeddings e USING (vec_id) GROUP BY 1, 2)
+        |SELECT probe_id, label AS pred_label, n_votes FROM (
+        | SELECT probe_id, label, n_votes,
+        |  row_number() OVER (PARTITION BY probe_id
+        |   ORDER BY n_votes DESC, label) AS rk
+        | FROM votes) WHERE rk = 1 ORDER BY probe_id""".stripMargin,
 
     "vec_stats" ->
       """WITH v AS (

@@ -77,6 +77,33 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** kNN label propagation: classify each probe by majority vote of
+    * its k nearest labeled neighbors (exact cosine), ties on the vote
+    * count broken toward the smallest label — fully deterministic.
+    *
+    * Scale shape: the neighbor search is [[bruteForceTopK]]'s bounded
+    * aggregate (swap in IvfIndex/PqIndex.topK for corpus scale — any
+    * (probe_id, vec_id, rk) relation votes the same way); the label
+    * join BROADCASTS the tiny neighbor set against the corpus labels,
+    * so the full label table never shuffles; the vote itself is
+    * #probes × k rows.
+    */
+  def knnClassify(corpus: DataFrame, probes: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val nn = bruteForceTopK(corpus, probes, k, idCol, vecCol)
+    val labels = corpus.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("label"))
+    val votes = labels.join(broadcast(nn), "vec_id")
+      .groupBy("probe_id", "label").agg(count(lit(1)).as("n_votes"))
+    votes.withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("n_votes").desc, col("label"))))
+      .where(col("rk") === 1)
+      .select(col("probe_id"), col("label").as("pred_label"),
+        col("n_votes"))
+  }
+
   /** Deterministic pseudo-random hyperplane components (seeded). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
