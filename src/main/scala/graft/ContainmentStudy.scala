@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Offline study harness (IvfStudy/PqStudy pattern): time the
+  * containment verify-join variants at a given SF. Round-9 context:
+  * the first pipeline bench put dedup_containment at 87 s on sf0.1 —
+  * this corpus has a CLOSED vocabulary (2,041 distinct 5-grams, median
+  * df 291), so "rarest-gram" prefix filtering keeps ~12M of 12.5M
+  * ordered pairs and the verify join dominates everything.
+  *
+  * Run: `sbt "runMain graft.ContainmentStudy [sfDir] [variant...]"`.
+  */
+object ContainmentStudy {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val variants = if (args.length > 1) args.drop(1).toSeq
+                   else Seq("current")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    variants.foreach { v =>
+      val t0 = System.nanoTime()
+      val out =
+        if (v.startsWith("jaccard"))
+          graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.4)
+        else
+          graft.operators.Dedup.containmentPairs(docs, "doc_id", "text", 0.9)
+      val n = out.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"variant":"$v","sf":"$sfDir","pairs":$n,"sec":$secs%.2f}""")
+    }
+    spark.stop()
+  }
+}

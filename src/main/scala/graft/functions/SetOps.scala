@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftShim
+import org.apache.spark.sql.types._
+
+/** Codegen'd sorted-merge intersection count with threshold early-abort
+  * — the verification kernel of the exact set-overlap dedup family
+  * (SURVEY §2 C3/C28).
+  *
+  * Contract: `left` and `right` are long arrays sorted ASCENDING with
+  * distinct non-null elements (what `array_sort(array_distinct(...))`
+  * over hash shingles produces); `need` is the overlap the caller's
+  * threshold requires. The merge walks both arrays once and ABORTS as
+  * soon as `count + min(remaining_a, remaining_b) < need` — the true
+  * intersection provably cannot reach the threshold, so the caller's
+  * `result >= need` filter is exact while below-threshold pairs (the
+  * overwhelming majority on a dense candidate set) cost only the few
+  * steps it takes to prove they lose.
+  *
+  * vs the built-in `array_intersect`: that materializes a per-row hash
+  * set and the intersection ARRAY just to take its size — allocation
+  * per candidate pair, no early exit. On 12M verify pairs that is the
+  * difference between an allocation-bound stage and a branch-predicted
+  * merge loop over primitive longs.
+  */
+case class SortedIntersectCountExpr(first: Expression, second: Expression,
+                                    third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires (array<long>, array<long>, long), got $a / $b / $c")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any, t: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val need = t.asInstanceOf[Long]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < na && j < nb &&
+           cnt + math.min(na - i, nb - j) >= need) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, t) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |while ($i < $na && $j < $nb &&
+         |       $cnt + java.lang.Math.min($na - $i, $nb - $j) >= $t) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $cnt++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): SortedIntersectCountExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object SetOps {
+  /** |A∩B| for sorted distinct long arrays, exact whenever the result
+    * is >= `need`, early-aborted (still provably < `need`) otherwise.
+    */
+  def sortedIntersectCount(a: Column, b: Column, need: Column): Column =
+    graftShim.column(SortedIntersectCountExpr(
+      graftShim.expression(a), graftShim.expression(b),
+      graftShim.expression(need)))
+}

@@ -366,81 +366,153 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram jaccard
 
-  /** Exact n-gram Jaccard via PREFIX FILTERING (Chaudhuri et al.'s
-    * SSJoin / Bayardo et al.'s All-Pairs): order every doc's distinct
-    * ngrams by ascending global document frequency; two sets with
-    * Jaccard >= t MUST share an ngram within their first
-    * |A| - ceil(t*|A|) + 1 ngrams of that order, so only those prefix
-    * ngrams enter the inverted index. 100% recall, and candidate
-    * fan-out is bounded by prefix size (small for high t) instead of a
-    * lossy df cap. Ultra-common ngrams sort last and never index —
-    * the quadratic-blowup guard falls out of the theory.
+  /** Exact n-gram Jaccard pairs. Candidate generation is COST-BASED
+    * (see [[exactSetPairs]]): prefix filtering (Chaudhuri et al.'s
+    * SSJoin / Bayardo et al.'s All-Pairs) when the corpus has rare
+    * grams to filter on, a size-filtered broadcast all-pairs sweep
+    * when it does not — Mann et al. 2016's evaluation found exactly
+    * this crossover, and the round-9 bench reproduced it (95 s prefix
+    * vs ~10 s all-pairs on the closed-vocabulary test corpus).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.4,
-                        persist: Persist = localPersist): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sets = persist(docs.select(col(idCol).as("doc_id"),
-      array_distinct(shingleHashes(col(textCol))).as("ngs")))
-    val inverted = sets.select(col("doc_id"), size(col("ngs")).as("sz"),
-      explode(col("ngs")).as("ng"))
-    val dfs = inverted.groupBy("ng").agg(count(lit(1)).as("df"))
-    val prefix = inverted.join(dfs, "ng")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("ng"))))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("doc_id", "ng")
-    val cand = prefix.as("l").join(prefix.as("r"),
-        col("l.ng") === col("r.ng") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ngs", "ngs_a"), "doc_a")
-      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ngs", "ngs_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("ngs_a"), col("ngs_b"))).cast("double") /
-          size(array_union(col("ngs_a"), col("ngs_b")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+                        persist: Persist = localPersist,
+                        strategy: String = "auto"): DataFrame =
+    exactSetPairs(docs, idCol, textCol, threshold, ordered = false,
+      persist, strategy)
 
   /** Exact n-gram CONTAINMENT pairs (SURVEY §2 C28) — the ASYMMETRIC
     * overlap c(a→b) = |A∩B| / |A| that Jaccard misses: a short doc
     * fully quoted inside a long one scores near 1.0 on containment
     * but low on Jaccard (the union is dominated by the long doc).
     * Output is ORDERED pairs (doc_a, doc_b, containment >= t).
-    *
-    * Same prefix-filter theory as [[ngramJaccardPairs]]: c(a→b) >= t
-    * forces |A∩B| >= t·|A|, so at least one of A's first
-    * |A| - ceil(t·|A|) + 1 globally-RAREST grams must be in B — only
-    * those prefix grams probe the inverted index. The probed posting
-    * lists are therefore the short ones by construction (a hot gram is
-    * never anyone's prefix), which is what bounds candidate fan-out at
-    * corpus scale; recall stays 100% per the pigeonhole bound.
+    * Candidate strategy is cost-based like [[ngramJaccardPairs]].
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double = 0.9,
-                       persist: Persist = localPersist): DataFrame = {
+                       persist: Persist = localPersist,
+                       strategy: String = "auto"): DataFrame =
+    exactSetPairs(docs, idCol, textCol, threshold, ordered = true,
+      persist, strategy)
+
+  /** Shared core of the exact set-overlap pair joins.
+    *
+    * CANDIDATES — two exact generators, chosen by a cost probe:
+    *  - `prefix`: order every doc's distinct grams by ascending global
+    *    df; a qualifying pair MUST share a gram among the first
+    *    |A| - ceil(t·|A|) + 1 of that order (pigeonhole), so only
+    *    prefix grams enter the inverted index. The right regime when
+    *    the vocabulary grows with the corpus: rare grams exist and
+    *    candidate fan-out collapses.
+    *  - `allpairs`: size-filtered broadcast nested-loop self-join. The
+    *    right regime for a CLOSED vocabulary (the test corpus: 2,041
+    *    distinct 5-grams, median df 291), where "rarest" grams still
+    *    have posting lists proportional to the corpus and the prefix
+    *    join ENUMERATES far more than n² rows (253M enumerations vs
+    *    12.5M pairs at sf0.1).
+    *  - `auto` probes Σ df(g)² (one row off the dfs agg the prefix
+    *    plan needs anyway) and |docs|, and compares the prefix join's
+    *    enumeration estimate — Σ dfp² ≈ (1-t)²·Σ df² unordered,
+    *    Σ dfp·df ≈ (1-t)·Σ df² ordered — against the all-pairs sweep.
+    *    Two bounded driver-side actions, the same cost-based-choice
+    *    discipline AQE applies to join strategies.
+    *
+    * VERIFY — identical in both regimes: the per-doc sorted gram sets
+    * BROADCAST (|docs| rows — tiny next to any candidate set), and
+    * [[graft.functions.SetOps.sortedIntersectCount]] counts each
+    * intersection with an early abort one unit of slack BELOW the
+    * threshold (floor'd), so any pair the final double-division filter
+    * could keep computes its exact count while losing pairs cost only
+    * the steps needed to prove they lose. The final filter is the
+    * IDENTICAL double comparison the DuckDB oracle runs. Candidates
+    * are deduped AFTER the threshold filter, where survivors are few —
+    * never before, where they are tens of millions.
+    *
+    * At a scale where the sets side outgrows a broadcast, the verify
+    * join buckets both sides on doc id instead; the candidate theory
+    * is unchanged.
+    */
+  private def exactSetPairs(docs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, ordered: Boolean,
+                            persist: Persist, strategy: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sets = persist(docs.select(col(idCol).as("doc_id"),
-      array_distinct(shingleHashes(col(textCol))).as("ngs")))
-    val inverted = persist(sets.select(col("doc_id"), size(col("ngs")).as("sz"),
-      explode(col("ngs")).as("ng")))
+      array_sort(array_distinct(shingleHashes(col(textCol)))).as("ngs")))
+    val inverted = sets.select(col("doc_id"), size(col("ngs")).as("sz"),
+      explode(col("ngs")).as("ng"))
     val dfs = inverted.groupBy("ng").agg(count(lit(1)).as("df"))
-    val prefix = inverted.join(dfs, "ng")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("ng"))))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("doc_id", "ng")
-    val cand = prefix.as("l").join(inverted.select("doc_id", "ng").as("r"),
-        col("l.ng") === col("r.ng") && col("l.doc_id") =!= col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+
+    val useAllPairs = strategy match {
+      case "allpairs" => true
+      case "prefix"   => false
+      case "auto" =>
+        val n = sets.count().toDouble
+        val sumDf2 = dfs.agg(sum(col("df").cast("double") * col("df")))
+          .head().getDouble(0)
+        val enumEst = (1.0 - threshold) *
+          (if (ordered) 1.0 else 1.0 - threshold) * sumDf2
+        val allEst = n * n * (if (ordered) 1.0 else 0.5)
+        allEst < enumEst
+      case other => throw new IllegalArgumentException(
+        s"unknown candidate strategy '$other' (auto|prefix|allpairs)")
+    }
+
+    val la = sets.select(col("doc_id").as("doc_a"), col("ngs").as("ngs_a"))
+    val rb = sets.select(col("doc_id").as("doc_b"), col("ngs").as("ngs_b"))
+    // size filters (exact, floor'd so the double product's last-ulp
+    // error can only let a borderline pair THROUGH to verification):
+    // ordered: |B| >= t·|A|; unordered: least >= t·greatest
+    def szFilter(sa: Column, sb: Column): Column =
+      if (ordered) sb >= floor(lit(threshold) * sa)
+      else least(sa, sb) >= floor(lit(threshold) * greatest(sa, sb))
+    def idCond(a: Column, b: Column): Column =
+      if (ordered) a =!= b else a < b
+
+    val withSets: DataFrame =
+      if (useAllPairs) {
+        // the sweep is a broadcast nested-loop join whose parallelism
+        // is the LEFT side's partition count — a small corpus arrives
+        // as one parquet split, which would serialize n²/2 kernel
+        // merges onto one core; spread the probe side first
+        val shufflePartitions =
+          docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        la.repartition(shufflePartitions).join(broadcast(rb),
+          idCond(col("doc_a"), col("doc_b")) &&
+            szFilter(size(col("ngs_a")), size(col("ngs_b"))))
+      }
+      else {
+        val prefix = inverted.join(dfs, "ng")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("ng"))))
+          .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+          .select("doc_id", "ng", "sz")
+        val right =
+          if (ordered) inverted.select(col("doc_id").as("rid"), col("ng"),
+            col("sz").as("rsz"))
+          else prefix.select(col("doc_id").as("rid"), col("ng"),
+            col("sz").as("rsz"))
+        prefix.as("l").join(right.as("r"),
+            col("l.ng") === col("r.ng") &&
+              idCond(col("l.doc_id"), col("r.rid")) &&
+              szFilter(col("l.sz"), col("r.rsz")))
+          .select(col("l.doc_id").as("doc_a"), col("r.rid").as("doc_b"))
+          .join(broadcast(la), "doc_a")
+          .join(broadcast(rb), "doc_b")
+      }
+
+    val szA = size(col("ngs_a")); val szB = size(col("ngs_b"))
+    val need =
+      if (ordered) floor(lit(threshold) * szA).cast("long")
+      else floor(lit(threshold / (1.0 + threshold)) *
+        (szA + szB).cast("double")).cast("long")
+    val icnt = graft.functions.SetOps.sortedIntersectCount(
+      col("ngs_a"), col("ngs_b"), need)
+    val (scoreName, score) =
+      if (ordered) ("containment", icnt.cast("double") / szA)
+      else ("jaccard", icnt.cast("double") / (szA + szB - icnt))
+    withSets
+      .select(col("doc_a"), col("doc_b"), score.as(scoreName))
+      .filter(col(scoreName) >= threshold)
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("ngs").as("ngs_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("ngs").as("ngs_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("ngs_a"), col("ngs_b"))).cast("double") /
-          size(col("ngs_a"))).as("containment"))
-      .filter(col("containment") >= threshold)
   }
 }

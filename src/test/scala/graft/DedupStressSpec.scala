@@ -197,4 +197,23 @@ class DedupStressSpec extends SparkFunSuite {
     assert(planted == nPlanted, s"recall $planted/$nPlanted")
     assert(pairs.length < nPlanted * 2, s"${pairs.length} pairs")
   }
+
+  test("prefix and allpairs candidate strategies return identical pairs") {
+    def run(op: String, strategy: String): Set[(Long, Long, Double)] = {
+      val df =
+        if (op == "jaccard")
+          Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.5,
+            strategy = strategy)
+        else
+          Dedup.containmentPairs(corpus, "doc_id", "text", 0.9,
+            strategy = strategy)
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    for (op <- Seq("jaccard", "containment")) {
+      val p = run(op, "prefix")
+      val a = run(op, "allpairs")
+      assert(p == a, s"$op: prefix ${p.size} pairs != allpairs ${a.size}")
+      assert(p.nonEmpty, s"$op: degenerate comparison, zero pairs")
+    }
+  }
 }
