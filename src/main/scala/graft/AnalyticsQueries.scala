@@ -264,10 +264,76 @@ object AnalyticsQueries {
             "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
           "[0-9]+", "<NUM>").as("scrubbed"))
         .orderBy("doc_id")
+    },
+
+    // C36 (oracle, round 9): URL-canonicalization dedup — crawl-corpus
+    // URL dedup after normalizing scheme/host case, www, default
+    // ports, trailing slashes, utm_* params and param order. The gate
+    // PLANTS the mess derivably from event fields (like q_url_parse /
+    // text_pii_scrub), so every rule is exercised and the group counts
+    // prove the variants collapse.
+    "dedup_url" -> Q { (s, d) =>
+      val scheme = when(col("event_id") % 2 === 0, lit("HTTPS://"))
+        .otherwise(lit("https://"))
+      val www = when(col("event_id") % 3 === 0, lit("www.")).otherwise(lit(""))
+      val host = when(col("event_id") % 5 === 0, upper(col("event_type")))
+        .otherwise(col("event_type"))
+      val port = when(col("event_id") % 7 === 0, lit(":443")).otherwise(lit(""))
+      val slash = when(col("event_id") % 2 === 0, lit("/")).otherwise(lit(""))
+      val qs = when(col("event_id") % 3 === 0, lit("?b=2&a=1&utm_source=x"))
+        .otherwise(lit("?a=1&b=2"))
+      val u = concat(scheme, www, host, lit(".example.com"), port,
+        lit("/u/"), (col("user_id") % 50).cast("string"), slash, qs)
+      Tables.events(s, d)
+        .select(graft.functions.UrlCanon.canonicalize(u).as("url"),
+          col("event_id"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event"))
+        .orderBy("url")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_url" ->
+      """WITH u0 AS (
+        | SELECT event_id,
+        |  (CASE WHEN event_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |  (CASE WHEN event_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        |  (CASE WHEN event_id % 5 = 0 THEN upper(event_type) ELSE event_type END) ||
+        |  '.example.com' ||
+        |  (CASE WHEN event_id % 7 = 0 THEN ':443' ELSE '' END) ||
+        |  '/u/' || CAST(user_id % 50 AS VARCHAR) ||
+        |  (CASE WHEN event_id % 2 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN event_id % 3 = 0 THEN '?b=2&a=1&utm_source=x'
+        |   ELSE '?a=1&b=2' END) AS u
+        | FROM events
+        |), parts AS (
+        | SELECT event_id,
+        |  lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS proto,
+        |  regexp_extract(u, '^[A-Za-z]+://(.*)$', 1) AS rest
+        | FROM u0
+        |), hostp AS (
+        | SELECT event_id, proto,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(rest, '^([^/?#]+)', 1)),
+        |    '^www\.', ''), ':(443|80)$', '') AS host,
+        |  regexp_extract(rest, '^[^/?#]+([/?#].*)?$', 1) AS pathq
+        | FROM parts
+        |), pq AS (
+        | SELECT event_id, proto, host,
+        |  regexp_replace(regexp_extract(pathq, '^([^?#]*)', 1), '/$', '') AS path,
+        |  list_filter(string_split(regexp_extract(pathq, '\?([^#]*)', 1), '&'),
+        |   p -> NOT (starts_with(p, 'utm_') OR p = '')) AS params
+        | FROM hostp
+        |), canon AS (
+        | SELECT event_id, proto || '://' || host || path ||
+        |  CASE WHEN len(params) > 0
+        |   THEN '?' || list_aggregate(list_sort(params), 'string_agg', '&')
+        |   ELSE '' END AS url
+        | FROM pq)
+        |SELECT url, count(*) AS n_events, min(event_id) AS first_event
+        |FROM canon GROUP BY 1 ORDER BY url""".stripMargin,
+
     "q_sequence_match" ->
       """WITH agg AS (
         | SELECT user_id, string_agg(c, '' ORDER BY ts_us, event_id) AS seq
