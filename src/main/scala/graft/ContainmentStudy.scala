@@ -34,6 +34,8 @@ object ContainmentStudy {
       val out =
         if (v.startsWith("jaccard"))
           graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.4)
+        else if (v.startsWith("minhash"))
+          graft.operators.Dedup.minhashClusters(docs, "doc_id", "text", 0.5)
         else
           graft.operators.Dedup.containmentPairs(docs, "doc_id", "text", 0.9)
       val n = out.count()

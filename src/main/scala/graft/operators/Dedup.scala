@@ -144,9 +144,14 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // signature table broadcasts (1 KB/doc — 5 MB at sf0.1): the
+    // estimate is then map-side over bare id pairs; at a scale where
+    // signatures outgrow a broadcast, bucket both sides on doc id
     cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .join(broadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))),
+        "doc_a")
+      .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))),
+        "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
@@ -272,7 +277,10 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val next = persist(smallStar(largeStar(edges)))
       // canonical distinct sets: equal counts + empty one-way except
-      // <=> set equality
+      // <=> set equality. The count gates the except: while the loop
+      // is still moving, counts differ and each round pays ONE action,
+      // not an extra anti-join job (the except runs only at candidate
+      // fixed points, usually once)
       converged = next.count() == edges.count() &&
         next.except(edges).limit(1).count() == 0
       edges = next
