@@ -250,6 +250,20 @@ object DedupQueries {
           col("budget_tokens"), col("goal_tokens"), col("keep_frac"),
           col("n_kept"), col("kept_tokens"))
         .orderBy("lang")
+    },
+
+    // C37 (oracle, round 9): temperature mixing at τ=1/2 — weights
+    // ∝ sqrt(domain tokens) flatten the natural distribution (the
+    // mT5/UniMax knob). sqrt is the one portable power (IEEE
+    // correctly-rounded on both engines); the rest is the integer
+    // plan arithmetic, re-derived end-to-end by the oracle including
+    // the data-dependent weight sum.
+    "mix_temperature" -> Q { (s, d) =>
+      import graft.functions.{TextFunctions => T}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        T.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.DomainMix.planTemperature(docs, "lang", "n_tokens")
+        .orderBy("lang")
     }
   )
 
@@ -560,6 +574,36 @@ object DedupQueries {
          | CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
          | CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
          |FROM pl4 LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
+
+    "mix_temperature" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, lang,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+         | FROM documents
+         |), totals AS (
+         | SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS t_tokens
+         | FROM tok GROUP BY 1
+         |), wts AS (
+         | SELECT lang, n_docs, t_tokens,
+         |  greatest(1, CAST(floor(sqrt(CAST(t_tokens AS DOUBLE))) AS BIGINT)) AS weight
+         | FROM totals
+         |), ws AS (
+         | SELECT CAST(sum(weight) AS BIGINT) AS w FROM wts
+         |), pl2 AS (
+         | SELECT wts.*, w,
+         |  min((t_tokens * w) // weight) OVER () AS budget_tokens
+         | FROM wts, ws
+         |), pl3 AS (
+         | SELECT *, (weight * budget_tokens) // w AS goal_tokens FROM pl2)
+         |SELECT lang, n_docs, t_tokens, weight,
+         | CAST(budget_tokens AS BIGINT) AS budget_tokens,
+         | CAST(goal_tokens AS BIGINT) AS goal_tokens,
+         | CASE WHEN t_tokens = 0 THEN 0.0
+         |  ELSE least(1.0, CAST(goal_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE))
+         | END AS keep_frac
+         |FROM pl3 ORDER BY lang""".stripMargin,
 
     "dedup_exact" ->
       """WITH corpus AS (

@@ -131,6 +131,23 @@ object EtlQueries {
       ).orderBy("user_id", "event_type")
     },
 
+    // A6e (oracle, round 9): VersionedCollapsingMergeTree — cancel
+    // pairs must MATCH ON VERSION, so replayed/out-of-order
+    // delete+insert cycles collapse generation-by-generation instead
+    // of a late -1 eating the wrong +1. version = event_id div 3
+    // groups consecutive events; the %3 sign plant leaves mixed-sign
+    // versions to cancel and single-sign versions to survive.
+    "q_versioned_collapsing" -> Q { (s, d) =>
+      ReplacingMerge.collapseVersioned(
+        Tables.events(s, d)
+          .select("event_id", "ts_us", "user_id", "event_type", "value"),
+        Seq("user_id", "event_type"),
+        when(col("event_id") % 3 === 0, -1).otherwise(1),
+        expr("event_id DIV 3"),
+        Seq(col("ts_us"), col("event_id"))
+      ).orderBy("user_id", "event_type", "version")
+    },
+
     // A6d: SummingMergeTree — keys collapse to one row with summed
     // numerics (exact DECIMAL internally, DOUBLE out) and the latest
     // row as the representative for everything else.
@@ -273,6 +290,31 @@ object EtlQueries {
         |SELECT p.event_id, p.ts_us, p.user_id, p.event_type, p.value
         |FROM latest_pos p JOIN net USING (user_id, event_type)
         |WHERE p.rn = 1 ORDER BY p.user_id, p.event_type""".stripMargin,
+
+    "q_versioned_collapsing" ->
+      """WITH signed AS (
+        | SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+        |  CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS sign,
+        |  event_id // 3 AS version
+        | FROM events
+        |), nets AS (
+        | SELECT user_id, event_type, version, sum(sign) AS net
+        | FROM signed GROUP BY 1, 2, 3 HAVING sum(sign) <> 0
+        |), reps AS (
+        | SELECT user_id, event_type, version, sign,
+        |  event_id, ts_us, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type, version, sign
+        |                     ORDER BY ts_us DESC, event_id DESC) AS rn
+        | FROM signed)
+        |SELECT n.user_id, n.event_type, n.version,
+        | CAST(n.net AS BIGINT) AS net,
+        | r.event_id AS rep_event_id, r.ts_us AS rep_ts_us,
+        | r.value AS rep_value
+        |FROM nets n JOIN reps r
+        | ON r.user_id = n.user_id AND r.event_type = n.event_type
+        |  AND r.version = n.version AND r.rn = 1
+        |  AND r.sign = CASE WHEN n.net > 0 THEN 1 ELSE -1 END
+        |ORDER BY n.user_id, n.event_type, n.version""".stripMargin,
 
     "q_summing_merge" ->
       """WITH latest AS (

@@ -67,6 +67,28 @@ object DomainMix {
       .drop("_b_cand")
   }
 
+  /** Temperature-weighted mixing plan (the mT5 / UniMax knob): target
+    * weights ∝ T_j^τ flatten the natural distribution so scarce
+    * domains keep more. Fixed at τ = 1/2 — the one non-trivial
+    * temperature whose power function is IEEE-EXACT on every engine
+    * (sqrt is correctly rounded by the standard; pow/exp/ln are libm
+    * calls whose last ulp differs, the same reason idf is banned from
+    * decision rules). Integer weights w_j = max(1, floor(sqrt(T_j)))
+    * then feed the standard integer [[plan]] arithmetic unchanged.
+    *
+    * The totals collect is #domains rows — bounded and driver-side by
+    * design (the plan IS a driver-sized artifact, like ExportStream's
+    * manifest); T_j -> double is exact below 2^53 tokens per domain.
+    */
+  def planTemperature(docs: DataFrame, domainCol: String,
+                      tokenCol: String): DataFrame = {
+    val totals = docs.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol)).as("t")).collect()
+    val targets = totals.map(r => (r.getString(0),
+      math.max(1L, math.floor(math.sqrt(r.getLong(1).toDouble)).toLong))).toSeq
+    plan(docs, domainCol, tokenCol, targets)
+  }
+
   /** The corpus filtered to the mix: broadcast the plan, keep each doc
     * with probability keep_frac via the deterministic portable bucket
     * (same key → same decision on any engine/rerun).

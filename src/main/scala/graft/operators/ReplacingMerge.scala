@@ -78,6 +78,32 @@ object ReplacingMerge {
       .select(cols.map(c => col(s"_latest_pos.$c").as(c)): _*)
   }
 
+  /** VersionedCollapsingMergeTree (CH): a (sign=+1, version=v) row is
+    * cancelled ONLY by a (sign=-1, version=v) row of the same key —
+    * unlike plain CollapsingMergeTree, out-of-order delete/insert
+    * replays cannot cancel the wrong generation. Per (key, version):
+    * net = sum(sign); rows with net = 0 vanish, survivors keep the
+    * latest row of the DOMINANT sign as representative. One partial-agg
+    * shuffle on (key, version) — same scale shape as [[collapse]].
+    */
+  def collapseVersioned(df: DataFrame, keys: Seq[String], sign: Column,
+                        versionCol: Column,
+                        tiebreak: Seq[Column]): DataFrame = {
+    val cols = df.columns.toSeq
+    val tb  = struct(tiebreak: _*)
+    val row = struct(cols.map(col): _*)
+    df.groupBy((keys.map(col) :+ versionCol.as("_ver")): _*)
+      .agg(sum(sign).as("net"),
+        max_by(row, when(sign > 0, tb)).as("_latest_pos"),
+        max_by(row, when(sign < 0, tb)).as("_latest_neg"))
+      .filter(col("net") =!= 0)
+      .select((keys.map(col) :+ col("_ver").as("version") :+
+        col("net").cast("long").as("net")) ++
+        cols.filterNot(keys.contains).map(c =>
+          when(col("net") > 0, col(s"_latest_pos.$c"))
+            .otherwise(col(s"_latest_neg.$c")).as(s"rep_$c")): _*)
+  }
+
   /** SummingMergeTree: rows sharing the ORDER BY key collapse to one
     * row whose numeric `sumCols` are summed; every other column takes
     * an arbitrary-but-deterministic representative (CH: "any row";
