@@ -266,6 +266,47 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // B13 (oracle, round 9): audience overlap — |users(a) ∩ users(b)|
+    // for every event-type pair, the CH groupBitmap /
+    // bitmapAndCardinality pattern. Per-group sorted user arrays ARE
+    // the aggregate state (one shuffle builds all of them); the pair
+    // join is #groups² rows and each intersection is the round-9
+    // sorted-merge kernel — no re-shuffle of user ids per pair. At
+    // audiences beyond memory the same query swaps the exact array
+    // state for the reaggregatable HLL sketch (uniqState/uniqMerge),
+    // trading exactness for O(1) state — both ends of that trade ship.
+    "q_audience_overlap" -> Q { (s, d) =>
+      val aud = Tables.events(s, d).groupBy("event_type")
+        .agg(sort_array(collect_set(col("user_id"))).as("users"))
+      val a = aud.select(col("event_type").as("type_a"),
+        col("users").as("users_a"))
+      val b = aud.select(col("event_type").as("type_b"),
+        col("users").as("users_b"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          size(col("users_a")).cast("long").as("aud_a"),
+          size(col("users_b")).cast("long").as("aud_b"),
+          graft.functions.SetOps.sortedIntersectCount(
+            col("users_a"), col("users_b"), lit(0L)).as("overlap"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // B14 (oracle, round 9): weekly cohort-retention matrix — the
+    // classic product-analytics grid (cohort week × weeks-since),
+    // complementing q_retention's CH retention() flags. Two shuffles:
+    // one user-grain min-week agg, one (cohort, offset) distinct-count
+    // — the cohort join is co-partitioned on user_id.
+    "q_retention_cohort" -> Q { (s, d) =>
+      val wk = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_us DIV 604800000000").as("w"))
+      val coh = wk.groupBy("user_id").agg(min("w").as("cw"))
+      wk.join(coh, "user_id")
+        .groupBy(col("cw").as("cohort_week"),
+          (col("w") - col("cw")).as("offset_weeks"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    },
+
     // C36 (oracle, round 9): URL-canonicalization dedup — crawl-corpus
     // URL dedup after normalizing scheme/host case, www, default
     // ports, trailing slashes, utm_* params and param order. The gate
@@ -294,6 +335,39 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_retention_cohort" ->
+      """WITH wk AS (
+        | SELECT user_id, epoch_us(ts) // 604800000000 AS w FROM events
+        |), coh AS (
+        | SELECT user_id, min(w) AS cw FROM wk GROUP BY 1)
+        |SELECT c.cw AS cohort_week, w.w - c.cw AS offset_weeks,
+        | CAST(count(DISTINCT w.user_id) AS BIGINT) AS active_users
+        |FROM wk w JOIN coh c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_audience_overlap" ->
+      """WITH aud AS (
+        | SELECT event_type, count(DISTINCT user_id) AS n
+        | FROM events GROUP BY 1
+        |), du AS (
+        | SELECT DISTINCT event_type, user_id FROM events
+        |), pairs AS (
+        | SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  a.n AS aud_a, b.n AS aud_b
+        | FROM aud a JOIN aud b ON a.event_type < b.event_type
+        |), inter AS (
+        | SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS overlap
+        | FROM du a JOIN du b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        | GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        | CAST(p.aud_a AS BIGINT) AS aud_a, CAST(p.aud_b AS BIGINT) AS aud_b,
+        | CAST(coalesce(i.overlap, 0) AS BIGINT) AS overlap
+        |FROM pairs p LEFT JOIN inter i
+        | ON i.type_a = p.type_a AND i.type_b = p.type_b
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
+
     "dedup_url" ->
       """WITH u0 AS (
         | SELECT event_id,
