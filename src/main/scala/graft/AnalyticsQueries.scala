@@ -266,6 +266,28 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // B15 (oracle, round 9): portable count-min sketch — mergeable
+    // per-key frequency state (Cormode & Muthukrishnan 2005) in SPARSE
+    // RELATIONAL form (j, bucket, cnt): build = groupBy count, merge =
+    // union+sum (associative, exact — the gate builds TWO half
+    // sketches and merges them), estimate = broadcast join. Buckets
+    // derive from the proven xxhash64 long kernel + seeded affine
+    // rows, so the oracle replays every bucket decision bit-exactly.
+    "q_cms_counts" -> Q { (s, d) =>
+      val CS = graft.operators.CmSketch
+      val e = Tables.events(s, d)
+      val sk = CS.merge(
+        CS.sketch(e.filter(col("event_id") % 2 === 0), "user_id"),
+        CS.sketch(e.filter(col("event_id") % 2 =!= 0), "user_id"))
+      val probes = e.select("user_id").distinct()
+        .filter(col("user_id") % 7 === 0)
+      val trueCnt = e.groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
+      CS.estimate(sk, probes, "user_id")
+        .join(trueCnt, "user_id")
+        .select(col("user_id"), col("est_cnt"), col("true_cnt"))
+        .orderBy("user_id")
+    },
+
     // B13 (oracle, round 9): audience overlap — |users(a) ∩ users(b)|
     // for every event-type pair, the CH groupBitmap /
     // bitmapAndCardinality pattern. Per-group sorted user arrays ARE
@@ -334,7 +356,45 @@ object AnalyticsQueries {
     }
   )
 
+  /** q_cms_counts oracle: distinct user hashes through the long-kernel
+    * CTEs, the proven 32-bit fold, the operator's inlined affine row
+    * coefficients, then the same build/merge/estimate relations.
+    */
+  private def cmsSql: String = {
+    val CS = graft.operators.CmSketch
+    val rows = CS.rowCoeffs.zipWithIndex
+      .map { case ((a, b), j) => s"($j, ${a}::HUGEINT, ${b}::HUGEINT)" }
+      .mkString(", ")
+    val p = graft.operators.Dedup.MinhashPrime
+    s"""WITH uu AS (
+       | SELECT DISTINCT user_id, user_id AS v FROM events
+       |), ${graft.DedupOracles.xxh64LongCtes("uu", "user_id", "v")},
+       |x3 AS (
+       | SELECT user_id,
+       |  CAST(xor(hu // 4294967296, hu % 4294967296) AS HUGEINT) AS x32
+       | FROM xh
+       |), bk AS (
+       | SELECT user_id, j,
+       |  CAST(((aj * x32 + bj) % $p) % ${CS.Width} AS BIGINT) AS bucket
+       | FROM x3 CROSS JOIN (VALUES $rows) t(j, aj, bj)
+       |), cnts AS (
+       | SELECT user_id, count(*) AS c FROM events GROUP BY 1
+       |), sk AS (
+       | SELECT j, bucket, sum(c) AS cnt
+       | FROM bk JOIN cnts USING (user_id) GROUP BY 1, 2
+       |), est AS (
+       | SELECT b.user_id, min(coalesce(s.cnt, 0)) AS est_cnt
+       | FROM bk b LEFT JOIN sk s USING (j, bucket)
+       | WHERE b.user_id % 7 = 0 GROUP BY 1)
+       |SELECT e.user_id, CAST(e.est_cnt AS BIGINT) AS est_cnt,
+       | CAST(c.c AS BIGINT) AS true_cnt
+       |FROM est e JOIN cnts c USING (user_id)
+       |ORDER BY user_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_cms_counts" -> cmsSql,
+
     "q_retention_cohort" ->
       """WITH wk AS (
         | SELECT user_id, epoch_us(ts) // 604800000000 AS w FROM events

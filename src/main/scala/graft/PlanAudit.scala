@@ -8,8 +8,17 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    Seq("mix_domains", "mix_epochs", "export_manifest", "text_span_dedup",
-      "q_uniq_approx_str", "dedup_keep_best", "pipeline_train_export").foreach { q =>
+    val audited =
+      if (args.nonEmpty) args.toSeq
+      else Seq("mix_domains", "mix_epochs", "export_manifest",
+        "text_span_dedup", "q_uniq_approx_str", "dedup_keep_best",
+        "pipeline_train_export",
+        // round 9: the new gate surface
+        "dedup_containment", "dedup_ngram_jaccard", "dedup_semantic",
+        "dedup_url", "text_pii_scrub", "text_top_terms",
+        "ann_knn_classify", "mix_temperature", "q_versioned_collapsing",
+        "q_audience_overlap", "q_retention_cohort")
+    audited.foreach { q =>
       println(s"======== $q")
       val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
       // condensed: exchanges, joins, scans
