@@ -253,10 +253,15 @@ object Dedup {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
+      // no intermediate distinct: duplicate (v, m) rows (several u
+      // linking the same pair) are absorbed map-side by smallStar's
+      // partial aggregates, and the round's FINAL distinct restores
+      // the canonical form the convergence check compares — dropping
+      // this stage removes one full shuffle+sort per round
       sym.filter(col("v") > col("u"))
         .join(mins, col("u") === col("c"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
     }
 
     // small-star: u links its smaller neighbors AND itself to the
