@@ -25,6 +25,27 @@ class CmSketchSpec extends SparkFunSuite {
     joined.unpersist()
   }
 
+  test("streaming sketch settles to the batch sketch of all data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Long]
+    val sq = graft.streaming.CmsStream
+      .sketchStream(stream.toDF().toDF("k"), "k")
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData(1L to 200L)
+      sq.processAllAvailable()
+      stream.addData(50L to 300L)
+      sq.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+      val batch = CmSketch.sketch(
+        ((1L to 200L) ++ (50L to 300L)).toDF("k"), "k")
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+    } finally sq.stop()
+  }
+
   test("merge of partials equals the sketch of the union") {
     val df = (1L to 300L).toDF("k")
     val merged = CmSketch.merge(
