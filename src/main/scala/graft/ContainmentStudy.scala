@@ -32,7 +32,9 @@ object ContainmentStudy {
     variants.foreach { v =>
       val t0 = System.nanoTime()
       val out =
-        if (v.startsWith("jaccard"))
+        if (v.startsWith("q:"))
+          SparkEntry.queries(v.drop(2).takeWhile(_ != '#'))(spark, sfDir)
+        else if (v.startsWith("jaccard"))
           graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.4)
         else if (v.startsWith("minhash"))
           graft.operators.Dedup.minhashClusters(docs, "doc_id", "text", 0.5)

@@ -89,8 +89,97 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared-L2 distance between two float/double arrays — the
+  * k-means / PQ distance hot path (IVF cell assignment, PQ encode,
+  * probe LUTs, SemDeDup cells).
+  *
+  * Semantics are EXACTLY the HOF formulation
+  * `aggregate(zip_with(a, b, (x,c) -> (double(x)-double(c))²), 0d, +)`:
+  * per element dd = x - c rounds once, dd·dd rounds once, acc + t
+  * rounds once, left to right — so every cell/code DECISION derived
+  * from these distances is bit-identical to the DuckDB oracle's
+  * replay of the same fold, while the loop itself fuses into
+  * whole-stage codegen instead of the interpreted HOF lambda
+  * (CodegenFallback) it replaces.
+  *
+  * NULL contract mirrors [[DotProductExpr]]: null array, length
+  * mismatch, or any null element → NULL.
+  */
+case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq_dist"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sq_dist requires two array<float|double> inputs, got $l / $r")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      val dd = x - y
+      acc += dd * dd
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("dd")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $dd = (double) $a.$lGet($i) - (double) $b.$rGet($i);
+         |    $acc += $dd * $dd;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   /** dot(a, b): fused codegen kernel, bit-identical to the HOF fold. */
   def dot(a: Column, b: Column): Column =
     graftShim.column(DotProductExpr(graftShim.expression(a), graftShim.expression(b)))
+
+  /** ||a - b||²: fused codegen kernel, bit-identical to the HOF fold. */
+  def sqDist(a: Column, b: Column): Column =
+    graftShim.column(SqDistExpr(graftShim.expression(a), graftShim.expression(b)))
 }

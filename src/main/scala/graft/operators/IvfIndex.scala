@@ -94,12 +94,13 @@ object IvfIndex {
     best
   }
 
-  /** Squared L2 distance to one centroid, sequential fold. */
+  /** Squared L2 distance to one centroid — the fused codegen kernel,
+    * bit-identical to the sequential HOF fold it replaced (same
+    * per-element round order), so every cell decision the oracles
+    * replay is unchanged.
+    */
   private def dist2(vec: Column, centroid: Seq[Double]): Column =
-    aggregate(
-      zip_with(vec, typedlit(centroid),
-        (x, c) => { val dd = x.cast("double") - c; dd * dd }),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.sqDist(vec, typedlit(centroid))
 
   /** Index of the nearest centroid (map-side, codegen'd). */
   def assignCell(vec: Column, model: Model): Column = {

@@ -46,11 +46,11 @@ object PqIndex {
     })
   }
 
+  /** Fused codegen kernel, bit-identical to the HOF fold it replaced
+    * (see [[graft.functions.SqDistExpr]]).
+    */
   private def dist2(vec: Column, centroid: Seq[Double]): Column =
-    aggregate(
-      zip_with(vec, typedlit(centroid),
-        (x, c) => { val dd = x.cast("double") - c; dd * dd }),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.sqDist(vec, typedlit(centroid))
 
   /** PQ codes for a vector column: array of m argmin centroid indices
     * (first index wins ties), computed map-side against the broadcast
