@@ -198,6 +198,22 @@ class DedupStressSpec extends SparkFunSuite {
     assert(pairs.length < nPlanted * 2, s"${pairs.length} pairs")
   }
 
+  test("allpairs sweep spreads a single-split corpus before the loop join") {
+    // regression: the broadcast nested-loop join's parallelism is the
+    // left side's partition count; a small corpus arrives as ONE
+    // parquet split and once serialized n²/2 kernel merges onto one
+    // core (observed live: 81 s vs 11 s). The sweep must repartition.
+    val one = corpus.coalesce(1)
+    val plan = Dedup.containmentPairs(one, "doc_id", "text", 0.9,
+      strategy = "allpairs").queryExecution.executedPlan.toString
+    val bnljIdx = plan.indexOf("BroadcastNestedLoopJoin")
+    assert(bnljIdx >= 0, "allpairs sweep should plan a BNLJ")
+    val below = plan.substring(bnljIdx)
+    assert(below.contains("Exchange RoundRobinPartitioning") ||
+      below.contains("Exchange hashpartitioning"),
+      "no repartition under the nested-loop join — sweep would serialize")
+  }
+
   test("prefix and allpairs candidate strategies return identical pairs") {
     def run(op: String, strategy: String): Set[(Long, Long, Double)] = {
       val df =
