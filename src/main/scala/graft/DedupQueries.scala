@@ -252,6 +252,42 @@ object DedupQueries {
         .orderBy("lang")
     },
 
+    // C38 (oracle, round 9): the PRIVACY pipeline composed end-to-end
+    // — PII scrub, THEN exact dedup over the scrubbed text: the order
+    // every production pipeline uses (redaction first makes docs that
+    // differed only in their PII collapse). Plants key on
+    // doc_id % 1000000 so a replica (+1M id) carries the SAME planted
+    // PII as its original — scrub must then collapse the pair; the
+    // composition is the thing under test, and both halves are also
+    // independently gated (text_pii_scrub / dedup_exact).
+    "pipeline_privacy" -> Q { (s, d) =>
+      val P = graft.operators.PiiScrub
+      val bid = col("doc_id") % 1000000
+      val planted = corpus(s, d).select(col("doc_id"), concat(
+        col("text"),
+        when(bid % 3 === 0,
+          concat(lit(" contact user"), bid.cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(bid % 5 === 0,
+          concat(lit(" from 10.0."), (bid % 251).cast("string"),
+            lit("."), ((bid % 254) + 1).cast("string"))).otherwise(lit("")),
+        when(bid % 7 === 0,
+          concat(lit(" call 9"),
+            lpad(((bid * 7919) % 100000000).cast("string"), 8, "0")))
+          .otherwise(lit(""))).as("planted"))
+      val (e, i, p, t) = P.scrub(col("planted"))
+      val scrubbed = planted.select(col("doc_id"), e.as("n_emails"),
+        i.as("n_ips"), p.as("n_phones"), t.as("scrubbed"))
+      scrubbed.groupBy("scrubbed")
+        .agg(min("doc_id").as("keeper"),
+          count(lit(1)).as("n_copies"),
+          min("n_emails").as("n_emails"), min("n_ips").as("n_ips"),
+          min("n_phones").as("n_phones"))
+        .select(col("keeper"), col("n_copies"),
+          col("n_emails"), col("n_ips"), col("n_phones"))
+        .orderBy("keeper")
+    },
+
     // C37 (oracle, round 9): temperature mixing at τ=1/2 — weights
     // ∝ sqrt(domain tokens) flatten the natural distribution (the
     // mT5/UniMax knob). sqrt is the one portable power (IEEE
@@ -574,6 +610,49 @@ object DedupQueries {
          | CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
          | CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
          |FROM pl4 LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
+
+    "pipeline_privacy" -> {
+      val P = graft.operators.PiiScrub
+      s"""WITH corpus AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+         | UNION ALL
+         | SELECT doc_id + 2000000, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '')
+         | FROM documents WHERE doc_id % 10 = 5
+         |), planted AS (
+         | SELECT doc_id, text ||
+         |  CASE WHEN (doc_id % 1000000) % 3 = 0 THEN ' contact user' ||
+         |   CAST(doc_id % 1000000 AS VARCHAR) || '@example.com'
+         |   ELSE '' END ||
+         |  CASE WHEN (doc_id % 1000000) % 5 = 0 THEN ' from 10.0.' ||
+         |   CAST((doc_id % 1000000) % 251 AS VARCHAR) || '.' ||
+         |   CAST((doc_id % 1000000) % 254 + 1 AS VARCHAR)
+         |   ELSE '' END ||
+         |  CASE WHEN (doc_id % 1000000) % 7 = 0 THEN ' call 9' ||
+         |   lpad(CAST(((doc_id % 1000000) * 7919) % 100000000 AS VARCHAR), 8, '0')
+         |   ELSE '' END AS planted
+         | FROM corpus
+         |), s1 AS (
+         | SELECT doc_id,
+         |  CAST(len(regexp_extract_all(planted, '${P.EmailRe}')) AS BIGINT) AS n_emails,
+         |  regexp_replace(planted, '${P.EmailRe}', '${P.EmailTag}', 'g') AS t1
+         | FROM planted
+         |), s2 AS (
+         | SELECT doc_id, n_emails,
+         |  CAST(len(regexp_extract_all(t1, '${P.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  regexp_replace(t1, '${P.Ipv4Re}', '${P.IpTag}', 'g') AS t2
+         | FROM s1
+         |), s3 AS (
+         | SELECT doc_id, n_emails, n_ips,
+         |  CAST(len(regexp_extract_all(t2, '${P.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(t2, '${P.PhoneRe}', '${P.PhoneTag}', 'g') AS scrubbed
+         | FROM s2)
+         |SELECT min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies,
+         | min(n_emails) AS n_emails, min(n_ips) AS n_ips,
+         | min(n_phones) AS n_phones
+         |FROM s3 GROUP BY scrubbed ORDER BY keeper""".stripMargin
+    },
 
     "mix_temperature" ->
       s"""WITH tok AS (
