@@ -190,6 +190,31 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // B29 (oracle, round 9): robust outlier detection via median
+    // absolute deviation — the observability classic (3×MAD fences
+    // survive the outliers that wreck mean/stddev fences). Two
+    // grouped percentile passes (the parity q_quantiles proved) with
+    // the tiny per-group stats broadcast back between them; the fence
+    // comparison is a decision over a >3× gap, robust to transport.
+    "q_anomaly_mad" -> Q { (s, d) =>
+      val e = Tables.events(s, d).select("event_type", "value")
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val stats = dev.groupBy("event_type")
+        .agg(min("med").as("med"),
+          expr("percentile(adev, 0.5)").as("mad"))
+      dev.select("event_type", "adev")
+        .join(broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(min("med").as("med"), min("mad").as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("adev") > col("mad") * 3.0, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    },
+
     // B28: the salted join, gated for CORRECTNESS against the plain
     // join's oracle — salting must preserve exact join multiplicity
     // (the failure mode of a buggy salt is silent row loss or dup).
@@ -302,6 +327,24 @@ object RelationalQueries {
         | quantile_cont(value, 0.9) AS p90,
         | quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH med AS (
+        | SELECT event_type, quantile_cont(value, 0.5) AS med
+        | FROM events GROUP BY 1
+        |), dev AS (
+        | SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        | FROM events e JOIN med m USING (event_type)
+        |), stats AS (
+        | SELECT event_type, min(med) AS med,
+        |  quantile_cont(adev, 0.5) AS mad
+        | FROM dev GROUP BY 1)
+        |SELECT d.event_type, min(s.med) AS med, min(s.mad) AS mad,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN d.adev > s.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_outliers
+        |FROM dev d JOIN stats s USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "q_salted_join" ->
       """WITH dim AS (
