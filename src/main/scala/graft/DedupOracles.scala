@@ -329,6 +329,31 @@ object DedupOracles {
     * thresholded pair list; label = min reachable id, matching the
     * operator's converged min-propagation.
     */
+  /** C39: the minhash candidate chain (sigsMat + pairsSql, est >= 0.5)
+    * re-verified with EXACT gram Jaccard over the raw gram STRINGS —
+    * proving both the composition and (as in dedup_ngram_jaccard) the
+    * collision-freedom of the operator's hashed-gram verification.
+    */
+  val minhashVerifiedSql: String =
+    s"""$sigsMat, $pairsSql, dxg AS MATERIALIZED (
+       | SELECT DISTINCT doc_id, g FROM dg
+       |), gsz AS (
+       | SELECT doc_id, count(*) AS n FROM dxg GROUP BY 1
+       |), inter AS (
+       | SELECT p.doc_a, p.doc_b, p.est_jaccard, count(*) AS i
+       | FROM pairs p
+       |  JOIN dxg ga ON ga.doc_id = p.doc_a
+       |  JOIN dxg gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+       | GROUP BY 1, 2, 3
+       |)
+       |SELECT i.doc_a, i.doc_b, i.est_jaccard,
+       | CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+       |FROM inter i
+       | JOIN gsz sa ON sa.doc_id = i.doc_a
+       | JOIN gsz sb ON sb.doc_id = i.doc_b
+       |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val minhashClustersSql: String =
     s"""${sigsMat.replaceFirst("WITH ", "WITH RECURSIVE ")}, $pairsSql, edges AS (
        | SELECT doc_a AS a, doc_b AS b FROM pairs

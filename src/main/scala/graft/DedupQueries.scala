@@ -60,6 +60,16 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // C39 (oracle, round 9): the production near-dup shape — LSH
+    // candidates, EXACT gram-Jaccard verdicts. The oracle replays the
+    // signature chain AND recomputes the exact Jaccard over raw gram
+    // strings, proving the composition and the hashed-gram
+    // verification's collision-freedom at once.
+    "dedup_minhash_verified" -> Q { (s, d) =>
+      Dedup.minhashVerifiedPairs(corpus(s, d), "doc_id", "text",
+        threshold = 0.5).orderBy("doc_a", "doc_b")
+    },
+
     // C3 (rows-only): 64-bit SimHash, hamming <= 3 via 4-band pigeonhole.
     "dedup_simhash" -> Q { (s, d) =>
       Dedup.simhashPairs(corpus(s, d), "doc_id", "text", maxHamming = 3)
@@ -349,6 +359,7 @@ object DedupQueries {
     "dedup_simhash" -> DedupOracles.simhashSql,
     "dedup_minhash_pairs" -> DedupOracles.minhashPairsSql,
     "dedup_minhash" -> DedupOracles.minhashClustersSql,
+    "dedup_minhash_verified" -> DedupOracles.minhashVerifiedSql,
 
     // Unfiltered exact recompute over the raw gram STRINGS (the
     // operator uses gram hashes + prefix filtering, so this

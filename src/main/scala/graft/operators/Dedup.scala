@@ -159,6 +159,36 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** The PRODUCTION near-dup shape (SURVEY §2 C39): LSH generates,
+    * exact verifies — minhash band candidates (sub-quadratic, the only
+    * thing that scales to the corpus) re-scored with the EXACT n-gram
+    * Jaccard before anything is dropped, so sketch noise can neither
+    * fabricate a duplicate (est high, true low → now filtered) nor is
+    * it trusted for the verdict. Verification is the same broadcast +
+    * sorted-merge-kernel shape as [[exactSetPairs]], over candidate
+    * pairs only.
+    */
+  def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                           threshold: Double = 0.5,
+                           persist: Persist = localPersist): DataFrame = {
+    val cand = minhashPairs(docs, idCol, textCol, threshold, persist = persist)
+    val sets = persist(docs.select(col(idCol).as("doc_id"),
+      array_sort(array_distinct(shingleHashes(col(textCol)))).as("ngs")))
+    val szA = size(col("ngs_a")); val szB = size(col("ngs_b"))
+    val need = floor(lit(threshold / (1.0 + threshold)) *
+      (szA + szB).cast("double")).cast("long")
+    val icnt = graft.functions.SetOps.sortedIntersectCount(
+      col("ngs_a"), col("ngs_b"), need)
+    cand
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("ngs").as("ngs_a"))),
+        "doc_a")
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("ngs").as("ngs_b"))),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        (icnt.cast("double") / (szA + szB - icnt)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Per-doc fused minhash signatures — the persistable "signature
     * store" (SURVEY.md §5: thousands of times smaller than the text;
     * at 100 TB this table is what survives between pipeline runs).
