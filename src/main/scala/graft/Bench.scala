@@ -25,7 +25,8 @@ object Bench {
     */
   val pipeline: Seq[String] = Seq(
     "dedup_minhash", "dedup_simhash", "dedup_containment",
-    "dedup_ngram_jaccard", "dedup_semantic", "dedup_keep_best",
+    "dedup_ngram_jaccard", "dedup_minhash_verified", "dedup_semantic",
+    "dedup_keep_best",
     "text_span_dedup", "text_span_scrub", "text_pii_scrub",
     "mix_domains", "pack_sequences", "ann_ivfpq",
     "pipeline_train_export", "text_bpe_tokens", "docs_chunk")
