@@ -120,6 +120,26 @@ object OlapQueries {
           count(lit(1)).as("n_rows"))
     },
 
+    // B2b (oracle, round 9): TPC-H Q4 shape — order counts per
+    // priority for a quarter, restricted to orders with at least one
+    // late-shipping lineitem (EXISTS → LEFT SEMI join, never
+    // join+distinct; the semi join build side is the filtered order
+    // window, broadcast-sized). Adapted to the test schema's columns:
+    // "late" = l_shipdate > o_orderdate + 60 days.
+    "q4_priority_count" -> Q { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
+      val l = Tables.lineitem(s, d)
+      val late = l.join(o, l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") > date_add(o("o_orderdate"), 60))
+        .select(col("l_orderkey").as("o_orderkey")).distinct()
+      o.join(late, Seq("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
     // B5: running spend + order rank per customer — ONE shuffle on
     // o_custkey serves both window functions (same partitioning).
     "q_window_running" -> Q { (s, d) =>
@@ -393,6 +413,19 @@ object OlapQueries {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q4_priority_count" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |   AND o_orderdate < TIMESTAMP '1997-04-01')
+        |SELECT o_orderpriority, count(*) AS order_count
+        |FROM o
+        |WHERE EXISTS (
+        | SELECT 1 FROM lineitem l
+        | WHERE l.l_orderkey = o.o_orderkey
+        |   AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_dt,
