@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.ChAnalytics
@@ -266,6 +267,25 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // B16 (oracle, round 9): rate-spike detection — hour-over-hour
+    // event-count jumps per event_type. The spike rule is an INTEGER
+    // cross-multiplication (n·100 > prev·150, i.e. +50%), the Gopher
+    // discipline — no float ratio can flap the decision cross-engine.
+    // One (type, hour) agg + one lag window over the tiny hourly
+    // series.
+    "q_rate_spike" -> Q { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts_us DIV 3600000000").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+      hourly.withColumn("prev_n", lag("n", 1).over(w))
+        .where(col("prev_n").isNotNull)
+        .select(col("event_type"), col("hour"), col("n"), col("prev_n"),
+          (col("n") * 100 > col("prev_n") * 150).cast("long").as("is_spike"))
+        .orderBy("event_type", "hour")
+    },
+
     // B15 (oracle, round 9): portable count-min sketch — mergeable
     // per-key frequency state (Cormode & Muthukrishnan 2005) in SPARSE
     // RELATIONAL form (j, bucket, cnt): build = groupBy count, merge =
@@ -394,6 +414,21 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q_cms_counts" -> cmsSql,
+
+    "q_rate_spike" ->
+      """WITH hourly AS (
+        | SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2
+        |), lagged AS (
+        | SELECT event_type, hour, n,
+        |  lag(n) OVER (PARTITION BY event_type ORDER BY hour) AS prev_n
+        | FROM hourly)
+        |SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+        | CAST(prev_n AS BIGINT) AS prev_n,
+        | CAST(n * 100 > prev_n * 150 AS BIGINT) AS is_spike
+        |FROM lagged WHERE prev_n IS NOT NULL
+        |ORDER BY event_type, hour""".stripMargin,
 
     "q_retention_cohort" ->
       """WITH wk AS (
