@@ -140,6 +140,26 @@ object OlapQueries {
         .orderBy("o_orderpriority")
     },
 
+    // B2c (oracle, round 9): TPC-H Q14 shape — promo revenue share
+    // for a month. Brings the `part` dimension into the gated surface:
+    // part broadcasts against the shipdate-pruned lineitem window;
+    // exact DECIMAL sums, the share is one double multiply+divide of
+    // the same exact sums on both engines.
+    "q14_promo_share" -> Q { (s, d) =>
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-03-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+      val p = Tables.part(s, d).select("p_partkey", "p_type")
+      val promoAmt = when(col("p_type") === "PROMO", discPrice)
+        .otherwise(lit(0).cast(DecimalType(3, 2)))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(sum(promoAmt.cast(d4)).cast(DoubleType).as("promo_revenue"),
+          sum(discPrice.cast(d4)).cast(DoubleType).as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+            .as("promo_share"))
+    },
+
     // B5: running spend + order rank per customer — ONE shuffle on
     // o_custkey serves both window functions (same partitioning).
     "q_window_running" -> Q { (s, d) =>
@@ -413,6 +433,24 @@ object OlapQueries {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH l AS (
+        | SELECT l_partkey,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |   AS DECIMAL(18,4)) AS dp
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |   AND l_shipdate < TIMESTAMP '1997-04-01')
+        |SELECT
+        | CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN dp
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        | CAST(sum(dp) AS DOUBLE) AS total_revenue,
+        | 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN dp
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(sum(dp) AS DOUBLE) AS promo_share
+        |FROM l JOIN part p ON p.p_partkey = l.l_partkey""".stripMargin,
 
     "q4_priority_count" ->
       """WITH o AS (
