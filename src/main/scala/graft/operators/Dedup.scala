@@ -357,9 +357,20 @@ object Dedup {
     */
   def keepBest(docs: DataFrame, idCol: String, textCol: String,
                quality: Column, threshold: Double = 0.5,
-               persist: Persist = localPersist): DataFrame = {
+               persist: Persist = localPersist): DataFrame =
+    keepBestWithClusters(docs, idCol,
+      minhashClusters(docs, idCol, textCol, threshold, persist), quality)
+
+  /** [[keepBest]] against PRECOMPUTED cluster labels (any DataFrame of
+    * (idCol, cluster_id) — normally [[minhashClusters]]' output,
+    * persisted). The one-scan path at scale, mirroring
+    * [[DomainMix.sampleWithPlan]]: a pipeline that already labeled its
+    * clusters (for dedup stats, for span work) selects representatives
+    * without re-running signatures + LSH + connected components.
+    */
+  def keepBestWithClusters(docs: DataFrame, idCol: String,
+                           clusters: DataFrame, quality: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = minhashClusters(docs, idCol, textCol, threshold, persist)
     val lab = docs.select(col(idCol), quality.as("_q"))
       .join(clusters, Seq(idCol), "left")
       .select(col(idCol),

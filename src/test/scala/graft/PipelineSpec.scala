@@ -111,6 +111,15 @@ class DedupSpec extends SparkFunSuite {
     assert(byCluster.exists { case (cid, keeper, n, _) => n >= 2 && keeper != cid })
   }
 
+  test("keepBestWithClusters on precomputed labels equals keepBest") {
+    val q = (col("doc_id") % 7).cast("double")
+    val direct = Dedup.keepBest(corpus, "doc_id", "text", q, threshold = 0.5)
+    val labels = Dedup.minhashClusters(corpus, "doc_id", "text", 0.5)
+    val reused = Dedup.keepBestWithClusters(corpus, "doc_id", labels, q)
+    assert(direct.exceptAll(reused).count() == 0 &&
+      reused.exceptAll(direct).count() == 0)
+  }
+
   test("simhash recovers planted pairs within hamming 3") {
     val keys = Dedup.simhashPairs(corpus, "doc_id", "text", 3)
       .select("doc_a", "doc_b").collect()
