@@ -299,6 +299,23 @@ object OlapQueries {
         .orderBy("event_id")
     },
 
+    // B12f (oracle, round 9): ASOF with a TOLERANCE bound (pandas
+    // merge_asof tolerance): a prior purchase more than 1 h back does
+    // not count — the match nulls, the row survives. Same
+    // single-shuffle plan; the oracle composes DuckDB's native ASOF
+    // with the same gap filter.
+    "q_asof_tolerance" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts_us")
+      val pur = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us")
+      graft.operators.AsofJoin
+        .leftAsofTolerance(ev, pur, "user_id", "ts_us", "ts_us",
+          tolerance = 3600000000L, strict = true)
+        .select(col("event_id"), col("asof.ts_us").as("prev_purchase_us"))
+        .orderBy("event_id")
+    },
+
     // B12b (round 5): the FORWARD direction — earliest purchase
     // at-or-after each event; same single-shuffle scan, time axis
     // reversed. Gated against DuckDB's native ASOF with the
@@ -511,6 +528,15 @@ object OlapQueries {
 
     "q_asof_join" ->
       """SELECT l.event_id, epoch_us(r.ts) AS prev_purchase_us
+        |FROM events l
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND l.ts > r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """SELECT l.event_id,
+        | CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+        |  THEN epoch_us(r.ts) END AS prev_purchase_us
         |FROM events l
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
         |ON l.user_id = r.user_id AND l.ts > r.ts

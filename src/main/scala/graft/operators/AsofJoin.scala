@@ -32,6 +32,26 @@ object AsofJoin {
     * @return left columns + the matched right payload as nullable
     *         `asof` struct (null when no qualifying right row exists)
     */
+  /** [[leftAsof]] with a MAXIMUM match distance (pandas merge_asof's
+    * `tolerance`): a carried match farther than `tolerance` time units
+    * from the left row is nulled out — the row survives unmatched,
+    * exactly as if no right row existed in range. A post-window
+    * projection on the same single-shuffle plan: the tolerance never
+    * changes which row would have matched, only whether it counts.
+    */
+  def leftAsofTolerance(left: DataFrame, right: DataFrame, key: String,
+                        leftTs: String, rightTs: String, tolerance: Long,
+                        strict: Boolean = false,
+                        forward: Boolean = false): DataFrame = {
+    require(tolerance >= 0, "tolerance must be non-negative")
+    val joined = leftAsof(left, right, key, leftTs, rightTs, strict, forward)
+    val gap =
+      if (forward) col(s"asof.$rightTs") - col(leftTs)
+      else col(leftTs) - col(s"asof.$rightTs")
+    joined.withColumn("asof",
+      when(col(s"asof.$rightTs").isNotNull && gap <= tolerance, col("asof")))
+  }
+
   def leftAsof(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                strict: Boolean = false,

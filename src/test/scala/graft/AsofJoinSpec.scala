@@ -129,4 +129,29 @@ class AsofJoinSpec extends SparkFunSuite {
       assert(buck == base, s"width=$width strict=$strict forward=$forward")
     }
   }
+
+  test("tolerance nulls distant matches, keeps rows, both directions") {
+    import spark.implicits._
+    val l = Seq((1L, 100L), (1L, 200L), (1L, 1000L)).toDF("k", "ts")
+    val r = Seq((1L, 90L), (1L, 950L)).toDF("k", "ts")
+    def got(tol: Long, forward: Boolean): Seq[(Long, Option[Long])] =
+      AsofJoin.leftAsofTolerance(l, r, "k", "ts", "ts", tol,
+          strict = true, forward = forward)
+        .select($"ts", $"asof.ts")
+        .collect()
+        .map(row => (row.getLong(0),
+          if (row.isNullAt(1)) None else Some(row.getLong(1))))
+        .sortBy(_._1).toSeq
+    // backward, tol 50: 100<-90 (gap 10 ok), 200<-90 (gap 110 nulled),
+    // 1000<-950 (gap 50 ok, boundary INCLUSIVE)
+    assert(got(50L, forward = false) ==
+      Seq((100L, Some(90L)), (200L, None), (1000L, Some(950L))))
+    // forward, tol 100: 100->950 nulled (850), 200->950 nulled,
+    // 1000 has no later row
+    assert(got(100L, forward = true) ==
+      Seq((100L, None), (200L, None), (1000L, None)))
+    // forward, generous tol: matches reappear
+    assert(got(1000L, forward = true) ==
+      Seq((100L, Some(950L)), (200L, Some(950L)), (1000L, None)))
+  }
 }
