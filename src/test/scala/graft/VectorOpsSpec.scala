@@ -44,4 +44,38 @@ class VectorOpsSpec extends SparkFunSuite {
       Similarity.dot(col("v"), typedlit(Seq(0.5, 0.25))).as("d")).head().getDouble(0)
     assert(got == 1.0)
   }
+
+  test("sq_dist kernel is BIT-identical to its HOF fold on real embeddings") {
+    val cent = Seq.tabulate(64)(i => (i % 7) * 0.125 - 0.375)
+    val e = Tables.embeddings(spark, sf).select("embedding")
+    val both = e.select(
+      graft.functions.VectorOps.sqDist(col("embedding"), typedlit(cent))
+        .as("fused"),
+      aggregate(zip_with(col("embedding"), typedlit(cent),
+        (x, c) => { val dd = x.cast("double") - c; dd * dd }),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("ANN hot path plans the fused kernels inside whole-stage codegen") {
+    // the scale claim is that cell assignment/encode stay codegen'd —
+    // guard against a regression back to interpreted HOFs at the plan
+    // level: sq_dist must appear inside a WholeStageCodegen subtree
+    val m = graft.operators.IvfIndex.train(
+      Tables.embeddings(spark, sf), nList = 4)
+    val plan = Tables.embeddings(spark, sf)
+      .select(graft.operators.IvfIndex.assignCell(col("embedding"), m))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("sq_dist"), "fused kernel missing from the plan")
+    // the `*(n)` prefix IS executedPlan.toString's WholeStageCodegen
+    // marker — an interpreted fallback would print a bare `Project`
+    assert(plan.linesIterator.exists(l =>
+      l.trim.matches("""\*\(\d+\) Project .*""")),
+      "assignCell's projection fell out of whole-stage codegen")
+  }
 }
