@@ -333,6 +333,23 @@ object AnalyticsQueries {
         .orderBy("type_a", "type_b")
     },
 
+    // B13b (oracle, round 10): the BOUNDED-STATE twin of
+    // q_audience_overlap — per-group HLL register states (≤1024 bytes
+    // of aggregation state per audience regardless of its size) with
+    // register-max union merge and inclusion-exclusion, the shape that
+    // survives a 100M-user audience where the exact collect_set array
+    // is one ~800 MB in-memory aggregate. Same portable sketch as
+    // q_uniq_approx, so the estimate is hash-gated bit-exactly; the
+    // exact query above stays as the small-audience path, and
+    // AudienceOverlapSpec bounds this one's error against it.
+    "q_audience_overlap_sketch" -> Q { (s, d) =>
+      graft.functions.HllPortable
+        .pairwiseOverlap(Tables.events(s, d), "event_type", col("user_id"))
+        .select(col("g_a").as("type_a"), col("g_b").as("type_b"),
+          col("uniq_a"), col("uniq_b"), col("uniq_union"), col("overlap_est"))
+        .orderBy("type_a", "type_b")
+    },
+
     // B14 (oracle, round 9): weekly cohort-retention matrix — the
     // classic product-analytics grid (cohort week × weeks-since),
     // complementing q_retention's CH retention() flags. Two shuffles:
@@ -462,6 +479,13 @@ object AnalyticsQueries {
         |FROM pairs p LEFT JOIN inter i
         | ON i.type_a = p.type_a AND i.type_b = p.type_b
         |ORDER BY p.type_a, p.type_b""".stripMargin,
+
+    "q_audience_overlap_sketch" ->
+      s"""SELECT g_a AS type_a, g_b AS type_b, uniq_a, uniq_b, uniq_union,
+         | overlap_est
+         |FROM (${graft.functions.HllPortable
+               .pairwiseOverlapSql("events", "event_type", "user_id")})
+         |ORDER BY type_a, type_b""".stripMargin,
 
     "dedup_url" ->
       """WITH u0 AS (

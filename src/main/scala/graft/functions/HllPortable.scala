@@ -120,6 +120,51 @@ object HllPortable {
     agg.select(groupCols.map(col) :+ floor(e).cast("long").as(outCol): _*)
   }
 
+  /** BOUNDED-STATE pairwise audience overlap (SURVEY.md §2 B13b): for
+    * every pair of groups, estimate |users(a) ∩ users(b)| by
+    * inclusion-exclusion over HLL register states —
+    * |A∩B| = Ê(A) + Ê(B) − Ê(A∪B), where Ê(A∪B) comes from the
+    * register-wise MAX of the two sketches (exactly the distribution
+    * of the union's sketch, the classic HLL merge).
+    *
+    * This is the 100-TB shape of `q_audience_overlap`: per-group state
+    * is ≤ m = 1024 one-byte registers REGARDLESS of audience size —
+    * never a collected user array — so a 100M-user audience costs the
+    * same 1 KB of aggregation state as a 10-user one. One shuffle
+    * builds every group's registers; the pair stage runs over
+    * #groups² × m rows of sketch state, no user ids. The estimate's
+    * error is the usual HLL ±1.04/√m per cardinality (≈3.3% at
+    * m=1024), so the DIFFERENCE can be off by a few percent of the
+    * union — the exact-array query remains the small-audience path.
+    *
+    * Returns (g_a, g_b, uniq_a, uniq_b, uniq_union, overlap_est) for
+    * g_a < g_b, all BIGINT; bit-identical to [[pairwiseOverlapSql]].
+    */
+  def pairwiseOverlap(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    // registers: #groups × ≤1024 rows — materialize once, reused by
+    // the per-group estimates and both sides of every pair merge
+    val regs = registers(df, Seq(groupCol), value).localCheckpoint(true)
+    val est = estimateFromRegisters(regs, Seq(groupCol), "uniq")
+    val groups = regs.select(col(groupCol)).distinct()
+    val pairs = groups.select(col(groupCol).as("g_a"))
+      .join(groups.select(col(groupCol).as("g_b")), col("g_a") < col("g_b"))
+    val contrib = pairs
+      .join(regs.withColumnRenamed(groupCol, "g_a"), "g_a")
+      .select(col("g_a"), col("g_b"), col("_idx"), col("_reg"))
+      .union(pairs
+        .join(regs.withColumnRenamed(groupCol, "g_b"), "g_b")
+        .select(col("g_a"), col("g_b"), col("_idx"), col("_reg")))
+    val uregs = contrib.groupBy("g_a", "g_b", "_idx")
+      .agg(max(col("_reg")).as("_reg"))
+    estimateFromRegisters(uregs, Seq("g_a", "g_b"), "uniq_union")
+      .join(est.select(col(groupCol).as("g_a"), col("uniq").as("uniq_a")), "g_a")
+      .join(est.select(col(groupCol).as("g_b"), col("uniq").as("uniq_b")), "g_b")
+      .select(col("g_a"), col("g_b"), col("uniq_a"), col("uniq_b"),
+        col("uniq_union"),
+        greatest(lit(0L), col("uniq_a") + col("uniq_b") - col("uniq_union"))
+          .as("overlap_est"))
+  }
+
   /** The identical sketch as DuckDB SQL over `table`, with the XXH64
     * long kernel from [[graft.DedupOracles.xxh64LongCtes]]; set
     * `stringKernel = true` for string-typed `valueCol` — then the hash
@@ -159,5 +204,63 @@ object HllPortable {
        |   THEN (($lut)::DOUBLE[])[CAST(v AS BIGINT)] ELSE ($Num / sd) END) AS BIGINT)
        |  AS $outCol
        |FROM est ORDER BY $groupCol""".stripMargin
+  }
+
+  /** [[pairwiseOverlap]]'s DuckDB twin — registers, per-group and
+    * register-max-merged union estimates, inclusion-exclusion — over
+    * a BIGINT `valueCol` (the proven 8-byte-LE XXH64 kernel). Output
+    * column names follow the Spark side: (g_a, g_b, uniq_a, uniq_b,
+    * uniq_union, overlap_est), ordered by (g_a, g_b).
+    */
+  def pairwiseOverlapSql(table: String, groupCol: String,
+                         valueCol: String): String = {
+    val lut = Lut.mkString("[", ",", "]")
+    val kernel = graft.DedupOracles.xxh64LongCtes("base", "g", "uv")
+    // per-group estimate CTE body, parameterized on the grouping keys;
+    // lutt carries the 1024-entry linear-counting table once
+    def estSql(regsCte: String, g: String, outCol: String): String =
+      s"""SELECT $g,
+         |  CAST(floor(CASE WHEN v > 0 AND ($Num / sd) <= $RawThreshold
+         |    THEN arr[CAST(v AS BIGINT)] ELSE ($Num / sd) END) AS BIGINT) AS $outCol
+         | FROM (SELECT $g,
+         |    CAST(s_present + ($M - c) * ${1L << Cap} AS DOUBLE) AS sd,
+         |    CAST($M - c AS BIGINT) AS v
+         |  FROM (SELECT $g,
+         |     sum(CAST(1 AS BIGINT) << CAST($Cap - reg AS BIGINT)) AS s_present,
+         |     count(*) AS c
+         |    FROM $regsCte GROUP BY $g)), lutt""".stripMargin
+    s"""WITH lutt AS (SELECT ($lut)::DOUBLE[] AS arr),
+       |base AS (
+       | SELECT DISTINCT $groupCol AS g, $valueCol AS uv FROM $table
+       | WHERE $valueCol IS NOT NULL
+       |), $kernel,
+       |regs AS (
+       | SELECT g, CAST(hu % $M AS BIGINT) AS idx,
+       |  max(least(CASE WHEN hu // $M = 0 THEN ${W + 1}
+       |       ELSE ${W + 1} - length(bin(CAST(hu // $M AS BIGINT))) END,
+       |      $Cap)) AS reg
+       | FROM xh GROUP BY 1, 2
+       |), est AS (
+       |${estSql("regs", "g", "uniq")}
+       |), pairs AS (
+       | SELECT a.g AS g_a, b.g AS g_b
+       | FROM (SELECT DISTINCT g FROM regs) a
+       | JOIN (SELECT DISTINCT g FROM regs) b ON a.g < b.g
+       |), uregs AS (
+       | SELECT g_a, g_b, idx, max(reg) AS reg FROM (
+       |  SELECT p.g_a, p.g_b, r.idx, r.reg FROM pairs p JOIN regs r ON r.g = p.g_a
+       |  UNION ALL
+       |  SELECT p.g_a, p.g_b, r.idx, r.reg FROM pairs p JOIN regs r ON r.g = p.g_b)
+       | GROUP BY 1, 2, 3
+       |), uest AS (
+       |${estSql("uregs", "g_a, g_b", "uniq_union")}
+       |)
+       |SELECT u.g_a, u.g_b, ea.uniq AS uniq_a, eb.uniq AS uniq_b,
+       | u.uniq_union,
+       | greatest(0, ea.uniq + eb.uniq - u.uniq_union) AS overlap_est
+       |FROM uest u
+       | JOIN est ea ON ea.g = u.g_a
+       | JOIN est eb ON eb.g = u.g_b
+       |ORDER BY u.g_a, u.g_b""".stripMargin
   }
 }
