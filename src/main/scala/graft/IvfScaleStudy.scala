@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Dev measurement (round 10): IVF training + recall at LARGE nList —
+  * re-validates the nList ≈ √n scaling rule beyond toy k, now that
+  * train() auto-raises its sample with k (MinSamplesPerCentroid) and
+  * cell assignment uses the k-independent matrix kernel.
+  *
+  * The shipped embeddings table is 2k vectors, far too small for
+  * k ≥ 1024, so the study builds a deterministic ×`k` replica with
+  * per-replica jitter: each copy's components move by a hash-derived
+  * offset in [-0.05, 0.05) — copies of one vector form a small CLUSTER
+  * around the original (the realistic near-dup geometry IVF thrives
+  * on), rather than 100 identical points (which would degenerate
+  * k-means) or uniform noise (which would have no cluster structure).
+  *
+  * Run: `sbt "runMain graft.IvfScaleStudy [baseDir] [replicas]"`.
+  * Prints one JSON line per (nList, nProbe) with train seconds and
+  * recall@5 vs brute force at a ~constant scanned-cell fraction.
+  */
+object IvfScaleStudy {
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val baseVecs = Tables.embeddings(spark, base)
+      .select("vec_id", "embedding")
+    // ×reps with jitter: component i of replica r moves by
+    // hash(vec_id, r, i)-derived delta in [-0.05, 0.05)
+    val corpus = (0 until reps).map { r =>
+      if (r == 0) baseVecs
+      else baseVecs.select(
+        (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        expr(s"""transform(embedding, (x, i) -> CAST(x +
+            (pmod(xxhash64(vec_id, $r, i), 1000) - 500) / 10000.0
+            AS FLOAT))""").as("embedding"))
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    val n = corpus.count()
+
+    val probes = baseVecs.filter(col("vec_id") % 50 === 0)
+      .localCheckpoint(true)
+    val k = 5
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(corpus, probes, k)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    Seq(64, 256, 1024, 2048).foreach { nList =>
+      val t0 = System.nanoTime()
+      val model = graft.operators.IvfIndex.train(corpus, nList = nList)
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      // constant scanned-cell fraction ~1/16 across nList, plus 1/4
+      val probesPer = Seq(math.max(1, nList / 16), math.max(1, nList / 4))
+      probesPer.distinct.foreach { nProbe =>
+        val t1 = System.nanoTime()
+        val approx = graft.operators.IvfIndex
+          .topK(corpus, probes, model, k = k, nProbe = nProbe)
+          .select("probe_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val querySec = (System.nanoTime() - t1) / 1e9
+        val recall = (approx & exact).size.toDouble / exact.size
+        println(f"""{"n":$n,"nList":$nList,"nProbe":$nProbe,"train_sec":$trainSec%.2f,"query_sec":$querySec%.2f,"recall_at_$k":$recall%.3f,"cell_fraction":${nProbe.toDouble / nList}%.4f}""")
+      }
+    }
+    spark.stop()
+  }
+}

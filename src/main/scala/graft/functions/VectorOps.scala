@@ -174,6 +174,117 @@ case class SqDistExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** Codegen'd squared-L2 distances from one vector to a WHOLE centroid
+  * matrix (k × dim, a plan-time constant), as one array<double> — the
+  * round-10 fix for the k-wide column form `array(sqDist(v, c_1), …,
+  * sqDist(v, c_k))`, whose generated code grows with k and falls out
+  * of whole-stage codegen around k ≈ 1000 (the janino method-size
+  * cliff), exactly where the nList ≈ √n rule needs k to go at corpus
+  * scale. Here the matrix is ONE reference object and the generated
+  * code is a fixed two-level loop, size-independent of k.
+  *
+  * Each per-centroid distance folds EXACTLY like [[SqDistExpr]]
+  * (dd = x − c rounds once, dd·dd once, acc + t once, left to right),
+  * so every argmin/ordering decision downstream is bit-identical to
+  * the k-column form and to the DuckDB oracles that replay it.
+  *
+  * NULL contract: null vector, dim mismatch with the matrix, or any
+  * null element → NULL (the k-column form would yield an array of k
+  * NULLs; collapsing to one NULL is strictly stricter and no gated
+  * input contains null vectors — documented, spec-pinned).
+  */
+case class CentroidDistsExpr(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "centroid_dists"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      if (centroids.nonEmpty && centroids.forall(_.length == centroids(0).length))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "centroid_dists needs a non-empty rectangular centroid matrix")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"centroid_dists requires array<float|double> input, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = centroids(0).length
+    if (v.numElements() != dim) return null
+    val lf = isFloat
+    var i = 0
+    while (i < dim) { if (v.isNullAt(i)) return null; i += 1 }
+    val x = new Array[Double](dim)
+    i = 0
+    while (i < dim) {
+      x(i) = if (lf) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      var acc = 0.0
+      i = 0
+      while (i < dim) { val dd = x(i) - ctr(i); acc += dd * dd; i += 1 }
+      out(c) = acc
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val m = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val dim = centroids(0).length
+    val k = centroids.length
+    nullSafeCodeGen(ctx, ev, v => {
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("dd")
+      val ctr = ctx.freshName("ctr")
+      s"""
+         |if ($v.numElements() != $dim) { ${ev.isNull} = true; }
+         |else {
+         |  double[] $x = new double[$dim];
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $x[$i] = (double) $v.$get($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double[] $out = new double[$k];
+         |    for (int $c = 0; $c < $k; $c++) {
+         |      double $acc = 0.0;
+         |      double[] $ctr = $m[$c];
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        double $dd = $x[$i] - $ctr[$i];
+         |        $acc += $dd * $dd;
+         |      }
+         |      $out[$c] = $acc;
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidDistsExpr =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** dot(a, b): fused codegen kernel, bit-identical to the HOF fold. */
   def dot(a: Column, b: Column): Column =
@@ -182,4 +293,11 @@ object VectorOps {
   /** ||a - b||²: fused codegen kernel, bit-identical to the HOF fold. */
   def sqDist(a: Column, b: Column): Column =
     graftShim.column(SqDistExpr(graftShim.expression(a), graftShim.expression(b)))
+
+  /** Distances to every row of a constant centroid matrix, as one
+    * array<double> — the k-scalable form of `array(sqDist(v, c_j)…)`.
+    */
+  def centroidDists(v: Column, centroids: Seq[Seq[Double]]): Column =
+    graftShim.column(CentroidDistsExpr(graftShim.expression(v),
+      centroids.map(_.toArray).toArray))
 }

@@ -20,6 +20,12 @@ object IvfIndex {
     def nList: Int = centroids.size
   }
 
+  /** Minimum training samples per centroid before Lloyd's means stop
+    * being statistics: below this the quantizer memorizes its sample.
+    * FAISS warns under ~39/centroid; 32 is the floor we auto-raise to.
+    */
+  val MinSamplesPerCentroid = 32
+
   /** Train the coarse quantizer — BIT-DETERMINISTIC: same data in,
     * same centroids out, across runs and JVMs. That property is what
     * lets the gate inline the trained centroids into an independent
@@ -27,13 +33,29 @@ object IvfIndex {
     *
     * Shape (the FAISS-standard one): cluster a bounded sample on the
     * driver, not the corpus on the cluster — at 100 TB the quantizer is
-    * still trained from ≤`sampleCap` vectors and the model is a few KB.
-    * Determinism comes from (a) a deterministic sample — the first
-    * `sampleCap` vectors in lexicographic vector order (a total order;
+    * still trained from a bounded sample and the model is nList × dim
+    * doubles. Determinism comes from (a) a deterministic sample — the
+    * first `cap` vectors in lexicographic vector order (a total order;
     * equal keys are identical vectors), (b) evenly-spaced seeding from
     * that order, (c) Lloyd's iterations whose means fold left-to-right
     * in sample order. Distributed float reduction would surrender (c)
-    * to task completion order, which is why training is driver-side.
+    * to task completion order, which is why training is driver-side —
+    * the assignment step (the n·k·dim part) fans out across driver
+    * cores, but assignments land in a fixed array and the means still
+    * fold sequentially in sample order, so parallelism never touches
+    * a float reduction.
+    *
+    * K/SAMPLE COUPLING (round 10 — closes the silent-degradation
+    * caveat): the effective cap is max(sampleCap,
+    * [[MinSamplesPerCentroid]] · nList), so growing nList with the
+    * √n rule AUTOMATICALLY grows the training sample instead of
+    * silently training 16k samples against 16k+ centroids (1 sample
+    * per centroid — memorization, not clustering). An explicitly tiny
+    * sampleCap cannot underfeed training either — the floor wins.
+    * Driver-side Lloyd's is O(cap · k · dim · iters) ≈ 2e9 flops/iter
+    * at k=1024/dim=64 — sub-second per iteration parallel; past
+    * k ≈ 8192 move training to a distributed k-means (and accept
+    * losing bit-determinism) — guarded loudly below.
     *
     * `seed` is kept for API stability; the procedure has no random
     * choices left to seed.
@@ -41,11 +63,16 @@ object IvfIndex {
   def train(vecs: DataFrame, nList: Int = 16, seed: Long = 42L,
             vecCol: String = "embedding", maxIter: Int = 10,
             sampleCap: Int = 16384): Model = {
+    require(nList <= 8192,
+      s"nList=$nList: driver-side deterministic Lloyd's is " +
+        s"O(sample*k*dim) and sized for k <= 8192; larger coarse " +
+        "quantizers need distributed k-means")
+    val cap = math.max(sampleCap, MinSamplesPerCentroid * nList)
     val sample: Array[Array[Double]] = vecs
       .select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull && size(col("v")) > 0)
       .orderBy(col("v"))
-      .limit(sampleCap)
+      .limit(cap)
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
@@ -53,16 +80,26 @@ object IvfIndex {
     val k = math.min(nList, n)
     val dim = sample(0).length
     var centroids = Array.tabulate(k)(j => sample((j.toLong * n / k).toInt).clone())
+    val assign = new Array[Int](n)
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {
+      // parallel argmin (pure per-sample, order-free by construction);
+      // the FOLD below stays sequential in sample order — determinism
+      // lives there, not here
+      val cs = centroids
+      java.util.stream.IntStream.range(0, n).parallel()
+        .forEach(i => assign(i) = nearest(sample(i), cs))
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      sample.foreach { v =>
-        val c = nearest(v, centroids)
+      var si = 0
+      while (si < n) {
+        val v = sample(si)
+        val c = assign(si)
         val s = sums(c); var i = 0
         while (i < dim) { s(i) += v(i); i += 1 }
         counts(c) += 1
+        si += 1
       }
       moved = false
       val next = Array.tabulate(k) { c =>
@@ -94,31 +131,34 @@ object IvfIndex {
     best
   }
 
-  /** Squared L2 distance to one centroid — the fused codegen kernel,
-    * bit-identical to the sequential HOF fold it replaced (same
-    * per-element round order), so every cell decision the oracles
-    * replay is unchanged.
+  /** Distances to every centroid as ONE fused-kernel array column
+    * (round 10): the k-column form `array(sqDist(v,c_1)…)` blew the
+    * janino method-size cliff around k ≈ 1000, exactly where the
+    * nList ≈ √n rule needs to go at corpus scale; the matrix kernel's
+    * generated code is size-independent of k. Each distance folds
+    * bit-identically to the sqDist HOF order, so every cell decision
+    * the oracles replay is unchanged.
     */
-  private def dist2(vec: Column, centroid: Seq[Double]): Column =
-    graft.functions.VectorOps.sqDist(vec, typedlit(centroid))
+  private def dists(vec: Column, model: Model): Column =
+    graft.functions.VectorOps.centroidDists(vec, model.centroids)
 
-  /** Index of the nearest centroid (map-side, codegen'd). */
+  /** Index of the nearest centroid (map-side, codegen'd; first index
+    * wins ties — array_position returns the FIRST match).
+    */
   def assignCell(vec: Column, model: Model): Column = {
-    val dists = array(model.centroids.map(c => dist2(vec, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    val d = dists(vec, model)
+    (array_position(d, array_min(d)) - 1).cast("int")
   }
 
   /** The nProbe nearest cells of a probe vector, as an array column. */
-  def probeCells(vec: Column, model: Model, nProbe: Int): Column = {
-    val dists = array(model.centroids.map(c => dist2(vec, c)): _*)
+  def probeCells(vec: Column, model: Model, nProbe: Int): Column =
     slice(
       transform(
         array_sort(
-          zip_with(dists, typedlit(model.centroids.indices.toList),
+          zip_with(dists(vec, model), typedlit(model.centroids.indices.toList),
             (dd, i) => struct(dd.as("d"), i.as("i")))),
         s => s.getField("i")),
       1, nProbe)
-  }
 
   /** Approximate top-k: probes scan only their nProbe cells. */
   def topK(corpus: DataFrame, probes: DataFrame, model: Model,

@@ -58,4 +58,30 @@ class IvfSpec extends SparkFunSuite {
     assert(cells.map(_.getInt(0)).forall(c => c >= 0 && c < 8))
     assert(cells.map(_.getLong(1)).sum == corpus.count())
   }
+
+  test("large-k training auto-raises the sample: k=1024 gets 32+ samples/centroid") {
+    // 40k synthetic vectors, well past the old fixed 16384 cap: at
+    // nList=1024 the effective cap must rise to 32*1024=32768 (the
+    // round-9 silent-degradation caveat), giving 1024 DISTINCT,
+    // well-separated centroids rather than 16-samples-per-centroid
+    // memorization near the cap
+    val vecs = spark.range(40000).selectExpr(
+      "id AS vec_id",
+      """transform(sequence(0, 7),
+        |  i -> CAST(pmod(xxhash64(id, i), 1000) / 500.0 - 1.0 AS FLOAT))
+        |AS embedding""".stripMargin)
+    val m = IvfIndex.train(vecs, nList = 1024)
+    assert(m.nList == 1024)
+    assert(m.centroids.distinct.size == 1024, "degenerate duplicate centroids")
+    // parallel assignment must not break bit-determinism
+    val m2 = IvfIndex.train(vecs.repartition(13), nList = 1024)
+    assert(m.centroids == m2.centroids)
+  }
+
+  test("train refuses k beyond the driver-side Lloyd's envelope") {
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.train(Tables.embeddings(spark, sf), nList = 10000)
+    }
+    assert(e.getMessage.contains("distributed"))
+  }
 }

@@ -71,11 +71,44 @@ class VectorOpsSpec extends SparkFunSuite {
     val plan = Tables.embeddings(spark, sf)
       .select(graft.operators.IvfIndex.assignCell(col("embedding"), m))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("sq_dist"), "fused kernel missing from the plan")
+    assert(plan.contains("centroid_dists"), "fused kernel missing from the plan")
     // the `*(n)` prefix IS executedPlan.toString's WholeStageCodegen
     // marker — an interpreted fallback would print a bare `Project`
     assert(plan.linesIterator.exists(l =>
       l.trim.matches("""\*\(\d+\) Project .*""")),
       "assignCell's projection fell out of whole-stage codegen")
+  }
+
+  test("centroid_dists matrix kernel is BIT-identical to per-centroid sq_dist columns") {
+    val m = graft.operators.IvfIndex.train(
+      Tables.embeddings(spark, sf), nList = 7) // odd k, not a tidy power
+    val matrix = graft.functions.VectorOps
+      .centroidDists(col("embedding"), m.centroids)
+    val columns = array(m.centroids.map(c =>
+      graft.functions.VectorOps.sqDist(col("embedding"), typedlit(c))): _*)
+    val bad = Tables.embeddings(spark, sf)
+      .select(matrix.as("a"), columns.as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(bad.count() == 0)
+  }
+
+  test("centroid_dists survives k past the janino cliff (k=1200) in one plan") {
+    // 1200 sq_dist COLUMNS would blow generated-method size; the
+    // matrix kernel's code is k-independent — this pins that property
+    val dim = 8
+    val ctrs: Seq[Seq[Double]] =
+      (0 until 1200).map(c => (0 until dim).map(i => (c * 31 + i).toDouble / 7.0))
+    import spark.implicits._
+    val v = Seq(Tuple1((0 until dim).map(i => i.toDouble))).toDF("v")
+    val row = v.select(
+        graft.functions.VectorOps.centroidDists(col("v"), ctrs).as("d"))
+      .select(size(col("d")).as("n"), element_at(col("d"), 1).as("d0"))
+      .head()
+    assert(row.getInt(0) == 1200)
+    // first centroid = [0/7, 1/7, ...]: distance computed left-to-right
+    val exp = (0 until dim).map { i =>
+      val dd = i.toDouble - (i.toDouble / 7.0); dd * dd
+    }.sum
+    assert(row.getDouble(1) == exp)
   }
 }
