@@ -1,0 +1,77 @@
+package graft
+
+/** Plan-REGRESSION guards (round 10): the round-9 containment episode
+  * proved plan shape can rot invisibly while correctness gates stay
+  * green (an 87 s plan and a 3.7 s plan return identical rows). This
+  * suite pins the load-bearing physical-plan properties the scale
+  * story depends on; any regression fails here, not in a bench
+  * archaeology session two rounds later.
+  *
+  * Properties are asserted on the PLANNED (pre-execution) physical
+  * plan: scan pushdown/pruning, static join strategy, window-limit
+  * insertion and exchange counts are all decided by the planner, so
+  * no data needs to move to check them.
+  */
+class PlanGuardSpec extends SparkFunSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("headline scans push filters and prune columns") {
+    // q6: the selective date+discount+quantity filter must reach the
+    // parquet scan, not run post-scan
+    val q6 = plan("q6_forecast_revenue")
+    assert(q6.contains("PushedFilters: [IsNotNull"),
+      s"q6 scan lost its pushed filters:\n$q6")
+    // q1: lineitem has 16 columns; the scan must read only the 7 the
+    // query touches — l_comment/l_partkey in ReadSchema means pruning
+    // regressed and a 100-TB scan reads the fat columns for nothing
+    val q1 = plan("q1_pricing_summary")
+    assert(!q1.contains("l_comment") && !q1.contains("l_partkey"),
+      s"q1 scan reads pruned-away columns:\n$q1")
+    assert(q1.contains("ReadSchema"), s"q1 lost its columnar scan:\n$q1")
+  }
+
+  test("dimension joins broadcast (q3, q5)") {
+    Seq("q3_top_orders", "q5_region_revenue").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: dimension join no longer broadcasts:\n$p")
+    }
+  }
+
+  test("scan-stage-only operators plan zero pre-aggregation exchanges") {
+    // these are one-pass map-side operators followed by at most a
+    // final ordering; an Exchange BEFORE the aggregate would mean a
+    // full-corpus shuffle appeared in a scan-stage op. Allow the
+    // post-agg singlePartition/rangepartitioning exchanges (they move
+    // #groups rows, not the corpus); forbid hashpartitioning of the
+    // raw scan output
+    Seq("q_array_hof", "text_quality", "vec_stats").foreach { q =>
+      val p = plan(q)
+      val badExchanges = p.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning")).toSeq
+      assert(badExchanges.isEmpty,
+        s"$q: corpus-wide shuffle appeared in a scan-stage op:\n$p")
+    }
+  }
+
+  test("top-n queries keep the WindowGroupLimit partial pruning") {
+    // WindowGroupLimit prunes each partition to its top-n BEFORE the
+    // rank shuffle — without it every (group, row) crosses the network
+    // to be discarded on the other side
+    Seq("q_topk_events", "sample_stratified", "text_top_terms").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: partial top-n pruning regressed:\n$p")
+    }
+  }
+
+  test("asof join stays sort-merge on the bucketed path (no exchange re-shuffle)") {
+    // q_asof_bucketed's contract: pre-bucketed inputs join with no
+    // additional Exchange inserted for the join itself
+    val p = plan("q_asof_bucketed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"asof join fell off the merge path:\n$p")
+  }
+}
