@@ -308,6 +308,20 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // B28b (oracle, round 10): the streaming CMS's settled STATE — the
+    // exact (j, bucket, cnt) relation streaming.CmsStream.sketchStream
+    // maintains in update mode is the same union+groupBy-count
+    // relation in batch (build = merge = one associative aggregation),
+    // so the gate runs the STREAM OPERATOR'S OWN transform over the
+    // events table and the oracle replays every bucket decision off
+    // the long-kernel CTEs. CmsStreamSpec proves the incremental
+    // stream settles to this; the gate pins the relation itself.
+    "cms_stream_relation" -> Q { (s, d) =>
+      graft.streaming.CmsStream.sketchStream(
+          Tables.events(s, d).select("user_id"), "user_id")
+        .orderBy("j", "bucket")
+    },
+
     // B13 (oracle, round 9): audience overlap — |users(a) ∩ users(b)|
     // for every event-type pair, the CH groupBitmap /
     // bitmapAndCardinality pattern. Per-group sorted user arrays ARE
@@ -429,8 +443,39 @@ object AnalyticsQueries {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** cms_stream_relation oracle: the sketch relation itself — distinct
+    * user hashes through the long-kernel CTEs and the operator's
+    * inlined affine rows (as [[cmsSql]]), then per-(j, bucket) count
+    * totals instead of the estimate join.
+    */
+  private def cmsStreamSql: String = {
+    val CS = graft.operators.CmSketch
+    val rows = CS.rowCoeffs.zipWithIndex
+      .map { case ((a, b), j) => s"($j, ${a}::HUGEINT, ${b}::HUGEINT)" }
+      .mkString(", ")
+    val p = graft.operators.Dedup.MinhashPrime
+    s"""WITH uu AS (
+       | SELECT DISTINCT user_id, user_id AS v FROM events
+       |), ${graft.DedupOracles.xxh64LongCtes("uu", "user_id", "v")},
+       |x3 AS (
+       | SELECT user_id,
+       |  CAST(xor(hu // 4294967296, hu % 4294967296) AS HUGEINT) AS x32
+       | FROM xh
+       |), bk AS (
+       | SELECT user_id, j,
+       |  CAST(((aj * x32 + bj) % $p) % ${CS.Width} AS BIGINT) AS bucket
+       | FROM x3 CROSS JOIN (VALUES $rows) t(j, aj, bj)
+       |), cnts AS (
+       | SELECT user_id, count(*) AS c FROM events GROUP BY 1
+       |)
+       |SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cnt
+       |FROM bk JOIN cnts USING (user_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_cms_counts" -> cmsSql,
+    "cms_stream_relation" -> cmsStreamSql,
 
     "q_rate_spike" ->
       """WITH hourly AS (

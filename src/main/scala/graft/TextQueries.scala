@@ -168,6 +168,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // C24c (oracle, round 10): the batch-settled answer of the
+    // STREAMING span dedup (streaming.SpanDedupStream, first-arrival-
+    // wins): each distinct 8-token window is claimed by its earliest
+    // doc (arrival order = doc_id here, making the claim total and
+    // deterministic — the stream's within-micro-batch arbitrariness
+    // disappears at the settled batch answer), and every doc reports
+    // how many of its windows it claimed (win_new) vs arrived-late
+    // (win_dup). Spark joins 8-byte window HASHES (scan-stage hashing,
+    // co-partitioned claim join — the SpanDedup scale shape); the
+    // oracle joins the window STRINGS, proving the hashing
+    // collision-free like text_contaminate.
+    "span_stream_flags" -> Q { (s, d) =>
+      val rows = DedupQueries.corpus(s, d).select(col("doc_id"),
+          explode(graft.operators.Contamination.wordShingles(col("text"), 8))
+            .as("_w"))
+        .select(col("doc_id"), xxhash64(col("_w")).as("_wh"))
+      val claims = rows.groupBy("_wh").agg(min("doc_id").as("claimant"))
+      rows.join(claims, "_wh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("win_total"),
+          sum(when(col("claimant") === col("doc_id"), 1L).otherwise(0L))
+            .as("win_new"))
+        .select(col("doc_id"), col("win_total"), col("win_new"),
+          (col("win_total") - col("win_new")).as("win_dup"))
+        .orderBy("doc_id")
+    },
+
     // C24b (oracle, round 8): the remediation half — rebuild each doc
     // with duplicated 8-token windows REMOVED; the oracle reconstructs
     // the scrubbed strings over the window strings themselves.
@@ -650,6 +677,22 @@ object TextQueries {
          | CAST(sum(CASE WHEN wd.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS win_dup,
          | CAST(sum(CASE WHEN wd.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
          |FROM gd JOIN wd USING (win)
+         |GROUP BY gd.doc_id ORDER BY doc_id""".stripMargin,
+
+    "span_stream_flags" ->
+      s"""WITH ${DedupOracles.corpusSql}, toks AS (
+         | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+         | FROM corpus WHERE length(trim(text)) > 0
+         |), g AS (
+         | SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
+         |   i -> array_to_string(list_slice(tk, CAST(i + 1 AS BIGINT), CAST(i + 8 AS BIGINT)), ' '))) AS win
+         | FROM toks WHERE len(tk) >= 8
+         |), gd AS (SELECT DISTINCT doc_id, win FROM g
+         |), cl AS (SELECT win, min(doc_id) AS claimant FROM gd GROUP BY 1)
+         |SELECT gd.doc_id, count(*) AS win_total,
+         | CAST(sum(CASE WHEN cl.claimant = gd.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS win_new,
+         | CAST(count(*) - sum(CASE WHEN cl.claimant = gd.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS win_dup
+         |FROM gd JOIN cl USING (win)
          |GROUP BY gd.doc_id ORDER BY doc_id""".stripMargin,
 
     "text_span_scrub" ->
