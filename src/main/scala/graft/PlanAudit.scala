@@ -17,7 +17,10 @@ object PlanAudit {
         "dedup_containment", "dedup_ngram_jaccard", "dedup_semantic",
         "dedup_url", "text_pii_scrub", "text_top_terms",
         "ann_knn_classify", "mix_temperature", "q_versioned_collapsing",
-        "q_audience_overlap", "q_retention_cohort")
+        "q_audience_overlap", "q_retention_cohort",
+        // round 10: the new gate surface
+        "q_audience_overlap_sketch", "span_stream_flags",
+        "cms_stream_relation")
     audited.foreach { q =>
       println(s"======== $q")
       val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString

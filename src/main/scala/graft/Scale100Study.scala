@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 scale step: the top-5 pipeline operators (by round-9 bench
+  * cost) measured at 1×, 10× and 100× of the sf0.01 gate corpus — a
+  * full 100× span where round 9's evidence ceiling was 10×.
+  *
+  * Replication model (the ScaleStudy philosophy, extended past 26
+  * replicas): replica i of a document gets a distinct AFFINE
+  * substitution cipher — letter j → alphabet[(a·j + r) mod 26] with
+  * a ∈ {1,3,5,7} (coprime to 26), r = i mod 26, giving 104 distinct
+  * permutations — so replicas of one doc are NOT near-dups of each
+  * other and the corpus keeps a CONSTANT duplication rate (the
+  * realistic 100-TB model; the planted %10 dups replicate per-replica
+  * since the id shift preserves residues). Embeddings replicate with
+  * hash-jitter (copies form small clusters around the original — the
+  * near-dup geometry, as in IvfScaleStudy).
+  *
+  * Also measured at 100×:
+  *  - dedup_minhash with the side-broadcast cap forced to 1 byte —
+  *    the round-10 co-partitioned verify-join fallback, timed, so the
+  *    over-threshold plan has a measured cost, not just a spec;
+  *  - dedup_ngram_jaccard via strategy="lsh" (the sub-quadratic
+  *    escape), plus a probe that the default "auto" REFUSES at this
+  *    scale (the three-way verdict firing where n² would be ~1.25e9).
+  *
+  * Run: `sbt "runMain graft.Scale100Study"` → one JSON line.
+  */
+object Scale100Study {
+
+  private val abc = "abcdefghijklmnopqrstuvwxyz"
+
+  private def cipher(i: Int): String = {
+    val a = Seq(1, 3, 5, 7)(i / 26 % 4)
+    val r = i % 26
+    (0 until 26).map(j => abc((a * j + r) % 26)).mkString
+  }
+
+  private def replicate(spark: SparkSession, base: String, out: String,
+                        k: Int): Unit = {
+    val fs = new java.io.File(out)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events").foreach { t =>
+      Tables(spark, base, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    (0 until k).map { i =>
+      Tables(spark, base, "documents")
+        .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", translate(col("text"), abc, cipher(i)))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    (0 until k).map { i =>
+      val b = Tables(spark, base, "embeddings") // (vec_id, embedding, label)
+      if (i == 0) b
+      else b.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        expr(s"""transform(embedding, (x, j) -> CAST(x +
+            (pmod(xxhash64(vec_id, $i, j), 1000) - 500) / 10000.0
+            AS FLOAT))""").as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    new java.io.File(fs, "_DONE").createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dirs = Seq(1 -> base) ++ Seq(10, 100).map { k =>
+      val d = s"/tmp/graft_scale100_x$k"
+      replicate(spark, base, d, k)
+      k -> d
+    }
+
+    val ops = Seq("dedup_minhash", "dedup_minhash_verified",
+      "text_span_dedup", "dedup_keep_best", "ann_ivfpq")
+
+    def timeOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    ops.foreach(n => timeOnce(n, "/root/testdata/sf0.001")) // codegen warm
+
+    // interleaved min-of-2 across all (op, scale) cells
+    val passes = (1 to 2).map { _ =>
+      (for (op <- ops; (k, d) <- dirs) yield (op, k) -> timeOnce(op, d)).toMap
+    }
+    def minAt(op: String, k: Int) = passes.map(_((op, k))).min
+
+    // the forced co-partitioned verify join at 100×
+    val x100 = dirs.last._2
+    spark.conf.set(graft.operators.Dedup.MaxSideBroadcastBytesKey, "1")
+    val shuffled = (1 to 2).map(_ => timeOnce("dedup_minhash", x100)).min
+    spark.conf.unset(graft.operators.Dedup.MaxSideBroadcastBytesKey)
+
+    // the quadratic guard at 100×: auto must REFUSE, lsh must run
+    val corpus100 = DedupQueries.corpus(spark, x100)
+    val autoRefused =
+      try {
+        graft.operators.Dedup
+          .ngramJaccardPairs(corpus100, "doc_id", "text", 0.4)
+          .write.format("noop").mode("overwrite").save()
+        false
+      } catch { case e: IllegalStateException =>
+        e.getMessage.contains("maxCandidates")
+      }
+    val tLsh0 = System.nanoTime()
+    graft.operators.Dedup
+      .ngramJaccardPairs(corpus100, "doc_id", "text", 0.4, strategy = "lsh")
+      .write.format("noop").mode("overwrite").save()
+    val lshSec = (System.nanoTime() - tLsh0) / 1e9
+
+    val qs = ops.map { op =>
+      val t1 = minAt(op, 1); val t10 = minAt(op, 10); val t100 = minAt(op, 100)
+      f""""$op":{"x1":$t1%.2f,"x10":$t10%.2f,"x100":$t100%.2f,"r10":${t10 / t1}%.2f,"r100":${t100 / t1}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"scale100","base":"$base","ops":$qs,"minhash_x100_shuffled_verify":$shuffled%.2f,"ngram_auto_refuses_x100":$autoRefused,"ngram_lsh_x100":$lshSec%.2f}""")
+    spark.stop()
+  }
+}

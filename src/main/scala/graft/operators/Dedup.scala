@@ -296,17 +296,29 @@ object Dedup {
                           threshold: Double = 0.5,
                           nHashes: Int = 128, bands: Int = 32): DataFrame = {
     val rowsPerBand = nHashes / bands
+    // bare ids through the band join (16 B keys — the minhashPairs
+    // round-9 lesson applied to the incremental path too; carrying the
+    // 1 KB signatures through the explode shuffled 32 KB/doc), then
+    // the signatures join back ONCE per distinct cross pair via the
+    // cost-based sideJoin — broadcast while either side fits, shuffled
+    // co-partitioned on its id beyond. The two counts are bounded
+    // actions over signature tables (persist them first on reuse).
     def banded(sigs: DataFrame, id: String) =
-      sigs.select(col("doc_id").as(id), col("sig").as(s"${id}_sig"),
+      sigs.select(col("doc_id").as(id),
           explode(expr(s"transform(sequence(0, ${bands - 1}), " +
             s"b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))")).as("bb"))
-        .select(col(id), col(s"${id}_sig"), col("bb.band"), col("bb.bh"))
-    val inc = banded(incomingSigs, "doc_id")
-    val store = banded(storeSigs, "store_id")
-    inc.join(store, Seq("band", "bh"))
-      .select(col("doc_id"), col("store_id"),
-        col("doc_id_sig").as("sa"), col("store_id_sig").as("sb"))
+        .select(col(id), col("bb.band"), col("bb.bh"))
+    val cand = banded(incomingSigs, "doc_id")
+      .join(banded(storeSigs, "store_id"), Seq("band", "bh"))
+      .select("doc_id", "store_id")
       .dropDuplicates("doc_id", "store_id")
+    val incBytes = incomingSigs.count() * SigRowBytes
+    val storeBytes = storeSigs.count() * SigRowBytes
+    sideJoin(sideJoin(cand,
+        incomingSigs.select(col("doc_id"), col("sig").as("sa")),
+        "doc_id", incBytes),
+      storeSigs.select(col("doc_id").as("store_id"), col("sig").as("sb")),
+      "store_id", storeBytes)
       .select(col("doc_id"), col("store_id"),
         (aggregate(zip_with(col("sa"), col("sb"),
           (x, y) => when(x === y, 1).otherwise(0)),
