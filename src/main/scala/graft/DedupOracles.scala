@@ -300,13 +300,16 @@ object DedupOracles {
     * would otherwise recompute the whole signature pipeline per
     * reference.
     */
+  private val bandedSql: String =
+    """banded AS (
+      | SELECT doc_id, unnest(list_transform(range(0, 32),
+      |   k -> CAST(k AS VARCHAR) || ':' ||
+      |        array_to_string(sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)], ','))) AS bk
+      | FROM sigs
+      |)""".stripMargin
+
   private val pairsSql: String =
-    s"""banded AS (
-       | SELECT doc_id, unnest(list_transform(range(0, 32),
-       |   k -> CAST(k AS VARCHAR) || ':' ||
-       |        array_to_string(sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)], ','))) AS bk
-       | FROM sigs
-       |), cand AS MATERIALIZED (
+    s"""$bandedSql, cand AS MATERIALIZED (
        | SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        | FROM banded l JOIN banded r ON l.bk = r.bk AND l.doc_id < r.doc_id
        |), pairs AS (
@@ -324,6 +327,25 @@ object DedupOracles {
     s"""$sigsMat, $pairsSql
        |SELECT doc_a, doc_b, est_jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** C2c: the INCREMENTAL candidate join — planted replicas
+    * (doc_id >= 1e6) as the incoming batch against the base documents
+    * as the store; only CROSS-side band hits pair, replaying
+    * Dedup.minhashPairsAgainst's daily-increment shape on the same
+    * signature chain.
+    */
+  val minhashIncrSql: String =
+    s"""$sigsMat, $bandedSql, candx AS MATERIALIZED (
+       | SELECT DISTINCT l.doc_id AS doc_id, r.doc_id AS store_id
+       | FROM banded l JOIN banded r ON l.bk = r.bk
+       |  AND l.doc_id >= 1000000 AND r.doc_id < 1000000
+       |)
+       |SELECT candx.doc_id, candx.store_id, $estSql AS est_jaccard
+       |FROM candx
+       | JOIN sigs a ON a.doc_id = candx.doc_id
+       | JOIN sigs b ON b.doc_id = candx.store_id
+       |WHERE $estSql >= 0.5
+       |ORDER BY candx.doc_id, candx.store_id""".stripMargin
 
   /** Cluster labels: reachability closure (recursive CTE) over the
     * thresholded pair list; label = min reachable id, matching the

@@ -60,6 +60,22 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // C2c (oracle, round 10): the INCREMENTAL near-dup path — new
+    // documents (the planted replicas, doc_id >= 1e6) against a
+    // historical signature STORE (the base docs), without re-pairing
+    // the store against itself: the daily-increment shape at scale
+    // (work = O(increment × bucket occupancy), never O(store²)).
+    // Previously spec-only; the oracle replays the full signature
+    // chain with the cross-side-only band join.
+    "dedup_minhash_incr" -> Q { (s, d) =>
+      val c = corpus(s, d)
+      Dedup.minhashPairsAgainst(
+          Dedup.signatures(c.filter(col("doc_id") >= 1000000), "doc_id", "text"),
+          Dedup.signatures(c.filter(col("doc_id") < 1000000), "doc_id", "text"),
+          threshold = 0.5)
+        .orderBy("doc_id", "store_id")
+    },
+
     // C39 (oracle, round 9): the production near-dup shape — LSH
     // candidates, EXACT gram-Jaccard verdicts. The oracle replays the
     // signature chain AND recomputes the exact Jaccard over raw gram
@@ -360,6 +376,7 @@ object DedupQueries {
     "dedup_minhash_pairs" -> DedupOracles.minhashPairsSql,
     "dedup_minhash" -> DedupOracles.minhashClustersSql,
     "dedup_minhash_verified" -> DedupOracles.minhashVerifiedSql,
+    "dedup_minhash_incr" -> DedupOracles.minhashIncrSql,
 
     // Unfiltered exact recompute over the raw gram STRINGS (the
     // operator uses gram hashes + prefix filtering, so this
