@@ -433,13 +433,17 @@ object Dedup {
   }
 
   /** MinHash near-dup CLUSTERS (SURVEY §2 C2): LSH candidate pairs ->
-    * threshold -> connected components.
+    * threshold -> connected components. The pair list MATERIALIZES
+    * before CC (round-10 profile: connectedComponents reads its input
+    * twice — node set + initial edge set — and an unpersisted pairs
+    * plan re-ran the whole band-join+estimate pipeline per read,
+    * ~2× the candidate stage for nothing).
     */
   def minhashClusters(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5,
                       persist: Persist = localPersist): DataFrame =
-    connectedComponents(minhashPairs(docs, idCol, textCol, threshold,
-      persist = persist), persist = persist)
+    connectedComponents(persist(minhashPairs(docs, idCol, textCol, threshold,
+      persist = persist)), persist = persist)
 
   /** Cluster-representative selection (SURVEY §2 C26): keep the
     * highest-QUALITY member of each near-dup cluster, not the smallest
