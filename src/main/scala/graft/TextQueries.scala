@@ -180,10 +180,13 @@ object TextQueries {
     // oracle joins the window STRINGS, proving the hashing
     // collision-free like text_contaminate.
     "span_stream_flags" -> Q { (s, d) =>
+      // materialized once: the claim agg and the join-back both read
+      // it, and the pruned claim-side scan defeats exchange reuse
       val rows = DedupQueries.corpus(s, d).select(col("doc_id"),
           explode(graft.operators.Contamination.wordShingles(col("text"), 8))
             .as("_w"))
         .select(col("doc_id"), xxhash64(col("_w")).as("_wh"))
+        .localCheckpoint(true)
       val claims = rows.groupBy("_wh").agg(min("doc_id").as("claimant"))
       rows.join(claims, "_wh")
         .groupBy("doc_id")

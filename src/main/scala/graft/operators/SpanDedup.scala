@@ -28,12 +28,20 @@ object SpanDedup {
     * where win_dup counts this doc's distinct windows that also appear
     * in at least one OTHER document and dup_frac = win_dup/win_total
     * (one IEEE divide — engine-portable).
+    *
+    * The (id, hash) pair table MATERIALIZES once (round-10 profile:
+    * it feeds both the frequency count and the join-back, and Spark
+    * does NOT reuse the exchange — the count side prunes the id column
+    * so the scans differ — which re-ran the whole tokenize+shingle+
+    * hash pipeline per consumer). 16 bytes/window of executor-local
+    * blocks; at cluster scale pass [[graft.operators.Dedup.reliablePersist]].
     */
-  def report(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val pairs = docs
+  def report(docs: DataFrame, idCol: String, textCol: String, w: Int,
+             persist: Dedup.Persist = Dedup.localPersist): DataFrame = {
+    val pairs = persist(docs
       .select(col(idCol),
         explode(Contamination.wordShingles(col(textCol), w)).as("_win"))
-      .select(col(idCol), xxhash64(col("_win")).as("_wh"))
+      .select(col(idCol), xxhash64(col("_win")).as("_wh")))
     val winDocs = pairs // pairs are distinct per doc -> count(*) = #docs
       .groupBy("_wh").agg(count(lit(1)).as("_n_docs"))
     pairs.join(winDocs, Seq("_wh"))
@@ -57,9 +65,10 @@ object SpanDedup {
     * the rebuild is pure executor-side HOF array work. A doc's state
     * is bounded by its own window count.
     */
-  def scrub(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+  def scrub(docs: DataFrame, idCol: String, textCol: String, w: Int,
+            persist: Dedup.Persist = Dedup.localPersist): DataFrame = {
     val toks = tokenized(docs, idCol, textCol)
-    val dupStarts = dupStartRows(toks, idCol, w)
+    val dupStarts = dupStartRows(toks, idCol, w, persist)
       .groupBy(col(idCol)).agg(collect_list(col("_s")).as("_starts"))
     toks.join(dupStarts, Seq(idCol), "left")
       .withColumn("_starts", coalesce(col("_starts"), typedlit(Seq.empty[Int])))
@@ -90,10 +99,11 @@ object SpanDedup {
     * partitions, rows stream through with no arrays and no driver
     * involvement.
     */
-  def runs(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+  def runs(docs: DataFrame, idCol: String, textCol: String, w: Int,
+           persist: Dedup.Persist = Dedup.localPersist): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_s"))
-    dupStartRows(tokenized(docs, idCol, textCol), idCol, w)
+    dupStartRows(tokenized(docs, idCol, textCol), idCol, w, persist)
       .withColumn("_prev", lag(col("_s"), 1).over(byDoc))
       .withColumn("_new",
         when(col("_prev").isNull || col("_s") - col("_prev") > w, 1L)
@@ -119,15 +129,18 @@ object SpanDedup {
     * co-partitioned on the hash.
     */
   private def dupStartRows(toks: DataFrame, idCol: String,
-                           w: Int): DataFrame = {
-    // 0-based window starts: s covers tokens s .. s+w-1
-    val g = toks
+                           w: Int, persist: Dedup.Persist): DataFrame = {
+    // 0-based window starts: s covers tokens s .. s+w-1. Materialized
+    // once — the frequency count and the join-back both consume it,
+    // and the pruned count-side scan defeats exchange reuse (same
+    // round-10 finding as report()); 24 bytes/window
+    val g = persist(toks
       .filter(size(col("_tk")) >= w)
       .select(col(idCol), explode(expr(
         s"transform(sequence(0, size(_tk) - $w), " +
           s"s -> named_struct('s', s, 'wh', xxhash64(array_join(slice(_tk, s + 1, $w), ' '))))"))
         .as("_g"))
-      .select(col(idCol), col("_g.s").as("_s"), col("_g.wh").as("_wh"))
+      .select(col(idCol), col("_g.s").as("_s"), col("_g.wh").as("_wh")))
     val dupWins = g.select(col(idCol), col("_wh")).distinct()
       .groupBy("_wh").agg(count(lit(1)).as("_nd"))
       .filter(col("_nd") > 1)
