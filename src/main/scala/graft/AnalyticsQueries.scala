@@ -332,8 +332,11 @@ object AnalyticsQueries {
     // state for the reaggregatable HLL sketch (uniqState/uniqMerge),
     // trading exactness for O(1) state — both ends of that trade ship.
     "q_audience_overlap" -> Q { (s, d) =>
+      // checkpointed: both sides of the pair join read it, and
+      // re-evaluating means a second full events scan + collect_set
       val aud = Tables.events(s, d).groupBy("event_type")
         .agg(sort_array(collect_set(col("user_id"))).as("users"))
+        .localCheckpoint(true)
       val a = aud.select(col("event_type").as("type_a"),
         col("users").as("users_a"))
       val b = aud.select(col("event_type").as("type_b"),

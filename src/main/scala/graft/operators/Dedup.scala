@@ -199,15 +199,27 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5, nHashes: Int = 128,
                    bands: Int = 32, persist: Persist = localPersist): DataFrame = {
-    val rowsPerBand = nHashes / bands
     require(nHashes == graft.functions.MinHash128.NumHashes,
       "the fused signature kernel is fixed at 128 hashes")
     // one fused-kernel pass per doc; materialize once (the self-join
     // and estimate would otherwise recompute signatures per reference;
     // at cluster scale this is a checkpoint of the signature table,
     // thousands of times smaller than the text)
-    val sigs = persist(docs.select(col(idCol).as("doc_id"),
-      graft.functions.MinHash128.signature(col(textCol)).as("sig")))
+    minhashPairsFromSigs(persist(signatures(docs, idCol, textCol)),
+      threshold, nHashes, bands)
+  }
+
+  /** [[minhashPairs]] from a PRECOMPUTED (doc_id, sig) table — the
+    * signature-store entry point (round 10): callers that already
+    * materialized signatures (the persisted store, or a fused
+    * sig+gram-set scan like [[minhashVerifiedPairs]]) get candidates
+    * without a second corpus scan. `sigs` should be persisted — it is
+    * read by both sides of the band self-join, the estimate joins,
+    * and one bounded count.
+    */
+  def minhashPairsFromSigs(sigs: DataFrame, threshold: Double = 0.5,
+                           nHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val rowsPerBand = nHashes / bands
     // candidates travel as BARE ID PAIRS (16 bytes/row) through the
     // band join and the dedup shuffle; the 1-KB signature arrays join
     // back only once per DISTINCT pair. Carrying sigs through the
@@ -254,9 +266,15 @@ object Dedup {
   def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                            threshold: Double = 0.5,
                            persist: Persist = localPersist): DataFrame = {
-    val cand = minhashPairs(docs, idCol, textCol, threshold, persist = persist)
-    val sets = persist(docs.select(col(idCol).as("doc_id"),
+    // ONE corpus scan computes both per-doc artifacts (round 10 —
+    // signatures for the candidate stage, sorted gram sets for the
+    // exact verify; separately they each re-read and re-parsed the
+    // text), materialized together; the selects below hit the blocks
+    val both = persist(docs.select(col(idCol).as("doc_id"),
+      graft.functions.MinHash128.signature(col(textCol)).as("sig"),
       array_sort(array_distinct(shingleHashes(col(textCol)))).as("ngs")))
+    val cand = minhashPairsFromSigs(both.select("doc_id", "sig"), threshold)
+    val sets = both.select("doc_id", "ngs")
     val szA = size(col("ngs_a")); val szB = size(col("ngs_b"))
     val need = floor(lit(threshold / (1.0 + threshold)) *
       (szA + szB).cast("double")).cast("long")
