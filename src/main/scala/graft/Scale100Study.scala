@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   *    the round-10 co-partitioned verify-join fallback, timed, so the
   *    over-threshold plan has a measured cost, not just a spec;
   *  - dedup_ngram_jaccard via strategy="lsh" (the sub-quadratic
-  *    escape), plus a probe that the default "auto" REFUSES at this
-  *    scale (the three-way verdict firing where n² would be ~1.25e9).
+  *    escape), plus what the default "auto" decides at this scale —
+  *    runs its chosen generator inside the calibrated maxCandidates
+  *    envelope, refuses loudly past it.
   *
   * Run: `sbt "runMain graft.Scale100Study"` → one JSON line.
   */
@@ -108,16 +109,23 @@ object Scale100Study {
     val shuffled = (1 to 2).map(_ => timeOnce("dedup_minhash", x100)).min
     spark.conf.unset(graft.operators.Dedup.MaxSideBroadcastBytesKey)
 
-    // the quadratic guard at 100×: auto must REFUSE, lsh must run
+    // the quadratic guard at 100×: record what `auto` DECIDES at this
+    // scale (run the chosen generator, or refuse loudly past
+    // maxCandidates — at a tightened bound the refusal is the designed
+    // outcome; at the calibrated default the ~1.25e9-pair all-pairs
+    // sweep is still inside the envelope and runs), and time the
+    // sub-quadratic lsh escape either way
     val corpus100 = DedupQueries.corpus(spark, x100)
-    val autoRefused =
+    val autoOutcome =
       try {
+        val t0 = System.nanoTime()
         graft.operators.Dedup
           .ngramJaccardPairs(corpus100, "doc_id", "text", 0.4)
           .write.format("noop").mode("overwrite").save()
-        false
-      } catch { case e: IllegalStateException =>
-        e.getMessage.contains("maxCandidates")
+        f""""ran_sec":${(System.nanoTime() - t0) / 1e9}%.2f"""
+      } catch { case e: IllegalStateException
+          if e.getMessage.contains("maxCandidates") =>
+        """"refused":true"""
       }
     val tLsh0 = System.nanoTime()
     graft.operators.Dedup
@@ -129,7 +137,7 @@ object Scale100Study {
       val t1 = minAt(op, 1); val t10 = minAt(op, 10); val t100 = minAt(op, 100)
       f""""$op":{"x1":$t1%.2f,"x10":$t10%.2f,"x100":$t100%.2f,"r10":${t10 / t1}%.2f,"r100":${t100 / t1}%.2f}"""
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"scale100","base":"$base","ops":$qs,"minhash_x100_shuffled_verify":$shuffled%.2f,"ngram_auto_refuses_x100":$autoRefused,"ngram_lsh_x100":$lshSec%.2f}""")
+    println(f"""{"metric":"scale100","base":"$base","ops":$qs,"minhash_x100_shuffled_verify":$shuffled%.2f,"ngram_auto_x100":{$autoOutcome},"ngram_lsh_x100":$lshSec%.2f}""")
     spark.stop()
   }
 }

@@ -86,11 +86,24 @@ object ScaleStudy {
 
     replicate(spark, base, work, k)
 
+    // -2 = the operator itself REFUSED (the round-10 quadratic guard:
+    // past maxCandidates the exact set-overlap ops throw loudly rather
+    // than run n² — at 10× of sf0.1 both dedup_ngram_jaccard and
+    // dedup_containment cross the bound BY DESIGN, and the refusal IS
+    // the measured scale behavior); -1 = any other failure
     def timeOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+          e.getMessage.contains("maxCandidates") => -2.0
+        case e: Throwable =>
+          System.err.println(s"[scale] $name failed at $dir: ${e.getMessage}")
+          -1.0
+      }
     }
     // headline + the LLM-pipeline set (round 9): the scale mandate's
     // own operators get measured ratios, not design arguments
@@ -105,10 +118,18 @@ object ScaleStudy {
         n -> (timeOnce(n, base), timeOnce(n, work))
       }.toMap
     }
+    // min over SUCCESSFUL runs; a query with none keeps its sentinel
+    // (-2 refused-by-guard / -1 failed) and reports no ratio
+    def minOk(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0)
+      // all-sentinel: -2 (refused) only if every pass refused, else -1
+      if (ok.nonEmpty) ok.min
+      else if (ts.forall(_ == -2.0)) -2.0 else -1.0
+    }
     val rows = studied.map { n =>
-      val bs = passes.map(_(n)._1).min
-      val ss = passes.map(_(n)._2).min
-      (n, bs, ss, ss / bs)
+      val bts = passes.map(_(n)._1); val sts = passes.map(_(n)._2)
+      val bs = minOk(bts); val ss = minOk(sts)
+      (n, bs, ss, if (bs > 0 && ss > 0) ss / bs else -1.0)
     }
     val qs = rows.map { case (n, b, s, r) =>
       f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f}"""
