@@ -93,20 +93,30 @@ object Dedup {
     if (estSideBytes <= maxSideBroadcastBytes(side)) left.join(broadcast(side), key)
     else left.join(side, key)
 
-  /** Ceiling on predicted candidate enumerations an EXACT set-overlap
-    * join will run without an explicit opt-in. Calibrated against the
-    * measured early-abort kernel throughput (~5e7 enumerations/s on 32
-    * local cores — the round-9 10× study's 1.25e9-pair containment
-    * sweep took 23 s): 1e10 is minutes of sweep locally, seconds on a
-    * real cluster — past it the exact quadratic is money better spent
-    * on sketch-bounded candidates, and `auto` refuses loudly instead
-    * of choosing it (round-9 verdict #1: the cheaper of two quadratics
-    * is still a quadratic). The n²-scaling regimes this bound exists
-    * for sit ORDERS beyond it (10⁸ docs → 5e15), so the refusal
-    * boundary (n ≈ 140k docs unguided) is conservative, not tight;
-    * callers with bigger clusters raise `maxCandidates` explicitly.
+  /** Ceiling on predicted WEIGHTED WORK (estimated early-abort merge
+    * steps: enumerations × (1 − need fraction)) an exact set-overlap
+    * join will run without an explicit opt-in.
+    *
+    * Why weighted: per-ENUMERATION cost varies ~7× with the threshold
+    * regime, because [[graft.functions.SetOps.sortedIntersectCount]]
+    * aborts once the needed overlap is provably out of reach — at
+    * t=0.9 containment (need 90% of A) dissimilar pairs abort almost
+    * immediately, at t=0.4 Jaccard (need 29% of A∪B) the proof takes
+    * ~71% of the merge. The round-10 10× measurements normalize under
+    * this model to the SAME ~5e6 weighted steps/s on 32 local cores
+    * (containment: 1.25e9 enums × 0.1 = 1.25e8 units in 28.5 s;
+    * jaccard: 1.8e9 × 0.714 = 1.29e9 units in 254 s) — one bound now
+    * means one wall-clock envelope across regimes.
+    *
+    * 3e8 ≈ one minute of local sweep (seconds on a real cluster):
+    * within it the exact quadratic is a fine interactive tool; past it
+    * `auto` refuses loudly with the sketch-bounded escape named
+    * (round-9 verdict #1: the cheaper of two quadratics is still a
+    * quadratic) — and the n²-scaling regimes the guard exists for sit
+    * orders beyond (10⁸ docs → ~1e15 units). Callers with bigger
+    * clusters raise `maxCandidates` explicitly.
     */
-  val DefaultMaxCandidates: Long = 10000000000L
+  val DefaultMaxCandidates: Long = 300000000L
 
   /** The `auto` probe's three-way verdict, as a pure function the
     * regime spec pins: compare the prefix join's enumeration estimate
@@ -122,7 +132,11 @@ object Dedup {
     val enumEst = (1.0 - threshold) *
       (if (ordered) 1.0 else 1.0 - threshold) * sumDf2
     val allEst = n * n * (if (ordered) 1.0 else 0.5)
-    if (math.min(enumEst, allEst) > maxCandidates.toDouble) {
+    // weighted work: the early-abort kernel proves a losing pair loses
+    // after ~(1 - needFrac) of its merge — see [[DefaultMaxCandidates]]
+    val needFrac = if (ordered) threshold else threshold / (1.0 + threshold)
+    val work = math.min(enumEst, allEst) * (1.0 - needFrac)
+    if (work > maxCandidates.toDouble) {
       val escape =
         if (ordered) "pass strategy=\"prefix\"|\"allpairs\" explicitly or " +
           "raise maxCandidates to opt into the quadratic sweep"
@@ -131,8 +145,9 @@ object Dedup {
           "or Dedup.minhashVerifiedPairs; to insist on the exact quadratic " +
           "sweep pass strategy=\"prefix\"|\"allpairs\" or raise maxCandidates"
       throw new IllegalStateException(
-        f"exact set-overlap candidate generation predicts ~${math.min(enumEst, allEst)}%.3g " +
-          f"enumerations (prefix ~$enumEst%.3g, all-pairs ~$allEst%.3g) > " +
+        f"exact set-overlap candidate generation predicts ~$work%.3g weighted " +
+          f"merge steps (~${math.min(enumEst, allEst)}%.3g enumerations; " +
+          f"prefix ~$enumEst%.3g, all-pairs ~$allEst%.3g) > " +
           s"maxCandidates=$maxCandidates - refusing to run a quadratic sweep " +
           s"silently; $escape")
     }
@@ -599,8 +614,9 @@ object Dedup {
     *    Two bounded driver-side actions, the same cost-based-choice
     *    discipline AQE applies to join strategies.
     *  - `auto` has a THIRD verdict (round 10): when even the cheaper
-    *    exact generator predicts more candidate enumerations than
-    *    `maxCandidates`, it REFUSES — loudly, naming the sub-quadratic
+    *    exact generator predicts more weighted merge-step work than
+    *    `maxCandidates` (see [[DefaultMaxCandidates]] for the
+    *    measured cost model), it REFUSES — loudly, naming the sub-quadratic
     *    escape (`strategy = "lsh"`, or [[minhashVerifiedPairs]]) —
     *    instead of silently running a quadratic at corpus scale. The
     *    dense closed-vocabulary regime makes EVERY exact algorithm

@@ -116,6 +116,18 @@ class DedupStrategySpec extends SparkFunSuite {
     // empty corpus: 0 enumerations, prefix path, no NULL-agg crash
     assert(Dedup.chooseCandidateStrategy(0, 0.0, 0.4,
       ordered = false, 100000000L) == "prefix")
+    // the WEIGHTED cost model: identical enumeration counts, but the
+    // t=0.9 containment regime aborts after ~10% of each merge while
+    // t=0.4 jaccard pays ~71% — so the same bound runs the first and
+    // refuses the second (the round-10 calibration: both normalize to
+    // ~5e6 weighted steps/s measured)
+    val enums = 2.0e9 // → ordered work 2e8, unordered work 1.43e9
+    assert(Dedup.chooseCandidateStrategy(math.sqrt(enums), 1e30, 0.9,
+      ordered = true, Dedup.DefaultMaxCandidates) == "allpairs")
+    intercept[IllegalStateException] {
+      Dedup.chooseCandidateStrategy(math.sqrt(2 * enums), 1e30, 0.4,
+        ordered = false, Dedup.DefaultMaxCandidates)
+    }
   }
 
   test("auto refuses end-to-end when maxCandidates is exceeded") {
