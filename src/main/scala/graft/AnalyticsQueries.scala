@@ -44,6 +44,24 @@ object AnalyticsQueries {
         .orderBy("level")
     },
 
+    // B14b (round 10): windowFunnel 'strict_order' — interventions
+    // break the chain (CH: A→B→D→C stops the A→B→C search at D). The
+    // per-user sequence number (row_number over (ts, event_id) — total
+    // order, so both engines see the same chain) reduces "immediately
+    // next event" to seq == anchor_seq + i; 'strict_increase' is
+    // implied. Same single user_id shuffle as q_funnel.
+    "q_funnel_strict" -> Q { (s, d) =>
+      ChAnalytics.windowFunnelStrictOrder(
+        Tables.events(s, d).select("user_id", "event_id", "ts_us", "event_type"),
+        col("user_id"), col("ts_us"), col("event_id"), dayUs,
+        Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+        .groupBy(col("level").cast("long").as("level"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("level")
+    },
+
     // B15: retention(signup, purchase, view) — cohort counts, one pass.
     "q_retention" -> Q { (s, d) =>
       ChAnalytics.retention(
@@ -691,6 +709,35 @@ object AnalyticsQueries {
         | FROM s0
         | LEFT JOIN s1 ON s0.user_id = s1.user_id
         | LEFT JOIN s2 ON s0.user_id = s2.user_id)
+        |GROUP BY level ORDER BY level""".stripMargin,
+
+    // strict_order replay: per-user total-order sequence numbers, the
+    // anchor's seq/ts via self-join, consecutive-position step matches
+    "q_funnel_strict" ->
+      """WITH base AS (
+        | SELECT user_id, epoch_us(ts) AS ts, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS seq
+        | FROM events
+        |), a AS (
+        | SELECT user_id, min(CASE WHEN event_type = 'view' THEN seq END) AS s0
+        | FROM base GROUP BY user_id
+        |), a2 AS (
+        | SELECT a.user_id, a.s0, b.ts AS t0
+        | FROM a LEFT JOIN base b ON b.user_id = a.user_id AND b.seq = a.s0
+        |), m AS (
+        | SELECT a2.user_id, a2.s0,
+        |  max(CASE WHEN b.seq = a2.s0 + 1 AND b.event_type = 'click'
+        |        AND b.ts <= a2.t0 + 86400000000 THEN 1 ELSE 0 END) AS m1,
+        |  max(CASE WHEN b.seq = a2.s0 + 2 AND b.event_type = 'purchase'
+        |        AND b.ts <= a2.t0 + 86400000000 THEN 1 ELSE 0 END) AS m2
+        | FROM a2 LEFT JOIN base b ON b.user_id = a2.user_id
+        | GROUP BY a2.user_id, a2.s0, a2.t0
+        |)
+        |SELECT level, count(*) AS n_users FROM (
+        | SELECT user_id, CAST(CASE WHEN s0 IS NULL THEN 0
+        |   ELSE 1 + m1 + m1 * m2 END AS BIGINT) AS level
+        | FROM m)
         |GROUP BY level ORDER BY level""".stripMargin,
 
     "q_retention" ->

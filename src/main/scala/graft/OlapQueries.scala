@@ -233,6 +233,25 @@ object OlapQueries {
         .orderBy("event_type")
     },
 
+    // B29b (round 10): MERGEABLE quantile states — the CH quantileState
+    // / quantileMerge idiom, quantile twin of uniq_merge_portable. Daily
+    // fixed-grid histogram states (≤256 16-byte rows per group-day,
+    // regardless of input size) merge by exact per-bucket SUM to the
+    // event_type grain, then interpolate p50/p90/p99. The oracle is the
+    // DIRECT DuckDB estimate — a pass proves merge-of-partials ==
+    // direct bit-exactly (grid merges are order-insensitive; t-digest/
+    // KLL merges are not, which is why the portable sketch is a grid).
+    "q_quantile_merge_portable" -> Q { (s, d) =>
+      import graft.functions.QuantileSketch
+      val ev = Tables.events(s, d)
+        .withColumn("day", expr("ts_us div 86400000000"))
+      val daily = QuantileSketch.state(ev, Seq("event_type", "day"),
+        col("value"))
+      QuantileSketch.estimateFromState(daily, Seq("event_type"),
+          QuantileSketch.gateQs)
+        .orderBy("event_type", "q_label")
+    },
+
     // B7: top-3 heavy hitters per event_type. Aggregate first (shuffle
     // of (type,user) pairs), then rank *within groups* — no global sort
     // of raw events.
@@ -505,6 +524,11 @@ object OlapQueries {
     // plan is exactly the reaggregation-correctness statement
     "uniq_merge_portable" -> graft.functions.HllPortable.oracleSql(
       "events", "event_type", "user_id", "n_users_approx"),
+
+    // direct-build estimate; the Spark side goes through daily partials
+    // + merge, so a hash match proves the sketch's reaggregation law
+    "q_quantile_merge_portable" -> graft.functions.QuantileSketch.oracleSql(
+      "events", "event_type", "value", graft.functions.QuantileSketch.gateQs),
 
     "q_topk_events" ->
       """SELECT event_type, user_id, cnt, rk FROM (

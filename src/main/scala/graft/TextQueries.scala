@@ -304,6 +304,25 @@ object TextQueries {
         .where(col("rk") <= 3)
       ranked.select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("rk").cast("long").as("rk")).orderBy("doc_id", "rk")
+    },
+
+    // C40 (oracle, round 10): bigram-LM typicality score — the
+    // perplexity-filter idiom (CCNet/Gopher score docs with a KenLM;
+    // here the LM is the corpus's own bigram counts, so atypical docs
+    // full of rare word transitions score LOW). Portability: the
+    // per-bigram "information" is the integer floor(log2(count)) =
+    // length(bin(count))-1 — `bin` prints minimal binary identically on
+    // both engines — so no libm ln/log2 enters the result (SURVEY §11
+    // discipline); the one double is the final mean, a single division
+    // of integers. Scale shape: bigrams hash to 64 bits in the scan
+    // stage (16-byte (doc_id, h) pairs, text never shuffles); the count
+    // table and the score join are co-partitioned equi-joins on the
+    // hash. The oracle joins the bigram STRINGS — a pass also proves
+    // the hashing collision-free on this corpus.
+    "text_lm_score" -> Q { (s, d) =>
+      graft.operators.QualityRules.lmScore(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -757,6 +776,32 @@ object TextQueries {
          | CAST(min(s) AS BIGINT) AS run_start,
          | CAST(max(s) + 7 AS BIGINT) AS run_end,
          | CAST(max(s) - min(s) + 8 AS BIGINT) AS run_tokens
-         |FROM r GROUP BY doc_id, run_id ORDER BY doc_id, run_id""".stripMargin
+         |FROM r GROUP BY doc_id, run_id ORDER BY doc_id, run_id""".stripMargin,
+
+    // C40: bigram counts grouped by the bigram STRINGS (vs Spark's
+    // 64-bit hashes — collision-freedom proof); floor(log2(cnt)) via
+    // length(bin(cnt))-1 on both engines; one final double division
+    "text_lm_score" ->
+      """WITH base AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        | FROM documents WHERE length(trim(text)) > 0
+        |), b2 AS (
+        | SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+        | FROM base WHERE len(tk) >= 2
+        |), bg AS (
+        | SELECT doc_id, unnest(list_transform(range(2, n + 1),
+        |   i -> tk[i - 1] || chr(1) || tk[i])) AS bigram
+        | FROM b2
+        |), cnt AS (
+        | SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+        |), scored AS (
+        | SELECT b.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(length(bin(c.cnt)) - 1) AS BIGINT) AS sum_log2
+        | FROM bg b JOIN cnt c USING (bigram)
+        | GROUP BY b.doc_id
+        |)
+        |SELECT doc_id, n_bigrams, sum_log2,
+        | CAST(sum_log2 AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_log2
+        |FROM scored ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Portable MERGEABLE quantile sketch (SURVEY.md §2 B29b) — the
+  * ClickHouse `quantileState` / `quantileMerge` idiom for this engine,
+  * the quantile twin of [[HllPortable]]'s distinct-count states.
+  *
+  * Sketch definition (fixed-grid histogram, B = 256 buckets of width
+  * `Width` over [0, B·Width), under/overflow clamped to the edge
+  * buckets):
+  *  - state per group = one (bucket, count) row per populated bucket —
+  *    ≤ B rows of 16 bytes REGARDLESS of input size;
+  *  - merge = per-bucket integer SUM — associative, commutative and
+  *    EXACT, so per-day partials roll up to any coarser grain
+  *    bit-identically to a direct build (unlike t-digest/KLL, whose
+  *    merges are order-sensitive — the reason this grid form is the
+  *    portable one);
+  *  - estimate for quantile q: target position p = q·(n−1) over the
+  *    cumulative counts; the answer lives in the first bucket whose
+  *    cumulative count exceeds p, linearly interpolated inside it:
+  *    est = b·Width + Width·((p − cum_before) / cnt_b).
+  *
+  * Cross-engine determinism by construction: bucket ids and counts are
+  * integers; the only floating arithmetic is the one fixed interpolation
+  * formula over integer-derived doubles and the literal q — identical
+  * IEEE operation order on both engines, hence bit-identical results
+  * (the hash gate compares these doubles exactly).
+  *
+  * Scale shape: one shuffle of (group, bucket) partial counts (map-side
+  * combine applies — at 100 TB each task emits ≤ B rows per group); the
+  * estimate stage runs over ≤ #groups·B post-agg rows. Accuracy is
+  * bounded by the grid resolution (±Width/2 worst case inside a
+  * bucket), the classic histogram-quantile trade — exact quantiles stay
+  * available via `q_quantiles` (Spark Percentile ≡ DuckDB
+  * quantile_cont) for post-agg-sized inputs.
+  */
+object QuantileSketch {
+
+  val B = 256
+  val Width = 2.0
+
+  /** The quantile set the gate ships (shared by query and oracle). */
+  val gateQs: Seq[(String, Double)] =
+    Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+
+  /** The sketch STATE: one (groupCols..., _b, _cnt) row per populated
+    * bucket. NULL values are ignored. States from different partials of
+    * the same group may repeat a bucket — [[estimateFromState]] (and
+    * any merge) sums them, which is the whole merge rule.
+    */
+  def state(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
+    df.where(value.isNotNull)
+      .groupBy(groupCols.map(col) :+
+        least(greatest(floor(value / lit(Width)), lit(0.0)),
+          lit((B - 1).toDouble)).cast("long").as("_b"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+
+  /** Merge (possibly repeated-bucket) state rows to `groupCols` grain
+    * and estimate the labelled quantiles. Output: (groupCols..., q_label,
+    * est DOUBLE), one row per group × quantile.
+    */
+  def estimateFromState(state: DataFrame, groupCols: Seq[String],
+                        qs: Seq[(String, Double)]): DataFrame = {
+    val gc = groupCols.map(col)
+    val merged = state.groupBy(gc :+ col("_b"): _*)
+      .agg(sum(col("_cnt")).as("_cnt"))
+    val wCum = Window.partitionBy(gc: _*).orderBy("_b")
+    val wAll = Window.partitionBy(gc: _*)
+    val cum = merged
+      .withColumn("_cum", sum(col("_cnt")).over(wCum))
+      .withColumn("_n", sum(col("_cnt")).over(wAll))
+    val qlit = explode(array(qs.map { case (lbl, q) =>
+      struct(lit(lbl).as("q_label"), lit(q).as("_q"))
+    }: _*))
+    val tgt = cum.select(gc ++ Seq(col("_b"), col("_cnt"), col("_cum"),
+        qlit.as("_qs"), col("_n")): _*)
+      .select(gc ++ Seq(col("_b"), col("_cnt"), col("_cum"),
+        col("_qs.q_label").as("q_label"),
+        (col("_qs._q") * (col("_n") - lit(1L)).cast("double")).as("_p")): _*)
+      .where(col("_cum").cast("double") > col("_p"))
+    // the answer bucket is the smallest qualifying b; est mirrors the
+    // oracle's min_by(b*W + W*((p - (cum-cnt))/cnt), b) term for term
+    val est = col("_b").cast("double") * lit(Width) + lit(Width) *
+      ((col("_p") - (col("_cum") - col("_cnt")).cast("double")) /
+        col("_cnt").cast("double"))
+    tgt.groupBy(gc :+ col("q_label"): _*)
+      .agg(min_by(est, col("_b")).as("est"))
+  }
+
+  /** Direct (state → estimate in one go) — what the oracle recomputes;
+    * a gate pass over a MERGED-partials Spark side proves
+    * merge-of-partials == direct bit-exactly.
+    */
+  def estimate(df: DataFrame, groupCols: Seq[String], value: Column,
+               qs: Seq[(String, Double)]): DataFrame =
+    estimateFromState(state(df, groupCols, value), groupCols, qs)
+
+  /** The identical direct sketch as DuckDB SQL: same grid, same
+    * cumulative rule, same single interpolation formula (term-for-term
+    * operation order), quantiles forced to DOUBLE so no decimal
+    * arithmetic sneaks in.
+    */
+  def oracleSql(table: String, groupCol: String, valueCol: String,
+                qs: Seq[(String, Double)]): String = {
+    val qRows = qs.map { case (lbl, q) =>
+      s"('$lbl', CAST($q AS DOUBLE))"
+    }.mkString(", ")
+    s"""WITH st AS (
+       | SELECT $groupCol,
+       |  CAST(least(greatest(floor($valueCol / $Width), 0), ${B - 1}) AS BIGINT) AS b,
+       |  count(*) AS cnt
+       | FROM $table WHERE $valueCol IS NOT NULL GROUP BY 1, 2
+       |), cum AS (
+       | SELECT $groupCol, b, cnt,
+       |  sum(cnt) OVER (PARTITION BY $groupCol ORDER BY b) AS cum,
+       |  sum(cnt) OVER (PARTITION BY $groupCol) AS n
+       | FROM st
+       |), qs AS (SELECT * FROM (VALUES $qRows) q(q_label, q)),
+       |tgt AS (
+       | SELECT c.$groupCol, q.q_label, q.q * CAST(c.n - 1 AS DOUBLE) AS p,
+       |  c.b, c.cnt, c.cum
+       | FROM cum c CROSS JOIN qs q
+       | WHERE CAST(c.cum AS DOUBLE) > q.q * CAST(c.n - 1 AS DOUBLE)
+       |)
+       |SELECT $groupCol, q_label,
+       | min_by(CAST(b AS DOUBLE) * $Width + $Width *
+       |   ((p - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)), b) AS est
+       |FROM tgt GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+}

@@ -68,6 +68,54 @@ object ChAnalytics {
       .select(col("entity"), greatest(levels: _*).as("level"))
   }
 
+  /** ClickHouse windowFunnel(window, 'strict_order') (round 10): like
+    * [[windowFunnel]], but interventions break the chain — step i+1
+    * must be the IMMEDIATELY NEXT event in the entity's stream after
+    * step i (CH: "in A→B→D→C, the search for A→B→C stops at D"). With
+    * a per-entity sequence number (row_number over (ts, tieBreak) — the
+    * tie-break makes the stream a total order so both engines see the
+    * same chain), "immediately next" is just seq == anchor_seq + i,
+    * and 'strict_increase' is implied because seq strictly increases.
+    *
+    * Same greedy-from-earliest anchor as [[windowFunnel]]; every step
+    * must still fall within `windowUs` of the anchor. Level = 1 + the
+    * longest consecutive prefix of matched steps (0 if cond(0) never
+    * fired). One shuffle: the ranking window and every per-step window
+    * min share the entity partitioning.
+    */
+  def windowFunnelStrictOrder(events: DataFrame, entity: Column, ts: Column,
+                              tieBreak: Column, windowUs: Long,
+                              conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty)
+    val wOrd = Window.partitionBy("__ent").orderBy(col("__ts"), col("__tie"))
+    val w = Window.partitionBy("__ent")
+    var df = events.select(
+      entity.as("__ent") +: ts.as("__ts") +: tieBreak.as("__tie") +:
+        conds.zipWithIndex.map { case (c, i) => c.as(s"__c$i") }: _*)
+      .withColumn("__seq", row_number().over(wOrd).cast("long"))
+    df = df.withColumn("__s0", min(when(col("__c0"), col("__seq"))).over(w))
+    df = df.withColumn("__t0",
+      min(when(col("__c0") && col("__seq") === col("__s0"), col("__ts"))).over(w))
+    for (i <- 1 until conds.length) {
+      df = df.withColumn(s"__m$i",
+        max(when(
+          col(s"__c$i") && col("__seq") === col("__s0") + i &&
+            col("__ts") <= col("__t0") + windowUs,
+          lit(1)).otherwise(lit(0))).over(w))
+    }
+    val aggs = max(col("__s0")).as("__a0") +:
+      (1 until conds.length).map(i => max(col(s"__m$i")).as(s"__a$i"))
+    val agg = df.groupBy(col("__ent").as("entity")).agg(aggs.head, aggs.tail: _*)
+    var chain: Column = lit(1)
+    var lvl: Column = lit(1)
+    for (i <- 1 until conds.length) {
+      chain = chain * col(s"__a$i")
+      lvl = lvl + chain
+    }
+    agg.select(col("entity"),
+      when(col("__a0").isNull, lit(0)).otherwise(lvl).as("level"))
+  }
+
   /** ClickHouse `ORDER BY … WITH FILL STEP s`: densify an integer
     * series so every step between min and max is present (missing rows
     * get NULLs — coalesce defaults at the call site).

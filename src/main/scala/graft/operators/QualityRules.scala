@@ -124,4 +124,39 @@ object QualityRules {
         (col("top_bigram_cnt").cast("double") / (col("n_tokens") - 1).cast("double"))
           .as("top_bigram_frac"))
   }
+
+  /** Bigram-LM typicality score (SURVEY.md §2 C40) — the perplexity-
+    * filter idiom (CCNet/Gopher score documents under a language
+    * model; here the LM is the corpus's own bigram distribution, so
+    * documents full of rare word transitions score LOW — outliers,
+    * boilerplate, garbled text).
+    *
+    * Per occurrence of bigram g the "information" credited is the
+    * INTEGER floor(log2(count(g))) = length(bin(count))-1 — no libm
+    * ln/log2 enters the result (`bin` prints minimal binary identically
+    * on Spark and DuckDB); the one double is the final mean, a single
+    * division of integers. Output: (idCol, n_bigrams, sum_log2,
+    * avg_log2) over docs with ≥2 tokens.
+    *
+    * Scale shape: bigrams hash to 64 bits in the scan stage (16-byte
+    * (id, h) pairs — text never shuffles); the count build and the
+    * score join are co-partitioned equi-joins on the hash. The gate's
+    * oracle groups the bigram STRINGS, so a pass also proves the
+    * hashing collision-free on the corpus.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit("\u0001"), element_at(toks, i + 1)))
+    val bi = docs.where(size(toks) >= 2)
+      .select(col(idCol), explode(bigrams).as("_bg"))
+      .select(col(idCol), xxhash64(col("_bg")).as("_h"))
+    val cnt = bi.groupBy("_h").agg(count(lit(1)).as("_cnt"))
+    bi.join(cnt, "_h")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("_cnt"))).cast("long") - 1L).as("sum_log2"))
+      .withColumn("avg_log2",
+        col("sum_log2").cast("double") / col("n_bigrams").cast("double"))
+  }
 }

@@ -97,4 +97,43 @@ class ChAnalyticsSpec extends SparkFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
   }
+
+  // strict_order playground: (user, event_id, ts, type)
+  //  u1: contiguous view->click->purchase            -> strict 3
+  //  u2: view, OTHER, click, purchase (early break)  -> strict 1
+  //  u3: view, click, OTHER, purchase (CH's A→B→D→C) -> strict 2
+  //  u4: no view                                     -> 0
+  //  u5: contiguous but click outside the window     -> 1
+  private val evs = Seq(
+    (1L, 1L, 100L, "view"), (1L, 2L, 150L, "click"), (1L, 3L, 200L, "purchase"),
+    (2L, 4L, 100L, "view"), (2L, 5L, 120L, "other"), (2L, 6L, 150L, "click"),
+    (2L, 7L, 200L, "purchase"),
+    (3L, 8L, 100L, "view"), (3L, 9L, 150L, "click"), (3L, 10L, 170L, "other"),
+    (3L, 11L, 200L, "purchase"),
+    (4L, 12L, 100L, "click"), (4L, 13L, 150L, "purchase"),
+    (5L, 14L, 100L, "view"), (5L, 15L, 5000L, "click")
+  ).toDF("user_id", "event_id", "ts", "event_type")
+
+  test("windowFunnelStrictOrder: interventions break the chain") {
+    val got = ChAnalytics.windowFunnelStrictOrder(evs, col("user_id"),
+        col("ts"), col("event_id"), 1000L, conds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0, 5L -> 1))
+  }
+
+  test("strict_order never exceeds the loose funnel level (real events)") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts_us", "event_type")
+    val loose = ChAnalytics.windowFunnel(ev, col("user_id"), col("ts_us"),
+        86400000000L, conds)
+      .withColumnRenamed("level", "loose")
+    val strict = ChAnalytics.windowFunnelStrictOrder(ev, col("user_id"),
+        col("ts_us"), col("event_id"), 86400000000L, conds)
+      .withColumnRenamed("level", "strict")
+    val joined = loose.join(strict, "entity")
+    assert(joined.where(col("strict") > col("loose")).count() == 0)
+    // anchors agree: level==0 on one side iff 0 on the other
+    assert(joined.where((col("strict") === 0) =!= (col("loose") === 0))
+      .count() == 0)
+  }
 }
