@@ -34,6 +34,20 @@ object VectorQueries {
     ivfModels.getOrElseUpdate(d,
       graft.operators.IvfIndex.train(Tables.embeddings(s, d), nList = IvfNList))
 
+  /** Distributed-trained coarse quantizer (round 10): the
+    * [[graft.operators.IvfIndex.trainDistributed]] path gated
+    * end-to-end at nList=32 — exact-decimal means keep the training
+    * bit-deterministic, so its centroids inline into a DuckDB oracle
+    * exactly like the driver-trained model's.
+    */
+  private[graft] val IvfDistNList = 32
+  private val ivfDistModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.IvfIndex.Model]
+  private[graft] def ivfDistModel(s: SparkSession, d: String): graft.operators.IvfIndex.Model =
+    ivfDistModels.getOrElseUpdate(d,
+      graft.operators.IvfIndex.trainDistributed(Tables.embeddings(s, d),
+        nList = IvfDistNList))
+
   // m=16 subspaces (4 dims each) x 16 centroids: the recall sweep on
   // this corpus gave 0.18 (m=4,k=16) / 0.46 (m=8,k=64) / 0.48
   // (m=16,k=16) / 0.6 (m=16,k=64) vs exact L2 — m=16,k=16 is the
@@ -109,6 +123,17 @@ object VectorQueries {
     "ann_ivf" -> Q { (s, d) =>
       graft.operators.IvfIndex.topK(Tables.embeddings(s, d), probes(s, d),
         ivfModel(s, d), k = 5, nProbe = IvfNProbe).orderBy("probe_id", "rk")
+    },
+
+    // C7c (oracle, round 10): IVF with the DISTRIBUTED-trained
+    // quantizer — exact-decimal means make cluster-side k-means
+    // bit-deterministic (order-independent sums), so the gate closes
+    // the same way ann_ivf's does: trained centroids inline into the
+    // oracle, which re-derives every cell/probe/rank decision.
+    "ann_ivf_dist" -> Q { (s, d) =>
+      graft.operators.IvfIndex.topK(Tables.embeddings(s, d), probes(s, d),
+        ivfDistModel(s, d), k = 5, nProbe = IvfNProbe)
+        .orderBy("probe_id", "rk")
     },
 
     // C29 (oracle, round 8): product quantization — the compressed-
@@ -193,55 +218,65 @@ object VectorQueries {
     *    (d, i) structs;
     *  - candidate scoring + top-k identical to the ann_lsh oracle.
     */
-  private def ivfOracle: Map[String, String] = (for {
-    s <- SparkSession.getActiveSession
-    d <- sys.props.get("graft.oracle.sfDir")
-  } yield {
-    val m = ivfModel(s, d)
+  /** The assignment CTE chain for a given trained model — shared by
+    * the driver-trained and distributed-trained gates (identical
+    * decision replay; only the centroid literals differ).
+    */
+  private def assignCtesFor(m: graft.operators.IvfIndex.Model): String = {
     val dim = m.centroids.head.size
     val cents = m.centroids.zipWithIndex
       .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")}::DOUBLE[])" }
       .mkString(",\n   ")
     val diff = s"list_transform(range(1, ${dim + 1}), i -> dv[i] - cv[i])"
-    val assignCtes =
-      s"""WITH dv AS (
-         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
-         |), cents AS (
-         | SELECT * FROM (VALUES
-         |   $cents) AS t(ci, cv)
-         |), dists AS (
-         | SELECT vec_id, ci,
-         |  list_inner_product($diff, $diff) AS d2
-         | FROM dv CROSS JOIN cents
-         |), assigned AS (
-         | SELECT vec_id, ci AS cell FROM (
-         |  SELECT vec_id, ci,
-         |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
-         |  FROM dists) WHERE rn = 1
-         |)""".stripMargin
-    val ivfSql =
-      s"""$assignCtes, pcells AS (
-         | SELECT vec_id AS probe_id, ci AS cell FROM (
-         |  SELECT vec_id, ci,
-         |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
-         |  FROM dists WHERE vec_id % 50 = 0) WHERE rn <= $IvfNProbe
-         |), cand AS (
-         | SELECT p.probe_id, c.vec_id
-         | FROM assigned c JOIN pcells p
-         |  ON c.cell = p.cell AND c.vec_id <> p.probe_id
-         |), scored AS (
-         | SELECT cand.probe_id, cand.vec_id,
-         |  list_inner_product(p.dv, c.dv) /
-         |   (sqrt(list_inner_product(p.dv, p.dv)) * sqrt(list_inner_product(c.dv, c.dv))) AS cos
-         | FROM cand
-         |  JOIN dv p ON p.vec_id = cand.probe_id
-         |  JOIN dv c ON c.vec_id = cand.vec_id
-         |), ranked AS (
-         | SELECT probe_id, vec_id, cos,
-         |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
-         | FROM scored)
-         |SELECT probe_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked
-         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+    s"""WITH dv AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+       |), cents AS (
+       | SELECT * FROM (VALUES
+       |   $cents) AS t(ci, cv)
+       |), dists AS (
+       | SELECT vec_id, ci,
+       |  list_inner_product($diff, $diff) AS d2
+       | FROM dv CROSS JOIN cents
+       |), assigned AS (
+       | SELECT vec_id, ci AS cell FROM (
+       |  SELECT vec_id, ci,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+       |  FROM dists) WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** IVF top-k oracle for a given model's centroid literals. */
+  private def ivfTopKSqlFor(m: graft.operators.IvfIndex.Model): String =
+    s"""${assignCtesFor(m)}, pcells AS (
+       | SELECT vec_id AS probe_id, ci AS cell FROM (
+       |  SELECT vec_id, ci,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+       |  FROM dists WHERE vec_id % 50 = 0) WHERE rn <= $IvfNProbe
+       |), cand AS (
+       | SELECT p.probe_id, c.vec_id
+       | FROM assigned c JOIN pcells p
+       |  ON c.cell = p.cell AND c.vec_id <> p.probe_id
+       |), scored AS (
+       | SELECT cand.probe_id, cand.vec_id,
+       |  list_inner_product(p.dv, c.dv) /
+       |   (sqrt(list_inner_product(p.dv, p.dv)) * sqrt(list_inner_product(c.dv, c.dv))) AS cos
+       | FROM cand
+       |  JOIN dv p ON p.vec_id = cand.probe_id
+       |  JOIN dv c ON c.vec_id = cand.vec_id
+       |), ranked AS (
+       | SELECT probe_id, vec_id, cos,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+       | FROM scored)
+       |SELECT probe_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked
+       |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+
+  private def ivfOracle: Map[String, String] = (for {
+    s <- SparkSession.getActiveSession
+    d <- sys.props.get("graft.oracle.sfDir")
+  } yield {
+    val m = ivfModel(s, d)
+    val assignCtes = assignCtesFor(m)
+    val ivfSql = ivfTopKSqlFor(m)
     // same quantizer, SemDeDup keep rule: lower-id in-cell neighbors
     // within tau are counted per victim; keep = none exist. Cell and
     // the tau comparison are DECISIONS (ranking-robust to literal
@@ -263,7 +298,9 @@ object VectorQueries {
          | CAST(coalesce(p.n_dup_lower, 0) = 0 AS BIGINT) AS keep
          |FROM assigned a LEFT JOIN pairs p ON p.b_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin
-    Map("ann_ivf" -> ivfSql, "dedup_semantic" -> semSql)
+    Map("ann_ivf" -> ivfSql,
+      "ann_ivf_dist" -> ivfTopKSqlFor(ivfDistModel(s, d)),
+      "dedup_semantic" -> semSql)
   }).getOrElse(Map.empty)
 
   /** DuckDB replica of the PQ pipeline — same lazy binding as

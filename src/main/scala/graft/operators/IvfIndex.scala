@@ -116,6 +116,71 @@ object IvfIndex {
     Model(centroids.toSeq.map(_.toSeq))
   }
 
+  /** DISTRIBUTED k-means (round 10) — the path past [[train]]'s
+    * k ≤ 8192 driver envelope, for coarse quantizers at the
+    * nList ≈ √n rule's corpus scale (10¹⁰ vectors → nList ≈ 10⁵).
+    *
+    * STILL BIT-DETERMINISTIC — the property the old guard assumed a
+    * cluster must surrender is rescued by the repo's standard
+    * order-independence discipline: every per-dimension mean
+    * accumulates as an exact DECIMAL(38,18) sum (each double element
+    * casts identically wherever it is summed; decimal addition is
+    * associative+commutative and exact), so any partitioning, task order
+    * or executor count produces the same sums, the same means, the
+    * same centroids. IvfSpec pins this against a repartitioned rerun.
+    *
+    * Shape per iteration: cell assignment is the same fused
+    * [[graft.functions.VectorOps.centroidDists]] map-side kernel the
+    * serving path uses (k-independent generated code); the mean build
+    * shuffles (cell, dim) decimal partials — map-side combine bounds
+    * each task's output at k·dim rows. Seeding is deterministic
+    * without a global sort: bucket vectors by xxhash64 mod nList and
+    * take the lexicographic MIN vector of each bucket (a pure
+    * aggregate; empty buckets simply yield k_eff < nList, matching
+    * [[train]]'s k = min(nList, n) rule). Empty cells keep their
+    * centroid, as in [[train]].
+    */
+  def trainDistributed(vecs: DataFrame, nList: Int,
+                       vecCol: String = "embedding",
+                       maxIter: Int = 10): Model = {
+    import org.apache.spark.sql.types.DecimalType
+    require(nList >= 1 && nList <= 65536,
+      s"nList=$nList out of the supported 1..65536 range")
+    val v = vecs
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+      .localCheckpoint(true) // read once; every iteration reuses it
+    val seedRows = v
+      .groupBy(pmod(xxhash64(col("v")), lit(nList.toLong)).as("b"))
+      .agg(min(col("v")).as("v"))
+      .orderBy("b")
+      .collect()
+    require(seedRows.nonEmpty, "cannot train IVF on an empty corpus")
+    var model = Model(seedRows.map(_.getSeq[Double](1)).toSeq)
+    val dec = DecimalType(38, 18)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val stats = v
+        .select(assignCell(col("v"), model).as("cell"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          (col("s") / col("n")).cast("double").as("m"))
+        .collect()
+      val next = model.centroids.map(_.toArray).toArray
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      val nm = Model(next.map(_.toSeq).toSeq)
+      moved = nm.centroids != model.centroids
+      model = nm
+      iter += 1
+    }
+    model
+  }
+
   /** Argmin over centroids, first index wins ties — the same rule
     * [[assignCell]] applies distributed-side.
     */

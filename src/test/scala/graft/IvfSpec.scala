@@ -84,4 +84,48 @@ class IvfSpec extends SparkFunSuite {
     }
     assert(e.getMessage.contains("distributed"))
   }
+
+  test("trainDistributed is bit-deterministic under repartitioning") {
+    // the property the driver envelope existed to protect: exact
+    // DECIMAL accumulation makes the distributed means independent of
+    // partitioning, task order, and executor count
+    val corpus = Tables.embeddings(spark, sf)
+    val a = IvfIndex.trainDistributed(corpus, nList = 8, maxIter = 4)
+    val b = IvfIndex.trainDistributed(corpus.repartition(13), nList = 8,
+      maxIter = 4)
+    assert(a.centroids == b.centroids, "distributed centroids drift")
+  }
+
+  test("trainDistributed quantizer serves IVF search with real recall") {
+    val corpus = Tables.embeddings(spark, sf)
+    val probes = corpus.filter(col("vec_id") % 50 === 0)
+    val model = IvfIndex.trainDistributed(corpus, nList = 16, maxIter = 6)
+    val ivf = IvfIndex.topK(corpus, probes, model, k = 5, nProbe = 4)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(corpus, probes, 5)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"distributed-IVF recall $recall")
+  }
+
+  test("trainDistributed handles k past the driver envelope") {
+    // 30k synthetic vectors, nList=1024 (> nothing driver-side could
+    // verify bit-stably at this shape before): training completes,
+    // yields distinct centroids, and assignment is total
+    val vecs = spark.range(30000).selectExpr(
+      "id AS vec_id",
+      """transform(sequence(0, 7),
+        |  i -> CAST(pmod(xxhash64(id, i), 1000) / 500.0 - 1.0 AS FLOAT))
+        |AS embedding""".stripMargin)
+    val m = IvfIndex.trainDistributed(vecs, nList = 1024, maxIter = 2)
+    assert(m.nList >= 1000, s"only ${m.nList} seed buckets populated")
+    assert(m.centroids.distinct.size == m.nList,
+      "degenerate duplicate centroids")
+    val cells = vecs.select(
+        IvfIndex.assignCell(col("embedding"), m).as("cell"))
+      .groupBy("cell").count().collect()
+    assert(cells.map(_.getLong(1)).sum == 30000L)
+  }
 }
