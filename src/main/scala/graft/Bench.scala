@@ -30,10 +30,11 @@ object Bench {
     "text_span_dedup", "text_span_scrub", "text_pii_scrub",
     "mix_domains", "pack_sequences", "ann_ivfpq",
     "pipeline_train_export", "text_bpe_tokens", "docs_chunk",
-    // round 10 gates (pipeline_total spans 19 ops from r10 on; the
-    // r9-comparable subset is the per-query history / BenchAB's
-    // shared-set total)
-    "q_audience_overlap_sketch", "span_stream_flags", "cms_stream_relation")
+    // round 10 gates (pipeline_total spans 22 ops from the round-10
+    // continuation on; the r9-comparable subset is the per-query
+    // history / BenchAB's shared-set total)
+    "q_audience_overlap_sketch", "span_stream_flags", "cms_stream_relation",
+    "text_lm_score", "q_quantile_merge_portable", "ann_ivf_dist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

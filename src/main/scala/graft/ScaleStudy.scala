@@ -106,8 +106,12 @@ object ScaleStudy {
       }
     }
     // headline + the LLM-pipeline set (round 9): the scale mandate's
-    // own operators get measured ratios, not design arguments
-    val studied = Bench.headline ++ Bench.pipeline
+    // own operators get measured ratios, not design arguments.
+    // Optional trailing args restrict the set (focused re-runs for
+    // newly added operators without repaying the full sweep).
+    val only = args.drop(3).toSet
+    val studied = (Bench.headline ++ Bench.pipeline)
+      .filter(n => only.isEmpty || only(n))
     // warm codegen at the smallest SF
     studied.foreach { n =>
       try timeOnce(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }

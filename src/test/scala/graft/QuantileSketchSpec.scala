@@ -69,6 +69,37 @@ class QuantileSketchSpec extends SparkFunSuite {
     }
   }
 
+  test("streaming state settles to the batch sketch (bounded rows)") {
+    // the grid state is ONE update-mode streaming aggregation (the
+    // same additive relation CmsStream uses): state never exceeds
+    // #groups × B rows regardless of stream length, and the settled
+    // relation estimates exactly like the batch build
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(String, Double)]
+    val sq = QuantileSketch.state(
+        stream.toDF().toDF("g", "v"), Seq("g"), col("v"))
+      .writeStream.format("memory").queryName("qsk_state")
+      .outputMode("complete").start()
+    val batch1 = (0 until 400).map(i => ("a", (i % 97).toDouble))
+    val batch2 = (0 until 300).map(i => ("a", (i % 53) + 100.0)) ++
+      (0 until 100).map(i => ("b", i.toDouble))
+    try {
+      stream.addData(batch1); sq.processAllAvailable()
+      stream.addData(batch2); sq.processAllAvailable()
+      val settled = spark.table("qsk_state")
+      assert(settled.count() <= 2L * QuantileSketch.B)
+      val streamEst = QuantileSketch
+        .estimateFromState(settled, Seq("g"), qs)
+        .orderBy("g", "q_label").collect().toSeq
+      val batchEst = QuantileSketch
+        .estimate((batch1 ++ batch2).toDF("g", "v"), Seq("g"), col("v"), qs)
+        .orderBy("g", "q_label").collect().toSeq
+      assert(streamEst == batchEst)
+    } finally sq.stop()
+  }
+
   test("under/overflow clamp to the edge buckets") {
     val df = Seq(("g", -5.0), ("g", -1.0), ("g", 1e9), ("g", 3.0))
       .toDF("g", "v")
