@@ -110,8 +110,9 @@ object ScaleStudy {
     // Optional trailing args restrict the set (focused re-runs for
     // newly added operators without repaying the full sweep).
     val only = args.drop(3).toSet
-    val studied = (Bench.headline ++ Bench.pipeline)
-      .filter(n => only.isEmpty || only(n))
+    val studied =
+      if (only.isEmpty) Bench.headline ++ Bench.pipeline
+      else only.toSeq.sorted.filter(SparkEntry.queries.contains)
     // warm codegen at the smallest SF
     studied.foreach { n =>
       try timeOnce(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }

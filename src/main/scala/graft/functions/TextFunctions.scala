@@ -72,4 +72,21 @@ object TextFunctions {
 
   def ratio(num: Column, den: Column): Column =
     when(den === 0, lit(0.0)).otherwise(num.cast(DoubleType) / den)
+
+  /** let-binding for Column expressions: evaluate `x` ONCE per row and
+    * reference the bound value freely in `body`. Encoded as a
+    * single-element `transform`, whose array argument is evaluated
+    * once and whose lambda variable is a plain bound reference — no
+    * optimizer rule re-inlines across a lambda binding.
+    *
+    * Why it exists (round-10 finding): an expression tree referenced
+    * INSIDE a HOF lambda (e.g. `element_at(split(text), i)` in a
+    * transform-over-sequence) re-evaluates per ELEMENT, not per row —
+    * tokenizing a 100-token doc 200× turned the bigram ops
+    * quadratic in doc length. Staging through a Project column only
+    * helps while CollapseProject's cheapness heuristic declines to
+    * inline it back; this binding is immune by construction.
+    */
+  def letCol(x: Column)(body: Column => Column): Column =
+    element_at(transform(array(x), v => body(v)), 1)
 }

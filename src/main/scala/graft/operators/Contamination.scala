@@ -26,9 +26,13 @@ object Contamination {
     */
   def wordShingles(text: Column, w: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    when(length(trim(text)) > 0 && size(toks) >= w,
-      array_distinct(transform(sequence(lit(1), size(toks) - (w - 1)),
-        i => array_join(slice(toks, i, lit(w)), " "))))
+    // letCol: the window lambda slices a BOUND token array - inlining
+    // the split tree would re-tokenize per window (quadratic in doc
+    // length; see TextFunctions.letCol)
+    val windows = graft.functions.TextFunctions.letCol(toks)(t =>
+      array_distinct(transform(sequence(lit(1), size(t) - (w - 1)),
+        i => array_join(slice(t, i, lit(w)), " "))))
+    when(length(trim(text)) > 0 && size(toks) >= w, windows)
       .otherwise(typedlit(Seq.empty[String]))
   }
 

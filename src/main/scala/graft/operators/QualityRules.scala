@@ -99,12 +99,18 @@ object QualityRules {
     */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    val bigrams = transform(sequence(lit(1), size(toks) - 1),
-      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    // letCol: the bigram lambda must reference a BOUND token array,
+    // not the split expression tree (which would re-tokenize per
+    // element - quadratic in doc length; see TextFunctions.letCol)
+    def bigramsOf(t: Column) = transform(sequence(lit(1), size(t) - 1),
+      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+    val row = graft.functions.TextFunctions.letCol(toks)(t =>
+      struct(size(t).cast("long").as("n"), t.as("tk"), bigramsOf(t).as("bi")))
     val base = docs
-      .where(size(toks) >= 2)
-      .select(col(idCol), size(toks).cast("long").as("n_tokens"),
-        toks.as("_toks"), bigrams.as("_bi"))
+      .select(col(idCol), row.as("_r"))
+      .where(col("_r.n") >= 2)
+      .select(col(idCol), col("_r.n").as("n_tokens"),
+        col("_r.tk").as("_toks"), col("_r.bi").as("_bi"))
 
     def topCount(exploded: Column, out: String) =
       base.select(col(idCol), col("n_tokens"), explode(exploded).as("_u"))
@@ -144,13 +150,21 @@ object QualityRules {
     * oracle groups the bigram STRINGS, so a pass also proves the
     * hashing collision-free on the corpus.
     */
-  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              persist: Dedup.Persist = Dedup.localPersist): DataFrame = {
     val toks = tokens(col(textCol))
-    val bigrams = transform(sequence(lit(1), size(toks) - 1),
-      i => concat(element_at(toks, i), lit("\u0001"), element_at(toks, i + 1)))
-    val bi = docs.where(size(toks) >= 2)
+    // letCol-bound token array: one tokenize per row, not per bigram
+    val bigrams = graft.functions.TextFunctions.letCol(toks)(t =>
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit("\u0001"), element_at(t, i + 1))))
+    // the (id, hash) table feeds BOTH the count build and the score
+    // join; Spark cannot reuse the exchange across them (the count
+    // side prunes the id column -> a different scan), so without the
+    // persist seam the tokenize+shingle+hash pipeline runs twice --
+    // the same recomputation the span/minhash families fixed
+    val bi = persist(docs.where(size(toks) >= 2)
       .select(col(idCol), explode(bigrams).as("_bg"))
-      .select(col(idCol), xxhash64(col("_bg")).as("_h"))
+      .select(col(idCol), xxhash64(col("_bg")).as("_h")))
     val cnt = bi.groupBy("_h").agg(count(lit(1)).as("_cnt"))
     bi.join(cnt, "_h")
       .groupBy(idCol)

@@ -74,4 +74,48 @@ class PlanGuardSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"asof join fell off the merge path:\n$p")
   }
+
+  test("text_lm_score: one tokenize pass, bigram strings never shuffle") {
+    // the (id, hash) table feeds the count build AND the score join;
+    // the persist seam must keep tokenize+shingle+hash to ONE pass (a
+    // second Generate in the final plan = the recomputation disease
+    // the span/minhash families fixed). The count-table join has no
+    // forced broadcast hint — on tiny inputs the planner may still
+    // pick BroadcastHashJoin from size ESTIMATES, which is cost-based
+    // and flips to the shuffled shape as the corpus grows (exactly
+    // the behavior the round-9 verdict demanded of the minhash side
+    // joins), so broadcast presence is not asserted either way.
+    val p = plan("text_lm_score")
+    assert(p.linesIterator.count(_.contains("Generate explode")) <= 1,
+      s"lm_score tokenizes the corpus twice (persist seam lost):\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("_bg")),
+      s"lm_score shuffles bigram STRINGS (text must stay in the scan stage):\n$p")
+  }
+
+  test("quantile sketch: one corpus shuffle, post-agg windows only") {
+    // the only hashpartitioning of non-aggregated rows is the state
+    // build's (group, bucket) partial-agg shuffle; the window stages
+    // run over <= #groups*B post-agg rows
+    val p = plan("q_quantile_merge_portable")
+    val rawExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(rawExchanges.size <= 3, // state agg + merge agg + estimate agg
+      s"quantile sketch grew extra corpus shuffles:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      p.contains("HashAggregate"),
+      s"quantile sketch lost map-side partial aggregation:\n$p")
+  }
+
+  test("funnel strict: one user_id shuffle serves rank + every step window") {
+    // row_number and all per-step window mins share the entity
+    // partitioning: exactly one Exchange hashpartitioning over the
+    // raw events (the groupBy reuses it), anything more means the
+    // window specs diverged
+    val p = plan("q_funnel_strict")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size <= 2, // events->user_id + post-agg level count
+      s"funnel strict re-shuffles between window passes:\n$p")
+  }
 }
