@@ -98,6 +98,40 @@ object AnalyticsQueries {
     // injected functions (uniqExact, countIf, sumIf), gated like any
     // other query. uniqExact/countIf compile to the same exchanges the
     // DataFrame forms do.
+    // B20d (round 10): the CH temporal function family end-to-end
+    // through spark.sql — partition-key idioms (toYYYYMM/ toYYYYMMDD),
+    // component extractors (toYear…toHour, ISO toDayOfWeek/ toISOWeek),
+    // truncations (toStartOfHour/ toMonday/ toStartOfQuarter) and
+    // date arithmetic (addDays), all injected Catalyst expressions
+    // (zero UDFs). Post-agg projection over ≤ #hours rows; the one
+    // corpus shuffle is the hour rollup. Output sticks to
+    // BIGINT/DATE (timestamps leave as epoch seconds) per the hash
+    // gate's type rules.
+    "q_ch_datetime" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      s.sql(
+        """WITH t AS (SELECT toDateTime(ts_us div 1000000) AS dt FROM events),
+          |g AS (SELECT toStartOfHour(dt) AS hr, count(*) AS n
+          |      FROM t GROUP BY 1)
+          |SELECT CAST(toUnixTimestamp(hr) AS BIGINT) AS unix_hr,
+          |  toDate(hr) AS day,
+          |  CAST(toYYYYMM(hr) AS BIGINT) AS yyyymm,
+          |  CAST(toYYYYMMDD(hr) AS BIGINT) AS yyyymmdd,
+          |  CAST(toYear(hr) AS BIGINT) AS y,
+          |  CAST(toQuarter(hr) AS BIGINT) AS qtr,
+          |  CAST(toMonth(hr) AS BIGINT) AS m,
+          |  CAST(toDayOfMonth(hr) AS BIGINT) AS dom,
+          |  CAST(toDayOfYear(hr) AS BIGINT) AS doy,
+          |  CAST(toDayOfWeek(hr) AS BIGINT) AS dow,
+          |  CAST(toISOWeek(hr) AS BIGINT) AS isowk,
+          |  CAST(toHour(hr) AS BIGINT) AS h,
+          |  toMonday(hr) AS monday,
+          |  toStartOfQuarter(hr) AS q_start,
+          |  toDate(addDays(hr, 7)) AS plus7,
+          |  n
+          |FROM g ORDER BY unix_hr""".stripMargin)
+    },
+
     "q_ch_sql" -> Q { (s, d) =>
       GraftCatalog.registerTables(s, d)
       s.sql(
@@ -761,6 +795,31 @@ object AnalyticsQueries {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY ROLLUP(event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // temporal family replay on DuckDB natives: date_trunc/date_part/
+    // strftime/isodow/epoch — ISO conventions align on both engines
+    // (dow Monday=1, week = ISO week, week-trunc = Monday)
+    "q_ch_datetime" ->
+      """WITH g AS (
+        | SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+        | FROM events GROUP BY 1)
+        |SELECT CAST(epoch(hr) AS BIGINT) AS unix_hr,
+        | CAST(hr AS DATE) AS day,
+        | CAST(strftime(hr, '%Y%m') AS BIGINT) AS yyyymm,
+        | CAST(strftime(hr, '%Y%m%d') AS BIGINT) AS yyyymmdd,
+        | CAST(date_part('year', hr) AS BIGINT) AS y,
+        | CAST(date_part('quarter', hr) AS BIGINT) AS qtr,
+        | CAST(date_part('month', hr) AS BIGINT) AS m,
+        | CAST(date_part('day', hr) AS BIGINT) AS dom,
+        | CAST(date_part('dayofyear', hr) AS BIGINT) AS doy,
+        | CAST(isodow(hr) AS BIGINT) AS dow,
+        | CAST(date_part('week', hr) AS BIGINT) AS isowk,
+        | CAST(date_part('hour', hr) AS BIGINT) AS h,
+        | CAST(date_trunc('week', hr) AS DATE) AS monday,
+        | CAST(date_trunc('quarter', hr) AS DATE) AS q_start,
+        | CAST(hr + INTERVAL 7 DAY AS DATE) AS plus7,
+        | n
+        |FROM g ORDER BY unix_hr""".stripMargin,
 
     "q_ch_sql" ->
       """SELECT event_type,

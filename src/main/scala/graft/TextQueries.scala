@@ -81,10 +81,13 @@ object TextQueries {
     // only (trigram, partial count) pairs cross the shuffle; top-100 by
     // a deterministic total order.
     "text_ngram_freq" -> Q { (s, d) =>
-      val t = lower(trim(col("text")))
-      val grams = when(length(t) >= 3,
-        transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-        .otherwise(typedlit(Seq.empty[String]))
+      // letCol: bind lower(trim(text)) ONCE per row — inlined in the
+      // lambda it would recompute per trigram (see TextFunctions.letCol)
+      val grams = T.letCol(lower(trim(col("text")))) { t =>
+        when(length(t) >= 3,
+          transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+          .otherwise(typedlit(Seq.empty[String]))
+      }
       Tables.documents(s, d)
         .select(explode(grams).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("cnt"))
