@@ -326,6 +326,31 @@ object TextQueries {
       graft.operators.QualityRules.lmScore(
           Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // C41 (oracle, round 10): CCNet-style corpus bucketing — the
+    // composition that makes the LM score a PIPELINE stage: corpus
+    // tertile boundaries over the typicality score (exact Percentile ≡
+    // DuckDB quantile_cont bit-for-bit, the q_quantiles precedent;
+    // 1/3 and 2/3 computed as the same IEEE division on both engines),
+    // then every doc labels head/middle/tail by a pure >= decision —
+    // CCNet keeps 'head', retrains on 'middle', drops 'tail'. Scale
+    // shape: the boundary agg is two values broadcast back over the
+    // scores; Percentile's state is O(distinct scores) — at corpus
+    // scale CCNet computes boundaries on a sample (or the gated grid
+    // sketch), the decision plan is unchanged.
+    "pipeline_ccnet_buckets" -> Q { (s, d) =>
+      val scores = graft.operators.QualityRules.lmScore(
+        Tables.documents(s, d), "doc_id", "text")
+      val b = scores.agg(
+        expr("percentile(avg_log2, CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))").as("q1"),
+        expr("percentile(avg_log2, CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))").as("q2"))
+      scores.crossJoin(broadcast(b))
+        .select(col("doc_id"), col("avg_log2"),
+          when(col("avg_log2") >= col("q2"), lit("head"))
+            .when(col("avg_log2") >= col("q1"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .orderBy("doc_id")
     }
   )
 
@@ -785,26 +810,49 @@ object TextQueries {
     // 64-bit hashes — collision-freedom proof); floor(log2(cnt)) via
     // length(bin(cnt))-1 on both engines; one final double division
     "text_lm_score" ->
-      """WITH base AS (
-        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
-        | FROM documents WHERE length(trim(text)) > 0
-        |), b2 AS (
-        | SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
-        | FROM base WHERE len(tk) >= 2
-        |), bg AS (
-        | SELECT doc_id, unnest(list_transform(range(2, n + 1),
-        |   i -> tk[i - 1] || chr(1) || tk[i])) AS bigram
-        | FROM b2
-        |), cnt AS (
-        | SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
-        |), scored AS (
-        | SELECT b.doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(length(bin(c.cnt)) - 1) AS BIGINT) AS sum_log2
-        | FROM bg b JOIN cnt c USING (bigram)
-        | GROUP BY b.doc_id
-        |)
-        |SELECT doc_id, n_bigrams, sum_log2,
-        | CAST(sum_log2 AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_log2
-        |FROM scored ORDER BY doc_id""".stripMargin
+      s"""WITH $lmScoreCtes
+        |SELECT doc_id, n_bigrams, sum_log2, avg_log2
+        |FROM lmscore ORDER BY doc_id""".stripMargin,
+
+    // C41: CCNet-style corpus bucketing — tertile boundaries via
+    // quantile_cont (== Spark Percentile bit-for-bit, the q_quantiles
+    // precedent), then a pure >= decision per doc
+    "pipeline_ccnet_buckets" ->
+      s"""WITH $lmScoreCtes,
+        |b AS (
+        | SELECT quantile_cont(avg_log2, CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) AS q1,
+        |        quantile_cont(avg_log2, CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) AS q2
+        | FROM lmscore)
+        |SELECT s.doc_id, s.avg_log2,
+        | CASE WHEN s.avg_log2 >= b.q2 THEN 'head'
+        |      WHEN s.avg_log2 >= b.q1 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM lmscore s CROSS JOIN b ORDER BY s.doc_id""".stripMargin
   )
+
+  /** The C40 scoring chain as DuckDB CTEs (ends in `lmscore`), shared
+    * by the text_lm_score oracle and the CCNet bucketing oracle.
+    */
+  private def lmScoreCtes: String =
+    """base AS (
+      | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      | FROM documents WHERE length(trim(text)) > 0
+      |), b2 AS (
+      | SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+      | FROM base WHERE len(tk) >= 2
+      |), bg AS (
+      | SELECT doc_id, unnest(list_transform(range(2, n + 1),
+      |   i -> tk[i - 1] || chr(1) || tk[i])) AS bigram
+      | FROM b2
+      |), cnt AS (
+      | SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+      |), lmscore AS (
+      | SELECT doc_id, n_bigrams, sum_log2,
+      |  CAST(sum_log2 AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_log2
+      | FROM (
+      |  SELECT b.doc_id, count(*) AS n_bigrams,
+      |   CAST(sum(length(bin(c.cnt)) - 1) AS BIGINT) AS sum_log2
+      |  FROM bg b JOIN cnt c USING (bigram)
+      |  GROUP BY b.doc_id)
+      |)""".stripMargin
 }

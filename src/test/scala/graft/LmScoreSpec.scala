@@ -35,6 +35,20 @@ class LmScoreSpec extends SparkFunSuite {
     assert(scores(99L) == 0.0) // every bigram unique -> floor(log2 1)=0
   }
 
+  test("ccnet buckets partition the corpus, ordered by score") {
+    val out = TextQueries.queries("pipeline_ccnet_buckets")(spark, sf)
+      .collect().map(r => (r.getDouble(1), r.getString(2)))
+    val byBucket = out.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket.values.map(_.length).sum == out.length)
+    // score-ordered: every head score > every middle > every tail
+    // (middle < q2 <= head and tail < q1 <= middle by the bucket rule)
+    assert(byBucket("head").min > byBucket("middle").max)
+    assert(byBucket("middle").min > byBucket("tail").max)
+    // tertiles: no bucket degenerates on this corpus
+    assert(byBucket.values.forall(_.length >= out.length / 5))
+  }
+
   test("score invariant under repartitioning") {
     val docs = Tables.documents(spark, sf)
     val a = QualityRules.lmScore(docs, "doc_id", "text")
