@@ -252,6 +252,22 @@ object OlapQueries {
         .orderBy("event_type", "q_label")
     },
 
+    // B29c (round 10): the streaming quantile sketch's settled STATE —
+    // the (group, bucket, cnt) relation QuantileSketch.state maintains
+    // as ONE update-mode streaming aggregation (QuantileSketchSpec
+    // proves stream-settles-to-batch; this gates the settled relation
+    // itself through the same transform, the cms_stream_relation
+    // pattern). Build = merge = one additive groupBy-count — why the
+    // stream and the batch coincide; state ≤ #groups×B rows forever.
+    "quantile_stream_state" -> Q { (s, d) =>
+      import graft.functions.QuantileSketch
+      QuantileSketch.state(Tables.events(s, d), Seq("event_type"),
+          col("value"))
+        .select(col("event_type"), col("_b").as("bucket"),
+          col("_cnt").as("cnt"))
+        .orderBy("event_type", "bucket")
+    },
+
     // B7: top-3 heavy hitters per event_type. Aggregate first (shuffle
     // of (type,user) pairs), then rank *within groups* — no global sort
     // of raw events.
@@ -529,6 +545,15 @@ object OlapQueries {
     // + merge, so a hash match proves the sketch's reaggregation law
     "q_quantile_merge_portable" -> graft.functions.QuantileSketch.oracleSql(
       "events", "event_type", "value", graft.functions.QuantileSketch.gateQs),
+
+    // the raw state relation (grid bucket counts) — replayed directly
+    "quantile_stream_state" ->
+      s"""SELECT event_type,
+         | CAST(least(greatest(floor(value / ${graft.functions.QuantileSketch.Width}), 0),
+         |   ${graft.functions.QuantileSketch.B - 1}) AS BIGINT) AS bucket,
+         | count(*) AS cnt
+         |FROM events WHERE value IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_topk_events" ->
       """SELECT event_type, user_id, cnt, rk FROM (
