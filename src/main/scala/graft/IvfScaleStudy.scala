@@ -25,6 +25,10 @@ object IvfScaleStudy {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(100)
+    // arg 3 (round-10 continuation): which trainer(s) to measure —
+    // "driver" (sequential Lloyd's), "dist" (decimal-exact distributed
+    // k-means), or "both"
+    val mode = args.lift(2).getOrElse("driver")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,9 +57,20 @@ object IvfScaleStudy {
       .select("probe_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    Seq(64, 256, 1024, 2048).foreach { nList =>
+    val trainers: Seq[(String, Int => graft.operators.IvfIndex.Model)] =
+      (if (mode == "driver" || mode == "both")
+        Seq("driver" -> ((nl: Int) =>
+          graft.operators.IvfIndex.train(corpus, nList = nl))) else Nil) ++
+      (if (mode == "dist" || mode == "both")
+        Seq("dist" -> ((nl: Int) =>
+          graft.operators.IvfIndex.trainDistributed(corpus, nList = nl))) else Nil)
+
+    val nLists =
+      if (args.length > 3) args.drop(3).toSeq.map(_.toInt)
+      else Seq(64, 256, 1024, 2048)
+    for (nList <- nLists; (tname, trainFn) <- trainers) {
       val t0 = System.nanoTime()
-      val model = graft.operators.IvfIndex.train(corpus, nList = nList)
+      val model = trainFn(nList)
       val trainSec = (System.nanoTime() - t0) / 1e9
       // constant scanned-cell fraction ~1/16 across nList, plus 1/4
       val probesPer = Seq(math.max(1, nList / 16), math.max(1, nList / 4))
@@ -67,7 +82,7 @@ object IvfScaleStudy {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val querySec = (System.nanoTime() - t1) / 1e9
         val recall = (approx & exact).size.toDouble / exact.size
-        println(f"""{"n":$n,"nList":$nList,"nProbe":$nProbe,"train_sec":$trainSec%.2f,"query_sec":$querySec%.2f,"recall_at_$k":$recall%.3f,"cell_fraction":${nProbe.toDouble / nList}%.4f}""")
+        println(f"""{"n":$n,"trainer":"$tname","nList":$nList,"nProbe":$nProbe,"train_sec":$trainSec%.2f,"query_sec":$querySec%.2f,"recall_at_$k":$recall%.3f,"cell_fraction":${nProbe.toDouble / nList}%.4f}""")
       }
     }
     spark.stop()

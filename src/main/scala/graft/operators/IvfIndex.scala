@@ -142,13 +142,31 @@ object IvfIndex {
     */
   def trainDistributed(vecs: DataFrame, nList: Int,
                        vecCol: String = "embedding",
-                       maxIter: Int = 10): Model = {
+                       maxIter: Int = 10,
+                       samplesPerCentroid: Int = 256): Model = {
     import org.apache.spark.sql.types.DecimalType
     require(nList >= 1 && nList <= 65536,
       s"nList=$nList out of the supported 1..65536 range")
-    val v = vecs
+    require(samplesPerCentroid >= MinSamplesPerCentroid,
+      s"samplesPerCentroid=$samplesPerCentroid below the " +
+        s"$MinSamplesPerCentroid memorization floor")
+    val all = vecs
       .select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull && size(col("v")) > 0)
+    // FAISS-style training subsample: ~samplesPerCentroid vectors per
+    // centroid suffice for the coarse quantizer; past that the
+    // per-iteration corpus scan is pure waste. The filter is a pure
+    // deterministic function of the vector (hash mod ratio), so the
+    // sample — and therefore the trained model — stays independent of
+    // partitioning and corpus order. Corpora at or under the target
+    // train on everything (ratio 1), keeping small-corpus results
+    // (and the gates) bit-identical to the unsampled path.
+    val target = samplesPerCentroid.toLong * nList
+    val nAll = all.count()
+    val ratio = math.max(1L, nAll / math.max(1L, target))
+    val v = (if (ratio > 1L)
+        all.where(pmod(xxhash64(col("v")), lit(ratio)) === 0L)
+      else all)
       .localCheckpoint(true) // read once; every iteration reuses it
     val seedRows = v
       .groupBy(pmod(xxhash64(col("v")), lit(nList.toLong)).as("b"))
