@@ -227,7 +227,7 @@ object Dedup {
     // at cluster scale this is a checkpoint of the signature table,
     // thousands of times smaller than the text)
     minhashPairsFromSigs(persist(signatures(docs, idCol, textCol)),
-      threshold, nHashes, bands)
+      threshold, nHashes, bands, persist)
   }
 
   /** [[minhashPairs]] from a PRECOMPUTED (doc_id, sig) table — the
@@ -239,7 +239,9 @@ object Dedup {
     * and one bounded count.
     */
   def minhashPairsFromSigs(sigs: DataFrame, threshold: Double = 0.5,
-                           nHashes: Int = 128, bands: Int = 32): DataFrame = {
+                           nHashes: Int = 128, bands: Int = 32,
+                           persist: Persist = localPersist,
+                           maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     val rowsPerBand = nHashes / bands
     // candidates travel as BARE ID PAIRS (16 bytes/row) through the
     // band join and the dedup shuffle; the 1-KB signature arrays join
@@ -247,10 +249,31 @@ object Dedup {
     // dropDuplicates (the previous form) shuffled ~2 KB per duplicate
     // band hit — the dominant cost on low-entropy corpora where
     // candidates are plentiful.
-    val banded = sigs.select(col("doc_id"),
+    val banded = persist(sigs.select(col("doc_id"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))")).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh")))
+    // HOT-BUCKET GUARD (round 10, the quadratic-guard discipline
+    // extended to LSH): the band self-join emits Σ g·(g-1)/2 pairs per
+    // bucket — a single viral bucket (boilerplate, templated text)
+    // of 10⁵ docs is 5·10⁹ pairs on its own, and nothing in the
+    // banding bounds it. The prediction is one exact agg over the
+    // persisted band table; past the bound refuse LOUDLY with the
+    // escapes named rather than melt down in the join.
+    val predicted = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("g"))
+      // integer `div`: Column / is ALWAYS double division
+      .agg(coalesce(sum(expr("g * (g - 1) div 2")), lit(0L)).as("p"))
+      .head().getLong(0)
+    if (predicted > maxCandidates)
+      throw new IllegalStateException(
+        s"minhash band join predicts $predicted candidate pairs " +
+          s"(> maxCandidates=$maxCandidates): hot band buckets — a " +
+          "low-entropy corpus (verbatim boilerplate, templated text). " +
+          "Escapes: exact-dedup first (verbatim copies collapse to one " +
+          "bucket member), raise rows-per-band (fewer collisions), run " +
+          "increments against a store (minhashPairsAgainst), or raise " +
+          "maxCandidates to opt in.")
     val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -294,7 +317,8 @@ object Dedup {
     val both = persist(docs.select(col(idCol).as("doc_id"),
       graft.functions.MinHash128.signature(col(textCol)).as("sig"),
       array_sort(array_distinct(shingleHashes(col(textCol)))).as("ngs")))
-    val cand = minhashPairsFromSigs(both.select("doc_id", "sig"), threshold)
+    val cand = minhashPairsFromSigs(both.select("doc_id", "sig"), threshold,
+      persist = persist)
     val sets = both.select("doc_id", "ngs")
     val szA = size(col("ngs_a")); val szB = size(col("ngs_b"))
     val need = floor(lit(threshold / (1.0 + threshold)) *

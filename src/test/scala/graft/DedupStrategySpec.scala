@@ -177,4 +177,23 @@ class DedupStrategySpec extends SparkFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("containment"))
   }
+
+  test("hot-bucket guard: band join refuses past predicted maxCandidates") {
+    // verbatim copies -> identical signatures -> every band bucket
+    // holds all n docs -> predicted pairs = 32 * n(n-1)/2; a small
+    // bound must trip BEFORE the join runs
+    import spark.implicits._
+    val clones = (0 until 40)
+      .map(i => (i.toLong, "same exact boilerplate text for every doc"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.signatures(clones, "doc_id", "text")
+      .localCheckpoint(true)
+    val e = intercept[IllegalStateException] {
+      Dedup.minhashPairsFromSigs(sigs, 0.5, maxCandidates = 1000L).count()
+    }
+    assert(e.getMessage.contains("maxCandidates"))
+    assert(e.getMessage.contains("exact-dedup first"))
+    // under the default bound the same corpus runs fine
+    assert(Dedup.minhashPairsFromSigs(sigs, 0.5).count() > 0)
+  }
 }
