@@ -29,6 +29,8 @@ object IvfScaleStudy {
     // "driver" (sequential Lloyd's), "dist" (decimal-exact distributed
     // k-means), or "both"
     val mode = args.lift(2).getOrElse("driver")
+    require(Set("driver", "dist", "both")(mode),
+      s"mode must be driver|dist|both, got '$mode'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -110,9 +110,12 @@ object ScaleStudy {
     // Optional trailing args restrict the set (focused re-runs for
     // newly added operators without repaying the full sweep).
     val only = args.drop(3).toSet
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val studied =
       if (only.isEmpty) Bench.headline ++ Bench.pipeline
-      else only.toSeq.sorted.filter(SparkEntry.queries.contains)
+      else only.toSeq.sorted
     // warm codegen at the smallest SF
     studied.foreach { n =>
       try timeOnce(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }

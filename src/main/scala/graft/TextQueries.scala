@@ -340,8 +340,10 @@ object TextQueries {
     // scale CCNet computes boundaries on a sample (or the gated grid
     // sketch), the decision plan is unchanged.
     "pipeline_ccnet_buckets" -> Q { (s, d) =>
+      // scores feed BOTH the boundary agg and the labeling join —
+      // persist once (the repo's multiply-referenced-intermediate rule)
       val scores = graft.operators.QualityRules.lmScore(
-        Tables.documents(s, d), "doc_id", "text")
+        Tables.documents(s, d), "doc_id", "text").localCheckpoint(true)
       val b = scores.agg(
         expr("percentile(avg_log2, CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))").as("q1"),
         expr("percentile(avg_log2, CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))").as("q2"))

@@ -164,8 +164,13 @@ object IvfIndex {
     val target = samplesPerCentroid.toLong * nList
     val nAll = all.count()
     val ratio = math.max(1L, nAll / math.max(1L, target))
+    // the sample hash is SALTED so it is independent of the seeding
+    // hash below: filtering on xxhash64(v) % ratio and then bucketing
+    // on xxhash64(v) % nList would alias (survivors share residues
+    // mod gcd(ratio, nList) — with power-of-two ratios and nLists
+    // most seed buckets would be structurally empty)
     val v = (if (ratio > 1L)
-        all.where(pmod(xxhash64(col("v")), lit(ratio)) === 0L)
+        all.where(pmod(xxhash64(lit(0x5eedL), col("v")), lit(ratio)) === 0L)
       else all)
       .localCheckpoint(true) // read once; every iteration reuses it
     val seedRows = v

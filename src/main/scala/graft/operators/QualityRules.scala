@@ -102,8 +102,14 @@ object QualityRules {
     // letCol: the bigram lambda must reference a BOUND token array,
     // not the split expression tree (which would re-tokenize per
     // element - quadratic in doc length; see TextFunctions.letCol)
-    def bigramsOf(t: Column) = transform(sequence(lit(1), size(t) - 1),
-      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+    // bigramsOf guards size >= 2 INSIDE the binding: the struct is
+    // evaluated before the row filter below, and sequence(1, 0)
+    // DESCENDS in Spark — an unguarded lambda would element_at(t, 0)
+    // on 1-token docs and crash
+    def bigramsOf(t: Column) = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(typedlit(Seq.empty[String]))
     val row = graft.functions.TextFunctions.letCol(toks)(t =>
       struct(size(t).cast("long").as("n"), t.as("tk"), bigramsOf(t).as("bi")))
     val base = docs

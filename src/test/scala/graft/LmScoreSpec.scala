@@ -49,6 +49,18 @@ class LmScoreSpec extends SparkFunSuite {
     assert(byBucket.values.forall(_.length >= out.length / 5))
   }
 
+  test("repetition survives short and empty docs (letCol guard)") {
+    // regression (round-10 review): the letCol struct evaluates the
+    // bigram lambda BEFORE the >=2-token row filter; unguarded,
+    // sequence(1, 0) descends and element_at(t, 0) crashes on any
+    // 1-token or empty doc
+    val docs = Seq((1L, "a b a"), (2L, "solo"), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    val got = QualityRules.repetition(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L)) // only the >=2-token doc emits a row
+  }
+
   test("score invariant under repartitioning") {
     val docs = Tables.documents(spark, sf)
     val a = QualityRules.lmScore(docs, "doc_id", "text")
