@@ -110,6 +110,27 @@ class IvfSpec extends SparkFunSuite {
     assert(recall >= 0.4, s"distributed-IVF recall $recall")
   }
 
+  test("trainDistributed sampled path: no seed aliasing, still deterministic") {
+    // 40k vectors at samplesPerCentroid=32, nList=64 -> target 2048,
+    // ratio ~19 > 1: the subsample path runs. Under the pre-fix
+    // aliasing (sample filter and seed bucketing sharing xxhash64(v))
+    // most power-of-two seed buckets were structurally empty; the
+    // salted sample hash must keep nearly all nList buckets populated,
+    // and the sampled model must stay partitioning-invariant
+    val vecs = spark.range(40000).selectExpr(
+      "id AS vec_id",
+      """transform(sequence(0, 7),
+        |  i -> CAST(pmod(xxhash64(id, i), 1000) / 500.0 - 1.0 AS FLOAT))
+        |AS embedding""".stripMargin)
+    val m = IvfIndex.trainDistributed(vecs, nList = 64, maxIter = 3,
+      samplesPerCentroid = 32)
+    assert(m.nList >= 56, s"seed buckets collapsed: only ${m.nList} of 64")
+    assert(m.centroids.distinct.size == m.nList)
+    val m2 = IvfIndex.trainDistributed(vecs.repartition(9), nList = 64,
+      maxIter = 3, samplesPerCentroid = 32)
+    assert(m.centroids == m2.centroids, "sampled training not partition-stable")
+  }
+
   test("trainDistributed handles k past the driver envelope") {
     // 30k synthetic vectors, nList=1024 (> nothing driver-side could
     // verify bit-stably at this shape before): training completes,
