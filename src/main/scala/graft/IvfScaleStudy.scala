@@ -29,8 +29,8 @@ object IvfScaleStudy {
     // "driver" (sequential Lloyd's), "dist" (decimal-exact distributed
     // k-means), or "both"
     val mode = args.lift(2).getOrElse("driver")
-    require(Set("driver", "dist", "both")(mode),
-      s"mode must be driver|dist|both, got '$mode'")
+    require(Set("driver", "dist", "both", "two")(mode),
+      s"mode must be driver|dist|both|two, got '$mode'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -70,6 +70,33 @@ object IvfScaleStudy {
     val nLists =
       if (args.length > 3) args.drop(3).toSeq.map(_.toInt)
       else Seq(64, 256, 1024, 2048)
+
+    // "two": the hierarchical quantizer at k1 = k2 = sqrt(nList) —
+    // same global cell count, assignment pays k1 + k2 distances
+    if (mode == "two") {
+      for (nList <- nLists) {
+        val k1 = math.max(1, math.sqrt(nList.toDouble).round.toInt)
+        val k2 = math.max(1, (nList + k1 - 1) / k1)
+        val t0 = System.nanoTime()
+        val m2 = graft.operators.IvfIndex.trainTwoLevel(corpus, k1, k2)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        Seq((math.max(1, k1 / 4), math.max(1, nList / 16)),
+            (math.max(1, k1 / 2), math.max(1, nList / 4))).distinct
+          .foreach { case (np1, np) =>
+            val t1 = System.nanoTime()
+            val approx = graft.operators.IvfIndex
+              .topK2(corpus, probes, m2, k = k, nProbe1 = np1, nProbe = np)
+              .select("probe_id", "vec_id").collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            val querySec = (System.nanoTime() - t1) / 1e9
+            val recall = (approx & exact).size.toDouble / exact.size
+            println(f"""{"n":$n,"trainer":"two","nList":${m2.nCells},"k1":$k1,"nProbe1":$np1,"nProbe":$np,"train_sec":$trainSec%.2f,"query_sec":$querySec%.2f,"recall_at_$k":$recall%.3f}""")
+          }
+      }
+      spark.stop()
+      return
+    }
+
     for (nList <- nLists; (tname, trainFn) <- trainers) {
       val t0 = System.nanoTime()
       val model = trainFn(nList)

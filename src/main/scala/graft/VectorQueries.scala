@@ -48,6 +48,23 @@ object VectorQueries {
       graft.operators.IvfIndex.trainDistributed(Tables.embeddings(s, d),
         nList = IvfDistNList))
 
+  /** Two-level quantizer (round 10): k1 × k2 super/sub cells — the
+    * assignment-cost shape for nList ≈ √n at corpus scale (k1 + k2
+    * distances per vector instead of k1·k2). Both levels train through
+    * the decimal-exact distributed machinery, so the whole model
+    * inlines into a DuckDB oracle.
+    */
+  private[graft] val Ivf2K1 = 4
+  private[graft] val Ivf2K2 = 4
+  private[graft] val Ivf2NProbe1 = 2
+  private[graft] val Ivf2NProbe = 4
+  private val ivf2Models =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.IvfIndex.Model2]
+  private[graft] def ivf2Model(s: SparkSession, d: String): graft.operators.IvfIndex.Model2 =
+    ivf2Models.getOrElseUpdate(d,
+      graft.operators.IvfIndex.trainTwoLevel(Tables.embeddings(s, d),
+        k1 = Ivf2K1, k2 = Ivf2K2))
+
   // m=16 subspaces (4 dims each) x 16 centroids: the recall sweep on
   // this corpus gave 0.18 (m=4,k=16) / 0.46 (m=8,k=64) / 0.48
   // (m=16,k=16) / 0.6 (m=16,k=64) vs exact L2 — m=16,k=16 is the
@@ -133,6 +150,19 @@ object VectorQueries {
     "ann_ivf_dist" -> Q { (s, d) =>
       graft.operators.IvfIndex.topK(Tables.embeddings(s, d), probes(s, d),
         ivfDistModel(s, d), k = 5, nProbe = IvfNProbe)
+        .orderBy("probe_id", "rk")
+    },
+
+    // C7d (oracle, round 10): TWO-LEVEL IVF — super-cells then
+    // sub-cells (hierarchical k-means / the inverted-multi-index
+    // idea): assignment pays k1 + k2 distances instead of k1·k2, the
+    // cost shape nList ≈ √n needs at corpus scale. Both trained
+    // levels inline into the oracle, which replays super-cell argmin,
+    // in-cell argmin, two-stage probing, and the in-cell cosine
+    // top-k — every tie by (distance, index) on both engines.
+    "ann_ivf2" -> Q { (s, d) =>
+      graft.operators.IvfIndex.topK2(Tables.embeddings(s, d), probes(s, d),
+        ivf2Model(s, d), k = 5, nProbe1 = Ivf2NProbe1, nProbe = Ivf2NProbe)
         .orderBy("probe_id", "rk")
     },
 
@@ -270,6 +300,87 @@ object VectorQueries {
        |SELECT probe_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked
        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
 
+  /** Two-level oracle: both centroid levels as VALUES literals; the
+    * replay mirrors assignCell2/probeCells2 decision-for-decision —
+    * super-cell argmin (d2, ci), in-cell argmin (d2, global id),
+    * nProbe1 super-cells then nProbe global cells by (d2, g).
+    */
+  private def ivf2TopKSqlFor(m: graft.operators.IvfIndex.Model2): String = {
+    val dim = m.level1.centroids.head.size
+    val c1Rows = m.level1.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")}::DOUBLE[])" }
+      .mkString(",\n   ")
+    val c2Rows = (for {
+      (subM, c1) <- m.sub.zipWithIndex
+      (c, j) <- subM.centroids.zipWithIndex
+    } yield s"(${m.bases(c1) + j}, $c1, ${c.mkString("[", ",", "]")}::DOUBLE[])")
+      .mkString(",\n   ")
+    val diff = s"list_transform(range(1, ${dim + 1}), i -> dv[i] - cv[i])"
+    s"""WITH dv AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+       |), c1t AS (
+       | SELECT * FROM (VALUES
+       |   $c1Rows) AS t(ci, cv)
+       |), c2t AS (
+       | SELECT * FROM (VALUES
+       |   $c2Rows) AS t(g, c1, cv)
+       |), d1 AS (
+       | SELECT vec_id, ci, list_inner_product($diff, $diff) AS d2
+       | FROM dv CROSS JOIN c1t
+       |), a1 AS (
+       | SELECT vec_id, ci AS c1 FROM (
+       |  SELECT vec_id, ci,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+       |  FROM d1) WHERE rn = 1
+       |), d2l AS (
+       | SELECT v.vec_id, t.g,
+       |  list_inner_product(
+       |   list_transform(range(1, ${dim + 1}), i -> v.dv[i] - t.cv[i]),
+       |   list_transform(range(1, ${dim + 1}), i -> v.dv[i] - t.cv[i])) AS d2
+       | FROM dv v JOIN a1 ON a1.vec_id = v.vec_id
+       |  JOIN c2t t ON t.c1 = a1.c1
+       |), assigned AS (
+       | SELECT vec_id, g AS cell FROM (
+       |  SELECT vec_id, g,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, g) AS rn
+       |  FROM d2l) WHERE rn = 1
+       |), p1 AS (
+       | SELECT vec_id, ci AS c1 FROM (
+       |  SELECT vec_id, ci,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+       |  FROM d1 WHERE vec_id % 50 = 0) WHERE rn <= $Ivf2NProbe1
+       |), pd2 AS (
+       | SELECT p.vec_id, t.g,
+       |  list_inner_product(
+       |   list_transform(range(1, ${dim + 1}), i -> v.dv[i] - t.cv[i]),
+       |   list_transform(range(1, ${dim + 1}), i -> v.dv[i] - t.cv[i])) AS d2
+       | FROM p1 p
+       |  JOIN dv v ON v.vec_id = p.vec_id
+       |  JOIN c2t t ON t.c1 = p.c1
+       |), pcells AS (
+       | SELECT vec_id AS probe_id, g AS cell FROM (
+       |  SELECT vec_id, g,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, g) AS rn
+       |  FROM pd2) WHERE rn <= $Ivf2NProbe
+       |), cand AS (
+       | SELECT p.probe_id, c.vec_id
+       | FROM assigned c JOIN pcells p
+       |  ON c.cell = p.cell AND c.vec_id <> p.probe_id
+       |), scored AS (
+       | SELECT cand.probe_id, cand.vec_id,
+       |  list_inner_product(p.dv, c.dv) /
+       |   (sqrt(list_inner_product(p.dv, p.dv)) * sqrt(list_inner_product(c.dv, c.dv))) AS cos
+       | FROM cand
+       |  JOIN dv p ON p.vec_id = cand.probe_id
+       |  JOIN dv c ON c.vec_id = cand.vec_id
+       |), ranked AS (
+       | SELECT probe_id, vec_id, cos,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+       | FROM scored)
+       |SELECT probe_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked
+       |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+  }
+
   private def ivfOracle: Map[String, String] = (for {
     s <- SparkSession.getActiveSession
     d <- sys.props.get("graft.oracle.sfDir")
@@ -300,6 +411,7 @@ object VectorQueries {
          |ORDER BY a.vec_id""".stripMargin
     Map("ann_ivf" -> ivfSql,
       "ann_ivf_dist" -> ivfTopKSqlFor(ivfDistModel(s, d)),
+      "ann_ivf2" -> ivf2TopKSqlFor(ivf2Model(s, d)),
       "dedup_semantic" -> semSql)
   }).getOrElse(Map.empty)
 

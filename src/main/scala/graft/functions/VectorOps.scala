@@ -300,4 +300,123 @@ object VectorOps {
   def centroidDists(v: Column, centroids: Seq[Seq[Double]]): Column =
     graftShim.column(CentroidDistsExpr(graftShim.expression(v),
       centroids.map(_.toArray).toArray))
+
+  /** Distances to the sub-matrix selected by a per-row CELL column —
+    * the two-level IVF assignment kernel: `sub(cell)` is that
+    * super-cell's own centroid block, so the per-vector cost is
+    * |sub(cell)| distances instead of Σ|sub| (O(√k) instead of O(k)
+    * under the balanced split). Fold order per distance is identical
+    * to [[centroidDists]]/sqDist.
+    */
+  def centroidSliceDists(v: Column, cell: Column,
+                         sub: Seq[Seq[Seq[Double]]]): Column =
+    graftShim.column(CentroidSliceDistsExpr(graftShim.expression(v),
+      graftShim.expression(cell),
+      sub.map(_.map(_.toArray).toArray).toArray))
+}
+
+/** [[VectorOps.centroidSliceDists]]'s expression: distances from the
+  * vector (left) to every centroid of the sub-matrix selected by the
+  * int cell id (right). NULL on null/ragged input or out-of-range
+  * cell; per-distance fold is the sqDist order (dd = x−c, acc += dd²,
+  * left to right), so every decision downstream replays bit-exactly
+  * in the oracles.
+  */
+case class CentroidSliceDistsExpr(left: Expression, right: Expression,
+                                  sub: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "centroid_slice_dists"
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(t, _), IntegerType) if t == FloatType || t == DoubleType =>
+        val dims = sub.flatMap(_.map(_.length)).distinct
+        if (sub.nonEmpty && sub.forall(_.nonEmpty) && dims.length == 1)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "centroid_slice_dists needs non-empty rectangular sub-matrices")
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"centroid_slice_dists requires (array<float|double>, int), got $t")
+    }
+
+  private lazy val dim = sub(0)(0).length
+
+  override protected def nullSafeEval(vec: Any, cellAny: Any): Any = {
+    val v = vec.asInstanceOf[ArrayData]
+    val cell = cellAny.asInstanceOf[Int]
+    if (cell < 0 || cell >= sub.length) return null
+    if (v.numElements() != dim) return null
+    val lf = isFloat
+    var i = 0
+    while (i < dim) { if (v.isNullAt(i)) return null; i += 1 }
+    val x = new Array[Double](dim)
+    i = 0
+    while (i < dim) {
+      x(i) = if (lf) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val block = sub(cell)
+    val out = new Array[Double](block.length)
+    var c = 0
+    while (c < block.length) {
+      val ctr = block(c)
+      var acc = 0.0
+      i = 0
+      while (i < dim) { val dd = x(i) - ctr(i); acc += dd * dd; i += 1 }
+      out(c) = acc
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val m = ctx.addReferenceObj("subCentroids", sub, "double[][][]")
+    val d = dim
+    nullSafeCodeGen(ctx, ev, (v, cell) => {
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("dd")
+      val blk = ctx.freshName("blk")
+      val ctr = ctx.freshName("ctr")
+      s"""
+         |if ($cell < 0 || $cell >= $m.length || $v.numElements() != $d) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $x = new double[$d];
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $x[$i] = (double) $v.$get($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double[][] $blk = $m[$cell];
+         |    double[] $out = new double[$blk.length];
+         |    for (int $c = 0; $c < $blk.length; $c++) {
+         |      double[] $ctr = $blk[$c];
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $d; $i++) {
+         |        double $dd = $x[$i] - $ctr[$i];
+         |        $acc += $dd * $dd;
+         |      }
+         |      $out[$c] = $acc;
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidSliceDistsExpr =
+    copy(left = newLeft, right = newRight)
 }

@@ -204,6 +204,157 @@ object IvfIndex {
     model
   }
 
+  /** TWO-LEVEL coarse quantizer (round 10) — the assignment-cost
+    * answer at nList ≈ √n corpus scale: flat IVF pays O(k) distances
+    * per vector to assign it; at k = 10⁵ that dominates the index
+    * build. Level 1 splits the corpus into k1 super-cells, each
+    * super-cell trains its OWN k2-cell sub-quantizer — assignment
+    * costs k1 + k2 ≈ 2√k distances, and serving probes super-cells
+    * first, then sub-cells (the inverted-multi-index idea, Babenko &
+    * Lempitsky 2012, in its hierarchical-k-means form).
+    *
+    * `sub(i)` may have fewer than k2 centroids (hash-seed buckets can
+    * be empty on small cells, mirroring k_eff = min(k, n)); global
+    * cell ids are dense: cell (c1, j) = bases(c1) + j.
+    */
+  final case class Model2(level1: Model, sub: Seq[Model]) {
+    require(level1.nList == sub.length, "one sub-quantizer per super-cell")
+    val bases: Array[Int] = sub.map(_.nList).scanLeft(0)(_ + _).toArray
+    def nCells: Int = bases.last
+    def subMatrices: Seq[Seq[Seq[Double]]] = sub.map(_.centroids)
+  }
+
+  /** Train the two-level quantizer — both levels through the decimal-
+    * exact distributed machinery, so the whole model is
+    * BIT-DETERMINISTIC under any partitioning (same argument as
+    * [[trainDistributed]]; level 2 is one GROUPED Lloyd's: per-
+    * (super-cell, sub-cell, dim) decimal sums, every super-cell
+    * converging in the same jobs). Seeding per super-cell is the same
+    * salted hash-bucket-min aggregate, so no per-cell driver loops —
+    * k1 sub-quantizers train in k1-parallel inside each iteration.
+    */
+  def trainTwoLevel(vecs: DataFrame, k1: Int, k2: Int,
+                    vecCol: String = "embedding",
+                    maxIter: Int = 10,
+                    samplesPerCentroid: Int = 256): Model2 = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k1 >= 1 && k2 >= 1 && k1.toLong * k2 <= (1 << 20),
+      s"k1*k2 = ${k1.toLong * k2} out of range")
+    val m1 = trainDistributed(vecs, k1, vecCol, maxIter, samplesPerCentroid)
+    val all = vecs
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+    val target = samplesPerCentroid.toLong * k1 * k2
+    val nAll = all.count()
+    val ratio = math.max(1L, nAll / math.max(1L, target))
+    val sampled = (if (ratio > 1L)
+        all.where(pmod(xxhash64(lit(0x5eed2L), col("v")), lit(ratio)) === 0L)
+      else all)
+    val withC1 = sampled
+      .withColumn("c1", assignCell(col("v"), m1))
+      .localCheckpoint(true)
+    // per-super-cell seeding: salted hash buckets, lexicographic min
+    val seedRows = withC1
+      .groupBy(col("c1"),
+        pmod(xxhash64(lit(0x5eed3L), col("v")), lit(k2.toLong)).as("b"))
+      .agg(min(col("v")).as("v"))
+      .orderBy("c1", "b")
+      .collect()
+    var subs: Array[Array[Array[Double]]] = {
+      val byCell = seedRows.groupBy(_.getInt(0))
+      Array.tabulate(m1.nList)(c =>
+        byCell.getOrElse(c, Array.empty)
+          .map(_.getSeq[Double](2).toArray))
+    }
+    require(subs.forall(_.nonEmpty),
+      "a super-cell received no level-2 seeds (empty cell) — lower k1")
+    val dec = DecimalType(38, 18)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val subSeq = subs.map(_.map(_.toSeq).toSeq).toSeq
+      val d2 = graft.functions.VectorOps.centroidSliceDists(
+        col("v"), col("c1"), subSeq)
+      val stats = withC1
+        .withColumn("j",
+          (array_position(d2, array_min(d2)) - 1).cast("int"))
+        .select(col("c1"), col("j"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("c1", "j", "dim")
+        .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))
+        .select(col("c1"), col("j"), col("dim"),
+          (col("s") / col("n")).cast("double").as("m"))
+        .collect()
+      val next = subs.map(_.map(_.clone()))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      moved = !next.zip(subs).forall { case (a, b) =>
+        a.zip(b).forall { case (x, y) => java.util.Arrays.equals(x, y) }
+      }
+      subs = next
+      iter += 1
+    }
+    Model2(m1, subs.toSeq.map(b => Model(b.toSeq.map(_.toSeq))))
+  }
+
+  /** Global cell id of a vector under the two-level model:
+    * bases(c1) + argmin over sub(c1) — k1 + k2 distances, both
+    * through the fused kernels, first index wins ties at both levels.
+    */
+  def assignCell2(vec: Column, m: Model2): Column = {
+    val c1 = assignCell(vec, m.level1)
+    val d2 = graft.functions.VectorOps.centroidSliceDists(
+      vec, c1, m.subMatrices)
+    val j = (array_position(d2, array_min(d2)) - 1).cast("int")
+    (element_at(typedlit(m.bases.toSeq), c1 + 1) + j).cast("int")
+  }
+
+  /** The nProbe nearest GLOBAL cells under two-level probing: the
+    * nProbe1 nearest super-cells by level-1 distance, then all their
+    * sub-cells ranked by level-2 distance with (distance, cell id)
+    * ties — the candidate set serving scans.
+    */
+  def probeCells2(vec: Column, m: Model2, nProbe1: Int, nProbe: Int): Column = {
+    val d1 = graft.functions.VectorOps.centroidDists(vec, m.level1.centroids)
+    val top1 = slice(
+      transform(
+        array_sort(zip_with(d1, typedlit(m.level1.centroids.indices.toList),
+          (dd, i) => struct(dd.as("d"), i.as("i")))),
+        s => s.getField("i")),
+      1, nProbe1)
+    val sizes = typedlit(m.sub.map(_.nList))
+    val bases = typedlit(m.bases.toSeq)
+    val cand = flatten(transform(top1, c1 =>
+      zip_with(
+        graft.functions.VectorOps.centroidSliceDists(vec, c1, m.subMatrices),
+        transform(sequence(lit(0), element_at(sizes, c1 + 1) - 1),
+          j => element_at(bases, c1 + 1) + j),
+        (dd, g) => struct(dd.as("d"), g.as("g")))))
+    slice(transform(array_sort(cand), s => s.getField("g")), 1, nProbe)
+  }
+
+  /** Approximate top-k under the two-level quantizer — identical join
+    * shape to [[topK]], with global cells from [[assignCell2]] /
+    * [[probeCells2]].
+    */
+  def topK2(corpus: DataFrame, probes: DataFrame, model: Model2,
+            k: Int, nProbe1: Int = 2, nProbe: Int = 4,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      assignCell2(col(vecCol), model).as("cell"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        explode(probeCells2(col(vecCol), model, nProbe1, nProbe)).as("cell"))
+    val scored = c.join(broadcast(p),
+        c("cell") === p("cell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        Similarity.cosine(col("probe_vec"), col("vec")).as("cos"))
+    scored.groupBy("probe_id")
+      .agg(graft.functions.TopK.topk(k)(col("cos"), col("vec_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col._2").as("vec_id"),
+        col("col._1").as("cos"), (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** Argmin over centroids, first index wins ties — the same rule
     * [[assignCell]] applies distributed-side.
     */

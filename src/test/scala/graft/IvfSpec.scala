@@ -131,6 +131,35 @@ class IvfSpec extends SparkFunSuite {
     assert(m.centroids == m2.centroids, "sampled training not partition-stable")
   }
 
+  test("two-level IVF: assignment total, deterministic, real recall") {
+    val corpus = Tables.embeddings(spark, sf)
+    val probes = corpus.filter(col("vec_id") % 50 === 0)
+    val m = IvfIndex.trainTwoLevel(corpus, k1 = 4, k2 = 4, maxIter = 5)
+    assert(m.nCells > 4 && m.nCells <= 16)
+    // assignment: every vector lands in a valid global cell
+    val cells = corpus.select(
+        IvfIndex.assignCell2(col("embedding"), m).as("cell"))
+      .groupBy("cell").count().collect()
+    assert(cells.map(_.getInt(0)).forall(c => c >= 0 && c < m.nCells))
+    assert(cells.map(_.getLong(1)).sum == corpus.count())
+    // training deterministic under repartitioning (both levels)
+    val m2 = IvfIndex.trainTwoLevel(corpus.repartition(7), k1 = 4, k2 = 4,
+      maxIter = 5)
+    assert(m.level1.centroids == m2.level1.centroids)
+    assert(m.sub.map(_.centroids) == m2.sub.map(_.centroids))
+    // serving recall: probing half the super-cells and a quarter of
+    // the global cells must beat the blind cell fraction
+    val ivf2 = IvfIndex.topK2(corpus, probes, m, k = 5,
+        nProbe1 = 2, nProbe = 4)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(corpus, probes, 5)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf2 & exact).size.toDouble / exact.size
+    assert(recall >= 0.35, s"two-level recall $recall")
+  }
+
   test("trainDistributed handles k past the driver envelope") {
     // 30k synthetic vectors, nList=1024 (> nothing driver-side could
     // verify bit-stably at this shape before): training completes,
