@@ -34,7 +34,8 @@ object Bench {
     // continuation on; the r9-comparable subset is the per-query
     // history / BenchAB's shared-set total)
     "q_audience_overlap_sketch", "span_stream_flags", "cms_stream_relation",
-    "text_lm_score", "q_quantile_merge_portable", "ann_ivf_dist")
+    "text_lm_score", "q_quantile_merge_portable", "ann_ivf_dist",
+    "ann_ivf2", "pipeline_ccnet_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
