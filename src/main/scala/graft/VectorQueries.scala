@@ -282,23 +282,31 @@ object VectorQueries {
        |  SELECT vec_id, ci,
        |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
        |  FROM dists WHERE vec_id % 50 = 0) WHERE rn <= $IvfNProbe
-       |), cand AS (
-       | SELECT p.probe_id, c.vec_id
-       | FROM assigned c JOIN pcells p
-       |  ON c.cell = p.cell AND c.vec_id <> p.probe_id
-       |), scored AS (
-       | SELECT cand.probe_id, cand.vec_id,
-       |  list_inner_product(p.dv, c.dv) /
-       |   (sqrt(list_inner_product(p.dv, p.dv)) * sqrt(list_inner_product(c.dv, c.dv))) AS cos
-       | FROM cand
-       |  JOIN dv p ON p.vec_id = cand.probe_id
-       |  JOIN dv c ON c.vec_id = cand.vec_id
-       |), ranked AS (
-       | SELECT probe_id, vec_id, cos,
-       |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
-       | FROM scored)
-       |SELECT probe_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked
-       |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+       |)$ivfOracleTail""".stripMargin
+
+  /** The shared candidates → cosine top-5 oracle tail (expects CTEs
+    * `dv`, `assigned`, `pcells` in scope) — one definition for the
+    * flat and two-level IVF oracles, so the scoring/tie-break replay
+    * cannot silently diverge between them.
+    */
+  private def ivfOracleTail: String =
+    """, cand AS (
+      | SELECT p.probe_id, c.vec_id
+      | FROM assigned c JOIN pcells p
+      |  ON c.cell = p.cell AND c.vec_id <> p.probe_id
+      |), scored AS (
+      | SELECT cand.probe_id, cand.vec_id,
+      |  list_inner_product(p.dv, c.dv) /
+      |   (sqrt(list_inner_product(p.dv, p.dv)) * sqrt(list_inner_product(c.dv, c.dv))) AS cos
+      | FROM cand
+      |  JOIN dv p ON p.vec_id = cand.probe_id
+      |  JOIN dv c ON c.vec_id = cand.vec_id
+      |), ranked AS (
+      | SELECT probe_id, vec_id, cos,
+      |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+      | FROM scored)
+      |SELECT probe_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked
+      |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
 
   /** Two-level oracle: both centroid levels as VALUES literals; the
     * replay mirrors assignCell2/probeCells2 decision-for-decision —
@@ -362,23 +370,7 @@ object VectorQueries {
        |  SELECT vec_id, g,
        |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, g) AS rn
        |  FROM pd2) WHERE rn <= $Ivf2NProbe
-       |), cand AS (
-       | SELECT p.probe_id, c.vec_id
-       | FROM assigned c JOIN pcells p
-       |  ON c.cell = p.cell AND c.vec_id <> p.probe_id
-       |), scored AS (
-       | SELECT cand.probe_id, cand.vec_id,
-       |  list_inner_product(p.dv, c.dv) /
-       |   (sqrt(list_inner_product(p.dv, p.dv)) * sqrt(list_inner_product(c.dv, c.dv))) AS cos
-       | FROM cand
-       |  JOIN dv p ON p.vec_id = cand.probe_id
-       |  JOIN dv c ON c.vec_id = cand.vec_id
-       |), ranked AS (
-       | SELECT probe_id, vec_id, cos,
-       |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
-       | FROM scored)
-       |SELECT probe_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked
-       |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+       |)$ivfOracleTail""".stripMargin
   }
 
   private def ivfOracle: Map[String, String] = (for {

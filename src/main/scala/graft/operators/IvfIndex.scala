@@ -143,7 +143,8 @@ object IvfIndex {
   def trainDistributed(vecs: DataFrame, nList: Int,
                        vecCol: String = "embedding",
                        maxIter: Int = 10,
-                       samplesPerCentroid: Int = 256): Model = {
+                       samplesPerCentroid: Int = 256,
+                       knownCount: Option[Long] = None): Model = {
     import org.apache.spark.sql.types.DecimalType
     require(nList >= 1 && nList <= 65536,
       s"nList=$nList out of the supported 1..65536 range")
@@ -162,7 +163,7 @@ object IvfIndex {
     // train on everything (ratio 1), keeping small-corpus results
     // (and the gates) bit-identical to the unsampled path.
     val target = samplesPerCentroid.toLong * nList
-    val nAll = all.count()
+    val nAll = knownCount.getOrElse(all.count())
     val ratio = math.max(1L, nAll / math.max(1L, target))
     // the sample hash is SALTED so it is independent of the seeding
     // hash below: filtering on xxhash64(v) % ratio and then bucketing
@@ -201,6 +202,7 @@ object IvfIndex {
       model = nm
       iter += 1
     }
+    v.unpersist() // release the checkpointed sample; the model owns nothing of it
     model
   }
 
@@ -240,12 +242,15 @@ object IvfIndex {
     import org.apache.spark.sql.types.DecimalType
     require(k1 >= 1 && k2 >= 1 && k1.toLong * k2 <= (1 << 20),
       s"k1*k2 = ${k1.toLong * k2} out of range")
-    val m1 = trainDistributed(vecs, k1, vecCol, maxIter, samplesPerCentroid)
     val all = vecs
       .select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull && size(col("v")) > 0)
-    val target = samplesPerCentroid.toLong * k1 * k2
+    // one corpus count serves both levels (review r10c: trainDistributed
+    // recounted the identically-filtered frame)
     val nAll = all.count()
+    val m1 = trainDistributed(vecs, k1, vecCol, maxIter,
+      samplesPerCentroid, knownCount = Some(nAll))
+    val target = samplesPerCentroid.toLong * k1 * k2
     val ratio = math.max(1L, nAll / math.max(1L, target))
     val sampled = (if (ratio > 1L)
         all.where(pmod(xxhash64(lit(0x5eed2L), col("v")), lit(ratio)) === 0L)
@@ -266,8 +271,14 @@ object IvfIndex {
         byCell.getOrElse(c, Array.empty)
           .map(_.getSeq[Double](2).toArray))
     }
-    require(subs.forall(_.nonEmpty),
-      "a super-cell received no level-2 seeds (empty cell) — lower k1")
+    // a super-cell that received no level-2 seeds (genuinely empty, or
+    // all members dropped by the level-2 sample — possible at exactly
+    // the large-k1 regime this exists for) degrades to ONE sub-cell:
+    // its own level-1 centroid. Assignment stays total, the family's
+    // "empty cells keep their centroid" rule, never an abort.
+    subs = subs.zipWithIndex.map { case (b, c) =>
+      if (b.nonEmpty) b else Array(m1.centroids(c).toArray)
+    }
     val dec = DecimalType(38, 18)
     var iter = 0
     var moved = true
@@ -294,6 +305,7 @@ object IvfIndex {
       subs = next
       iter += 1
     }
+    withC1.unpersist() // release the checkpointed sample
     Model2(m1, subs.toSeq.map(b => Model(b.toSeq.map(_.toSeq))))
   }
 
@@ -339,11 +351,23 @@ object IvfIndex {
     */
   def topK2(corpus: DataFrame, probes: DataFrame, model: Model2,
             k: Int, nProbe1: Int = 2, nProbe: Int = 4,
-            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cellTopK(corpus, probes, k, idCol, vecCol,
+      v => assignCell2(v, model),
+      v => probeCells2(v, model, nProbe1, nProbe))
+
+  /** The shared probe-cell-join serving pipeline behind [[topK]] and
+    * [[topK2]]: corpus rows carry their cell, probe rows explode their
+    * probe cells, the equi-join bounds candidates, bounded TopK ranks.
+    */
+  private def cellTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                       idCol: String, vecCol: String,
+                       cellOf: Column => Column,
+                       probeCellsOf: Column => Column): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
-      assignCell2(col(vecCol), model).as("cell"))
+      cellOf(col(vecCol)).as("cell"))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
-        explode(probeCells2(col(vecCol), model, nProbe1, nProbe)).as("cell"))
+        explode(probeCellsOf(col(vecCol))).as("cell"))
     val scored = c.join(broadcast(p),
         c("cell") === p("cell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
@@ -402,19 +426,8 @@ object IvfIndex {
   /** Approximate top-k: probes scan only their nProbe cells. */
   def topK(corpus: DataFrame, probes: DataFrame, model: Model,
            k: Int, nProbe: Int = 2,
-           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
-      assignCell(col(vecCol), model).as("cell"))
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
-        explode(probeCells(col(vecCol), model, nProbe)).as("cell"))
-    val scored = c.join(broadcast(p),
-        c("cell") === p("cell") && col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        Similarity.cosine(col("probe_vec"), col("vec")).as("cos"))
-    scored.groupBy("probe_id")
-      .agg(graft.functions.TopK.topk(k)(col("cos"), col("vec_id")).as("top"))
-      .select(col("probe_id"), posexplode(col("top")))
-      .select(col("probe_id"), col("col._2").as("vec_id"),
-        col("col._1").as("cos"), (col("pos") + 1).cast("long").as("rk"))
-  }
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cellTopK(corpus, probes, k, idCol, vecCol,
+      v => assignCell(v, model),
+      v => probeCells(v, model, nProbe))
 }
