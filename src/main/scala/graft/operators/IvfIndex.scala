@@ -202,7 +202,10 @@ object IvfIndex {
       model = nm
       iter += 1
     }
-    v.unpersist() // release the checkpointed sample; the model owns nothing of it
+    // the checkpointed sample's blocks are released by the
+    // ContextCleaner once this frame is unreachable (Dataset.unpersist
+    // does NOT reach localCheckpoint blocks — it only uncaches
+    // CacheManager entries); the returned model holds no reference
     model
   }
 
@@ -305,7 +308,8 @@ object IvfIndex {
       subs = next
       iter += 1
     }
-    withC1.unpersist() // release the checkpointed sample
+    // withC1's checkpoint blocks: ContextCleaner-released once
+    // unreachable (see the trainDistributed note)
     Model2(m1, subs.toSeq.map(b => Model(b.toSeq.map(_.toSeq))))
   }
 

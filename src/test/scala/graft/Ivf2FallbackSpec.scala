@@ -19,8 +19,9 @@ import graft.operators.IvfIndex
 class Ivf2FallbackSpec extends SparkFunSuite {
 
   test("super-cell sampled away at level 2 degrades to its centroid") {
-    // 40000 uniform non-negative vectors; target = 32*8*2 = 512,
-    // so ratio = floor(nAll/512) = 78 for any nAll in [39936, 40447]
+    // 40000 uniform non-negative vectors; level-2 target = 32*8*2 =
+    // 512, so its ratio = floor(nAll/512) = 78 for any nAll in
+    // [39936, 40447]; level-1 target = 32*8 = 256 -> ratio 156
     val main = spark.range(40000).selectExpr(
       "id AS vec_id",
       """transform(sequence(0, 7),
@@ -34,8 +35,10 @@ class Ivf2FallbackSpec extends SparkFunSuite {
         |  i -> CAST(-50.0 - pmod(xxhash64(id, i), 10) AS FLOAT))
         |AS embedding""".stripMargin)
     val dv = col("embedding").cast("array<double>")
+    // level-1 target = 32*k1 = 256 -> ratio 156; level-2 target =
+    // 32*k1*k2 = 512 -> ratio 78 (review r10c: the two moduli differ)
     val pick = cand.select(col("vec_id"),
-        pmod(xxhash64(lit(0x5eedL), dv), lit(78L)).as("f1"),
+        pmod(xxhash64(lit(0x5eedL), dv), lit(156L)).as("f1"),
         pmod(xxhash64(lit(0x5eed2L), dv), lit(78L)).as("f2"))
       .where(col("f1") === 0 && col("f2") =!= 0) // in sample1, not sample2
       .orderBy("vec_id").limit(8).select("vec_id")
