@@ -552,7 +552,7 @@ object OlapQueries {
          | CAST(least(greatest(floor(value / ${graft.functions.QuantileSketch.Width}), 0),
          |   ${graft.functions.QuantileSketch.B - 1}) AS BIGINT) AS bucket,
          | count(*) AS cnt
-         |FROM events WHERE value IS NOT NULL
+         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_topk_events" ->

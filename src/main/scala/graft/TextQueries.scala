@@ -328,30 +328,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // C41 (oracle, round 10): CCNet-style corpus bucketing — the
-    // composition that makes the LM score a PIPELINE stage: corpus
-    // tertile boundaries over the typicality score (exact Percentile ≡
-    // DuckDB quantile_cont bit-for-bit, the q_quantiles precedent;
-    // 1/3 and 2/3 computed as the same IEEE division on both engines),
-    // then every doc labels head/middle/tail by a pure >= decision —
-    // CCNet keeps 'head', retrains on 'middle', drops 'tail'. Scale
-    // shape: the boundary agg is two values broadcast back over the
-    // scores; Percentile's state is O(distinct scores) — at corpus
-    // scale CCNet computes boundaries on a sample (or the gated grid
-    // sketch), the decision plan is unchanged.
+    // C41 (oracle, round 10; boundary agg bounded round 11): CCNet-
+    // style corpus bucketing — the composition that makes the LM score
+    // a PIPELINE stage: corpus tertile boundaries over the typicality
+    // score, then every doc labels head/middle/tail by a pure >=
+    // decision — CCNet keeps 'head', retrains on 'middle', drops
+    // 'tail'. The boundary aggregate is COST-SWITCHED
+    // (QualityRules.ccnetBuckets): exact Percentile (≡ DuckDB
+    // quantile_cont bit-for-bit, the q_quantiles precedent — the path
+    // the gate corpus takes) while the measured corpus fits the
+    // single-task-buffer envelope; the bounded adaptive
+    // QuantileSketch grid (≤1024 rows of mergeable state) beyond —
+    // never an unbounded global Percentile at corpus scale
+    // (PlanGuardSpec pins the switch, CcnetBoundarySpec bounds the
+    // drift).
     "pipeline_ccnet_buckets" -> Q { (s, d) =>
-      // scores feed BOTH the boundary agg and the labeling join —
-      // persist once (the repo's multiply-referenced-intermediate rule)
+      // scores feed the count, the boundary agg AND the labeling
+      // join — persist once (the multiply-referenced-intermediate rule)
       val scores = graft.operators.QualityRules.lmScore(
         Tables.documents(s, d), "doc_id", "text").localCheckpoint(true)
-      val b = scores.agg(
-        expr("percentile(avg_log2, CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))").as("q1"),
-        expr("percentile(avg_log2, CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))").as("q2"))
-      scores.crossJoin(broadcast(b))
-        .select(col("doc_id"), col("avg_log2"),
-          when(col("avg_log2") >= col("q2"), lit("head"))
-            .when(col("avg_log2") >= col("q1"), lit("middle"))
-            .otherwise(lit("tail")).as("bucket"))
+      graft.operators.QualityRules.ccnetBuckets(scores, "doc_id")
         .orderBy("doc_id")
     }
   )

@@ -47,12 +47,15 @@ object QuantileSketch {
     Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
 
   /** The sketch STATE: one (groupCols..., _b, _cnt) row per populated
-    * bucket. NULL values are ignored. States from different partials of
-    * the same group may repeat a bucket — [[estimateFromState]] (and
-    * any merge) sums them, which is the whole merge rule.
+    * bucket. NULL and NaN values are ignored (NaN would otherwise ride
+    * floor/greatest as NaN and least(NaN, B-1) clamps it into the TOP
+    * bucket on both engines — silently inflating p99; ADVICE r10).
+    * States from different partials of the same group may repeat a
+    * bucket — [[estimateFromState]] (and any merge) sums them, which
+    * is the whole merge rule.
     */
   def state(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
-    df.where(value.isNotNull)
+    df.where(value.isNotNull && !isnan(value))
       .groupBy(groupCols.map(col) :+
         least(greatest(floor(value / lit(Width)), lit(0.0)),
           lit((B - 1).toDouble)).cast("long").as("_b"): _*)
@@ -63,7 +66,18 @@ object QuantileSketch {
     * est DOUBLE), one row per group × quantile.
     */
   def estimateFromState(state: DataFrame, groupCols: Seq[String],
-                        qs: Seq[(String, Double)]): DataFrame = {
+                        qs: Seq[(String, Double)]): DataFrame =
+    estimateFromGrid(state, groupCols, qs, 0.0, Width)
+
+  /** [[estimateFromState]] generalized to any grid geometry: bucket b
+    * covers [offset + b·width, offset + (b+1)·width). With the default
+    * (0.0, [[Width]]) the estimate expression is LITERALLY the
+    * gate-proven one (the offset term is only added when nonzero, so
+    * the fixed-grid gates' IEEE operation order is untouched).
+    */
+  private def estimateFromGrid(state: DataFrame, groupCols: Seq[String],
+                               qs: Seq[(String, Double)],
+                               offset: Double, width: Double): DataFrame = {
     val gc = groupCols.map(col)
     val merged = state.groupBy(gc :+ col("_b"): _*)
       .agg(sum(col("_cnt")).as("_cnt"))
@@ -83,11 +97,55 @@ object QuantileSketch {
       .where(col("_cum").cast("double") > col("_p"))
     // the answer bucket is the smallest qualifying b; est mirrors the
     // oracle's min_by(b*W + W*((p - (cum-cnt))/cnt), b) term for term
-    val est = col("_b").cast("double") * lit(Width) + lit(Width) *
+    val base = col("_b").cast("double") * lit(width) + lit(width) *
       ((col("_p") - (col("_cum") - col("_cnt")).cast("double")) /
         col("_cnt").cast("double"))
+    val est = if (offset == 0.0) base else lit(offset) + base
     tgt.groupBy(gc :+ col("q_label"): _*)
       .agg(min_by(est, col("_b")).as("est"))
+  }
+
+  /** Default resolution of [[adaptiveQuantiles]]' data-fitted grid. */
+  val AdaptiveB = 1024
+
+  /** BOUNDED-STATE global quantile estimation over an ADAPTIVE grid:
+    * `nBuckets` buckets spanning the measured [min, max] of `value`
+    * (vs the fixed [0, B·Width) gate grid — scores with unknown range
+    * need the grid fitted to the data). Cost: two bounded
+    * aggregations — a 2-double bounds row, then ≤nBuckets (bucket,
+    * count) rows — so the aggregation state is ≤nBuckets rows on any
+    * corpus, the property Spark's exact `Percentile` (one O(distinct)
+    * buffer on ONE task) loses at corpus scale. Estimation reuses the
+    * gate-proven cumulative-interpolation rule; rank-statistic error
+    * is bounded by one grid cell: (max−min)/nBuckets.
+    *
+    * NULL/NaN values are excluded (the [[state]] rule). Returns one
+    * (q_label, est) row per requested quantile; empty (or all-NULL)
+    * input returns an EMPTY frame — callers aggregating the result
+    * (min/when pivots) then see NULLs, exactly like exact `percentile`
+    * over empty input. Runs two driver actions: `df` should be
+    * persisted by the caller when it is expensive to recompute.
+    */
+  def adaptiveQuantiles(df: DataFrame, value: Column,
+                        qs: Seq[(String, Double)],
+                        nBuckets: Int = AdaptiveB): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val clean = df.where(value.isNotNull && !isnan(value))
+    val mm = clean.agg(min(value).cast("double"), max(value).cast("double")).head()
+    if (mm.isNullAt(0)) return Seq.empty[(String, Double)].toDF("q_label", "est")
+    val mn = mm.getDouble(0); val mx = mm.getDouble(1)
+    // degenerate range: every quantile IS that value (a 1-bucket grid
+    // would interpolate inside a fictitious cell instead)
+    if (mn == mx || (mx - mn) / nBuckets == 0.0)
+      return qs.map { case (lbl, _) => (lbl, mn) }.toDF("q_label", "est")
+    val width = (mx - mn) / nBuckets
+    val st = clean.groupBy(
+        least(greatest(floor((value.cast("double") - lit(mn)) / lit(width)),
+          lit(0.0)), lit((nBuckets - 1).toDouble)).cast("long").as("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+    estimateFromGrid(st, Seq.empty, qs, mn, width)
   }
 
   /** Direct (state → estimate in one go) — what the oracle recomputes;
@@ -112,7 +170,8 @@ object QuantileSketch {
        | SELECT $groupCol,
        |  CAST(least(greatest(floor($valueCol / $Width), 0), ${B - 1}) AS BIGINT) AS b,
        |  count(*) AS cnt
-       | FROM $table WHERE $valueCol IS NOT NULL GROUP BY 1, 2
+       | FROM $table WHERE $valueCol IS NOT NULL AND NOT isnan($valueCol)
+       | GROUP BY 1, 2
        |), cum AS (
        | SELECT $groupCol, b, cnt,
        |  sum(cnt) OVER (PARTITION BY $groupCol ORDER BY b) AS cum,

@@ -77,11 +77,17 @@ object ChAnalytics {
     * same chain), "immediately next" is just seq == anchor_seq + i,
     * and 'strict_increase' is implied because seq strictly increases.
     *
-    * Same greedy-from-earliest anchor as [[windowFunnel]]; every step
-    * must still fall within `windowUs` of the anchor. Level = 1 + the
-    * longest consecutive prefix of matched steps (0 if cond(0) never
-    * fired). One shuffle: the ranking window and every per-step window
-    * min share the entity partitioning.
+    * Same greedy-from-earliest anchor as [[windowFunnel]] — and the
+    * same DOCUMENTED DEVIATION: the chain is searched only from the
+    * EARLIEST cond(0) event, while ClickHouse searches all chains and
+    * returns the max level (stream A,X,A,B for pattern A→B→C: CH
+    * strict_order returns 2, this returns 1 because the first A's
+    * chain is broken by X). Greedy-from-earliest is the standard
+    * SQL-expressible form; identical on well-separated funnels. Every
+    * step must still fall within `windowUs` of the anchor. Level =
+    * 1 + the longest consecutive prefix of matched steps (0 if
+    * cond(0) never fired). One shuffle: the ranking window and every
+    * per-step window min share the entity partitioning.
     */
   def windowFunnelStrictOrder(events: DataFrame, entity: Column, ts: Column,
                               tieBreak: Column, windowUs: Long,

@@ -216,10 +216,17 @@ object Dedup {
     *   3. self-join per (band, hash) bucket -> candidates
     *   4. signature-estimate Jaccard, threshold
     * Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    *
+    * EAGER: the hot-bucket guard (and the cost-based signature join)
+    * run bounded Spark jobs at CONSTRUCTION time, not first action.
+    * `maxCandidates` is the guard's bound — callers on known
+    * low-entropy corpora raise it to opt into the larger band join
+    * (the guard's own error message names the escapes).
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5, nHashes: Int = 128,
-                   bands: Int = 32, persist: Persist = localPersist): DataFrame = {
+                   bands: Int = 32, persist: Persist = localPersist,
+                   maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     require(nHashes == graft.functions.MinHash128.NumHashes,
       "the fused signature kernel is fixed at 128 hashes")
     // one fused-kernel pass per doc; materialize once (the self-join
@@ -227,7 +234,7 @@ object Dedup {
     // at cluster scale this is a checkpoint of the signature table,
     // thousands of times smaller than the text)
     minhashPairsFromSigs(persist(signatures(docs, idCol, textCol)),
-      threshold, nHashes, bands, persist)
+      threshold, nHashes, bands, persist, maxCandidates)
   }
 
   /** [[minhashPairs]] from a PRECOMPUTED (doc_id, sig) table — the
@@ -237,6 +244,11 @@ object Dedup {
     * without a second corpus scan. `sigs` should be persisted — it is
     * read by both sides of the band self-join, the estimate joins,
     * and one bounded count.
+    *
+    * EAGER: the hot-bucket guard's prediction aggregate and the
+    * sideJoin's sizing count run at CONSTRUCTION time (bounded jobs
+    * over the persisted band/signature tables), so a guard refusal
+    * surfaces here, not at first downstream action.
     */
   def minhashPairsFromSigs(sigs: DataFrame, threshold: Double = 0.5,
                            nHashes: Int = 128, bands: Int = 32,
@@ -306,10 +318,14 @@ object Dedup {
     * [[sideJoin]] + sorted-merge-kernel shape as [[exactSetPairs]],
     * over candidate pairs only — gram-set lookup broadcasts while it
     * fits, shuffles co-partitioned on doc id beyond that.
+    *
+    * EAGER (see [[minhashPairs]]): guard + cost probes run bounded
+    * jobs at construction; `maxCandidates` is the hot-bucket bound.
     */
   def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                            threshold: Double = 0.5,
-                           persist: Persist = localPersist): DataFrame = {
+                           persist: Persist = localPersist,
+                           maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     // ONE corpus scan computes both per-doc artifacts (round 10 —
     // signatures for the candidate stage, sorted gram sets for the
     // exact verify; separately they each re-read and re-parsed the
@@ -318,7 +334,7 @@ object Dedup {
       graft.functions.MinHash128.signature(col(textCol)).as("sig"),
       array_sort(array_distinct(shingleHashes(col(textCol)))).as("ngs")))
     val cand = minhashPairsFromSigs(both.select("doc_id", "sig"), threshold,
-      persist = persist)
+      persist = persist, maxCandidates = maxCandidates)
     val sets = both.select("doc_id", "ngs")
     val szA = size(col("ngs_a")); val szB = size(col("ngs_b"))
     val need = floor(lit(threshold / (1.0 + threshold)) *
@@ -504,9 +520,10 @@ object Dedup {
     */
   def minhashClusters(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5,
-                      persist: Persist = localPersist): DataFrame =
+                      persist: Persist = localPersist,
+                      maxCandidates: Long = DefaultMaxCandidates): DataFrame =
     connectedComponents(persist(minhashPairs(docs, idCol, textCol, threshold,
-      persist = persist)), persist = persist)
+      persist = persist, maxCandidates = maxCandidates)), persist = persist)
 
   /** Cluster-representative selection (SURVEY §2 C26): keep the
     * highest-QUALITY member of each near-dup cluster, not the smallest
@@ -522,9 +539,11 @@ object Dedup {
     */
   def keepBest(docs: DataFrame, idCol: String, textCol: String,
                quality: Column, threshold: Double = 0.5,
-               persist: Persist = localPersist): DataFrame =
+               persist: Persist = localPersist,
+               maxCandidates: Long = DefaultMaxCandidates): DataFrame =
     keepBestWithClusters(docs, idCol,
-      minhashClusters(docs, idCol, textCol, threshold, persist), quality)
+      minhashClusters(docs, idCol, textCol, threshold, persist,
+        maxCandidates), quality)
 
   /** [[keepBest]] against PRECOMPUTED cluster labels (any DataFrame of
     * (idCol, cluster_id) — normally [[minhashClusters]]' output,
@@ -737,7 +756,7 @@ object Dedup {
       }
       else if (resolved == "lsh") {
         val cand = minhashPairs(docs, idCol, textCol, threshold,
-            persist = persist)
+            persist = persist, maxCandidates = maxCandidates)
           .select("doc_a", "doc_b")
         sideJoin(sideJoin(cand, la, "doc_a", setBytes), rb, "doc_b", setBytes)
       }

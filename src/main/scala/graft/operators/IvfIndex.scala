@@ -195,6 +195,13 @@ object IvfIndex {
         .collect()
       val next = model.centroids.map(_.toArray).toArray
       stats.foreach { r =>
+        // a NULL mean means the DECIMAL(38,18) sum overflowed (vector
+        // magnitudes × sample size beyond 10^20) — refuse loudly
+        // instead of surfacing an opaque NPE (ADVICE r10)
+        require(!r.isNullAt(2),
+          s"distributed k-means: NULL mean for (cell=${r.get(0)}, " +
+            s"dim=${r.get(1)}) - DECIMAL(38,18) sum overflow; scale " +
+            "the vectors down (or reduce samplesPerCentroid)")
         next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
       }
       val nm = Model(next.map(_.toSeq).toSeq)
@@ -300,6 +307,16 @@ object IvfIndex {
         .collect()
       val next = subs.map(_.map(_.clone()))
       stats.foreach { r =>
+        // NULL j = the slice-distance kernel returned NULL (ragged
+        // vector dimensions vs the sub-matrix); NULL mean = decimal
+        // sum overflow — name the cause, don't NPE (ADVICE r10)
+        require(!r.isNullAt(1),
+          s"two-level k-means: NULL sub-cell for super-cell ${r.get(0)} " +
+            "- inconsistent vector dimensions in the corpus")
+        require(!r.isNullAt(3),
+          s"two-level k-means: NULL mean for (c1=${r.get(0)}, " +
+            s"j=${r.get(1)}, dim=${r.get(2)}) - DECIMAL(38,18) sum " +
+            "overflow; scale the vectors down")
         next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
       }
       moved = !next.zip(subs).forall { case (a, b) =>

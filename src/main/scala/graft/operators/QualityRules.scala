@@ -179,4 +179,64 @@ object QualityRules {
       .withColumn("avg_log2",
         col("sum_log2").cast("double") / col("n_bigrams").cast("double"))
   }
+
+  /** Conf key bounding the corpus size [[ccnetBuckets]] will compute
+    * its tertile boundaries over with EXACT `percentile`. Spark's
+    * `Percentile` buffers every distinct value of ONE global group in
+    * ONE task's aggregation buffer — near-unique double scores make
+    * that O(n) memory on a single task: fine at 10⁷ rows (~0.5 GB of
+    * buffer, the envelope this default encodes), a guaranteed OOM at
+    * 10¹⁰. Past the bound the boundaries come from the BOUNDED
+    * [[graft.functions.QuantileSketch.adaptiveQuantiles]] grid
+    * (≤[[graft.functions.QuantileSketch.AdaptiveB]] rows of mergeable
+    * state; drift ≤ one grid cell) — CCNet itself computes these
+    * boundaries on a sample, so approximation is within the
+    * operator's own contract. The same cost-switch discipline as
+    * [[Dedup.sideJoin]]: measured size in, plan choice out, never an
+    * unconditional unbounded aggregate.
+    */
+  val MaxExactBoundaryRowsKey = "graft.ccnet.maxExactBoundaryRows"
+  val DefaultMaxExactBoundaryRows: Long = 10000000L
+
+  /** The tertile labels and their numerators over 3. */
+  private[graft] val CcnetQs: Seq[(String, Int)] =
+    Seq("q1" -> 1, "q2" -> 2)
+
+  /** CCNet-style corpus bucketing (SURVEY.md §2 C41): tertile
+    * boundaries over `scoreCol`, every doc labelled head/middle/tail
+    * by a pure >= decision. Boundary computation is COST-SWITCHED on
+    * the measured corpus size (one bounded count off `scores` — which
+    * should be PERSISTED by the caller; this method is eager):
+    * exact `percentile` (≡ DuckDB quantile_cont bit-for-bit, the
+    * q_quantiles precedent) within [[MaxExactBoundaryRowsKey]] rows,
+    * the bounded adaptive grid beyond. Output: (idCol, scoreCol,
+    * bucket) — identical columns on either path.
+    */
+  def ccnetBuckets(scores: DataFrame, idCol: String,
+                   scoreCol: String = "avg_log2"): DataFrame = {
+    val maxExact = scores.sparkSession.conf
+      .getOption(MaxExactBoundaryRowsKey).map(_.toLong)
+      .getOrElse(DefaultMaxExactBoundaryRows)
+    val exactCols = CcnetQs.map { case (lbl, num) =>
+      // num/3 as the same IEEE division both engines run
+      expr(s"percentile($scoreCol, CAST($num.0 AS DOUBLE) " +
+        "/ CAST(3.0 AS DOUBLE))").as(lbl)
+    }
+    val b: DataFrame =
+      if (scores.count() <= maxExact)
+        scores.agg(exactCols.head, exactCols.tail: _*)
+      else {
+        val ests = graft.functions.QuantileSketch.adaptiveQuantiles(
+          scores, col(scoreCol), CcnetQs.map { case (l, n) => (l, n / 3.0) })
+        val pivots = CcnetQs.map { case (lbl, _) =>
+          min(when(col("q_label") === lbl, col("est"))).as(lbl)
+        }
+        ests.agg(pivots.head, pivots.tail: _*)
+      }
+    scores.crossJoin(broadcast(b))
+      .select(col(idCol), col(scoreCol),
+        when(col(scoreCol) >= col("q2"), lit("head"))
+          .when(col(scoreCol) >= col("q1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

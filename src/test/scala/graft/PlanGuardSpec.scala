@@ -107,6 +107,27 @@ class PlanGuardSpec extends SparkFunSuite {
       s"quantile sketch lost map-side partial aggregation:\n$p")
   }
 
+  test("ccnet buckets: no unbounded global Percentile past the exact envelope") {
+    // the round-10 weak flag: the tertile boundary aggregate ran exact
+    // Percentile unconditionally — one O(n) buffer on ONE task at any
+    // corpus size. The fix is cost-switched (QualityRules.ccnetBuckets);
+    // past the threshold the GATE QUERY ITSELF must plan the bounded
+    // grid, not Percentile — asserted here by forcing the threshold to
+    // zero and planning the registered query
+    spark.conf.set(graft.operators.QualityRules.MaxExactBoundaryRowsKey, "0")
+    try {
+      val p = plan("pipeline_ccnet_buckets")
+      assert(!p.toLowerCase.contains("percentile"),
+        s"ccnet boundary aggregate is unbounded past the threshold:\n$p")
+    } finally
+      spark.conf.unset(graft.operators.QualityRules.MaxExactBoundaryRowsKey)
+    // under the default envelope the gate keeps the exact (oracle-
+    // matching) aggregate
+    val pd = plan("pipeline_ccnet_buckets")
+    assert(pd.toLowerCase.contains("percentile"),
+      s"ccnet default path lost its exact percentile:\n$pd")
+  }
+
   test("funnel strict: one user_id shuffle serves rank + every step window") {
     // row_number and all per-step window mins share the entity
     // partitioning: exactly one Exchange hashpartitioning over the
