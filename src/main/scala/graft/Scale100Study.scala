@@ -31,9 +31,9 @@ import org.apache.spark.sql.functions._
   */
 object Scale100Study {
 
-  private val abc = "abcdefghijklmnopqrstuvwxyz"
+  private[graft] val abc = "abcdefghijklmnopqrstuvwxyz"
 
-  private def cipher(i: Int): String = {
+  private[graft] def cipher(i: Int): String = {
     val a = Seq(1, 3, 5, 7)(i / 26 % 4)
     val r = i % 26
     (0 until 26).map(j => abc((a * j + r) % 26)).mkString

@@ -166,6 +166,20 @@ object VectorQueries {
         .orderBy("probe_id", "rk")
     },
 
+    // C29d (oracle, round 11): IVF2-PQ — the inverted-multi-index +
+    // ADC composition, FAISS's actual 10¹⁰-vector serving shape: the
+    // two-level quantizer bounds WHICH vectors are scored (at k1+k2 ≈
+    // 2√k assignment distances instead of k), PQ bounds the COST of
+    // scoring each one (m table reads over 16-byte codes). Both
+    // trained models inline into one oracle that replays super/sub
+    // argmin, two-stage probing, codes, LUTs, and the fixed-order ADC
+    // add.
+    "ann_ivf2pq" -> Q { (s, d) =>
+      graft.operators.PqIndex.topKIvf2(Tables.embeddings(s, d), probes(s, d),
+        ivf2Model(s, d), pqModel(s, d), k = 5, nProbe1 = Ivf2NProbe1,
+        nProbe = Ivf2NProbe).orderBy("probe_id", "rk")
+    },
+
     // C29 (oracle, round 8): product quantization — the compressed-
     // domain ADC scan (Jégou et al. 2011): corpus collapses to m-byte
     // codes, probes carry m×k lookup tables, every candidate costs m
@@ -313,7 +327,17 @@ object VectorQueries {
     * super-cell argmin (d2, ci), in-cell argmin (d2, global id),
     * nProbe1 super-cells then nProbe global cells by (d2, g).
     */
-  private def ivf2TopKSqlFor(m: graft.operators.IvfIndex.Model2): String = {
+  private def ivf2TopKSqlFor(m: graft.operators.IvfIndex.Model2): String =
+    s"""WITH dv AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+       |)${ivf2CellCtes(m)}$ivfOracleTail""".stripMargin
+
+  /** The two-level cell-decision CTE chain (expects `dv` in scope;
+    * yields `assigned` + `pcells` over GLOBAL cell ids) — shared by
+    * the ann_ivf2 oracle and the ann_ivf2pq composition's, so the
+    * two gates replay identical quantizer decisions.
+    */
+  private def ivf2CellCtes(m: graft.operators.IvfIndex.Model2): String = {
     val dim = m.level1.centroids.head.size
     val c1Rows = m.level1.centroids.zipWithIndex
       .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")}::DOUBLE[])" }
@@ -324,9 +348,7 @@ object VectorQueries {
     } yield s"(${m.bases(c1) + j}, $c1, ${c.mkString("[", ",", "]")}::DOUBLE[])")
       .mkString(",\n   ")
     val diff = s"list_transform(range(1, ${dim + 1}), i -> dv[i] - cv[i])"
-    s"""WITH dv AS (
-       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
-       |), c1t AS (
+    s""", c1t AS (
        | SELECT * FROM (VALUES
        |   $c1Rows) AS t(ci, cv)
        |), c2t AS (
@@ -370,7 +392,7 @@ object VectorQueries {
        |  SELECT vec_id, g,
        |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, g) AS rn
        |  FROM pd2) WHERE rn <= $Ivf2NProbe
-       |)$ivfOracleTail""".stripMargin
+       |)""".stripMargin
   }
 
   private def ivfOracle: Map[String, String] = (for {
@@ -574,6 +596,17 @@ object VectorQueries {
            |)$rankTail""".stripMargin,
       "ann_ivfpq" ->
         s"""WITH $pqCtes$ivfCtes, scored AS (
+           | SELECT p.probe_id, c.vec_id, $adc AS ad2
+           | FROM assigned a
+           |  JOIN pcells pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+           |  JOIN codes c ON c.vec_id = a.vec_id
+           |  JOIN plut p ON p.probe_id = pc.probe_id
+           |)$rankTail""".stripMargin,
+      // IVF2-PQ: the same PQ codes/LUTs scored inside the TWO-LEVEL
+      // quantizer's probed global cells (cell decisions replayed by
+      // the shared ivf2CellCtes chain — identical to ann_ivf2's)
+      "ann_ivf2pq" ->
+        s"""WITH $pqCtes${ivf2CellCtes(ivf2Model(s, d))}, scored AS (
            | SELECT p.probe_id, c.vec_id, $adc AS ad2
            | FROM assigned a
            |  JOIN pcells pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id

@@ -285,10 +285,269 @@ case class CentroidDistsExpr(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Codegen'd PQ ENCODE (round 11): all `m` subspace codes of a vector
+  * in ONE pass over its elements — replaces the m×k expression-tree
+  * form `array((array_position(array(sqDist(slice(v,…),c)…)…) - 1)…)`,
+  * which re-materialized each subspace slice once PER CENTROID
+  * (m·k array copies + m·k separate fold kernels per row: the
+  * dominant serving cost the round-11 AnnCorpusStudy smoke measured —
+  * 39 s of a 40 s ivfpq serve was encode overhead — and an OOM risk
+  * when the input vector is itself computed, e.g. the residual path).
+  *
+  * Decisions are bit-identical to the slice/sqDist form: per centroid
+  * the distance folds in EXACTLY the [[SqDistExpr]] order (dd = x − c
+  * rounds once, dd·dd once, acc + t once, left to right over the
+  * subspace elements), and the argmin keeps the FIRST index on ties
+  * (strict <), matching `array_position(dists, array_min(dists)) - 1`.
+  *
+  * NULL contract: null vector, dimension ≠ m·dSub, or any null
+  * element → NULL (stricter than the composed form's per-subspace
+  * nulls; no gated input contains null vectors — the
+  * [[CentroidDistsExpr]] discipline).
+  */
+case class PqCodesExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_codes"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private lazy val m = codebooks.length
+  private lazy val dSub = codebooks(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      if (codebooks.nonEmpty && codebooks.forall(cb =>
+          cb.nonEmpty && cb.forall(_.length == codebooks(0)(0).length)))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "pq_codes needs non-empty rectangular per-subspace codebooks")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_codes requires array<float|double> input, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != m * dSub) return null
+    val lf = isFloat
+    val x = new Array[Double](m * dSub)
+    var i = 0
+    while (i < x.length) {
+      if (v.isNullAt(i)) return null
+      x(i) = if (lf) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val off = j * dSub
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val ctr = cb(c)
+        var acc = 0.0
+        i = 0
+        while (i < dSub) { val dd = x(off + i) - ctr(i); acc += dd * dd; i += 1 }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val (mm, ds) = (m, dSub)
+    nullSafeCodeGen(ctx, ev, v => {
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("dd")
+      val cb = ctx.freshName("cb")
+      val ctr = ctx.freshName("ctr")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |if ($v.numElements() != ${mm * ds}) { ${ev.isNull} = true; }
+         |else {
+         |  double[] $x = new double[${mm * ds}];
+         |  for (int $i = 0; $i < ${mm * ds}; $i++) {
+         |    if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $x[$i] = (double) $v.$get($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    int[] $out = new int[$mm];
+         |    for (int $j = 0; $j < $mm; $j++) {
+         |      double[][] $cb = $cbRef[$j];
+         |      int $off = $j * $ds;
+         |      int $best = 0; double $bestD = Double.MAX_VALUE;
+         |      for (int $c = 0; $c < $cb.length; $c++) {
+         |        double[] $ctr = $cb[$c];
+         |        double $acc = 0.0;
+         |        for (int $i = 0; $i < $ds; $i++) {
+         |          double $dd = $x[$off + $i] - $ctr[$i];
+         |          $acc += $dd * $dd;
+         |        }
+         |        if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |      }
+         |      $out[$j] = $best;
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodesExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd PQ LUT (round 11): the m×k asymmetric-distance table of a
+  * probe vector in one pass — the [[PqCodesExpr]] loop emitting every
+  * distance instead of the argmin. These distances are OUTPUT values
+  * (they sum into the gate's ad2 column), so the fold order is exactly
+  * [[SqDistExpr]]'s — bit-identical to the slice/sqDist form the
+  * DuckDB oracle replays. NULL contract as [[PqCodesExpr]].
+  */
+case class PqLutExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_lut"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private lazy val m = codebooks.length
+  private lazy val dSub = codebooks(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      if (codebooks.nonEmpty && codebooks.forall(cb =>
+          cb.nonEmpty && cb.forall(_.length == codebooks(0)(0).length)))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "pq_lut needs non-empty rectangular per-subspace codebooks")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut requires array<float|double> input, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != m * dSub) return null
+    val lf = isFloat
+    val x = new Array[Double](m * dSub)
+    var i = 0
+    while (i < x.length) {
+      if (v.isNullAt(i)) return null
+      x(i) = if (lf) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val rows = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val off = j * dSub
+      val out = new Array[Double](cb.length)
+      var c = 0
+      while (c < cb.length) {
+        val ctr = cb(c)
+        var acc = 0.0
+        i = 0
+        while (i < dSub) { val dd = x(off + i) - ctr(i); acc += dd * dd; i += 1 }
+        out(c) = acc
+        c += 1
+      }
+      rows(j) = new GenericArrayData(out)
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val (mm, ds) = (m, dSub)
+    nullSafeCodeGen(ctx, ev, v => {
+      val x = ctx.freshName("x")
+      val rows = ctx.freshName("rows")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("dd")
+      val cb = ctx.freshName("cb")
+      val ctr = ctx.freshName("ctr")
+      s"""
+         |if ($v.numElements() != ${mm * ds}) { ${ev.isNull} = true; }
+         |else {
+         |  double[] $x = new double[${mm * ds}];
+         |  for (int $i = 0; $i < ${mm * ds}; $i++) {
+         |    if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $x[$i] = (double) $v.$get($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    Object[] $rows = new Object[$mm];
+         |    for (int $j = 0; $j < $mm; $j++) {
+         |      double[][] $cb = $cbRef[$j];
+         |      int $off = $j * $ds;
+         |      double[] $out = new double[$cb.length];
+         |      for (int $c = 0; $c < $cb.length; $c++) {
+         |        double[] $ctr = $cb[$c];
+         |        double $acc = 0.0;
+         |        for (int $i = 0; $i < $ds; $i++) {
+         |          double $dd = $x[$off + $i] - $ctr[$i];
+         |          $acc += $dd * $dd;
+         |        }
+         |        $out[$c] = $acc;
+         |      }
+         |      $rows[$j] = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** dot(a, b): fused codegen kernel, bit-identical to the HOF fold. */
   def dot(a: Column, b: Column): Column =
     graftShim.column(DotProductExpr(graftShim.expression(a), graftShim.expression(b)))
+
+  /** All m PQ codes of a vector in one fused pass (round 11) —
+    * decision-identical to the slice/sqDist composition it replaces.
+    */
+  def pqCodes(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    graftShim.column(PqCodesExpr(graftShim.expression(v),
+      codebooks.map(_.map(_.toArray).toArray).toArray))
+
+  /** The m×k PQ lookup table of a probe vector in one fused pass
+    * (round 11) — value-identical to the slice/sqDist composition.
+    */
+  def pqLut(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    graftShim.column(PqLutExpr(graftShim.expression(v),
+      codebooks.map(_.map(_.toArray).toArray).toArray))
 
   /** ||a - b||²: fused codegen kernel, bit-identical to the HOF fold. */
   def sqDist(a: Column, b: Column): Column =

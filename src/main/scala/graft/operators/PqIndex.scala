@@ -46,31 +46,29 @@ object PqIndex {
     })
   }
 
-  /** Fused codegen kernel, bit-identical to the HOF fold it replaced
-    * (see [[graft.functions.SqDistExpr]]).
-    */
-  private def dist2(vec: Column, centroid: Seq[Double]): Column =
-    graft.functions.VectorOps.sqDist(vec, typedlit(centroid))
-
   /** PQ codes for a vector column: array of m argmin centroid indices
     * (first index wins ties), computed map-side against the broadcast
     * codebooks — the 100 TB encode pass is one scan, zero shuffle.
+    *
+    * One fused codegen kernel since round 11
+    * ([[graft.functions.PqCodesExpr]]): the previous m×k slice/sqDist
+    * expression tree re-materialized each subspace slice once per
+    * centroid — 256 array copies per row at (m=16, k=16), the
+    * dominant cost of every PQ serve (and an OOM when the input is
+    * itself computed, e.g. residuals). Decisions are bit-identical
+    * (spec-pinned against the composed form).
     */
   def encode(vec: Column, model: PqModel): Column =
-    array(model.subCentroids.zipWithIndex.map { case (cents, j) =>
-      val sv = slice(vec, j * model.dSub + 1, model.dSub)
-      val dists = array(cents.map(c => dist2(sv, c)): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
+    graft.functions.VectorOps.pqCodes(vec, model.subCentroids)
 
   /** Per-probe ADC lookup table: m × k squared distances from the
-    * probe's subvectors to every codebook centroid.
+    * probe's subvectors to every codebook centroid. Fused kernel
+    * (round 11, [[graft.functions.PqLutExpr]]); the distances are
+    * OUTPUT values, and the kernel folds in the exact SqDistExpr
+    * order, so the gate's ad2 column is bit-unchanged.
     */
   def lut(vec: Column, model: PqModel): Column =
-    array(model.subCentroids.zipWithIndex.map { case (cents, j) =>
-      val sv = slice(vec, j * model.dSub + 1, model.dSub)
-      array(cents.map(c => dist2(sv, c)): _*)
-    }: _*)
+    graft.functions.VectorOps.pqLut(vec, model.subCentroids)
 
   /** Exhaustive ADC top-k over the coded corpus: probes broadcast with
     * their LUTs; every candidate costs m element_at reads and a fixed
@@ -101,6 +99,29 @@ object PqIndex {
     val p = probes.select(col(idCol).as("probe_id"),
       lut(col(vecCol), model).as("lut"),
       explode(IvfIndex.probeCells(col(vecCol), ivf, nProbe)).as("cell"))
+    rank(coded.join(broadcast(p),
+      coded("cell") === p("cell") && col("vec_id") =!= col("probe_id")), model, k)
+  }
+
+  /** IVF2-PQ (round 11) — the two-level coarse quantizer composed
+    * with PQ codes: FAISS's actual 10¹⁰-vector serving configuration
+    * (inverted multi-index + ADC). [[IvfIndex.Model2]] bounds WHICH
+    * vectors are scored at k1+k2 ≈ 2√k assignment distances (vs
+    * [[topKIvf]]'s O(k) flat assignment — the cost that dominates the
+    * index build at nList ≈ √n); PQ bounds the COST of scoring each
+    * one. Identical join shape to [[topKIvf]]: global cells from
+    * assignCell2/probeCells2, candidates as (cell, m-byte code) rows,
+    * ADC the same fixed-order add.
+    */
+  def topKIvf2(corpus: DataFrame, probes: DataFrame, ivf2: IvfIndex.Model2,
+               model: PqModel, k: Int, nProbe1: Int = 2, nProbe: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val coded = corpus.select(col(idCol).as("vec_id"),
+      encode(col(vecCol), model).as("codes"),
+      IvfIndex.assignCell2(col(vecCol), ivf2).as("cell"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      lut(col(vecCol), model).as("lut"),
+      explode(IvfIndex.probeCells2(col(vecCol), ivf2, nProbe1, nProbe)).as("cell"))
     rank(coded.join(broadcast(p),
       coded("cell") === p("cell") && col("vec_id") =!= col("probe_id")), model, k)
   }

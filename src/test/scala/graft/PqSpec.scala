@@ -92,6 +92,49 @@ class PqSpec extends SparkFunSuite {
     assert(rRaw > 0.10, s"raw recall $rRaw near chance")
   }
 
+  test("ivf2-pq composition: valid recall, deterministic, ADC unchanged by the quantizer") {
+    import graft.operators.IvfIndex
+    val corpus = Tables.embeddings(spark, sf)
+    val probes = corpus.filter(col("vec_id") % 50 === 0)
+    val ivf2 = IvfIndex.trainTwoLevel(corpus, k1 = 4, k2 = 4)
+    val pq = PqIndex.train(corpus, dim = 64, m = 16, k = 16)
+    val got = PqIndex.topKIvf2(corpus, probes, ivf2, pq, k = 5,
+      nProbe1 = 2, nProbe = 4)
+    val rows = got.orderBy("probe_id", "rk").collect().toSeq
+    // deterministic under repartitioning (both models are fixed; the
+    // join + rank replay identically)
+    val rows2 = PqIndex.topKIvf2(corpus.repartition(7), probes, ivf2, pq,
+        k = 5, nProbe1 = 2, nProbe = 4)
+      .orderBy("probe_id", "rk").collect().toSeq
+    assert(rows == rows2)
+    // the quantizer only bounds WHICH candidates are scored — the ADC
+    // value of any (probe, vec) pair must equal the exhaustive ann_pq
+    // scan's for the same pair (scoring composes, never re-derives)
+    val full = PqIndex.topK(corpus, probes, pq, k = Int.MaxValue)
+      .select("probe_id", "vec_id", "ad2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(full(key) == r.getDouble(2),
+        s"ADC diverged for $key: ${full(key)} vs ${r.getDouble(2)}")
+    }
+    // recall vs exact L2: far above the ~2.5% chance floor (two-level
+    // cells + 16-byte codes on near-random data — the honest floor)
+    val all = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val exact = (for {
+      p <- all.keys.filter(_ % 50 == 0)
+      (id, _) <- all.toSeq.filter(_._1 != p).map { case (id, v) =>
+        val pv = all(p); var s = 0.0; var i = 0
+        while (i < v.length) { val dd = pv(i) - v(i); s += dd * dd; i += 1 }
+        (id, s)
+      }.sortBy { case (id, d) => (d, id) }.take(5)
+    } yield (p, id)).toSet
+    val gotSet = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (gotSet & exact).size.toDouble / exact.size
+    assert(recall > 0.10, s"ivf2pq recall $recall near chance")
+  }
+
   test("pq oracle SQL materializes with bit-exact centroid transport") {
     val old = sys.props.get("graft.oracle.sfDir")
     try {

@@ -92,6 +92,44 @@ class VectorOpsSpec extends SparkFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("pq_codes / pq_lut kernels are BIT-identical to the slice/sqDist composition") {
+    // the round-11 fused encode: decisions (codes) and values (LUT
+    // distances) must replay the m×k slice+sqDist expression tree
+    // exactly — codes by first-win argmin, LUT by the SqDistExpr fold
+    val corpus = Tables.embeddings(spark, sf)
+    val model = graft.operators.PqIndex.train(corpus, dim = 64, m = 16, k = 16)
+    def composedCodes(vec: org.apache.spark.sql.Column) =
+      array(model.subCentroids.zipWithIndex.map { case (cents, j) =>
+        val sv = slice(vec, j * model.dSub + 1, model.dSub)
+        val dists = array(cents.map(c =>
+          graft.functions.VectorOps.sqDist(sv, typedlit(c))): _*)
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }: _*)
+    def composedLut(vec: org.apache.spark.sql.Column) =
+      array(model.subCentroids.zipWithIndex.map { case (cents, j) =>
+        val sv = slice(vec, j * model.dSub + 1, model.dSub)
+        array(cents.map(c =>
+          graft.functions.VectorOps.sqDist(sv, typedlit(c))): _*)
+      }: _*)
+    val badCodes = corpus.select(
+        graft.operators.PqIndex.encode(col("embedding"), model).as("a"),
+        composedCodes(col("embedding")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(badCodes.count() == 0)
+    val badLut = corpus.select(
+        graft.operators.PqIndex.lut(col("embedding"), model).as("a"),
+        composedLut(col("embedding")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(badLut.count() == 0)
+    // null/ragged contract: NULL out, not garbage
+    import spark.implicits._
+    val ragged = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+    assert(ragged.select(graft.operators.PqIndex.encode(col("v"), model))
+      .head().isNullAt(0))
+    assert(ragged.select(graft.operators.PqIndex.lut(col("v"), model))
+      .head().isNullAt(0))
+  }
+
   test("centroid_dists survives k past the janino cliff (k=1200) in one plan") {
     // 1200 sq_dist COLUMNS would blow generated-method size; the
     // matrix kernel's code is k-independent — this pins that property
