@@ -100,7 +100,10 @@ object ScaleWideStudy {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: IllegalStateException
-          if e.getMessage.contains("maxCandidates") => -2.0 }
+          // Option(..): an ISE with a null message must not NPE inside
+          // the guard and mask the original failure (ADVICE r11)
+          if Option(e.getMessage).exists(_.contains("maxCandidates")) =>
+        -2.0 }
     }
     ops.foreach(n => timeOnce(n, "/root/testdata/sf0.001")) // codegen warm
 

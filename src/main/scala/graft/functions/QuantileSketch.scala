@@ -116,8 +116,16 @@ object QuantileSketch {
     * count) rows — so the aggregation state is ≤nBuckets rows on any
     * corpus, the property Spark's exact `Percentile` (one O(distinct)
     * buffer on ONE task) loses at corpus scale. Estimation reuses the
-    * gate-proven cumulative-interpolation rule; rank-statistic error
-    * is bounded by one grid cell: (max−min)/nBuckets.
+    * gate-proven cumulative-interpolation rule. Error contract
+    * (ADVICE r11): the estimate always lies inside the grid cell
+    * containing the target RANK, so rank error is ≤ one cell of mass —
+    * but VALUE drift vs exact interpolation is bounded by the local
+    * inter-bucket gap, not the cell width: when the target rank falls
+    * between a populated bucket and a distant populated bucket, exact
+    * `percentile` interpolates across the empty span while the grid
+    * stays inside its bucket. Dense score distributions (the ccnet
+    * gate corpus, which CcnetBoundarySpec's drift bounds assume) make
+    * the gap ≈ the cell width; sparse/spiky ones may not.
     *
     * NULL/NaN values are excluded (the [[state]] rule). Returns one
     * (q_label, est) row per requested quantile; empty (or all-NULL)
@@ -136,6 +144,13 @@ object QuantileSketch {
     val mm = clean.agg(min(value).cast("double"), max(value).cast("double")).head()
     if (mm.isNullAt(0)) return Seq.empty[(String, Double)].toDF("q_label", "est")
     val mn = mm.getDouble(0); val mx = mm.getDouble(1)
+    // ±Infinity input (or finite extremes whose span overflows) would
+    // make width Infinity and silently clamp every row into bucket 0 —
+    // refuse loudly instead (ADVICE r11)
+    require(java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx)
+        && java.lang.Double.isFinite(mx - mn),
+      s"adaptiveQuantiles: non-finite value range [$mn, $mx] - " +
+        "filter infinite values (or rescale) before sketching")
     // degenerate range: every quantile IS that value (a 1-bucket grid
     // would interpolate inside a fictitious cell instead)
     if (mn == mx || (mx - mn) / nBuckets == 0.0)

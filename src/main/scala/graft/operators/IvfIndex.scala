@@ -195,6 +195,12 @@ object IvfIndex {
         .collect()
       val next = model.centroids.map(_.toArray).toArray
       stats.foreach { r =>
+        // NULL cell/dim = the assignment kernel or posexplode saw a
+        // ragged/NULL vector — name the cause instead of an opaque
+        // NPE, mirroring the two-level trainer's guard (ADVICE r11)
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          "distributed k-means: NULL cell/dim in the stats row - " +
+            "ragged or NULL vector dimensions in the corpus")
         // a NULL mean means the DECIMAL(38,18) sum overflowed (vector
         // magnitudes × sample size beyond 10^20) — refuse loudly
         // instead of surfacing an opaque NPE (ADVICE r10)

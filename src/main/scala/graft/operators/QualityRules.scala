@@ -222,12 +222,21 @@ object QualityRules {
       expr(s"percentile($scoreCol, CAST($num.0 AS DOUBLE) " +
         "/ CAST(3.0 AS DOUBLE))").as(lbl)
     }
+    // ONE NaN contract on both paths (ADVICE r11): Spark's exact
+    // Percentile orders NaN greatest (shifting q1/q2) while the
+    // bounded grid excludes NaN rows — so exclude NaN from the
+    // boundary computation here too. lmScore (the gate caller) cannot
+    // produce NaN, so the oracle-matched path is unchanged; NaN-scored
+    // rows still flow through and label by >= (Spark orders NaN
+    // greatest → "head"), they just no longer move the boundaries.
+    val boundarySrc = scores.where(!isnan(col(scoreCol)))
     val b: DataFrame =
-      if (scores.count() <= maxExact)
-        scores.agg(exactCols.head, exactCols.tail: _*)
+      if (boundarySrc.count() <= maxExact)
+        boundarySrc.agg(exactCols.head, exactCols.tail: _*)
       else {
         val ests = graft.functions.QuantileSketch.adaptiveQuantiles(
-          scores, col(scoreCol), CcnetQs.map { case (l, n) => (l, n / 3.0) })
+          boundarySrc, col(scoreCol),
+          CcnetQs.map { case (l, n) => (l, n / 3.0) })
         val pivots = CcnetQs.map { case (lbl, _) =>
           min(when(col("q_label") === lbl, col("est"))).as(lbl)
         }
