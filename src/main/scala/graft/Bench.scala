@@ -35,7 +35,9 @@ object Bench {
     // history / BenchAB's shared-set total)
     "q_audience_overlap_sketch", "span_stream_flags", "cms_stream_relation",
     "text_lm_score", "q_quantile_merge_portable", "ann_ivf_dist",
-    "ann_ivf2", "pipeline_ccnet_buckets")
+    "ann_ivf2", "pipeline_ccnet_buckets",
+    // round 12: the IVF2+PQ serving composition joins the tracked set
+    "ann_ivf2pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -122,6 +122,42 @@ object ScaleWideStudy {
       f""""$op":{"x1":$t1%.2f,"x10":$t10%.2f,"x100":$t100%.2f,"r10":$r10%.2f,"r100":$r100%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scalewide_r11","base":"$base","ops":$qs}""")
+
+    // --- ccnet adaptive-vs-exact at 100× (round-12 task #6) --------
+    // The 10M-row exact envelope means every replica corpus still
+    // takes the exact path; here we FORCE the bounded grid on the
+    // 100× corpus and record wall + boundary + bucket-label drift vs
+    // exact — the adaptive path exercised on real (replicated) data,
+    // not just PlanGuardSpec's synthetic switch.
+    locally {
+      val d100 = dirs.last._2
+      val scores = graft.operators.QualityRules.lmScore(
+        Tables.documents(spark, d100), "doc_id", "text")
+        .localCheckpoint(true)
+      val nDocs = scores.count()
+      def run(maxExact: Long): (Double, Double, Double, DataFrame) = {
+        spark.conf.set(
+          graft.operators.QualityRules.MaxExactBoundaryRowsKey,
+          maxExact.toString)
+        val t0 = System.nanoTime()
+        val b = graft.operators.QualityRules.ccnetBuckets(scores, "doc_id")
+          .localCheckpoint(true)
+        val wall = (System.nanoTime() - t0) / 1e9
+        // recover the effective boundaries from the labeled output
+        val q1 = b.where(col("bucket") =!= "tail")
+          .agg(min("avg_log2")).head().getDouble(0)
+        val q2 = b.where(col("bucket") === "head")
+          .agg(min("avg_log2")).head().getDouble(0)
+        (wall, q1, q2, b)
+      }
+      val (wExact, q1e, q2e, bE) = run(Long.MaxValue)
+      val (wAdapt, q1a, q2a, bA) = run(1000L)
+      spark.conf.unset(graft.operators.QualityRules.MaxExactBoundaryRowsKey)
+      val moved = bE.select(col("doc_id"), col("bucket").as("be"))
+        .join(bA.select(col("doc_id"), col("bucket").as("ba")), "doc_id")
+        .where(col("be") =!= col("ba")).count()
+      println(f"""{"metric":"scalewide_ccnet_r12","rows":$nDocs,"exact_sec":$wExact%.2f,"adaptive_sec":$wAdapt%.2f,"q1_exact":$q1e%.6f,"q1_adaptive":$q1a%.6f,"q2_exact":$q2e%.6f,"q2_adaptive":$q2a%.6f,"labels_moved":$moved,"labels_moved_pct":${100.0 * moved / nDocs}%.3f}""")
+    }
     spark.stop()
   }
 }

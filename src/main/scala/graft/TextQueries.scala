@@ -349,6 +349,26 @@ object TextQueries {
         Tables.documents(s, d), "doc_id", "text").localCheckpoint(true)
       graft.operators.QualityRules.ccnetBuckets(scores, "doc_id")
         .orderBy("doc_id")
+    },
+
+    // C41b (round 12): CCNet's actual SHIP composed end-to-end —
+    // bucket by LM-score tertiles, keep head+middle (drop the tail
+    // third), export the sharded manifest. Proves the bucket labels
+    // change the population the manifest checksums: both halves are
+    // independently gated (pipeline_ccnet_buckets above,
+    // export_manifest / pipeline_train_export in DedupQueries), this
+    // gate is the composition. At 100 TB: one scored scan + a
+    // broadcast of the 1-row boundary frame + one shuffle to shards.
+    "pipeline_ccnet_export" -> Q { (s, d) =>
+      val scores = graft.operators.QualityRules.lmScore(
+        Tables.documents(s, d), "doc_id", "text").localCheckpoint(true)
+      val kept = graft.operators.QualityRules
+        .ccnetBuckets(scores, "doc_id")
+        .filter(col("bucket") =!= "tail")
+        .join(Tables.documents(s, d).select(col("doc_id"),
+          T.tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
+      graft.operators.TrainExport.manifest(kept, "doc_id", "n_tokens", 8)
+        .orderBy("shard")
     }
   )
 
@@ -825,7 +845,30 @@ object TextQueries {
         | CASE WHEN s.avg_log2 >= b.q2 THEN 'head'
         |      WHEN s.avg_log2 >= b.q1 THEN 'middle'
         |      ELSE 'tail' END AS bucket
-        |FROM lmscore s CROSS JOIN b ORDER BY s.doc_id""".stripMargin
+        |FROM lmscore s CROSS JOIN b ORDER BY s.doc_id""".stripMargin,
+
+    // C41b: bucket-then-keep-head composition — same boundary CTE as
+    // the bucketing oracle (>= q1 ⟺ bucket != 'tail'), then the
+    // export_manifest oracle's token expression and manifest replica
+    "pipeline_ccnet_export" -> {
+      val keptSql =
+        s"""WITH $lmScoreCtes,
+          |b AS (
+          | SELECT quantile_cont(avg_log2, CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) AS q1
+          | FROM lmscore),
+          |kept AS (
+          | SELECT d.doc_id,
+          |  CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+          |       ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END
+          |    AS BIGINT) AS n_tokens
+          | FROM documents d
+          | JOIN (SELECT s.doc_id FROM lmscore s CROSS JOIN b
+          |       WHERE s.avg_log2 >= b.q1) k USING (doc_id)
+          |)
+          |""".stripMargin
+      keptSql + graft.operators.TrainExport
+        .manifestSql("kept", "doc_id", "n_tokens", 8)
+    }
   )
 
   /** The C40 scoring chain as DuckDB CTEs (ends in `lmscore`), shared

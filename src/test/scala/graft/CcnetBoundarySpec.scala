@@ -112,4 +112,24 @@ class CcnetBoundarySpec extends SparkFunSuite {
       Seq("g"), col("v"))
     assert(st.agg(sum("_cnt")).head().getLong(0) === 100L)
   }
+
+  test("ccnet export composition: the bucket filter changes the " +
+      "manifest population (round 12, C41b)") {
+    // head+middle keeps ~2/3 of scored docs — the export manifest of
+    // the bucketed pipeline must differ from the all-docs manifest in
+    // BOTH row counts and checksums (else the composition is inert)
+    val full = SparkEntry.queries("export_manifest")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val ccnet = SparkEntry.queries("pipeline_ccnet_export")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(ccnet.keySet === full.keySet) // all 8 shards still populated
+    val totalFull = full.values.map(_._1).sum
+    val totalKept = ccnet.values.map(_._1).sum
+    assert(totalKept < totalFull,
+      s"bucket filter kept everything: $totalKept of $totalFull")
+    assert(totalKept * 3 > totalFull,
+      s"kept far less than the designed ~2/3: $totalKept of $totalFull")
+    assert(full.exists { case (s, (_, ck)) => ccnet(s)._2 != ck },
+      "checksums identical across every shard - filter not reflected")
+  }
 }
