@@ -35,11 +35,13 @@ import org.apache.spark.sql.functions._
   */
 object SkewEscapeStudy {
 
-  private val StudyBound = 5000000L
-
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
+    // the budget under test; the default models a cluster operator's
+    // per-job candidate budget and refuses sf0.1×10 clones (≥7.2M
+    // predicted) while natural sf0.1 passes
+    val StudyBound = args.lift(2).map(_.toLong).getOrElse(5000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

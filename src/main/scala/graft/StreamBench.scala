@@ -103,9 +103,12 @@ object StreamBench {
         .flagNearDuplicates(st.toDF().toDF("doc_id", "ts", "text"))
         .writeStream.format("noop").outputMode("append").start()
       val stats = drive(spark, st, sq, docSlices)
+      // emit-window counters: one row per doc in every window the
+      // watermark has not yet closed ≈ horizon + 2 windows of docs
       emit("near_dedup", docs.length, docs.length * 33L,
-        33L * perBatchDocs * horizonBatches + perBatchDocs * 2,
-        s"33 keys/doc x $perBatchDocs docs/batch x $horizonBatches horizon batches + emit counters",
+        33L * perBatchDocs * horizonBatches +
+          perBatchDocs * (horizonBatches + 2),
+        s"33 keys/doc x $perBatchDocs docs/batch x $horizonBatches horizon batches + unflushed-window counters",
         stats)
     }
 
@@ -132,8 +135,9 @@ object StreamBench {
         .writeStream.format("noop").outputMode("append").start()
       val stats = drive(spark, st, sq, docSlices)
       emit("span_dedup", docs.length, spanRows + docs.length,
-        distinctInHorizon + perBatchDocs.toLong * horizonBatches + perBatchDocs * 2,
-        s"$distinctInHorizon distinct horizon window-hashes + presence + emit counters",
+        distinctInHorizon + perBatchDocs.toLong * horizonBatches +
+          perBatchDocs * (horizonBatches + 2),
+        s"$distinctInHorizon distinct horizon window-hashes + in-horizon presence + unflushed-window counters",
         stats)
     }
 

@@ -128,6 +128,28 @@ class PlanGuardSpec extends SparkFunSuite {
       s"ccnet default path lost its exact percentile:\n$pd")
   }
 
+  test("PQ serves join against a MATERIALIZED coded index, never a " +
+      "lazy encode projection (round-12 per-candidate re-eval fix)") {
+    // whole-stage codegen defers a lazy stream-side projection into
+    // the join's emit path — the encode/assignment then re-evaluates
+    // PER CANDIDATE (measured 28.2 s -> 0.20 s on a 20k mog corpus
+    // for topKIvf2). The fix materializes the coded corpus via
+    // localCheckpoint; its plan signature is a bare RDD scan as the
+    // join's stream side, with no pq_codes/centroid_dists left of it.
+    Seq("ann_pq", "ann_ivfpq", "ann_ivf2pq", "ann_ivfpq_residual")
+      .foreach { q =>
+        val p = plan(q)
+        val joinAt = p.indexOf("roadcast")
+        assert(joinAt >= 0, s"$q: serving join missing:\n$p")
+        // below the join, the corpus side must be the checkpointed
+        // scan: any pq_codes under the join means the coded
+        // projection leaked back into the serve stage (pq_lut on the
+        // probe side is fine and expected)
+        assert(!p.substring(joinAt).contains("pq_codes"),
+          s"$q: coded-corpus projection re-inlined into the serve join:\n$p")
+      }
+  }
+
   test("funnel strict: one user_id shuffle serves rank + every step window") {
     // row_number and all per-step window mins share the entity
     // partitioning: exactly one Exchange hashpartitioning over the
