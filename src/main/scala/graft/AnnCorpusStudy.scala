@@ -123,7 +123,7 @@ object AnnCorpusStudy {
       val secs = (1 to 2).map { _ =>
         timed(build().write.format("noop").mode("overwrite").save())._2
       }.min
-      println(f"""{"study":"ann_corpus_r11",$tag,"n":$n,"probes":$nProbes,"index":"$name","nList":$nList,$budget,"train_sec":$trainSec%.2f,"serve_sec":$secs%.2f,"recall_at_$k":$rec%.3f}""")
+      println(f"""{"study":"ann_corpus_r12",$tag,"n":$n,"probes":$nProbes,"index":"$name","nList":$nList,$budget,"train_sec":$trainSec%.2f,"serve_sec":$secs%.2f,"recall_at_$k":$rec%.3f}""")
     }
 
     val (ivf, tIvf) = timed(

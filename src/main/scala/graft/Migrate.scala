@@ -31,6 +31,7 @@ import graft.sinks.ClickHouseSink
 object Migrate {
 
   final case class Config(jdbcUrl: String = "",
+                          sqlitePath: String = "",
                           chHost: String = "", chPort: Int = 9000,
                           chUser: String = "", chPassword: String = "",
                           chDatabase: String = "default",
@@ -41,7 +42,10 @@ object Migrate {
 
   private[graft] def parse(args: Array[String]): Config = {
     def loop(rest: List[String], c: Config): Config = rest match {
-      case "--sqlite" :: v :: t => loop(t, c.copy(jdbcUrl = s"jdbc:sqlite:$v"))
+      // round 12: --sqlite reads the FILE FORMAT directly (SqliteFile)
+      // — no JDBC driver needed at all; jdbc:sqlite: urls still work
+      // through --jdbc-url when a driver is on the classpath
+      case "--sqlite" :: v :: t => loop(t, c.copy(sqlitePath = v))
       case "--jdbc-url" :: v :: t => loop(t, c.copy(jdbcUrl = v))
       case "--clickhouse-host" :: v :: t => loop(t, c.copy(chHost = v))
       case "--clickhouse-port" :: v :: t => loop(t, c.copy(chPort = v.toInt))
@@ -57,7 +61,8 @@ object Migrate {
         throw new IllegalArgumentException(s"unknown argument: $other")
     }
     val c = loop(args.toList, Config())
-    require(c.jdbcUrl.nonEmpty, "one of --sqlite or --jdbc-url is required")
+    require(c.jdbcUrl.nonEmpty || c.sqlitePath.nonEmpty,
+      "one of --sqlite or --jdbc-url is required")
     c
   }
 
@@ -73,8 +78,13 @@ object Migrate {
     val out =
       if (cfg.out.nonEmpty) cfg.out
       else java.nio.file.Files.createTempDirectory("graft_migrate").toString
-    val reports = MigrationJob.migrateJdbc(
-      spark, cfg.jdbcUrl, cfg.chDatabase, out, cfg.chunkSize, cfg.numPartitions)
+    val reports =
+      if (cfg.sqlitePath.nonEmpty)
+        MigrationJob.migrateSqliteFile(spark, cfg.sqlitePath,
+          cfg.chDatabase, out, cfg.chunkSize, cfg.numPartitions)
+      else MigrationJob.migrateJdbc(
+        spark, cfg.jdbcUrl, cfg.chDatabase, out, cfg.chunkSize,
+        cfg.numPartitions)
 
     val dry = cfg.dryRun || cfg.chHost.isEmpty
     reports.foreach { r =>

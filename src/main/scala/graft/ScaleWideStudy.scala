@@ -121,7 +121,7 @@ object ScaleWideStudy {
       val r100 = if (t1 > 0 && t100 > 0) t100 / t1 else -2.0
       f""""$op":{"x1":$t1%.2f,"x10":$t10%.2f,"x100":$t100%.2f,"r10":$r10%.2f,"r100":$r100%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scalewide_r11","base":"$base","ops":$qs}""")
+    println(s"""{"metric":"scalewide_r12","base":"$base","ops":$qs}""")
 
     // --- ccnet adaptive-vs-exact at 100× (round-12 task #6) --------
     // The 10M-row exact envelope means every replica corpus still

@@ -81,6 +81,29 @@ object MigrationJob {
     * Derby (JdbcMigrationSpec); identical calls serve SQLite once its
     * driver is on the classpath.
     */
+  /** The reference's loop over a REAL SQLite FILE with no JDBC driver
+    * at all (round 12): [[graft.sources.SqliteFile]] reads the
+    * database bytes directly (main.py:140-145 without the sqlite3
+    * module), the declared pk comes from the parsed CREATE TABLE (the
+    * PRAGMA-table_info equivalent, main.py:124), each table reads
+    * partitioned by b-tree subtree, and everything flows through the
+    * same conform → chunked write → DDL path as every other source.
+    */
+  def migrateSqliteFile(spark: SparkSession, dbPath: String,
+                        database: String, outDir: String,
+                        chunkSize: Long = 10000L,
+                        maxPartitions: Int = 32): Seq[TableReport] =
+    graft.sources.SqliteFile.listTables(dbPath).map { t =>
+      val df = graft.sources.SqliteFile.read(spark, dbPath, t, maxPartitions)
+      val declared = t.primaryKey match {
+        case Seq()    => None
+        case Seq(one) => Some(one)
+        case many     => Some(many.mkString("(", ", ", ")"))
+      }
+      migrateTable(df, database, t.name.toLowerCase, outDir, chunkSize,
+        declared)
+    }
+
   def migrateJdbc(spark: SparkSession, url: String, database: String,
                   outDir: String, chunkSize: Long = 10000L,
                   numPartitions: Int = 8): Seq[TableReport] = {

@@ -1,0 +1,498 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Pure-Scala READ-ONLY reader for the SQLite database FILE FORMAT
+  * (https://www.sqlite.org/fileformat2.html — a public, stable,
+  * exhaustively documented format), built because this container has
+  * no sqlite-jdbc driver (zero egress): the reference's identity is
+  * "read a real SQLite file" (main.py:140-145) and this makes that
+  * run END-TO-END — real `.db` bytes in, Spark DataFrame out — with
+  * no driver on the classpath at all.
+  *
+  * Scope (refused loudly outside it): journal-mode rowid tables,
+  * UTF-8 text encoding, read-only. WITHOUT ROWID tables (index-btree
+  * layout) and UTF-16 databases raise with named errors; a database
+  * left in WAL mode with a non-checkpointed `-wal` file would read
+  * stale, so a non-empty sibling wal file also refuses.
+  *
+  * Distribution model: the driver opens the file once to parse the
+  * header + `sqlite_master` and to collect the root b-tree's level-1
+  * subtrees; each Spark partition then walks its own subtrees through
+  * its own file handle. Like every local-file source, executors must
+  * see the same path (shared FS on a real cluster) — the exact
+  * constraint sqlite-jdbc itself would have. Within a subtree the
+  * walk is sequential b-tree order, the same access pattern as the
+  * reference's single cursor, but one cursor PER SUBTREE.
+  *
+  * Values decode faithfully: integers (all six widths + the 0/1
+  * constants) → Long, IEEE754 → Double, text → String, blob →
+  * Array[Byte], NULL → null; the INTEGER-PRIMARY-KEY rowid alias is
+  * materialized from the cell's rowid (the record stores NULL there,
+  * fileformat2 §2.2). Declared-type COLUMN coercion follows the
+  * reference's `prepare_row` (main.py:81-104): numeric widening into
+  * REAL columns, `str(value)` into TEXT columns; a value that cannot
+  * meet its column's type refuses with a named error instead of
+  * silently corrupting. DATE/DATETIME columns surface as raw strings
+  * — parsing is the already-gated parse_datetime/parse_date
+  * operators' job downstream, not the byte reader's.
+  */
+object SqliteFile {
+
+  final case class Header(pageSize: Int, reserved: Int, encoding: Int,
+                          pageCount: Int) {
+    def usable: Int = pageSize - reserved
+  }
+
+  final case class ColumnDef(name: String, decl: String, pkOrdinal: Int,
+                             rowidAlias: Boolean) {
+    def chType: ChType = SchemaMapper.fromSqliteDecl(decl)
+  }
+
+  final case class TableDef(name: String, rootPage: Int,
+                            columns: Seq[ColumnDef], sql: String) {
+    def primaryKey: Seq[String] =
+      columns.filter(_.pkOrdinal > 0).sortBy(_.pkOrdinal).map(_.name)
+  }
+
+  // ------------------------------------------------------------ header
+
+  def header(path: String): Header = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      require(raf.length() >= 512,
+        s"$path is not a SQLite 3 database (too short: ${raf.length()} bytes)")
+      val h = new Array[Byte](100)
+      raf.readFully(h)
+      val magic = new String(h, 0, 16, java.nio.charset.StandardCharsets.ISO_8859_1)
+      require(magic == "SQLite format 3\u0000",
+        s"$path is not a SQLite 3 database (bad magic)")
+      val rawPs = be(h, 16, 2).toInt
+      val pageSize = if (rawPs == 1) 65536 else rawPs
+      require(pageSize >= 512 && (pageSize & (pageSize - 1)) == 0,
+        s"invalid page size $pageSize")
+      val enc = be(h, 56, 4).toInt
+      require(enc == 1,
+        s"unsupported text encoding $enc (only 1 = UTF-8); " +
+          "re-export the database as UTF-8")
+      val wal = new java.io.File(path + "-wal")
+      require(!(wal.exists() && wal.length() > 0),
+        s"$path has a non-empty -wal file: reading the main file would " +
+          "be stale - checkpoint the database first (PRAGMA wal_checkpoint)")
+      // header page count can lag on legacy journals; trust the file size
+      val pages = (raf.length() / pageSize).toInt
+      Header(pageSize, h(20) & 0xff, enc, pages)
+    } finally raf.close()
+  }
+
+  // --------------------------------------------------------- primitives
+
+  /** Big-endian unsigned read of n<=4 bytes (returns Long to stay
+    * unsigned-safe).
+    */
+  private def be(b: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < n) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Big-endian SIGNED integer of n<=8 bytes (sign-extended). */
+  private def beSigned(b: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < n) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    val shift = 64 - 8 * n
+    (v << shift) >> shift
+  }
+
+  /** SQLite varint: 1-9 bytes, 7 data bits per byte high-bit
+    * continuation, 9th byte contributes all 8 bits. Returns
+    * (value, bytesConsumed).
+    */
+  private[sources] def varint(b: Array[Byte], off: Int): (Long, Int) = {
+    var v = 0L; var i = 0
+    while (i < 8) {
+      val x = b(off + i)
+      v = (v << 7) | (x & 0x7fL)
+      if ((x & 0x80) == 0) return (v, i + 1)
+      i += 1
+    }
+    ((v << 8) | (b(off + 8) & 0xffL), 9)
+  }
+
+  private def serialLen(t: Long): Int = t match {
+    case 0 | 8 | 9 => 0
+    case 1 => 1
+    case 2 => 2
+    case 3 => 3
+    case 4 => 4
+    case 5 => 6
+    case 6 | 7 => 8
+    case 10 | 11 =>
+      throw new IllegalStateException(s"reserved serial type $t in record")
+    case n => ((n - 12) / 2).toInt
+  }
+
+  private def serialValue(t: Long, b: Array[Byte], off: Int): Any = t match {
+    case 0 => null
+    case 1 | 2 | 3 | 4 | 5 | 6 => beSigned(b, off, serialLen(t))
+    case 7 => java.lang.Double.longBitsToDouble(be(b, off, 8))
+    case 8 => 0L
+    case 9 => 1L
+    case n if n >= 13 && n % 2 == 1 =>
+      new String(b, off, ((n - 13) / 2).toInt,
+        java.nio.charset.StandardCharsets.UTF_8)
+    case n if n >= 12 =>
+      java.util.Arrays.copyOfRange(b, off, off + ((n - 12) / 2).toInt)
+  }
+
+  /** Decode one record payload into its column values. */
+  private[sources] def record(p: Array[Byte]): IndexedSeq[Any] = {
+    val (hdrLen, h0) = varint(p, 0)
+    var hOff = h0
+    var bOff = hdrLen.toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    while (hOff < hdrLen) {
+      val (t, n) = varint(p, hOff)
+      hOff += n
+      out += serialValue(t, p, bOff)
+      bOff += serialLen(t)
+    }
+    out.toIndexedSeq
+  }
+
+  // ------------------------------------------------------------- pages
+
+  private final class PageFile(path: String, val h: Header)
+      extends AutoCloseable {
+    private val raf = new java.io.RandomAccessFile(path, "r")
+    def page(n: Int): Array[Byte] = {
+      require(n >= 1 && n <= h.pageCount,
+        s"page $n out of range 1..${h.pageCount}")
+      val b = new Array[Byte](h.pageSize)
+      raf.seek((n - 1).toLong * h.pageSize)
+      raf.readFully(b)
+      b
+    }
+    def close(): Unit = raf.close()
+  }
+
+  /** Assemble a cell payload, following the overflow chain when the
+    * local part is truncated (fileformat2 §1.6 spill rules for table
+    * leaves: X = U-35, M = ((U-12)*32/255)-23, K = M+((P-M)%(U-4))).
+    */
+  private def payload(pf: PageFile, page: Array[Byte], cellOff: Int,
+                      p: Long, afterVarints: Int): Array[Byte] = {
+    val u = pf.h.usable
+    val x = u - 35
+    if (p <= x) // fully local
+      return java.util.Arrays.copyOfRange(page, afterVarints,
+        afterVarints + p.toInt)
+    val m = ((u - 12) * 32) / 255 - 23
+    val k = m + ((p - m) % (u - 4)).toInt
+    val local = if (k <= x) k else m
+    val out = new Array[Byte](p.toInt)
+    System.arraycopy(page, afterVarints, out, 0, local)
+    var next = be(page, afterVarints + local, 4).toInt
+    var got = local
+    while (next != 0) {
+      val op = pf.page(next)
+      next = be(op, 0, 4).toInt
+      val take = math.min(u - 4, p.toInt - got)
+      System.arraycopy(op, 4, out, got, take)
+      got += take
+    }
+    require(got == p, s"overflow chain ended early: $got of $p bytes")
+    out
+  }
+
+  /** Depth-first iterator over a table b-tree subtree: (rowid, record
+    * values). One open file handle per iterator; closed when the
+    * iterator is exhausted (or via close()).
+    */
+  private final class TableWalk(path: String, h: Header, root: Int)
+      extends Iterator[(Long, IndexedSeq[Any])] with AutoCloseable {
+    private val pf = new PageFile(path, h)
+    // stack of (page number); leaves stream their cells in order
+    private var stack = List(root)
+    private var cells: Iterator[(Long, IndexedSeq[Any])] = Iterator.empty
+    private var open = true
+
+    private def pageHeaderOff(n: Int) = if (n == 1) 100 else 0
+
+    private def descend(): Unit = {
+      while (cells.isEmpty && stack.nonEmpty) {
+        val n = stack.head; stack = stack.tail
+        val pg = pf.page(n)
+        val off = pageHeaderOff(n)
+        val tpe = pg(off) & 0xff
+        val k = be(pg, off + 3, 2).toInt
+        tpe match {
+          case 0x05 => // interior table: children left-to-right + rightmost
+            val ptrs = (0 until k).map { i =>
+              be(pg, be(pg, off + 12 + 2 * i, 2).toInt, 4).toInt
+            } :+ be(pg, off + 8, 4).toInt
+            stack = ptrs.toList ::: stack
+          case 0x0d => // leaf table
+            cells = (0 until k).iterator.map { i =>
+              val c = be(pg, off + 8 + 2 * i, 2).toInt
+              val (p, n1) = varint(pg, c)
+              val (rowid, n2) = varint(pg, c + n1)
+              (rowid, record(payload(pf, pg, c, p, c + n1 + n2)))
+            }
+          case 0x02 | 0x0a =>
+            throw new IllegalStateException(
+              s"page $n is an INDEX b-tree page ($tpe): WITHOUT ROWID " +
+                "tables are not supported by this reader")
+          case other =>
+            throw new IllegalStateException(
+              s"page $n has unknown b-tree page type $other")
+        }
+      }
+      if (cells.isEmpty && stack.isEmpty && open) { close(); }
+    }
+
+    def hasNext: Boolean = { descend(); cells.hasNext }
+    def next(): (Long, IndexedSeq[Any]) = { descend(); cells.next() }
+    def close(): Unit = if (open) { open = false; pf.close() }
+  }
+
+  /** The level-1 children of a table's root page — the subtree roots
+    * partitions walk independently. A leaf root is its own subtree.
+    */
+  def subtreeRoots(path: String, table: TableDef): Seq[Int] = {
+    val h = header(path)
+    val pf = new PageFile(path, h)
+    try {
+      val n = table.rootPage
+      val pg = pf.page(n)
+      val off = if (n == 1) 100 else 0
+      val tpe = pg(off) & 0xff
+      if (tpe == 0x0d) Seq(n)
+      else {
+        val k = be(pg, off + 3, 2).toInt
+        (0 until k).map { i =>
+          be(pg, be(pg, off + 12 + 2 * i, 2).toInt, 4).toInt
+        } :+ be(pg, off + 8, 4).toInt
+      }
+    } finally pf.close()
+  }
+
+  // ----------------------------------------------------- sqlite_master
+
+  /** All rowid TABLES from sqlite_master (root = page 1; columns
+    * type, name, tbl_name, rootpage, sql — fileformat2 §2.6), with
+    * their parsed column definitions. Views/indexes/triggers are
+    * skipped; internal `sqlite_*` tables too (main.py:144 scans
+    * type='table' the same way).
+    */
+  def listTables(path: String): Seq[TableDef] = {
+    val h = header(path)
+    val w = new TableWalk(path, h, 1)
+    try {
+      w.map(_._2).collect {
+        case vals if vals.headOption.contains("table") =>
+          val name = vals(1).asInstanceOf[String]
+          val root = vals(3).asInstanceOf[Long].toInt
+          val sql = vals(4).asInstanceOf[String]
+          (name, root, sql)
+      }.filterNot(_._1.startsWith("sqlite_"))
+        .map { case (name, root, sql) =>
+          TableDef(name, root, parseCreateTable(sql), sql)
+        }.toList
+    } finally w.close()
+  }
+
+  // -------------------------------------------------- CREATE TABLE sql
+
+  /** Split s on top-level commas (depth-0 w.r.t. parens, outside any
+    * quoting form SQLite accepts: '', "", [], ``).
+    */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var i = 0; var quote: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) {
+        cur += c
+        if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur += c
+        case '[' => quote = ']'; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def unquote(t: String): String =
+    if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
+        (t.head == '\'' && t.last == '\'') ||
+        (t.head == '`' && t.last == '`') ||
+        (t.head == '[' && t.last == ']')))
+      t.substring(1, t.length - 1)
+    else t
+
+  private val ConstraintStart =
+    Set("PRIMARY", "NOT", "NULL", "UNIQUE", "CHECK", "DEFAULT",
+      "COLLATE", "REFERENCES", "GENERATED", "AS")
+  private val TableConstraintStart =
+    Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+
+  /** Minimal CREATE TABLE parser: column names, declared types, pk
+    * ordinals, the INTEGER-PRIMARY-KEY rowid alias. Covers the SQL
+    * sqlite itself writes into sqlite_master for ordinary rowid
+    * tables; WITHOUT ROWID refuses (its b-tree layout differs).
+    */
+  private[sources] def parseCreateTable(sql: String): Seq[ColumnDef] = {
+    require(!sql.toUpperCase.replaceAll("\\s+", " ")
+        .contains("WITHOUT ROWID"),
+      "WITHOUT ROWID tables are not supported by this reader")
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    require(open >= 0 && close > open, s"cannot parse CREATE TABLE: $sql")
+    val body = sql.substring(open + 1, close)
+    val defs = splitTop(body)
+    var cols = scala.collection.mutable.ArrayBuffer.empty[ColumnDef]
+    var tablePk = Seq.empty[String]
+    defs.foreach { d =>
+      val toks = d.split("\\s+").toSeq
+      val first = unquote(toks.head)
+      if (TableConstraintStart(toks.head.toUpperCase)) {
+        val up = d.toUpperCase
+        if (up.startsWith("PRIMARY")) {
+          val o = d.indexOf('('); val c = d.lastIndexOf(')')
+          tablePk = splitTop(d.substring(o + 1, c))
+            .map(x => unquote(x.split("\\s+").head))
+        }
+        // UNIQUE/CHECK/FOREIGN/CONSTRAINT: no effect on the reader
+      } else {
+        val rest = toks.tail
+        val typeToks = rest.takeWhile(t =>
+          !ConstraintStart(t.toUpperCase))
+        val decl = typeToks.mkString(" ")
+        val up = d.toUpperCase
+        val inlinePk = up.contains("PRIMARY KEY")
+        val rowidAlias = inlinePk && decl.trim.toUpperCase == "INTEGER"
+        cols += ColumnDef(first, decl,
+          if (inlinePk) 1 else 0, rowidAlias)
+      }
+    }
+    if (tablePk.nonEmpty) {
+      cols = cols.map { c =>
+        val ix = tablePk.indexOf(c.name)
+        if (ix >= 0) c.copy(pkOrdinal = ix + 1,
+          rowidAlias = tablePk.size == 1 &&
+            c.decl.trim.toUpperCase == "INTEGER")
+        else c
+      }
+    }
+    cols.toSeq
+  }
+
+  // ------------------------------------------------------- Spark layer
+
+  /** Spark schema for a table: the reference's declared-type mapping
+    * (main.py:125-134 via [[SchemaMapper.fromSqliteDecl]]), except
+    * DATE/DATETIME surface as raw STRINGS here — parsing text into
+    * temporal types is the gated parse_datetime/parse_date operators'
+    * contract, applied downstream by the migration, not by the byte
+    * reader.
+    */
+  /** BLOB-declared (or undeclared — SQLite's BLOB affinity) columns
+    * keep their bytes: the reference's String fallback would mangle
+    * binary through str(); BinaryType preserves it for the multimodal
+    * pipeline, which treats blobs as opaque binary columns anyway.
+    */
+  private def isBlob(c: ColumnDef): Boolean = {
+    val d = c.decl.trim.toUpperCase
+    d.isEmpty || d.contains("BLOB")
+  }
+
+  def schemaOf(table: TableDef): StructType =
+    StructType(table.columns.map { c =>
+      val dt =
+        if (isBlob(c)) BinaryType
+        else c.chType match {
+          case ChType.DateTime | ChType.Date => StringType
+          case t => t.spark
+        }
+      StructField(c.name, dt, nullable = !c.rowidAlias)
+    })
+
+  private def coerce(v: Any, c: ColumnDef, table: String): Any = {
+    def fail(want: String) = throw new IllegalStateException(
+      s"$table.${c.name}: cannot coerce ${v.getClass.getSimpleName} " +
+        s"value to $want (declared '${c.decl}')")
+    if (v == null) null
+    else if (isBlob(c)) v match {
+      case b: Array[Byte] => b
+      case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case _ => fail("binary")
+    }
+    else c.chType match {
+      case ChType.Int64 | ChType.UInt32 | ChType.UInt64 | ChType.Int32 =>
+        v match { case l: Long => l; case _ => fail("integer") }
+      case ChType.Float64 | ChType.Float32 =>
+        v match { case d: Double => d; case l: Long => l.toDouble
+                  case _ => fail("double") }
+      case ChType.Bool =>
+        v match { case l: Long => l != 0L; case _ => fail("boolean") }
+      case _ => // Str, DateTime/Date (raw), unknown-decl fallback
+        v match {
+          case s: String => s
+          case b: Array[Byte] =>
+            new String(b, java.nio.charset.StandardCharsets.UTF_8)
+          case l: Long => l.toString   // reference str(value)
+          case d: Double => d.toString
+          case _ => fail("string")
+        }
+    }
+  }
+
+  /** Read one table as a DataFrame, one Spark partition per root
+    * subtree (capped by `maxPartitions` via grouping). The rowid
+    * alias column takes the cell rowid; rows written before an ALTER
+    * TABLE ADD COLUMN pad missing trailing columns with NULL (the
+    * same answer sqlite itself gives).
+    */
+  def read(spark: SparkSession, path: String, table: TableDef,
+           maxPartitions: Int = 32): DataFrame = {
+    val h = header(path)
+    val schema = schemaOf(table)
+    val cols = table.columns.toIndexedSeq
+    val tname = table.name
+    val roots = subtreeRoots(path, table)
+    val groups = roots.grouped(
+      math.max(1, (roots.size + maxPartitions - 1) / maxPartitions)).toSeq
+    val rdd = spark.sparkContext
+      .parallelize(groups, math.max(1, groups.size))
+      .flatMap { subtrees =>
+        subtrees.iterator.flatMap { root =>
+          new TableWalk(path, h, root).map { case (rowid, vals) =>
+            Row.fromSeq(cols.zipWithIndex.map { case (c, i) =>
+              if (c.rowidAlias) rowid
+              else if (i < vals.size) coerce(vals(i), c, tname)
+              else null
+            })
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Convenience: read by table name. */
+  def read(spark: SparkSession, path: String, tableName: String): DataFrame = {
+    val t = listTables(path).find(_.name == tableName).getOrElse(
+      throw new IllegalArgumentException(
+        s"table '$tableName' not found in $path (have: " +
+          s"${listTables(path).map(_.name).mkString(", ")})"))
+    read(spark, path, t)
+  }
+}

@@ -16,7 +16,8 @@ class MigrateCliSpec extends SparkFunSuite {
       "--clickhouse-user", "u", "--clickhouse-password", "p",
       "--clickhouse-database", "analytics",
       "--chunk-size", "500", "--num-partitions", "3", "--dry-run"))
-    assert(c.jdbcUrl == "jdbc:sqlite:/tmp/x.db")
+    // round 12: --sqlite routes to the driverless FILE reader
+    assert(c.sqlitePath == "/tmp/x.db" && c.jdbcUrl.isEmpty)
     assert(c.chHost == "ch1" && c.chPort == 8123)
     assert(c.chUser == "u" && c.chPassword == "p")
     assert(c.chDatabase == "analytics")
@@ -63,6 +64,36 @@ class MigrateCliSpec extends SparkFunSuite {
       assert(printed.contains("200 rows"))
       // the spec's shared session survives main()
       assert(!spark.sparkContext.isStopped)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("main() migrates a REAL SQLite file end-to-end — the " +
+      "reference's identity run, with no JDBC driver at all (round 12)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_sqlite").toString
+    val stdout = new java.io.ByteArrayOutputStream()
+    try {
+      Console.withOut(new java.io.PrintStream(stdout)) {
+        Migrate.main(Array(
+          "--sqlite", "src/test/resources/sqlite/fixture.db",
+          "--clickhouse-database", "db",
+          "--chunk-size", "1000", "--out", out))
+      }
+      val printed = stdout.toString
+      // every user table staged, row-complete (counts from the
+      // fixture generator's own sqlite aggregates)
+      assert(spark.read.parquet(s"$out/typed").count() == 3L)
+      assert(spark.read.parquet(s"$out/big").count() == 6000L)
+      assert(spark.read.parquet(s"$out/pair").count() == 3L)
+      assert(spark.read.parquet(s"$out/altered").count() == 3L)
+      // pk-driven DDL: rowid-alias single key and the composite key
+      assert(printed.contains("CREATE TABLE IF NOT EXISTS db.big"))
+      assert(printed.contains("ORDER BY id"))
+      assert(printed.contains("ORDER BY (a, b)"))
+      assert(printed.contains("ReplacingMergeTree"))
+      assert(printed.contains("OPTIMIZE TABLE db.big"))
+      assert(printed.contains("6009 rows total"))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
