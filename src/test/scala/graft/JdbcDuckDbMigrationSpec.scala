@@ -86,4 +86,39 @@ class JdbcDuckDbMigrationSpec extends SparkFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
   }
+
+  test("REAL SQLite file -> LIVE DuckDB load: both halves of the " +
+      "reference pipeline on real engines (round 12)") {
+    // source = actual .db bytes through graft.sources.SqliteFile (no
+    // sqlite driver), target = a live engine over JDBC — the
+    // reference's extract->load shape with nothing mocked. DuckDB
+    // stands in for ClickHouse exactly as in the dry-run story: the
+    // loaded table must re-aggregate to sqlite's own invariants.
+    val df = graft.sources.SqliteFile.read(spark,
+      "src/test/resources/sqlite/fixture.db", "big")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq2duck").toString
+    val url = s"jdbc:duckdb:$dir/target.db"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.duckdb.DuckDBDriver")
+    // create-then-insert, the reference's own sequence
+    // (main.py:56-73 create, 167-179 insert); DuckDB's JDBC existence
+    // probe breaks Spark's overwrite path, so the DDL goes first
+    locally {
+      val c0 = DriverManager.getConnection(url)
+      try c0.createStatement().executeUpdate(
+        "CREATE TABLE big (id BIGINT, val BIGINT, score DOUBLE, body VARCHAR)")
+      finally c0.close()
+    }
+    // single writer: one duckdb file, one connection
+    df.coalesce(1).write.mode("append").jdbc(url, "big", props)
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT count(*), sum(val), sum(length(body)) FROM big")
+      assert(rs.next())
+      assert(rs.getLong(1) === 6000L)
+      assert(rs.getLong(2) === -184095L)  // sqlite's own aggregate
+      assert(rs.getLong(3) === 2078994L)  // incl. the 50 KB overflow row
+    } finally c.close()
+  }
 }
