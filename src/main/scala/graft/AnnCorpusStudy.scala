@@ -76,6 +76,11 @@ object AnnCorpusStudy {
     val n = corpus.count()
     val nList = (if (mode == "mog") args.lift(4) else args.lift(3))
       .map(_.toInt).getOrElse(1024)
+    // round 12: PQ codebook resolution knob — k=16 (4-bit, the
+    // oracle-gated shape) vs k=256 (8-bit, the FAISS default) decides
+    // whether mog's low ADC recall is the code BUDGET or ADC itself
+    val pqK = (if (mode == "mog") args.lift(5) else args.lift(4))
+      .map(_.toInt).getOrElse(16)
     val k1 = math.max(1, math.sqrt(nList.toDouble).round.toInt)
     val k2 = math.max(1, (nList + k1 - 1) / k1)
 
@@ -123,7 +128,7 @@ object AnnCorpusStudy {
       val secs = (1 to 2).map { _ =>
         timed(build().write.format("noop").mode("overwrite").save())._2
       }.min
-      println(f"""{"study":"ann_corpus_r12",$tag,"n":$n,"probes":$nProbes,"index":"$name","nList":$nList,$budget,"train_sec":$trainSec%.2f,"serve_sec":$secs%.2f,"recall_at_$k":$rec%.3f}""")
+      println(f"""{"study":"ann_corpus_r12",$tag,"n":$n,"probes":$nProbes,"index":"$name","nList":$nList,"pqK":$pqK,$budget,"train_sec":$trainSec%.2f,"serve_sec":$secs%.2f,"recall_at_$k":$rec%.3f}""")
     }
 
     val (ivf, tIvf) = timed(
@@ -131,10 +136,10 @@ object AnnCorpusStudy {
     val (ivf2, tIvf2) = timed(
       graft.operators.IvfIndex.trainTwoLevel(corpus, k1, k2))
     val (pq, tPq) = timed(
-      graft.operators.PqIndex.train(corpus, dim = dim, m = 16, k = 16))
+      graft.operators.PqIndex.train(corpus, dim = dim, m = 16, k = pqK))
     val (pqRes, tPqRes) = timed(
       graft.operators.PqIndex.trainResidual(corpus, ivf, dim = dim,
-        m = 16, k = 16))
+        m = 16, k = pqK))
 
     // probed-cell budgets: ~1/16 and ~1/4 of global cells; ivf2 probes
     // the SAME global-cell count through (nProbe1, nProbe)

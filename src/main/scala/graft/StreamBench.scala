@@ -103,12 +103,15 @@ object StreamBench {
         .flagNearDuplicates(st.toDF().toDF("doc_id", "ts", "text"))
         .writeStream.format("noop").outputMode("append").start()
       val stats = drive(spark, st, sq, docSlices)
-      // emit-window counters: one row per doc in every window the
-      // watermark has not yet closed ≈ horizon + 2 windows of docs
+      // keys live for horizon batches + the watermark-advance lag
+      // (the watermark trails the max event time by one batch) + the
+      // pre-eviction transient (a batch's keys enter state before
+      // the next maintenance pass evicts) — hence horizon+2 batches
+      // of keys; same window bounds the unflushed emit counters
+      val stateBatches = horizonBatches + 2
       emit("near_dedup", docs.length, docs.length * 33L,
-        33L * perBatchDocs * horizonBatches +
-          perBatchDocs * (horizonBatches + 2),
-        s"33 keys/doc x $perBatchDocs docs/batch x $horizonBatches horizon batches + unflushed-window counters",
+        (33L + 1L) * perBatchDocs * stateBatches,
+        s"33 keys/doc x $perBatchDocs docs/batch x $stateBatches batches (horizon + watermark lag + transient) + unflushed-window counters",
         stats)
     }
 
@@ -125,8 +128,11 @@ object StreamBench {
           .wordShingles(col("text"), 8), s => xxhash64(s))).as("wh"))
         .localCheckpoint(true)
       val spanRows = hashes.count()
+      // horizon + watermark-advance lag + pre-eviction transient
+      // batches of distinct window-hashes (see the near_dedup note)
+      val stateBatches = (horizonBatches + 2).toInt
       val distinctInHorizon = (0 until nBatches).map { i =>
-        hashes.where(col("batch") > i - horizonBatches && col("batch") <= i)
+        hashes.where(col("batch") > i - stateBatches && col("batch") <= i)
           .agg(countDistinct(col("wh"))).head().getLong(0)
       }.max
       val st = MemoryStream[(Long, Timestamp, String)]
@@ -135,9 +141,8 @@ object StreamBench {
         .writeStream.format("noop").outputMode("append").start()
       val stats = drive(spark, st, sq, docSlices)
       emit("span_dedup", docs.length, spanRows + docs.length,
-        distinctInHorizon + perBatchDocs.toLong * horizonBatches +
-          perBatchDocs * (horizonBatches + 2),
-        s"$distinctInHorizon distinct horizon window-hashes + in-horizon presence + unflushed-window counters",
+        distinctInHorizon + 2L * perBatchDocs * stateBatches,
+        s"$distinctInHorizon distinct window-hashes in a $stateBatches-batch window + presence + unflushed-window counters",
         stats)
     }
 
