@@ -210,7 +210,7 @@ object SqliteFile {
     * values). One open file handle per iterator; closed when the
     * iterator is exhausted (or via close()).
     */
-  private final class TableWalk(path: String, h: Header, root: Int)
+  private[sources] final class TableWalk(path: String, h: Header, root: Int)
       extends Iterator[(Long, IndexedSeq[Any])] with AutoCloseable {
     private val pf = new PageFile(path, h)
     // stack of (page number); leaves stream their cells in order
@@ -426,7 +426,7 @@ object SqliteFile {
       StructField(c.name, dt, nullable = !c.rowidAlias)
     })
 
-  private def coerce(v: Any, c: ColumnDef, table: String): Any = {
+  private[sources] def coerceValue(v: Any, c: ColumnDef, table: String): Any = {
     def fail(want: String) = throw new IllegalStateException(
       s"$table.${c.name}: cannot coerce ${v.getClass.getSimpleName} " +
         s"value to $want (declared '${c.decl}')")
@@ -478,7 +478,7 @@ object SqliteFile {
           new TableWalk(path, h, root).map { case (rowid, vals) =>
             Row.fromSeq(cols.zipWithIndex.map { case (c, i) =>
               if (c.rowidAlias) rowid
-              else if (i < vals.size) coerce(vals(i), c, tname)
+              else if (i < vals.size) coerceValue(vals(i), c, tname)
               else null
             })
           }
