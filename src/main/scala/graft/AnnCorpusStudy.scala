@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
   *     the corpus is deterministic and partitioning-independent.
   *
   * Run: `sbt "runMain graft.AnnCorpusStudy <mog|replica> <n> <args>"`
-  *  - mog:     args = <clusters> <sigma> [nList]
-  *  - replica: args = <baseDir> <reps>   [nList]  (IvfScaleStudy's
+  *  - mog:     args = <clusters> <sigma> [nList] [pqK]
+  *  - replica: args = <baseDir> <reps>   [nList] [pqK]  (IvfScaleStudy's
   *             jittered-replica corpus, for the 200k serving A/B)
   * Prints one JSON line per (index, probe budget) with train seconds,
   * serving seconds (min of 2 after warm), and recall@5 vs the exact
