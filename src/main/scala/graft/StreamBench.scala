@@ -85,7 +85,8 @@ object StreamBench {
     val t0us = Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val stepMs = 30L * 60 * 1000
     def ts(i: Int) = new Timestamp(t0us + i.toLong * stepMs)
-    val horizonBatches = (2 * 60 * 60 * 1000) / stepMs + 1 // in-horizon + boundary
+    val delayBatches = (2 * 60 * 60 * 1000) / stepMs // watermark delay / step
+    val horizonBatches = delayBatches + 1 // in-horizon + boundary
 
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
@@ -103,15 +104,15 @@ object StreamBench {
         .flagNearDuplicates(st.toDF().toDF("doc_id", "ts", "text"))
         .writeStream.format("noop").outputMode("append").start()
       val stats = drive(spark, st, sq, docSlices)
-      // keys live for horizon batches + the watermark-advance lag
-      // (the watermark trails the max event time by one batch) + the
-      // pre-eviction transient (a batch's keys enter state before
-      // the next maintenance pass evicts) — hence horizon+2 batches
-      // of keys; same window bounds the unflushed emit counters
-      val stateBatches = horizonBatches + 2
+      // a dedup key lives its own expiry delay (eventTime + delay)
+      // AND the watermark lags max event time by the same delay, so
+      // worst-case key lifetime ≈ 2·delay + one batch of boundary
+      // lag; recurring keys (shared windows/bands) refresh their
+      // expiry, so this 2D+1 window is the honest bound, not D
+      val stateBatches = 2 * delayBatches + 1
       emit("near_dedup", docs.length, docs.length * 33L,
         (33L + 1L) * perBatchDocs * stateBatches,
-        s"33 keys/doc x $perBatchDocs docs/batch x $stateBatches batches (horizon + watermark lag + transient) + unflushed-window counters",
+        s"33 keys/doc x $perBatchDocs docs/batch x $stateBatches batches (2x expiry delay + lag) + unflushed-window counters",
         stats)
     }
 
@@ -128,9 +129,9 @@ object StreamBench {
           .wordShingles(col("text"), 8), s => xxhash64(s))).as("wh"))
         .localCheckpoint(true)
       val spanRows = hashes.count()
-      // horizon + watermark-advance lag + pre-eviction transient
-      // batches of distinct window-hashes (see the near_dedup note)
-      val stateBatches = (horizonBatches + 2).toInt
+      // 2x expiry-delay window of distinct window-hashes (see the
+      // near_dedup note on the 2D+1 lifetime)
+      val stateBatches = (2 * delayBatches + 1).toInt
       val distinctInHorizon = (0 until nBatches).map { i =>
         hashes.where(col("batch") > i - stateBatches && col("batch") <= i)
           .agg(countDistinct(col("wh"))).head().getLong(0)

@@ -105,17 +105,39 @@ object PqIndex {
     * over codes). At 100 TB the candidate stream is cells-worth of
     * 16-byte codes, never raw floats.
     */
+  /** The two-broadcast candidate shape shared by [[topKIvf]] and
+    * [[topKIvf2]] (round 12): the EXPLODED probe side carries only
+    * bare (probe_id, cell) pairs — 12 B/row — and the m×k-double LUT
+    * rides a SECOND broadcast keyed by probe_id, attached once per
+    * candidate after the cell join. Carrying the LUT through the
+    * explode (the round-11 shape) duplicated it nProbe× in the
+    * broadcast: at k=256 codes and nProbe=256 that is 32 KB × 256 ≈
+    * 8 MB PER PROBE — measured 16.5 s → (see ann_corpus_r12) on the
+    * 200k mog corpus, vs ~1 s with the LUT broadcast once. (The
+    * residual variant keeps per-(probe, cell) LUTs — cell-relative
+    * residuals make that irreducible; its budget is the nProbe knob.)
+    */
+  private def cellCandidates(coded: DataFrame, probes: DataFrame,
+                             probeCellsCol: Column, lutCol: Column,
+                             idCol: String): DataFrame = {
+    val pc = probes.select(col(idCol).as("probe_id"),
+      explode(probeCellsCol).as("cell"))
+    val pl = probes.select(col(idCol).as("probe_id"), lutCol.as("lut"))
+    coded.join(broadcast(pc),
+        coded("cell") === pc("cell") && col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id", "codes")
+      .join(broadcast(pl), "probe_id")
+  }
+
   def topKIvf(corpus: DataFrame, probes: DataFrame, ivf: IvfIndex.Model,
               model: PqModel, k: Int, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val coded = materializeIndex(corpus.select(col(idCol).as("vec_id"),
       encode(col(vecCol), model).as("codes"),
       IvfIndex.assignCell(col(vecCol), ivf).as("cell")))
-    val p = probes.select(col(idCol).as("probe_id"),
-      lut(col(vecCol), model).as("lut"),
-      explode(IvfIndex.probeCells(col(vecCol), ivf, nProbe)).as("cell"))
-    rank(coded.join(broadcast(p),
-      coded("cell") === p("cell") && col("vec_id") =!= col("probe_id")), model, k)
+    rank(cellCandidates(coded, probes,
+      IvfIndex.probeCells(col(vecCol), ivf, nProbe),
+      lut(col(vecCol), model), idCol), model, k)
   }
 
   /** IVF2-PQ (round 11) — the two-level coarse quantizer composed
@@ -134,11 +156,9 @@ object PqIndex {
     val coded = materializeIndex(corpus.select(col(idCol).as("vec_id"),
       encode(col(vecCol), model).as("codes"),
       IvfIndex.assignCell2(col(vecCol), ivf2).as("cell")))
-    val p = probes.select(col(idCol).as("probe_id"),
-      lut(col(vecCol), model).as("lut"),
-      explode(IvfIndex.probeCells2(col(vecCol), ivf2, nProbe1, nProbe)).as("cell"))
-    rank(coded.join(broadcast(p),
-      coded("cell") === p("cell") && col("vec_id") =!= col("probe_id")), model, k)
+    rank(cellCandidates(coded, probes,
+      IvfIndex.probeCells2(col(vecCol), ivf2, nProbe1, nProbe),
+      lut(col(vecCol), model), idCol), model, k)
   }
 
   /** The vector minus its coarse cell's centroid (round 9) — what
