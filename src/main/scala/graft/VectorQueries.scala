@@ -71,6 +71,11 @@ object VectorQueries {
   // operating point: best recall per inlined-codebook byte
   private[graft] val PqM = 16
   private[graft] val PqK = 16
+
+  /** ADC shortlist size for the rerank gate: 4×k — the small refine
+    * multiple production FAISS uses (`IndexRefineFlat` k_factor).
+    */
+  private[graft] val RerankShortlist = 20
   private val pqModels =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.PqIndex.PqModel]
   private[graft] def pqModel(s: SparkSession, d: String): graft.operators.PqIndex.PqModel =
@@ -196,6 +201,21 @@ object VectorQueries {
     "ann_ivfpq" -> Q { (s, d) =>
       graft.operators.PqIndex.topKIvf(Tables.embeddings(s, d), probes(s, d),
         ivfModel(s, d), pqModel(s, d), k = 5, nProbe = IvfNProbe)
+        .orderBy("probe_id", "rk")
+    },
+
+    // C29e (oracle, round 12): IVF-PQ shortlist → EXACT rerank — the
+    // round-12 corpus study's own conclusion operationalized (ADC is
+    // a shortlist stage; tools/ann_corpus_r12.json): ADC over probed-
+    // cell codes proposes `RerankShortlist` candidates per probe, a
+    // broadcast semi-join re-reads raw vectors for ONLY those ids,
+    // and the final top-k ranks by exact squared L2 (d2 asc, vec_id).
+    // The oracle replays the whole chain: codes/LUTs/ADC shortlist
+    // from the shared CTEs, then the identical exact-distance fold.
+    "ann_ivfpq_rerank" -> Q { (s, d) =>
+      graft.operators.PqIndex.topKIvfRerank(Tables.embeddings(s, d),
+        probes(s, d), ivfModel(s, d), pqModel(s, d), k = 5,
+        shortlist = RerankShortlist, nProbe = IvfNProbe)
         .orderBy("probe_id", "rk")
     },
 
@@ -613,6 +633,37 @@ object VectorQueries {
            |  JOIN codes c ON c.vec_id = a.vec_id
            |  JOIN plut p ON p.probe_id = pc.probe_id
            |)$rankTail""".stripMargin,
+      // shortlist-R ADC (same scored CTE as ann_ivfpq) → exact-L2
+      // rerank: the exact distance is an OUTPUT column, so it folds
+      // with the explicit left-to-right reduce (the SqDistExpr order:
+      // (p[i]-c[i])², accumulated from 0.0), not list_inner_product
+      "ann_ivfpq_rerank" ->
+        s"""WITH $pqCtes$ivfCtes, scored AS (
+           | SELECT p.probe_id, c.vec_id, $adc AS ad2
+           | FROM assigned a
+           |  JOIN pcells pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+           |  JOIN codes c ON c.vec_id = a.vec_id
+           |  JOIN plut p ON p.probe_id = pc.probe_id
+           |), sl AS (
+           | SELECT probe_id, vec_id FROM (
+           |  SELECT probe_id, vec_id,
+           |   row_number() OVER (PARTITION BY probe_id ORDER BY ad2, vec_id) AS rn
+           |  FROM scored) WHERE rn <= $RerankShortlist
+           |), ex AS (
+           | SELECT sl.probe_id, sl.vec_id,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |   list_transform(range(1, ${idim + 1}),
+           |    i -> (p.dv[i] - c.dv[i]) * (p.dv[i] - c.dv[i]))),
+           |   (a, x) -> a + x) AS d2
+           | FROM sl
+           |  JOIN dv p ON p.vec_id = sl.probe_id
+           |  JOIN dv c ON c.vec_id = sl.vec_id
+           |), rranked AS (
+           | SELECT probe_id, vec_id, d2,
+           |  row_number() OVER (PARTITION BY probe_id ORDER BY d2, vec_id) AS rk
+           | FROM ex)
+           |SELECT probe_id, vec_id, d2, CAST(rk AS BIGINT) AS rk FROM rranked
+           |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
       "ann_ivfpq_residual" ->
         s"""WITH dv AS (
            | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings

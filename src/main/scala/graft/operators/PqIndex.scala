@@ -161,6 +161,45 @@ object PqIndex {
       lut(col(vecCol), model), idCol), model, k)
   }
 
+  /** IVF-PQ shortlist → EXACT rerank (round 12) — the composition the
+    * round-12 corpus study proved necessary: on corpora whose within-
+    * cluster noise sits at the quantization scale, ADC over m-byte
+    * codes reaches 0.04-0.22 recall@5 while exact rerank reaches ~1.0
+    * (tools/ann_corpus_r12.json), which is exactly how production
+    * FAISS deployments run — ADC is the SHORTLIST stage, a small
+    * exact refine pass restores the ranking (the `IndexRefineFlat`
+    * idea). Shape at 100 TB: the ADC pass touches only probed-cell
+    * codes (never raw floats); the refine pass re-reads raw vectors
+    * for |probes|·shortlist ids ONLY, via a BROADCAST semi-join of
+    * the tiny (probe_id, vec_id) shortlist against the corpus — one
+    * more corpus scan, zero shuffle, and on an id-partitioned store
+    * the broadcast id set prunes to the touched files. Ranking is
+    * (exact squared L2 asc, vec_id); the exact distance folds via
+    * [[graft.functions.VectorOps.sqDist]] so the oracle can replay it
+    * bit-for-bit.
+    */
+  def topKIvfRerank(corpus: DataFrame, probes: DataFrame,
+                    ivf: IvfIndex.Model, model: PqModel, k: Int,
+                    shortlist: Int, nProbe: Int = 4,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val sl = topKIvf(corpus, probes, ivf, model, shortlist, nProbe,
+      idCol, vecCol).select(col("probe_id"), col("vec_id"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("_pv"))
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
+      .join(broadcast(sl), "vec_id")
+      .join(broadcast(p), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.VectorOps.sqDist(col("_pv"), col("_cv")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("d2").asc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("d2"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** The vector minus its coarse cell's centroid (round 9) — what
     * FAISS's IVFPQ actually quantizes (`by_residual`): residuals
     * concentrate near the origin with far less variance than raw

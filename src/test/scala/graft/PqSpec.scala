@@ -92,6 +92,59 @@ class PqSpec extends SparkFunSuite {
     assert(rRaw > 0.10, s"raw recall $rRaw near chance")
   }
 
+  test("ivfpq rerank: exact-L2 top-k of the ADC shortlist, recall >= ADC-only, refine joins broadcast") {
+    import graft.operators.IvfIndex
+    val corpus = Tables.embeddings(spark, sf)
+    val probes = corpus.filter(col("vec_id") % 50 === 0)
+    val ivf = IvfIndex.train(corpus, nList = VectorQueries.IvfNList)
+    val pq = PqIndex.train(corpus, dim = 64, m = 16, k = 16)
+    val rerank = PqIndex.topKIvfRerank(corpus, probes, ivf, pq, k = 5,
+      shortlist = 20, nProbe = 4)
+
+    // the refine pass must stay shuffle-free: tiny shortlist + probe
+    // sides broadcast against the single corpus re-scan
+    val plan = rerank.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "refine join not broadcast")
+    assert(!plan.contains("SortMergeJoin"), "refine pass shuffles the corpus")
+
+    // semantic identity: rerank(k) IS the exact-L2 (d2 asc, vec_id)
+    // top-k restricted to the ADC shortlist — nothing else
+    val all = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(p: Long, c: Long): Double = {
+      val (pv, cv) = (all(p), all(c)); var s = 0.0; var i = 0
+      while (i < pv.length) { val dd = pv(i) - cv(i); s += dd * dd; i += 1 }
+      s
+    }
+    val sl = PqIndex.topKIvf(corpus, probes, ivf, pq, k = 20, nProbe = 4)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = sl.groupBy(_._1).toSeq.flatMap { case (p, cands) =>
+      cands.toSeq.map { case (_, c) => (c, d2(p, c)) }
+        .sortBy { case (c, d) => (d, c) }.take(5).zipWithIndex
+        .map { case ((c, d), i) => (p, c, d, (i + 1).toLong) }
+    }.toSet
+    val got = rerank.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == expected, "rerank != exact-L2 top-k of the shortlist")
+
+    // recall vs exact global top-5 can only improve over ADC@5: any
+    // exact-top-5 member inside the shortlist outranks all but <5
+    // shortlist members by exact distance, so rerank keeps it
+    val exact = (for {
+      p <- all.keys.filter(_ % 50 == 0)
+      (c, _) <- all.keys.filter(_ != p).map(c => (c, d2(p, c))).toSeq
+        .sortBy { case (c, d) => (d, c) }.take(5)
+    } yield (p, c)).toSet
+    def recall(pairs: Set[(Long, Long)]): Double =
+      (pairs & exact).size.toDouble / exact.size
+    val rAdc = recall(PqIndex.topKIvf(corpus, probes, ivf, pq, 5, 4)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val rRr = recall(got.map { case (p, c, _, _) => (p, c) })
+    assert(rRr >= rAdc, s"rerank recall $rRr below ADC-only $rAdc")
+  }
+
   test("ivf2-pq composition: valid recall, deterministic, ADC unchanged by the quantizer") {
     import graft.operators.IvfIndex
     val corpus = Tables.embeddings(spark, sf)
