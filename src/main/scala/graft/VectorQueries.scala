@@ -99,6 +99,16 @@ object VectorQueries {
       graft.operators.PqIndex.trainResidual(Tables.embeddings(s, d),
         ivfModel(s, d), dim = 64, m = PqM, k = PqK))
 
+  /** SQ8 ranges (round 12): per-dim exact min/max — one order-
+    * independent aggregate, so the trained ranges inline into the
+    * oracle with the same bit-exact transport as the PQ codebooks.
+    */
+  private val sqModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.ScalarQuant.SqModel]
+  private[graft] def sqModel(s: SparkSession, d: String): graft.operators.ScalarQuant.SqModel =
+    sqModels.getOrElseUpdate(d,
+      graft.operators.ScalarQuant.train(Tables.embeddings(s, d), dim = 64))
+
   /** The operator's 16 seeded hyperplanes for the 64-dim test
     * embeddings, as a DuckDB signature expression over DOUBLE[] column
     * `dv`: bit j = (dot(dv, plane_j) > 0) << j. Double literals use
@@ -217,6 +227,29 @@ object VectorQueries {
         probes(s, d), ivfModel(s, d), pqModel(s, d), k = 5,
         shortlist = RerankShortlist, nProbe = IvfNProbe)
         .orderBy("probe_id", "rk")
+    },
+
+    // C29f (oracle, round 12): SQ8 scalar quantization — FAISS
+    // IndexScalarQuantizer: each dim quantizes independently to one
+    // byte against a trained [min, max]; 4× compression with near-
+    // exact ranking (every dim keeps 256 levels, unlike PQ's shared
+    // codebook entries). Training is one min/max aggregate, not
+    // k-means. The oracle inlines the ranges bit-exactly and replays
+    // encode (floor-clamp), midpoint reconstruction, and the exact
+    // left-to-right distance fold.
+    "ann_sq8" -> Q { (s, d) =>
+      graft.operators.ScalarQuant.topK(Tables.embeddings(s, d), probes(s, d),
+        sqModel(s, d), k = 5).orderBy("probe_id", "rk")
+    },
+
+    // C29g (oracle, round 12): IVF-SQ8 — FAISS IndexIVFScalarQuantizer:
+    // the coarse quantizer bounds WHICH vectors are scored, SQ8 bounds
+    // the I/O of scoring each one (d bytes, never raw floats). Same
+    // two-broadcast candidate shape as ann_ivfpq.
+    "ann_ivfsq" -> Q { (s, d) =>
+      graft.operators.ScalarQuant.topKIvf(Tables.embeddings(s, d),
+        probes(s, d), ivfModel(s, d), sqModel(s, d), k = 5,
+        nProbe = IvfNProbe).orderBy("probe_id", "rk")
     },
 
     // C29c (oracle, round 9): residual IVF-PQ — codes quantize
@@ -415,6 +448,30 @@ object VectorQueries {
        |)""".stripMargin
   }
 
+  /** BIT-EXACT double-literal transport, not text: DuckDB 1.0's
+    * literal parser is off by one ulp on some double strings —
+    * including EXACT decimal expansions (observed live: 30/1024
+    * centroid components mis-parsed) — which matters whenever the
+    * literal feeds an OUTPUT column. Each component ships as its
+    * IEEE-754 fields and is rebuilt with sign * mantissa * 2^e: the
+    * mantissa (< 2^53) and the power of two are exactly representable
+    * and the multiplies are pure exponent shifts, so ANY engine
+    * recovers the identical bits (validated 1024/1024 against this
+    * DuckDB).
+    */
+  private def exactLit(x: Double): String = {
+    val bits = java.lang.Double.doubleToLongBits(x)
+    if (x == 0.0) "0.0"
+    else {
+      val sign = if (bits < 0) -1 else 1
+      val expF = ((bits >> 52) & 0x7FFL).toInt
+      val frac = bits & 0xFFFFFFFFFFFFFL
+      val (mant, e) =
+        if (expF == 0) (frac, -1074) else (frac | (1L << 52), expF - 1075)
+      s"($sign * $mant::DOUBLE * pow(2.0, $e))"
+    }
+  }
+
   private def ivfOracle: Map[String, String] = (for {
     s <- SparkSession.getActiveSession
     d <- sys.props.get("graft.oracle.sfDir")
@@ -461,27 +518,7 @@ object VectorQueries {
   } yield {
     val m = pqModel(s, d)
     val dsub = m.dSub
-    // BIT-EXACT transport, not text: DuckDB 1.0's literal parser is off
-    // by one ulp on some double strings — including EXACT decimal
-    // expansions (observed live: 30/1024 centroid components mis-
-    // parsed) — which surfaces here because the LUT distances ARE an
-    // output column. So each centroid component ships as its IEEE-754
-    // fields and is rebuilt with sign * mantissa * 2^e: the mantissa
-    // (< 2^53) and the power of two are exactly representable and the
-    // multiplies are pure exponent shifts, so ANY engine recovers the
-    // identical bits (validated 1024/1024 against this DuckDB).
-    def exact(x: Double): String = {
-      val bits = java.lang.Double.doubleToLongBits(x)
-      if (x == 0.0) "0.0"
-      else {
-        val sign = if (bits < 0) -1 else 1
-        val expF = ((bits >> 52) & 0x7FFL).toInt
-        val frac = bits & 0xFFFFFFFFFFFFFL
-        val (mant, e) =
-          if (expF == 0) (frac, -1074) else (frac | (1L << 52), expF - 1075)
-        s"($sign * $mant::DOUBLE * pow(2.0, $e))"
-      }
-    }
+    def exact(x: Double): String = exactLit(x)
     val cents = (for {
       (cb, j) <- m.subCentroids.zipWithIndex
       (c, ci) <- cb.zipWithIndex
@@ -675,7 +712,84 @@ object VectorQueries {
            |)$rankTail""".stripMargin)
   }).getOrElse(Map.empty)
 
-  def oracles: Map[String, String] = ivfOracle ++ pqOracle ++ Map(
+  /** DuckDB replica of the SQ8 pipeline — same lazy binding as
+    * [[pqOracle]]. The trained ranges ship bit-exactly (they feed the
+    * ad2 OUTPUT column); the replay mirrors the operator decision-for-
+    * decision: floor-clamp encode, midpoint reconstruction with the
+    * same two roundings (mul then add), and the explicit left-to-right
+    * squared-diff fold (the SqDistExpr order), not list_inner_product.
+    */
+  private def sqOracle: Map[String, String] = (for {
+    s <- SparkSession.getActiveSession
+    d <- sys.props.get("graft.oracle.sfDir")
+  } yield {
+    val m = sqModel(s, d)
+    val dim = m.dim
+    val mnLit = m.mins.map(exactLit).mkString("[", ",", "]")
+    val wLit = m.widths.map(exactLit).mkString("[", ",", "]")
+    val sqCtes =
+      s"""dv AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+         |), sq AS (
+         | SELECT $mnLit::DOUBLE[] AS mn, $wLit::DOUBLE[] AS w
+         |), codes AS (
+         | SELECT vec_id, list_transform(range(1, ${dim + 1}), i ->
+         |   CASE WHEN sq.w[i] = 0 THEN 0
+         |        ELSE CAST(least(greatest(floor((dv[i] - sq.mn[i]) / sq.w[i]),
+         |                                 0), 255) AS INTEGER) END) AS codes
+         | FROM dv CROSS JOIN sq
+         |)""".stripMargin
+    val fold =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |   list_transform(range(1, ${dim + 1}),
+         |    i -> (p.dv[i] - (sq.mn[i] + (c.codes[i] + 0.5) * sq.w[i]))
+         |       * (p.dv[i] - (sq.mn[i] + (c.codes[i] + 0.5) * sq.w[i])))),
+         |   (a, x) -> a + x)""".stripMargin
+    val rankTail =
+      s""", ranked AS (
+         | SELECT probe_id, vec_id, ad2,
+         |  row_number() OVER (PARTITION BY probe_id ORDER BY ad2, vec_id) AS rk
+         | FROM scored)
+         |SELECT probe_id, vec_id, ad2, CAST(rk AS BIGINT) AS rk FROM ranked
+         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+    val im = ivfModel(s, d)
+    Map(
+      "ann_sq8" ->
+        s"""WITH $sqCtes, scored AS (
+           | SELECT p.vec_id AS probe_id, c.vec_id,
+           |  $fold AS ad2
+           | FROM codes c CROSS JOIN sq CROSS JOIN dv p
+           | WHERE p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id
+           |)$rankTail""".stripMargin,
+      // IVF-SQ8: cell/probe decisions replay via the shared ann_ivf
+      // chain (text-literal centroids — cells are decisions, ranking-
+      // robust), then the identical SQ8 scoring inside probed cells
+      "ann_ivfsq" ->
+        s"""${assignCtesFor(im)}, pcells AS (
+           | SELECT vec_id AS probe_id, ci AS cell FROM (
+           |  SELECT vec_id, ci,
+           |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+           |  FROM dists WHERE vec_id % 50 = 0) WHERE rn <= $IvfNProbe
+           |), sq AS (
+           | SELECT $mnLit::DOUBLE[] AS mn, $wLit::DOUBLE[] AS w
+           |), codes AS (
+           | SELECT vec_id, list_transform(range(1, ${dim + 1}), i ->
+           |   CASE WHEN sq.w[i] = 0 THEN 0
+           |        ELSE CAST(least(greatest(floor((dv[i] - sq.mn[i]) / sq.w[i]),
+           |                                 0), 255) AS INTEGER) END) AS codes
+           | FROM dv CROSS JOIN sq
+           |), scored AS (
+           | SELECT pc.probe_id, a.vec_id,
+           |  $fold AS ad2
+           | FROM assigned a
+           |  JOIN pcells pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+           |  JOIN codes c ON c.vec_id = a.vec_id
+           |  JOIN dv p ON p.vec_id = pc.probe_id
+           |  CROSS JOIN sq
+           |)$rankTail""".stripMargin)
+  }).getOrElse(Map.empty)
+
+  def oracles: Map[String, String] = ivfOracle ++ pqOracle ++ sqOracle ++ Map(
     "ann_lsh" ->
       s"""WITH dv AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
