@@ -37,7 +37,7 @@ object Bench {
     "text_lm_score", "q_quantile_merge_portable", "ann_ivf_dist",
     "ann_ivf2", "pipeline_ccnet_buckets",
     // round 12: the IVF2+PQ serving composition joins the tracked set
-    "ann_ivf2pq", "ann_ivfpq_rerank", "ann_sq8", "ann_ivfsq")
+    "ann_ivf2pq", "ann_ivfpq_rerank", "ann_sq8", "ann_ivfsq", "ann_range")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -121,6 +121,14 @@ object VectorQueries {
       s"CASE WHEN list_inner_product(dv, $lit) > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString(" + ")
 
+  /** ann_range radius²: ~the 2-5% d2 quantile of probe-candidate
+    * pairs on both SF corpora (min ≈ 1.1, median ≈ 2.0) — a real but
+    * selective neighborhood, non-empty at both SFs. 1.5 is exactly
+    * representable, so the literal parses to identical bits on both
+    * engines and the d2 ≤ r² decision replays bit-for-bit.
+    */
+  private[graft] val RangeR2 = 1.5
+
   private def probes(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
 
@@ -166,6 +174,18 @@ object VectorQueries {
       graft.operators.IvfIndex.topK(Tables.embeddings(s, d), probes(s, d),
         ivfDistModel(s, d), k = 5, nProbe = IvfNProbe)
         .orderBy("probe_id", "rk")
+    },
+
+    // C7e (oracle, round 12): radius search — FAISS range_search on
+    // the IVF index: ALL neighbors within squared L2 r², not a fixed
+    // top-k. No per-probe window at all — the r² cut is a scan-stage
+    // predicate over probed-cell candidates, so the output never
+    // shuffles. d2 folds bit-exactly (SqDistExpr), so the threshold
+    // decision replays identically in the oracle.
+    "ann_range" -> Q { (s, d) =>
+      graft.operators.IvfIndex.rangeSearch(Tables.embeddings(s, d),
+        probes(s, d), ivfModel(s, d), r2 = RangeR2, nProbe = IvfNProbe)
+        .orderBy("probe_id", "vec_id")
     },
 
     // C7d (oracle, round 10): TWO-LEVEL IVF — super-cells then
@@ -500,9 +520,33 @@ object VectorQueries {
          | CAST(coalesce(p.n_dup_lower, 0) = 0 AS BIGINT) AS keep
          |FROM assigned a LEFT JOIN pairs p ON p.b_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin
+    // radius search: same cell-decision replay, exact d2 as an OUTPUT
+    // column via the explicit left-to-right fold, r² cut instead of a
+    // rank window
+    val dim = m.centroids.head.size
+    val rangeSql =
+      s"""$assignCtes, pcells AS (
+         | SELECT vec_id AS probe_id, ci AS cell FROM (
+         |  SELECT vec_id, ci,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+         |  FROM dists WHERE vec_id % 50 = 0) WHERE rn <= $IvfNProbe
+         |), ex AS (
+         | SELECT pc.probe_id, a.vec_id,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |   list_transform(range(1, ${dim + 1}),
+         |    i -> (p.dv[i] - c.dv[i]) * (p.dv[i] - c.dv[i]))),
+         |   (acc, x) -> acc + x) AS d2
+         | FROM assigned a
+         |  JOIN pcells pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+         |  JOIN dv p ON p.vec_id = pc.probe_id
+         |  JOIN dv c ON c.vec_id = a.vec_id
+         |)
+         |SELECT probe_id, vec_id, d2 FROM ex WHERE d2 <= $RangeR2
+         |ORDER BY probe_id, vec_id""".stripMargin
     Map("ann_ivf" -> ivfSql,
       "ann_ivf_dist" -> ivfTopKSqlFor(ivfDistModel(s, d)),
       "ann_ivf2" -> ivf2TopKSqlFor(ivf2Model(s, d)),
+      "ann_range" -> rangeSql,
       "dedup_semantic" -> semSql)
   }).getOrElse(Map.empty)
 

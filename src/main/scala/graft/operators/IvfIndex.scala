@@ -457,4 +457,37 @@ object IvfIndex {
     cellTopK(corpus, probes, k, idCol, vecCol,
       v => assignCell(v, model),
       v => probeCells(v, model, nProbe))
+
+  /** Radius search (round 12) — FAISS `range_search` on an IVF index:
+    * ALL neighbors within squared L2 distance r2, not a fixed top-k —
+    * the shape dedup thresholds and "find everything this close"
+    * retrieval actually want (a k cutoff silently truncates dense
+    * neighborhoods and pads sparse ones). Same candidate bound as
+    * [[topK]]: only the probe's nProbe cells are scanned, the probe
+    * side broadcasts as bare (probe_id, cell) pairs plus one raw
+    * vector per probe, and there is NO per-probe window at all —
+    * the filter is a scan-stage predicate, so the output never
+    * shuffles. The (id, cell, vec) index materializes before the
+    * join ([[PqIndex]]'s 140× rule: a lazy assignment projection
+    * re-evaluates k centroid distances PER CANDIDATE in the join's
+    * emit path). d2 folds via the bit-exact
+    * [[graft.functions.VectorOps.sqDist]], so the r2 comparison
+    * replays identically in the oracle.
+    */
+  def rangeSearch(corpus: DataFrame, probes: DataFrame, model: Model,
+                  r2: Double, nProbe: Int = 2, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val indexed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
+      assignCell(col(vecCol), model).as("cell")).localCheckpoint(true)
+    val pc = probes.select(col(idCol).as("probe_id"),
+      explode(probeCells(col(vecCol), model, nProbe)).as("cell"))
+    val pv = probes.select(col(idCol).as("probe_id"), col(vecCol).as("_pv"))
+    indexed.join(broadcast(pc),
+        indexed("cell") === pc("cell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("_cv"))
+      .join(broadcast(pv), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.VectorOps.sqDist(col("_pv"), col("_cv")).as("d2"))
+      .filter(col("d2") <= r2)
+  }
 }

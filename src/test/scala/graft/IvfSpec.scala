@@ -178,4 +178,42 @@ class IvfSpec extends SparkFunSuite {
       .groupBy("cell").count().collect()
     assert(cells.map(_.getLong(1)).sum == 30000L)
   }
+
+  test("rangeSearch: exactly the candidates within r2, no window, broadcast-only plan") {
+    val corpus = Tables.embeddings(spark, sf)
+    val probes = corpus.filter(col("vec_id") % 50 === 0)
+    val model = IvfIndex.train(corpus, nList = 16)
+    val r2 = VectorQueries.RangeR2
+    val res = IvfIndex.rangeSearch(corpus, probes, model, r2 = r2, nProbe = 4)
+
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "cell join not broadcast")
+    assert(!plan.contains("SortMergeJoin"), "range search shuffles the corpus")
+    assert(!plan.contains("Window"), "range search must not need a per-probe window")
+
+    // semantic identity: result == {(p, c, d2) : c in p's probed
+    // cells, c != p, d2 <= r2}, with d2 from the exact replay fold
+    val all = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(p: Long, c: Long): Double = {
+      val (pv, cv) = (all(p), all(c)); var s = 0.0; var i = 0
+      while (i < pv.length) { val dd = pv(i) - cv(i); s += dd * dd; i += 1 }
+      s
+    }
+    val cells = corpus.select(col("vec_id"),
+        IvfIndex.assignCell(col("embedding"), model).as("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pcells = probes.select(col("vec_id"),
+        IvfIndex.probeCells(col("embedding"), model, 4).as("pc")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    val expected = (for {
+      p <- pcells.keys.toSeq
+      c <- all.keys.toSeq if c != p && pcells(p).contains(cells(c))
+      d = d2(p, c) if d <= r2
+    } yield (p, c, d)).toSet
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"range result drift: got ${got.size}, expected ${expected.size}")
+    assert(got.nonEmpty, "radius too tight: empty result proves nothing")
+  }
 }
