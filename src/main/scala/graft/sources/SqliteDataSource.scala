@@ -32,8 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - Rows surface as `InternalRow` (UTF8String/primitives) — no
   *    Row-encoder round trip.
   *
-  * Same scope and refusals as [[SqliteFile]] (rowid tables, UTF-8,
-  * read-only, shared-FS path on a real cluster).
+  * Same scope and refusals as [[SqliteFile]] (rowid + WITHOUT ROWID
+  * tables, UTF-8, read-only, shared-FS path on a real cluster).
   */
 final class SqliteDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -113,7 +113,7 @@ private[sources] final class SqliteScan(path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SqliteReaderFactory(path, SqliteFile.header(path), tdef.name,
-      tdef.columns.toIndexedSeq,
+      tdef.columns.toIndexedSeq, tdef.recordIndex,
       required.fieldNames.toIndexedSeq)
 }
 
@@ -121,17 +121,20 @@ private[sources] final class SqliteReaderFactory(path: String,
                                                  h: SqliteFile.Header,
                                                  table: String,
                                                  cols: IndexedSeq[SqliteFile.ColumnDef],
+                                                 recIdx: IndexedSeq[Int],
                                                  required: IndexedSeq[String])
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val roots = p.asInstanceOf[SqliteSubtrees].roots
-    // (source column index, its ColumnDef) per REQUIRED output slot —
-    // pruning decided on the driver, applied per record here
+    // (RECORD position — declared order for rowid tables, the
+    // pk-first permutation for WITHOUT ROWID — and the ColumnDef)
+    // per REQUIRED output slot; pruning decided on the driver,
+    // applied per record here
     val slots = required.map { n =>
       val i = cols.indexWhere(_.name == n)
       require(i >= 0, s"pruned column $n not in $table")
-      (i, cols(i))
+      (recIdx(i), cols(i))
     }
     new PartitionReader[InternalRow] {
       private val walks = roots.iterator.map(r =>

@@ -11,11 +11,21 @@ import org.apache.spark.sql.types._
   * run END-TO-END — real `.db` bytes in, Spark DataFrame out — with
   * no driver on the classpath at all.
   *
-  * Scope (refused loudly outside it): journal-mode rowid tables,
-  * UTF-8 text encoding, read-only. WITHOUT ROWID tables (index-btree
-  * layout) and UTF-16 databases raise with named errors; a database
-  * left in WAL mode with a non-checkpointed `-wal` file would read
-  * stale, so a non-empty sibling wal file also refuses.
+  * Scope (refused loudly outside it): journal-mode rowid AND
+  * WITHOUT ROWID tables, UTF-8 text encoding, read-only. UTF-16
+  * databases raise with named errors; a database left in WAL mode
+  * with a non-checkpointed `-wal` file would read stale, so a
+  * non-empty sibling wal file also refuses.
+  *
+  * WITHOUT ROWID tables (round 12) store rows in an INDEX b-tree
+  * (page types 0x02/0x0a, fileformat2 §2.3): the record holds the
+  * PRIMARY KEY columns first (in PK-clause order) then the remaining
+  * columns in declared order, interior pages carry full records too
+  * (not just routing keys), and the overflow spill threshold differs
+  * from table leaves (X = ((U-12)*64/255)-23, not U-35). The walker
+  * emits interior-cell records inline, [[read]] permutes record
+  * order back to declared order, and partitioning adds one
+  * cells-only slice for the root's own records.
   *
   * Distribution model: the driver opens the file once to parse the
   * header + `sqlite_master` and to collect the root b-tree's level-1
@@ -51,9 +61,28 @@ object SqliteFile {
   }
 
   final case class TableDef(name: String, rootPage: Int,
-                            columns: Seq[ColumnDef], sql: String) {
+                            columns: Seq[ColumnDef], sql: String,
+                            withoutRowid: Boolean = false) {
     def primaryKey: Seq[String] =
       columns.filter(_.pkOrdinal > 0).sortBy(_.pkOrdinal).map(_.name)
+
+    /** Record-position of each DECLARED column. Rowid tables store
+      * records in declared order (identity); WITHOUT ROWID records
+      * hold PK columns first (PK-clause order) then non-PK columns in
+      * declared order (fileformat2 §2.3) — this permutation maps them
+      * back. ALTER-added columns sit last in BOTH orders, so the
+      * short-record NULL-padding rule survives the permutation.
+      */
+    def recordIndex: IndexedSeq[Int] =
+      if (!withoutRowid) columns.indices.toIndexedSeq
+      else {
+        val nPk = columns.count(_.pkOrdinal > 0)
+        var nonPkSeen = 0
+        columns.map { c =>
+          if (c.pkOrdinal > 0) c.pkOrdinal - 1
+          else { val i = nPk + nonPkSeen; nonPkSeen += 1; i }
+        }.toIndexedSeq
+      }
   }
 
   // ------------------------------------------------------------ header
@@ -178,13 +207,15 @@ object SqliteFile {
   }
 
   /** Assemble a cell payload, following the overflow chain when the
-    * local part is truncated (fileformat2 §1.6 spill rules for table
-    * leaves: X = U-35, M = ((U-12)*32/255)-23, K = M+((P-M)%(U-4))).
+    * local part is truncated (fileformat2 §1.6 spill rules: table
+    * leaves spill past X = U-35, index pages past X = ((U-12)*64/255)
+    * - 23; both share M = ((U-12)*32/255)-23, K = M+((P-M)%(U-4))).
     */
   private def payload(pf: PageFile, page: Array[Byte], cellOff: Int,
-                      p: Long, afterVarints: Int): Array[Byte] = {
+                      p: Long, afterVarints: Int,
+                      index: Boolean = false): Array[Byte] = {
     val u = pf.h.usable
-    val x = u - 35
+    val x = if (index) ((u - 12) * 64) / 255 - 23 else u - 35
     if (p <= x) // fully local
       return java.util.Arrays.copyOfRange(page, afterVarints,
         afterVarints + p.toInt)
@@ -206,14 +237,22 @@ object SqliteFile {
     out
   }
 
-  /** Depth-first iterator over a table b-tree subtree: (rowid, record
-    * values). One open file handle per iterator; closed when the
-    * iterator is exhausted (or via close()).
+  /** Depth-first iterator over a b-tree subtree: (rowid, record
+    * values). Handles BOTH b-tree kinds: table pages (0x05/0x0d)
+    * yield (rowid, record); index pages (0x02/0x0a — WITHOUT ROWID
+    * content) yield (0, record) with interior-cell records emitted
+    * inline (index interiors carry full rows, fileformat2 §2.3;
+    * emission order is per-page, not globally key-sorted — DataFrames
+    * are unordered and the order is still deterministic). A NEGATIVE
+    * root means "cells of page |root| only, no descent" — how [[read]]
+    * slices an index ROOT's own records into their own partition.
+    * One open file handle per iterator; closed when exhausted (or via
+    * close()).
     */
   private[sources] final class TableWalk(path: String, h: Header, root: Int)
       extends Iterator[(Long, IndexedSeq[Any])] with AutoCloseable {
     private val pf = new PageFile(path, h)
-    // stack of (page number); leaves stream their cells in order
+    // stack of page numbers; negative = emit that page's cells only
     private var stack = List(root)
     private var cells: Iterator[(Long, IndexedSeq[Any])] = Iterator.empty
     private var open = true
@@ -222,13 +261,17 @@ object SqliteFile {
 
     private def descend(): Unit = {
       while (cells.isEmpty && stack.nonEmpty) {
-        val n = stack.head; stack = stack.tail
+        val n0 = stack.head; stack = stack.tail
+        val cellsOnly = n0 < 0
+        val n = math.abs(n0)
         val pg = pf.page(n)
         val off = pageHeaderOff(n)
         val tpe = pg(off) & 0xff
         val k = be(pg, off + 3, 2).toInt
         tpe match {
           case 0x05 => // interior table: children left-to-right + rightmost
+            require(!cellsOnly, s"page $n: cells-only slice of a table " +
+              "interior page has nothing to emit")
             val ptrs = (0 until k).map { i =>
               be(pg, be(pg, off + 12 + 2 * i, 2).toInt, 4).toInt
             } :+ be(pg, off + 8, 4).toInt
@@ -240,10 +283,24 @@ object SqliteFile {
               val (rowid, n2) = varint(pg, c + n1)
               (rowid, record(payload(pf, pg, c, p, c + n1 + n2)))
             }
-          case 0x02 | 0x0a =>
-            throw new IllegalStateException(
-              s"page $n is an INDEX b-tree page ($tpe): WITHOUT ROWID " +
-                "tables are not supported by this reader")
+          case 0x02 => // interior index: records in cells + children
+            if (!cellsOnly) {
+              val ptrs = (0 until k).map { i =>
+                be(pg, be(pg, off + 12 + 2 * i, 2).toInt, 4).toInt
+              } :+ be(pg, off + 8, 4).toInt
+              stack = ptrs.toList ::: stack
+            }
+            cells = (0 until k).iterator.map { i =>
+              val c = be(pg, off + 12 + 2 * i, 2).toInt
+              val (p, n1) = varint(pg, c + 4) // 4-byte child ptr first
+              (0L, record(payload(pf, pg, c, p, c + 4 + n1, index = true)))
+            }
+          case 0x0a => // leaf index
+            cells = (0 until k).iterator.map { i =>
+              val c = be(pg, off + 8 + 2 * i, 2).toInt
+              val (p, n1) = varint(pg, c)
+              (0L, record(payload(pf, pg, c, p, c + n1, index = true)))
+            }
           case other =>
             throw new IllegalStateException(
               s"page $n has unknown b-tree page type $other")
@@ -259,6 +316,9 @@ object SqliteFile {
 
   /** The level-1 children of a table's root page — the subtree roots
     * partitions walk independently. A leaf root is its own subtree.
+    * An INDEX interior root (WITHOUT ROWID) also contributes one
+    * cells-only slice (encoded as -rootPage) for its OWN records,
+    * which index interiors carry alongside the child pointers.
     */
   def subtreeRoots(path: String, table: TableDef): Seq[Int] = {
     val h = header(path)
@@ -268,12 +328,13 @@ object SqliteFile {
       val pg = pf.page(n)
       val off = if (n == 1) 100 else 0
       val tpe = pg(off) & 0xff
-      if (tpe == 0x0d) Seq(n)
+      if (tpe == 0x0d || tpe == 0x0a) Seq(n)
       else {
         val k = be(pg, off + 3, 2).toInt
-        (0 until k).map { i =>
+        val children = (0 until k).map { i =>
           be(pg, be(pg, off + 12 + 2 * i, 2).toInt, 4).toInt
         } :+ be(pg, off + 8, 4).toInt
+        if (tpe == 0x02) children :+ (-n) else children
       }
     } finally pf.close()
   }
@@ -298,7 +359,11 @@ object SqliteFile {
           (name, root, sql)
       }.filterNot(_._1.startsWith("sqlite_"))
         .map { case (name, root, sql) =>
-          TableDef(name, root, parseCreateTable(sql), sql)
+          val wr = isWithoutRowid(sql)
+          val cols = parseCreateTable(sql)
+          TableDef(name, root,
+            if (wr) cols.map(_.copy(rowidAlias = false)) else cols,
+            sql, withoutRowid = wr)
         }.toList
     } finally w.close()
   }
@@ -345,15 +410,23 @@ object SqliteFile {
   private val TableConstraintStart =
     Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
 
+  /** True when the CREATE TABLE statement's trailer (after the column
+    * list's closing paren) declares WITHOUT ROWID — checked there, not
+    * in the whole SQL, so a column named "without rowid" can't trip it.
+    */
+  private[sources] def isWithoutRowid(sql: String): Boolean = {
+    val close = sql.lastIndexOf(')')
+    close >= 0 && sql.substring(close + 1).toUpperCase
+      .replaceAll("\\s+", " ").contains("WITHOUT ROWID")
+  }
+
   /** Minimal CREATE TABLE parser: column names, declared types, pk
     * ordinals, the INTEGER-PRIMARY-KEY rowid alias. Covers the SQL
-    * sqlite itself writes into sqlite_master for ordinary rowid
-    * tables; WITHOUT ROWID refuses (its b-tree layout differs).
+    * sqlite itself writes into sqlite_master. For WITHOUT ROWID
+    * tables the caller clears rowidAlias (there is no rowid; even an
+    * INTEGER PRIMARY KEY stores its value in the record).
     */
   private[sources] def parseCreateTable(sql: String): Seq[ColumnDef] = {
-    require(!sql.toUpperCase.replaceAll("\\s+", " ")
-        .contains("WITHOUT ROWID"),
-      "WITHOUT ROWID tables are not supported by this reader")
     val open = sql.indexOf('(')
     val close = sql.lastIndexOf(')')
     require(open >= 0 && close > open, s"cannot parse CREATE TABLE: $sql")
@@ -467,6 +540,7 @@ object SqliteFile {
     val h = header(path)
     val schema = schemaOf(table)
     val cols = table.columns.toIndexedSeq
+    val recIdx = table.recordIndex
     val tname = table.name
     val roots = subtreeRoots(path, table)
     val groups = roots.grouped(
@@ -477,8 +551,9 @@ object SqliteFile {
         subtrees.iterator.flatMap { root =>
           new TableWalk(path, h, root).map { case (rowid, vals) =>
             Row.fromSeq(cols.zipWithIndex.map { case (c, i) =>
+              val src = recIdx(i)
               if (c.rowidAlias) rowid
-              else if (i < vals.size) coerceValue(vals(i), c, tname)
+              else if (src < vals.size) coerceValue(vals(src), c, tname)
               else null
             })
           }

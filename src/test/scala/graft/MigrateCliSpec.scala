@@ -93,7 +93,11 @@ class MigrateCliSpec extends SparkFunSuite {
       assert(printed.contains("ORDER BY (a, b)"))
       assert(printed.contains("ReplacingMergeTree"))
       assert(printed.contains("OPTIMIZE TABLE db.big"))
-      assert(printed.contains("6009 rows total"))
+      // WITHOUT ROWID tables (round 12) migrate through the same CLI:
+      // composite pk -> tuple ORDER BY, 5001 + 3 rows join the total
+      assert(spark.read.parquet(s"$out/wr").count() == 5001L)
+      assert(printed.contains("ORDER BY (grp, k)"))
+      assert(printed.contains("11013 rows total"))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }

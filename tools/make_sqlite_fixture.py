@@ -71,6 +71,31 @@ c.executemany("INSERT INTO altered VALUES (?,?)", [(1, "old1"), (2, "old2")])
 c.execute("ALTER TABLE altered ADD COLUMN extra INTEGER")
 c.execute("INSERT INTO altered VALUES (3, 'new3', 33)")
 
+# WITHOUT ROWID (round 12): index-btree layout. PK columns NOT first
+# in declared order (exercises the pk-first record permutation), 5000
+# rows -> interior index pages (whose cells carry full records), one
+# ~30 KB value -> index-rule overflow chain, plus ALTER after inserts
+# -> short records under the permutation.
+c.execute("""CREATE TABLE wr (
+  payload TEXT, grp INTEGER, k TEXT, amount REAL,
+  PRIMARY KEY (grp, k)) WITHOUT ROWID""")
+def wr_payload(i):
+    if i == 777:  # overflow at the index spill threshold
+        return "wrbig-" + "y" * 30000
+    seed = zlib.crc32(("wr%d" % i).encode()) & 0xffffffff
+    return ("p%d " % (seed % 1000)) * (5 + seed % 40)
+wr_rows = [(wr_payload(i), i % 97, "k%05d" % i, (i % 211) / 3.0)
+           for i in range(1, 5001)]
+c.executemany("INSERT INTO wr VALUES (?,?,?,?)", wr_rows)
+c.execute("ALTER TABLE wr ADD COLUMN extra INTEGER")
+c.execute("INSERT INTO wr VALUES ('tail', 999, 'k99999', -1.5, 42)")
+
+# small WITHOUT ROWID: single-column TEXT pk, leaf-only root
+c.execute("""CREATE TABLE wr_small (
+  name TEXT PRIMARY KEY, n INTEGER) WITHOUT ROWID""")
+c.executemany("INSERT INTO wr_small VALUES (?,?)",
+              [("alpha", 1), ("beta", 2), ("gamma", None)])
+
 c.execute("CREATE INDEX big_val ON big(val)")
 c.execute("CREATE VIEW big_view AS SELECT id FROM big WHERE val > 0")
 db.commit()
@@ -83,6 +108,9 @@ for q in [
     "SELECT min(score), max(score) FROM big",
     "SELECT count(*) FROM typed",
     "SELECT sum(a), count(*) FROM pair",
+    "SELECT count(*), sum(grp), sum(length(payload)), sum(amount) FROM wr",
+    "SELECT count(*) FROM wr WHERE extra IS NOT NULL",
+    "SELECT sum(n) FROM wr_small",
 ]:
     print(q, "->", c.execute(q).fetchone())
 db.close()
