@@ -22,6 +22,41 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // B32 (round 12): ClickHouse sumMap — every event contributes its
+    // parallel (key, value) arrays [per-type + an 'all' rollup]; the
+    // operator merges them per user into one sorted map. The gate
+    // explodes the aligned output arrays back to rows (array columns
+    // don't survive the hash gate's canonicalizer; the ARRAY shape
+    // itself is spec-pinned), decimal-exact sums, double output.
+    "q_sum_map" -> Q { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          array(col("event_type"), lit("all")).as("ks"),
+          array(col("value").cast(d2), col("value").cast(d2)).as("vs"))
+      ChAnalytics.sumMap(ev, col("user_id"), col("ks"), col("vs"))
+        .select(col("grp"),
+          explode(zip_with(col("keys"), col("values"),
+            (k, v) => struct(k.as("k"), v.as("v")))).as("__kv"))
+        .select(col("grp"), col("__kv.k").as("k"),
+          col("__kv.v").cast(DoubleType).as("v"))
+        .orderBy("grp", "k")
+    },
+
+    // B33 (round 12): ClickHouse maxIntersections — peak concurrent
+    // users per day: one [first-event, last-event+1µs) interval per
+    // (user, day), then the half-open sweep. Peer-inclusive RANGE
+    // frames make the tie order irrelevant on both engines.
+    "q_max_intersections" -> Q { (s, d) =>
+      val iv = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          expr(s"ts_us div $dayUs").as("day"))
+        .agg(min(col("ts_us")).as("s"),
+          (max(col("ts_us")) + 1L).as("e"))
+      ChAnalytics.maxIntersections(iv, col("day"), col("s"), col("e"))
+        .select(col("grp").as("day"), col("max_intersections"))
+        .orderBy("day")
+    },
+
     // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
     // WindowGroupLimit prunes to ≤2 rows/user/partition pre-shuffle.
     "q_limit_by" -> Q { (s, d) =>
@@ -531,6 +566,35 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q_cms_counts" -> cmsSql,
     "cms_stream_relation" -> cmsStreamSql,
+
+    // sumMap replay: the same per-row (type, 'all') expansion, the
+    // same decimal-exact per-(grp, key) sums
+    "q_sum_map" ->
+      """WITH pairs AS (
+        | SELECT user_id AS grp,
+        |  unnest([event_type, 'all']) AS k,
+        |  CAST(value AS DECIMAL(18,2)) AS v
+        | FROM events)
+        |SELECT grp, k, CAST(sum(v) AS DOUBLE) AS v
+        |FROM pairs GROUP BY grp, k ORDER BY grp, k""".stripMargin,
+
+    // maxIntersections replay: identical intervals, identical delta
+    // sort, DuckDB's own default RANGE frame (peer-inclusive too)
+    "q_max_intersections" ->
+      s"""WITH iv AS (
+         | SELECT user_id, epoch_us(ts) // $dayUs AS day,
+         |  min(epoch_us(ts)) AS s, max(epoch_us(ts)) + 1 AS e
+         | FROM events GROUP BY 1, 2
+         |), pts AS (
+         | SELECT day, s AS t, 1 AS d FROM iv
+         | UNION ALL
+         | SELECT day, e AS t, -1 AS d FROM iv
+         |), run AS (
+         | SELECT day,
+         |  sum(d) OVER (PARTITION BY day ORDER BY t, d) AS r
+         | FROM pts)
+         |SELECT day, CAST(max(r) AS BIGINT) AS max_intersections
+         |FROM run GROUP BY day ORDER BY day""".stripMargin,
 
     "q_rate_spike" ->
       """WITH hourly AS (

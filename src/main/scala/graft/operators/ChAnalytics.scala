@@ -208,4 +208,60 @@ object ChAnalytics {
         transform(array_sort(collect_list(col("__e"))), e => e.getField("__c")),
         "").as("seq"))
   }
+
+  /** ClickHouse `sumMap(keys, values)` (round 12): per group, merge
+    * every row's parallel key/value arrays into one map — sum per
+    * distinct key, keys ascending. Output: (grp, keys array, values
+    * array), positionally aligned.
+    *
+    * Shape at 100 TB: explode → two partial-aggregated groupBys
+    * ((g,k) then g) — the same merge a ClickHouse `sumMap` state tree
+    * does, except both levels map-side combine; per-group output is
+    * bounded by the distinct-key count, never the row count. Pass a
+    * DECIMAL value column for cross-engine-exact sums (the repo's
+    * float-aggregate rule).
+    */
+  def sumMap(df: DataFrame, group: Column, keys: Column,
+             values: Column): DataFrame = {
+    val pairs = df.select(group.as("grp"),
+        explode(zip_with(keys, values,
+          (k, v) => struct(k.as("k"), v.as("v")))).as("__kv"))
+      .select(col("grp"), col("__kv.k").as("__k"), col("__kv.v").as("__v"))
+    pairs.groupBy(col("grp"), col("__k"))
+      .agg(sum(col("__v")).as("__s"))
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("__k"), col("__s"))))
+        .as("__arr"))
+      .select(col("grp"),
+        transform(col("__arr"), e => e.getField("__k")).as("keys"),
+        transform(col("__arr"), e => e.getField("__s")).as("values"))
+  }
+
+  /** ClickHouse `maxIntersections(start, end)` (round 12): the
+    * maximum number of simultaneously open [start, end) intervals
+    * per group — peak concurrency.
+    *
+    * Semantics: half-open — intervals sharing only an endpoint never
+    * overlap. The delta sort (t asc, then −1 before +1) applies every
+    * close before any open at the same instant, and the running sum
+    * uses the DEFAULT RANGE frame, so PEER rows (equal (t, d))
+    * aggregate together — tie order between equal rows cannot change
+    * the result, which is what lets the oracle replay it with its own
+    * default-frame window.
+    *
+    * Shape at 100 TB: 2 rows per interval, one window partitioned by
+    * the group key (one shuffle), max per group. Never materializes
+    * pairwise overlaps.
+    */
+  def maxIntersections(df: DataFrame, group: Column, start: Column,
+                       end: Column): DataFrame = {
+    val deltas = df.select(group.as("grp"), start.as("__t"),
+        lit(1L).as("__d"))
+      .unionAll(df.select(group.as("grp"), end.as("__t"),
+        lit(-1L).as("__d")))
+    val w = Window.partitionBy("grp").orderBy(col("__t"), col("__d"))
+    deltas.withColumn("__run", sum(col("__d")).over(w))
+      .groupBy(col("grp"))
+      .agg(max(col("__run")).as("max_intersections"))
+  }
 }

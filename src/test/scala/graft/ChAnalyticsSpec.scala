@@ -136,4 +136,37 @@ class ChAnalyticsSpec extends SparkFunSuite {
     assert(joined.where((col("strict") === 0) =!= (col("loose") === 0))
       .count() == 0)
   }
+
+  test("sumMap: per-group key-sorted merge of parallel arrays, aligned, exact") {
+    val df = Seq(
+      (1L, Seq("b", "a"), Seq(1.0, 2.0)),
+      (1L, Seq("a", "c"), Seq(10.0, 0.5)),
+      (2L, Seq("z"), Seq(7.0)),
+      (2L, Seq.empty[String], Seq.empty[Double])
+    ).toDF("g", "ks", "vs")
+    val out = ChAnalytics.sumMap(df, col("g"), col("ks"), col("vs"))
+      .orderBy("grp").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L)
+    assert(out(0).getSeq[String](1) == Seq("a", "b", "c"))
+    assert(out(0).getSeq[Double](2) == Seq(12.0, 1.0, 0.5))
+    assert(out(1).getLong(0) == 2L)
+    assert(out(1).getSeq[String](1) == Seq("z"))
+    assert(out(1).getSeq[Double](2) == Seq(7.0))
+  }
+
+  test("maxIntersections: half-open semantics, peak concurrency per group") {
+    val iv = Seq(
+      // g=1: [0,10) [5,15) [14,20) -> peak 2 (at t in [5,10) and [14,15))
+      (1L, 0L, 10L), (1L, 5L, 15L), (1L, 14L, 20L),
+      // g=2: touching endpoints [0,5) [5,9) never overlap -> peak 1
+      (2L, 0L, 5L), (2L, 5L, 9L),
+      // g=3: three nested -> peak 3
+      (3L, 0L, 100L), (3L, 10L, 90L), (3L, 20L, 80L)
+    ).toDF("g", "s", "e")
+    val out = ChAnalytics.maxIntersections(iv, col("g"), col("s"), col("e"))
+      .orderBy("grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L), (3L, 3L)))
+  }
 }
