@@ -57,6 +57,22 @@ object AnalyticsQueries {
         .orderBy("day")
     },
 
+    // B34 (round 12): ClickHouse intervalLengthSum — per day, the
+    // total time covered by ≥1 user's [first-event, last-event+1µs)
+    // activity interval: union length, overlaps counted once.
+    // Integer-µs arithmetic end to end → exact on both engines.
+    "q_interval_union" -> Q { (s, d) =>
+      val iv = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          expr(s"ts_us div $dayUs").as("day"))
+        .agg(min(col("ts_us")).as("s"),
+          (max(col("ts_us")) + 1L).as("e"))
+      ChAnalytics.intervalLengthSum(iv, col("day"), col("s"), col("e"))
+        .select(col("grp").as("day"),
+          col("interval_length_sum").as("covered_us"))
+        .orderBy("day")
+    },
+
     // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
     // WindowGroupLimit prunes to ≤2 rows/user/partition pre-shuffle.
     "q_limit_by" -> Q { (s, d) =>
@@ -595,6 +611,27 @@ object AnalyticsQueries {
          | FROM pts)
          |SELECT day, CAST(max(r) AS BIGINT) AS max_intersections
          |FROM run GROUP BY day ORDER BY day""".stripMargin,
+
+    // intervalLengthSum replay: same sweep; covered iff run>0; among
+    // equal-(t,d) peers only the engine-chosen last row gets a
+    // nonzero lead(t)−t, and all peers share one run — tie-order-free
+    "q_interval_union" ->
+      s"""WITH iv AS (
+         | SELECT user_id, epoch_us(ts) // $dayUs AS day,
+         |  min(epoch_us(ts)) AS s, max(epoch_us(ts)) + 1 AS e
+         | FROM events GROUP BY 1, 2
+         |), pts AS (
+         | SELECT day, s AS t, 1 AS d FROM iv
+         | UNION ALL
+         | SELECT day, e AS t, -1 AS d FROM iv
+         |), run AS (
+         | SELECT day, t,
+         |  sum(d) OVER (PARTITION BY day ORDER BY t, d) AS r,
+         |  lead(t) OVER (PARTITION BY day ORDER BY t, d) AS nt
+         | FROM pts)
+         |SELECT day, CAST(sum(nt - t) AS BIGINT) AS covered_us
+         |FROM run WHERE r > 0 AND nt IS NOT NULL
+         |GROUP BY day ORDER BY day""".stripMargin,
 
     "q_rate_spike" ->
       """WITH hourly AS (

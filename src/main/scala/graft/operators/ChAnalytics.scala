@@ -264,4 +264,37 @@ object ChAnalytics {
       .groupBy(col("grp"))
       .agg(max(col("__run")).as("max_intersections"))
   }
+
+  /** ClickHouse `intervalLengthSum(start, end)` (round 12): total
+    * length of the UNION of [start, end) intervals per group —
+    * overlaps counted once, touching endpoints merge seamlessly
+    * (half-open).
+    *
+    * Same delta sweep as [[maxIntersections]]: a segment between one
+    * sweep row and the next is covered iff the running interval count
+    * is > 0 there. Tie rows (equal (t, d)) are RANGE-frame peers with
+    * identical running sums, and every segment between same-t rows
+    * has zero length, so exactly one row per distinct t contributes
+    * `next_t − t` — the total is independent of the engine's tie
+    * order, which lets the oracle replay it with its own lead()
+    * ordering. All-integer arithmetic → exact on both engines.
+    *
+    * Shape at 100 TB: 2 rows per interval, one window partitioned by
+    * the group key (one shuffle), sum per group. Never materializes
+    * the merged interval list.
+    */
+  def intervalLengthSum(df: DataFrame, group: Column, start: Column,
+                        end: Column): DataFrame = {
+    val deltas = df.select(group.as("grp"), start.as("__t"),
+        lit(1L).as("__d"))
+      .unionAll(df.select(group.as("grp"), end.as("__t"),
+        lit(-1L).as("__d")))
+    val w = Window.partitionBy("grp").orderBy(col("__t"), col("__d"))
+    deltas
+      .withColumn("__run", sum(col("__d")).over(w))
+      .withColumn("__next_t", lead(col("__t"), 1).over(w))
+      .where(col("__run") > 0 && col("__next_t").isNotNull)
+      .groupBy(col("grp"))
+      .agg(sum(col("__next_t") - col("__t")).as("interval_length_sum"))
+  }
 }

@@ -169,4 +169,21 @@ class ChAnalyticsSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((1L, 2L), (2L, 1L), (3L, 3L)))
   }
+
+  test("intervalLengthSum: union length — overlaps once, touching merge, gaps excluded") {
+    val iv = Seq(
+      // g=1: [0,10) ∪ [5,15) ∪ [20,25) -> 15 + 5 = 20 (overlap once, gap excluded)
+      (1L, 0L, 10L), (1L, 5L, 15L), (1L, 20L, 25L),
+      // g=2: touching [0,5) ∪ [5,9) merge seamlessly -> 9
+      (2L, 0L, 5L), (2L, 5L, 9L),
+      // g=3: nested [0,100) ⊇ [10,90) -> 100, counted once
+      (3L, 0L, 100L), (3L, 10L, 90L),
+      // g=4: duplicate identical intervals -> 7, counted once
+      (4L, 3L, 10L), (4L, 3L, 10L)
+    ).toDF("g", "s", "e")
+    val out = ChAnalytics.intervalLengthSum(iv, col("g"), col("s"), col("e"))
+      .orderBy("grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 20L), (2L, 9L), (3L, 100L), (4L, 7L)))
+  }
 }
