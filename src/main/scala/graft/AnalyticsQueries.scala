@@ -73,6 +73,58 @@ object AnalyticsQueries {
         .orderBy("day")
     },
 
+    // B35 (round 12): ClickHouse minMap/maxMap — sumMap's extrema
+    // sibling: per user, per key ((type, 'all')), the min and max
+    // value. Ordering-only aggregate → doubles are cross-engine exact
+    // with no decimal detour. Array shape spec-pinned; gate explodes.
+    "q_minmax_map" -> Q { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          array(col("event_type"), lit("all")).as("ks"),
+          array(col("value"), col("value")).as("vs"))
+      ChAnalytics.minMaxMap(ev, col("user_id"), col("ks"), col("vs"))
+        .select(col("grp"),
+          explode(arrays_zip(col("keys"), col("mins"), col("maxs")))
+            .as("__kv"))
+        .select(col("grp"), col("__kv.keys").as("k"),
+          col("__kv.mins").as("vmin"), col("__kv.maxs").as("vmax"))
+        .orderBy("grp", "k")
+    },
+
+    // B36 (round 12): ClickHouse argMin/argMax — per event type, which
+    // user produced the extreme value (deterministic (v, event_id)
+    // tie rule on both engines). One struct-min/max aggregate: fully
+    // map-side combinable, no window.
+    "q_arg_minmax" -> Q { (s, d) =>
+      ChAnalytics.argMinMax(Tables.events(s, d), col("event_type"),
+        col("value"), col("event_id"), col("user_id"))
+        .select(col("grp").as("event_type"), col("min_val"),
+          col("arg_min"), col("max_val"), col("arg_max"))
+        .orderBy("event_type")
+    },
+
+    // B37 (round 12): ClickHouse deltaSum — per user, the sum of
+    // positive value deltas along the (ts, event_id)-ordered stream
+    // (counter semantics: resets ignored). Decimal-exact deltas.
+    "q_delta_sum" -> Q { (s, d) =>
+      ChAnalytics.deltaSum(Tables.events(s, d), col("user_id"),
+        Seq(col("ts_us"), col("event_id")), col("value").cast(d2))
+        .select(col("series").as("user_id"),
+          col("delta_sum").cast(DoubleType).as("delta_sum"))
+        .orderBy("user_id")
+    },
+
+    // B38 (round 12): ClickHouse boundingRatio — per user, net value
+    // change per µs between their first and last event (single-event
+    // users → NULL). Endpoints exact via the struct rule; one IEEE
+    // divide.
+    "q_bounding_ratio" -> Q { (s, d) =>
+      ChAnalytics.boundingRatio(Tables.events(s, d), col("user_id"),
+        col("ts_us"), col("event_id"), col("value"))
+        .select(col("grp").as("user_id"), col("bounding_ratio"))
+        .orderBy("user_id")
+    },
+
     // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
     // WindowGroupLimit prunes to ≤2 rows/user/partition pre-shuffle.
     "q_limit_by" -> Q { (s, d) =>
@@ -632,6 +684,69 @@ object AnalyticsQueries {
          |SELECT day, CAST(sum(nt - t) AS BIGINT) AS covered_us
          |FROM run WHERE r > 0 AND nt IS NOT NULL
          |GROUP BY day ORDER BY day""".stripMargin,
+
+    // minMap/maxMap replay: same per-row (type, 'all') expansion,
+    // plain min/max per (grp, key) — ordering-only, no decimal needed
+    "q_minmax_map" ->
+      """WITH pairs AS (
+        | SELECT user_id AS grp,
+        |  unnest([event_type, 'all']) AS k, value AS v
+        | FROM events)
+        |SELECT grp, k, min(v) AS vmin, max(v) AS vmax
+        |FROM pairs GROUP BY grp, k ORDER BY grp, k""".stripMargin,
+
+    // argMin/argMax replay: the struct rule (v, event_id, user_id)
+    // becomes two ranked windows — event_id is unique, so the third
+    // key never decides, but both sides carry it for bit-safety
+    "q_arg_minmax" ->
+      """WITH r AS (
+        | SELECT event_type, value AS v, user_id AS a,
+        |  row_number() OVER (PARTITION BY event_type
+        |   ORDER BY value, event_id, user_id) AS rn,
+        |  row_number() OVER (PARTITION BY event_type
+        |   ORDER BY value DESC, event_id DESC, user_id DESC) AS rx
+        | FROM events)
+        |SELECT event_type,
+        | min(CASE WHEN rn = 1 THEN v END) AS min_val,
+        | min(CASE WHEN rn = 1 THEN a END) AS arg_min,
+        | min(CASE WHEN rx = 1 THEN v END) AS max_val,
+        | min(CASE WHEN rx = 1 THEN a END) AS arg_max
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // deltaSum replay: identical decimal deltas along the identical
+    // (ts, event_id) total order; negative and first-row deltas → 0
+    "q_delta_sum" ->
+      """WITH s AS (
+        | SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |  lag(CAST(value AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pv
+        | FROM events)
+        |SELECT user_id,
+        | CAST(sum(CASE WHEN v > pv THEN v - pv ELSE 0 END) AS DOUBLE)
+        |  AS delta_sum
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // boundingRatio replay: endpoint rows via the same (x, event_id,
+    // y) total order, then the identical (Δy)/CAST(Δx AS DOUBLE)
+    // expression tree — one IEEE subtract + divide on each engine
+    "q_bounding_ratio" ->
+      """WITH r AS (
+        | SELECT user_id, epoch_us(ts) AS x, value AS y,
+        |  row_number() OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id, value) AS rn,
+        |  row_number() OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts) DESC, event_id DESC, value DESC) AS rx
+        | FROM events), e AS (
+        | SELECT user_id,
+        |  min(CASE WHEN rn = 1 THEN x END) AS x0,
+        |  min(CASE WHEN rn = 1 THEN y END) AS y0,
+        |  min(CASE WHEN rx = 1 THEN x END) AS x1,
+        |  min(CASE WHEN rx = 1 THEN y END) AS y1
+        | FROM r GROUP BY 1)
+        |SELECT user_id,
+        | CASE WHEN x1 = x0 THEN NULL
+        |  ELSE (y1 - y0) / CAST(x1 - x0 AS DOUBLE) END AS bounding_ratio
+        |FROM e ORDER BY user_id""".stripMargin,
 
     "q_rate_spike" ->
       """WITH hourly AS (

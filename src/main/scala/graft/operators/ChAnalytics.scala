@@ -237,6 +237,104 @@ object ChAnalytics {
         transform(col("__arr"), e => e.getField("__s")).as("values"))
   }
 
+  /** ClickHouse `minMap(keys, values)` / `maxMap(keys, values)` (round
+    * 12): the per-key MIN and MAX sibling of [[sumMap]] — per group,
+    * merge every row's parallel key/value arrays into one sorted map
+    * carrying both extrema per distinct key. Output: (grp, keys,
+    * mins, maxs), positionally aligned.
+    *
+    * Same 100 TB shape as [[sumMap]]: explode → two map-side-combinable
+    * groupBys; per-group state is bounded by the distinct-key count.
+    * min/max need no decimal detour — they ORDER values, never add
+    * them, so any orderable type is cross-engine exact.
+    */
+  def minMaxMap(df: DataFrame, group: Column, keys: Column,
+                values: Column): DataFrame = {
+    val pairs = df.select(group.as("grp"),
+        explode(zip_with(keys, values,
+          (k, v) => struct(k.as("k"), v.as("v")))).as("__kv"))
+      .select(col("grp"), col("__kv.k").as("__k"), col("__kv.v").as("__v"))
+    pairs.groupBy(col("grp"), col("__k"))
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(
+        struct(col("__k"), col("__mn"), col("__mx")))).as("__arr"))
+      .select(col("grp"),
+        transform(col("__arr"), e => e.getField("__k")).as("keys"),
+        transform(col("__arr"), e => e.getField("__mn")).as("mins"),
+        transform(col("__arr"), e => e.getField("__mx")).as("maxs"))
+  }
+
+  /** ClickHouse `argMin(arg, val)` / `argMax(arg, val)` (round 12) with
+    * a DETERMINISTIC tie rule (CH leaves ties unspecified): the winning
+    * row is the lexicographic min/max of (val, tie, arg), so argMin
+    * breaks equal values toward the smallest tie then smallest arg, and
+    * argMax toward the largest of both. Implemented as ONE struct
+    * min/max aggregate — fully map-side combinable, no window, no
+    * second pass; per-group state is two structs regardless of row
+    * count. Returns (grp, min_val, arg_min, max_val, arg_max).
+    */
+  def argMinMax(df: DataFrame, group: Column, value: Column,
+                tie: Column, arg: Column): DataFrame =
+    df.select(group.as("grp"),
+        struct(value.as("v"), tie.as("t"), arg.as("a")).as("__s"))
+      .groupBy(col("grp"))
+      .agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
+      .select(col("grp"),
+        col("__mn.v").as("min_val"), col("__mn.a").as("arg_min"),
+        col("__mx.v").as("max_val"), col("__mx.a").as("arg_max"))
+
+  /** ClickHouse `deltaSum(v)` (round 12): the sum of POSITIVE deltas
+    * between consecutive values of a per-series stream — the standard
+    * monotonic-counter rate aggregate (counter resets contribute a
+    * negative delta, which is ignored; the first row has no
+    * predecessor and contributes nothing, matching CH).
+    *
+    * `order` must be a total order within each series (pass a
+    * tie-break column) or the consecutive pairs themselves are
+    * engine-dependent. Pass a DECIMAL value column for cross-engine
+    * exact sums (the repo's float-aggregate rule); each delta is one
+    * exact decimal subtraction.
+    *
+    * Shape at 100 TB: the lag window and the final groupBy share the
+    * series partitioning — exactly one shuffle; per-series state is
+    * one running sum.
+    */
+  def deltaSum(df: DataFrame, series: Column, order: Seq[Column],
+               value: Column): DataFrame = {
+    val ord = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val w = Window.partitionBy("__s")
+      .orderBy(order.indices.map(i => col(s"__o$i")): _*)
+    df.select(series.as("__s") +: value.as("__v") +: ord: _*)
+      .withColumn("__d", col("__v") - lag(col("__v"), 1).over(w))
+      .groupBy(col("__s").as("series"))
+      .agg(sum(when(col("__d") > 0, col("__d")).otherwise(lit(0)))
+        .as("delta_sum"))
+  }
+
+  /** ClickHouse `boundingRatio(x, y)` (round 12): the slope between the
+    * first and last point of each group — (argMax(y,x) − argMin(y,x)) /
+    * (max(x) − min(x)), i.e. net change per unit x. Ties on x resolve
+    * deterministically via `tie` (lexicographic struct order, same rule
+    * as [[argMinMax]]); a single-x-value group divides by zero in CH —
+    * here it returns NULL.
+    *
+    * One struct-min/max aggregate (map-side combinable, no window),
+    * then one IEEE divide — deterministic cross-engine given identical
+    * (x, y) endpoints.
+    */
+  def boundingRatio(df: DataFrame, group: Column, x: Column,
+                    tie: Column, y: Column): DataFrame =
+    df.select(group.as("grp"),
+        struct(x.as("x"), tie.as("t"), y.as("y")).as("__s"))
+      .groupBy(col("grp"))
+      .agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
+      .select(col("grp"),
+        when(col("__mx.x") === col("__mn.x"), lit(null))
+          .otherwise((col("__mx.y") - col("__mn.y")) /
+            (col("__mx.x") - col("__mn.x")).cast("double"))
+          .as("bounding_ratio"))
+
   /** ClickHouse `maxIntersections(start, end)` (round 12): the
     * maximum number of simultaneously open [start, end) intervals
     * per group — peak concurrency.

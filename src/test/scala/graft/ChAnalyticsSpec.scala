@@ -186,4 +186,62 @@ class ChAnalyticsSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((1L, 20L), (2L, 9L), (3L, 100L), (4L, 7L)))
   }
+
+  test("minMaxMap: per-key extrema, key-sorted, aligned arrays") {
+    val df = Seq(
+      (1L, Seq("b", "a"), Seq(1.0, 2.0)),
+      (1L, Seq("a", "c"), Seq(10.0, 0.5)),
+      (2L, Seq("z"), Seq(7.0))
+    ).toDF("g", "ks", "vs")
+    val out = ChAnalytics.minMaxMap(df, col("g"), col("ks"), col("vs"))
+      .orderBy("grp").collect()
+    assert(out(0).getLong(0) == 1L)
+    assert(out(0).getSeq[String](1) == Seq("a", "b", "c"))
+    assert(out(0).getSeq[Double](2) == Seq(2.0, 1.0, 0.5))  // mins
+    assert(out(0).getSeq[Double](3) == Seq(10.0, 1.0, 0.5)) // maxs
+    assert(out(1).getSeq[Double](2) == Seq(7.0))
+  }
+
+  test("argMinMax: extremes with the deterministic (v, tie, arg) rule") {
+    val df = Seq(
+      // g=1: min v=1.0 is tied (tie 10 vs 20) -> arg of tie 10 wins min;
+      //       max v=9.0 tied -> arg of the LARGER tie wins max
+      (1L, 1.0, 10L, 100L), (1L, 1.0, 20L, 200L),
+      (1L, 9.0, 30L, 300L), (1L, 9.0, 40L, 400L),
+      (2L, 5.0, 1L, 11L)
+    ).toDF("g", "v", "t", "a")
+    val out = ChAnalytics.argMinMax(df, col("g"), col("v"), col("t"), col("a"))
+      .orderBy("grp").collect()
+    assert(out(0).getDouble(1) == 1.0 && out(0).getLong(2) == 100L)
+    assert(out(0).getDouble(3) == 9.0 && out(0).getLong(4) == 400L)
+    // single-row group: both extremes are that row
+    assert(out(1).getLong(2) == 11L && out(1).getLong(4) == 11L)
+  }
+
+  test("deltaSum: positive deltas only, resets ignored, first row free") {
+    val df = Seq(
+      // series 1: 10 -> 12 -> 3 (reset) -> 8: deltas +2, -9, +5 => 7
+      (1L, 100L, BigDecimal(10)), (1L, 200L, BigDecimal(12)),
+      (1L, 300L, BigDecimal(3)), (1L, 400L, BigDecimal(8)),
+      // series 2: single row => 0 (not NULL)
+      (2L, 100L, BigDecimal(42)),
+      // series 3: strictly decreasing => 0
+      (3L, 100L, BigDecimal(9)), (3L, 200L, BigDecimal(1))
+    ).toDF("s", "ts", "v")
+    val out = ChAnalytics.deltaSum(df, col("s"),
+      Seq(col("ts")), col("v")).orderBy("series").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue())).toSeq
+    assert(out == Seq((1L, 7.0), (2L, 0.0), (3L, 0.0)))
+  }
+
+  test("boundingRatio: first-to-last slope; single-x group is NULL") {
+    val df = Seq(
+      (1L, 0L, 1L, 10.0), (1L, 5L, 2L, 20.0), (1L, 10L, 3L, 40.0),
+      (2L, 7L, 1L, 5.0), (2L, 7L, 2L, 9.0) // same x twice -> NULL
+    ).toDF("g", "x", "t", "y")
+    val out = ChAnalytics.boundingRatio(df, col("g"), col("x"), col("t"),
+      col("y")).orderBy("grp").collect()
+    assert(out(0).getDouble(1) == 3.0) // (40-10)/(10-0)
+    assert(out(1).isNullAt(1))
+  }
 }
