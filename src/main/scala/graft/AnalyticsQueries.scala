@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.operators.ChAnalytics
+import graft.operators.{ChAnalytics, StatTests}
 
 /** Round-3 widening of the ClickHouse query surface (SURVEY.md §2.B):
   * LIMIT BY, windowFunnel, retention, WITH TOTALS (rollup), array
@@ -19,6 +19,14 @@ object AnalyticsQueries {
   private val d4 = DecimalType(18, 4)
 
   private val dayUs = 86400000000L
+
+  /** Shared A/B prep for the per-day two-sample tests (welch/ks/mw):
+    * click = sample 0, view = sample 1, value in exact cents. */
+  private def abEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).where(col("event_type").isin("click", "view"))
+      .select(expr(s"ts_us div $dayUs").as("day"),
+        when(col("event_type") === "click", 0L).otherwise(1L).as("i"),
+        (col("value").cast(d2) * 100).cast(LongType).as("cents"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -123,6 +131,65 @@ object AnalyticsQueries {
         col("ts_us"), col("event_id"), col("value"))
         .select(col("grp").as("user_id"), col("bounding_ratio"))
         .orderBy("user_id")
+    },
+
+    // B39 (round 12): ClickHouse simpleLinearRegression — whole-dollar
+    // price regressed on quantity per return flag. Long-integer
+    // moments, two final long→double casts, one divide per output.
+    "q_linreg" -> Q { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 0)).cast(LongType).as("x"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) div 100")
+          .as("y"))
+      StatTests.simpleLinearRegression(li, col("l_returnflag"),
+        col("x"), col("y"))
+        .select(col("grp").as("l_returnflag"), col("slope"),
+          col("intercept"), col("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // B40 (round 12): ClickHouse welchTTest — does click value differ
+    // from view value, per day? Cents-exact moments, fixed IEEE tree.
+    "q_welch_ttest" -> Q { (s, d) =>
+      StatTests.welchTTest(abEvents(s, d), col("day"), col("i"),
+        col("cents"))
+        .select(col("grp").as("day"), col("t_stat"), col("df_ws"),
+          col("n1"), col("n2"))
+        .orderBy("day")
+    },
+
+    // B41 (round 12): ClickHouse kolmogorovSmirnovTest — per day, the
+    // two-sample D between click and view value distributions,
+    // all-integer ECDF cross-products, one final divide.
+    "q_ks_test" -> Q { (s, d) =>
+      StatTests.ksTest(abEvents(s, d), col("day"), col("i"), col("cents"))
+        .select(col("grp").as("day"), col("d_stat"), col("n1"), col("n2"))
+        .orderBy("day")
+    },
+
+    // B42 (round 12): ClickHouse mannWhitneyUTest — per day, rank-sum
+    // U (carried as the integer 2·R₁) + tie-corrected z.
+    "q_mann_whitney" -> Q { (s, d) =>
+      StatTests.mannWhitneyU(abEvents(s, d), col("day"), col("i"),
+        col("cents"))
+        .select(col("grp").as("day"), col("u1"), col("z"),
+          col("n1"), col("n2"))
+        .orderBy("day")
+    },
+
+    // B43 (round 12): ClickHouse quantileExactWeighted(0.5) — the
+    // quantity-weighted median price (in cents) per return flag,
+    // picked by an integer cumulative-weight comparison.
+    "q_quantile_weighted" -> Q { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
+          .as("cents"),
+        col("l_quantity").cast(DecimalType(18, 0)).cast(LongType).as("w"))
+      StatTests.quantileExactWeighted(li, col("l_returnflag"),
+        col("cents"), col("w"))
+        .select(col("grp").as("l_returnflag"),
+          col("wq").cast(DoubleType).as("wmedian_cents"))
+        .orderBy("l_returnflag")
     },
 
     // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
@@ -747,6 +814,158 @@ object AnalyticsQueries {
         | CASE WHEN x1 = x0 THEN NULL
         |  ELSE (y1 - y0) / CAST(x1 - x0 AS DOUBLE) END AS bounding_ratio
         |FROM e ORDER BY user_id""".stripMargin,
+
+    // simpleLinearRegression replay: identical long moments, the
+    // identical (n·Σxy−Σx·Σy)/(n·Σx²−Σx²) double tree — every cast is
+    // long→double (single correctly-rounded conversion on both engines)
+    "q_linreg" ->
+      """WITH src AS (
+        | SELECT l_returnflag AS grp,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS x,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   // 100 AS y
+        | FROM lineitem),
+        |m AS (
+        | SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy,
+        |  CAST(sum(x*x) AS BIGINT) AS sxx
+        | FROM src GROUP BY 1),
+        |k AS (
+        | SELECT grp, n, sx, sy,
+        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |   ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+        |        CAST(n*sxx - sx*sx AS DOUBLE) END AS slope
+        | FROM m)
+        |SELECT grp AS l_returnflag, slope,
+        | CASE WHEN slope IS NULL THEN NULL
+        |  ELSE (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+        |       CAST(n AS DOUBLE) END AS intercept, n
+        |FROM k ORDER BY 1""".stripMargin,
+
+    // welchTTest replay: same cents moments, same fixed IEEE tree —
+    // m, v, e, se staged in CTEs exactly as the operator's withColumns
+    "q_welch_ttest" ->
+      """WITH src AS (
+        | SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS i,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |m AS (
+        | SELECT day,
+        |  CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN i = 0 THEN v ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN i = 0 THEN v*v ELSE 0 END) AS BIGINT) AS q1,
+        |  CAST(sum(CASE WHEN i <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN i <> 0 THEN v ELSE 0 END) AS BIGINT) AS s2,
+        |  CAST(sum(CASE WHEN i <> 0 THEN v*v ELSE 0 END) AS BIGINT) AS q2
+        | FROM src GROUP BY 1),
+        |f AS (
+        | SELECT day, n1, n2,
+        |  CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |  CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |  CAST(q1 AS DOUBLE) AS q1d, CAST(q2 AS DOUBLE) AS q2d
+        | FROM m WHERE n1 > 1 AND n2 > 1),
+        |g AS (
+        | SELECT day, n1, n2, n1d, n2d,
+        |  s1d/n1d AS m1, s2d/n2d AS m2,
+        |  (q1d - s1d*s1d/n1d)/(n1d - 1) AS v1,
+        |  (q2d - s2d*s2d/n2d)/(n2d - 1) AS v2
+        | FROM f),
+        |h AS (
+        | SELECT day, n1, n2, n1d, n2d, m1, m2,
+        |  v1/n1d AS e1, v2/n2d AS e2 FROM g),
+        |k AS (
+        | SELECT day, n1, n2, n1d, n2d, m1, m2, e1, e2,
+        |  e1 + e2 AS se FROM h)
+        |SELECT day, (m1 - m2)/sqrt(se) AS t_stat,
+        | se*se/(e1*e1/(n1d - 1) + e2*e2/(n2d - 1)) AS df_ws, n1, n2
+        |FROM k ORDER BY day""".stripMargin,
+
+    // KS replay: same (day, v) collapse, same integer ECDF
+    // cross-products, one final divide
+    "q_ks_test" ->
+      """WITH src AS (
+        | SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS i,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |c AS (
+        | SELECT day, v,
+        |  CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN i <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        | FROM src GROUP BY 1, 2),
+        |r AS (
+        | SELECT day,
+        |  sum(c1) OVER (PARTITION BY day ORDER BY v) AS f1,
+        |  sum(c2) OVER (PARTITION BY day ORDER BY v) AS f2,
+        |  sum(c1) OVER (PARTITION BY day) AS n1,
+        |  sum(c2) OVER (PARTITION BY day) AS n2
+        | FROM c),
+        |a AS (
+        | SELECT day, CAST(max(abs(f1*n2 - f2*n1)) AS BIGINT) AS dmax,
+        |  CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+        | FROM r GROUP BY 1)
+        |SELECT day, CAST(dmax AS DOUBLE)/CAST(n1*n2 AS DOUBLE) AS d_stat,
+        | n1, n2
+        |FROM a WHERE n1 > 0 AND n2 > 0 ORDER BY day""".stripMargin,
+
+    // Mann–Whitney replay: the integer 2·R₁ rank sum over the same
+    // tie classes, same tie-corrected z tree
+    "q_mann_whitney" ->
+      """WITH src AS (
+        | SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS i,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |c AS (
+        | SELECT day, v,
+        |  CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN i <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        | FROM src GROUP BY 1, 2),
+        |r AS (
+        | SELECT day, c1, c2, c1 + c2 AS c,
+        |  sum(c1 + c2) OVER (PARTITION BY day ORDER BY v) AS cum
+        | FROM c),
+        |a AS (
+        | SELECT day,
+        |  CAST(sum(c1*(2*cum - c + 1)) AS BIGINT) AS tr1,
+        |  CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |  CAST(sum(c*c*c - c) AS BIGINT) AS ties
+        | FROM r GROUP BY 1),
+        |b AS (
+        | SELECT day, n1, n2, tr1 - n1*(n1 + 1) AS tu1, ties
+        | FROM a WHERE n1 > 0 AND n2 > 0),
+        |f AS (
+        | SELECT day, n1, n2, CAST(tu1 AS DOUBLE)/2.0 AS u1,
+        |  CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |  CAST(n1 + n2 AS DOUBLE) AS nd, CAST(ties AS DOUBLE) AS tiesd
+        | FROM b),
+        |g AS (
+        | SELECT day, n1, n2, u1, n1d, n2d,
+        |  n1d*n2d/12.0*((nd + 1) - tiesd/(nd*(nd - 1))) AS var
+        | FROM f)
+        |SELECT day, u1,
+        | CASE WHEN var = 0 THEN NULL
+        |  ELSE (u1 - n1d*n2d/2.0)/sqrt(var) END AS z, n1, n2
+        |FROM g ORDER BY day""".stripMargin,
+
+    // quantileExactWeighted replay: same (grp, v) weight collapse,
+    // same integer cum·2 ≥ total·1 pick
+    "q_quantile_weighted" ->
+      """WITH src AS (
+        | SELECT l_returnflag AS grp,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS w
+        | FROM lineitem),
+        |g AS (SELECT grp, v, CAST(sum(w) AS BIGINT) AS w
+        |      FROM src GROUP BY 1, 2),
+        |r AS (SELECT grp, v,
+        |  sum(w) OVER (PARTITION BY grp ORDER BY v) AS cum,
+        |  sum(w) OVER (PARTITION BY grp) AS total FROM g)
+        |SELECT grp AS l_returnflag, CAST(min(v) AS DOUBLE) AS wmedian_cents
+        |FROM r WHERE cum * 2 >= total * 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rate_spike" ->
       """WITH hourly AS (

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ClickHouse statistical aggregates (round 12): simpleLinearRegression,
+  * welchTTest, kolmogorovSmirnovTest, mannWhitneyUTest,
+  * quantileExactWeighted — the A/B-testing / monitoring family
+  * (reference main.py:65 — the ReplacingMergeTree tables exist to serve
+  * exactly this kind of analytics downstream).
+  *
+  * Portability discipline, shared by all five: every MOMENT is an exact
+  * 64-bit integer aggregate (callers pass integer-valued columns —
+  * cents, whole units, counts), and only the FINAL scalar formula runs
+  * in doubles. long→double conversion is a single correctly-rounded
+  * hardware cast on every engine (unlike decimal→double, whose two-step
+  * unscaled/10^s rounding can differ in the last ulp), and a fixed
+  * IEEE expression tree over identical double inputs is deterministic
+  * cross-engine — so each statistic replays bit-exactly in DuckDB.
+  * `sqrt` is the one transcendental used (correctly rounded per IEEE
+  * 754 on both engines); no pow/exp/ln anywhere.
+  *
+  * Envelope: long moments hold while |n·Σxy| < 2^63 — ~10⁶ rows/group
+  * at cents-scale magnitudes (Spark 4 runs ANSI mode by default, so an
+  * overflow fails loudly rather than wrapping). At 100 TB you regress
+  * within finer groups (the standard pattern — these are per-group
+  * statistics, not corpus-wide ones); a corpus-wide fit would switch
+  * the moments to DECIMAL(38,0) and accept the documented 1-ulp
+  * decimal→double cast risk.
+  */
+object StatTests {
+
+  /** ClickHouse `simpleLinearRegression(x, y)`: per group, the
+    * least-squares slope k and intercept b of y on x.
+    * k = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), b = (Σy − k·Σx)/n.
+    * `x`/`y` must be integer-valued (long) columns. One
+    * map-side-combinable aggregate — 5 longs of state per group.
+    * Vertical-x groups (zero denominator) return NULL slope/intercept.
+    */
+  def simpleLinearRegression(df: DataFrame, group: Column, x: Column,
+                             y: Column): DataFrame = {
+    val m = df.select(group.as("grp"), x.as("__x"), y.as("__y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    val num = col("n") * col("__sxy") - col("__sx") * col("__sy")
+    val den = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    m.withColumn("slope",
+        when(den === 0, lit(null))
+          .otherwise(num.cast("double") / den.cast("double")))
+      .withColumn("intercept",
+        when(col("slope").isNull, lit(null))
+          .otherwise((col("__sy").cast("double") -
+            col("slope") * col("__sx").cast("double")) /
+            col("n").cast("double")))
+      .select(col("grp"), col("slope"), col("intercept"), col("n"))
+  }
+
+  /** ClickHouse `welchTTest(v, idx)`: per group, Welch's unequal-
+    * variance t statistic between sample 0 and sample 1, plus the
+    * Welch–Satterthwaite degrees of freedom (CH returns (t, p); the
+    * p-value needs the incomplete beta — not IEEE-portable — so the
+    * caller thresholds on t/df instead).
+    *
+    * t = (m₁−m₂)/√(v₁/n₁ + v₂/n₂);
+    * df = (v₁/n₁ + v₂/n₂)² / ((v₁/n₁)²/(n₁−1) + (v₂/n₂)²/(n₂−1)).
+    * Moments (n, Σv, Σv²) per sample are exact longs; groups lacking
+    * two points per sample are dropped. One aggregate, 6 longs of
+    * state per group.
+    */
+  def welchTTest(df: DataFrame, group: Column, idx: Column,
+                 value: Column): DataFrame = {
+    val m = df.select(group.as("grp"), idx.as("__i"), value.as("__v"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(when(col("__i") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__i") === 0, col("__v")).otherwise(0L)).as("__s1"),
+        sum(when(col("__i") === 0, col("__v") * col("__v")).otherwise(0L))
+          .as("__q1"),
+        sum(when(col("__i") =!= 0, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("__i") =!= 0, col("__v")).otherwise(0L)).as("__s2"),
+        sum(when(col("__i") =!= 0, col("__v") * col("__v")).otherwise(0L))
+          .as("__q2"))
+      .where(col("n1") > 1 && col("n2") > 1)
+    m.withColumn("__n1d", col("n1").cast("double"))
+      .withColumn("__n2d", col("n2").cast("double"))
+      .withColumn("__m1", col("__s1").cast("double") / col("__n1d"))
+      .withColumn("__m2", col("__s2").cast("double") / col("__n2d"))
+      .withColumn("__v1",
+        (col("__q1").cast("double") -
+          col("__s1").cast("double") * col("__s1").cast("double") /
+            col("__n1d")) / (col("__n1d") - 1))
+      .withColumn("__v2",
+        (col("__q2").cast("double") -
+          col("__s2").cast("double") * col("__s2").cast("double") /
+            col("__n2d")) / (col("__n2d") - 1))
+      .withColumn("__e1", col("__v1") / col("__n1d"))
+      .withColumn("__e2", col("__v2") / col("__n2d"))
+      .withColumn("__se", col("__e1") + col("__e2"))
+      .withColumn("t_stat",
+        (col("__m1") - col("__m2")) / sqrt(col("__se")))
+      .withColumn("df_ws",
+        col("__se") * col("__se") /
+          (col("__e1") * col("__e1") / (col("__n1d") - 1) +
+            col("__e2") * col("__e2") / (col("__n2d") - 1)))
+      .select(col("grp"), col("t_stat"), col("df_ws"), col("n1"), col("n2"))
+  }
+
+  /** ClickHouse `kolmogorovSmirnovTest(v, idx)`: per group, the
+    * two-sample KS statistic D = max|F₁(x) − F₂(x)| between samples
+    * 0 and 1 — computed ENTIRELY in integers (max over distinct values
+    * of |c₁·n₂ − c₂·n₁|, where cᵢ are the running sample counts) with
+    * ONE final divide by n₁·n₂, so D replays bit-exactly.
+    *
+    * Shape: one groupBy on (grp, v) collapses duplicates (distinct-
+    * value-bounded state), then one grp-partitioned window for the
+    * running ECDFs — value ties are impossible after the collapse, so
+    * the default RANGE frame is unambiguous. Groups missing either
+    * sample are dropped (D undefined).
+    */
+  def ksTest(df: DataFrame, group: Column, idx: Column,
+             value: Column): DataFrame = {
+    val counts = df
+      .select(group.as("grp"), idx.as("__i"), value.as("__v"))
+      .groupBy(col("grp"), col("__v"))
+      .agg(sum(when(col("__i") === 0, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__i") =!= 0, 1L).otherwise(0L)).as("__c2"))
+    val w = Window.partitionBy("grp").orderBy("__v")
+    val tot = Window.partitionBy("grp")
+    counts
+      .withColumn("__f1", sum(col("__c1")).over(w))
+      .withColumn("__f2", sum(col("__c2")).over(w))
+      .withColumn("__n1", sum(col("__c1")).over(tot))
+      .withColumn("__n2", sum(col("__c2")).over(tot))
+      .withColumn("__diff",
+        abs(col("__f1") * col("__n2") - col("__f2") * col("__n1")))
+      .groupBy(col("grp"))
+      .agg(max(col("__diff")).as("__dmax"),
+        max(col("__n1")).as("n1"), max(col("__n2")).as("n2"))
+      .where(col("n1") > 0 && col("n2") > 0)
+      .select(col("grp"),
+        (col("__dmax").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("d_stat"),
+        col("n1"), col("n2"))
+  }
+
+  /** ClickHouse `mannWhitneyUTest(v, idx)`: per group, the rank-sum
+    * U statistic of sample 0 vs sample 1 and the tie-corrected normal
+    * approximation z (CH returns (u, p); the p-value needs erf — not
+    * IEEE-portable — so callers threshold on z).
+    *
+    * Average ranks are rationals with denominator 2, so the whole rank
+    * sum is carried as the INTEGER 2·R₁ = Σ c₁·(2·cum − c + 1) over
+    * distinct values (cum = running total count, c = tie-class size);
+    * 2·U₁ = 2·R₁ − n₁(n₁+1). The tie correction Σ(c³−c) is integer
+    * too; only z's final formula runs in doubles (one sqrt).
+    * Same (grp, v)-collapse + one-window shape as [[ksTest]].
+    */
+  def mannWhitneyU(df: DataFrame, group: Column, idx: Column,
+                   value: Column): DataFrame = {
+    val counts = df
+      .select(group.as("grp"), idx.as("__i"), value.as("__v"))
+      .groupBy(col("grp"), col("__v"))
+      .agg(sum(when(col("__i") === 0, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__i") =!= 0, 1L).otherwise(0L)).as("__c2"))
+      .withColumn("__c", col("__c1") + col("__c2"))
+    val w = Window.partitionBy("grp").orderBy("__v")
+    val agg = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("__c1") * (lit(2L) * col("__cum") - col("__c") + 1L))
+          .as("__tr1"),
+        sum(col("__c1")).as("n1"), sum(col("__c2")).as("n2"),
+        sum(col("__c") * col("__c") * col("__c") - col("__c"))
+          .as("__ties"))
+      .where(col("n1") > 0 && col("n2") > 0)
+    agg
+      .withColumn("__tu1",
+        col("__tr1") - col("n1") * (col("n1") + 1L))
+      .withColumn("u1", col("__tu1").cast("double") / 2.0)
+      .withColumn("__n1d", col("n1").cast("double"))
+      .withColumn("__n2d", col("n2").cast("double"))
+      .withColumn("__nd", (col("n1") + col("n2")).cast("double"))
+      .withColumn("__var",
+        col("__n1d") * col("__n2d") / 12.0 *
+          ((col("__nd") + 1) -
+            col("__ties").cast("double") /
+              (col("__nd") * (col("__nd") - 1))))
+      .withColumn("z",
+        when(col("__var") === 0, lit(null)).otherwise(
+          (col("u1") - col("__n1d") * col("__n2d") / 2.0) /
+            sqrt(col("__var"))))
+      .select(col("grp"), col("u1"), col("z"), col("n1"), col("n2"))
+  }
+
+  /** ClickHouse `quantileExactWeighted(level)(v, w)` (lower flavor):
+    * per group, the smallest v whose cumulative weight reaches
+    * level = `levelNum`/`levelDen` of the total — decided by the
+    * INTEGER comparison cum·levelDen ≥ total·levelNum, so the pick is
+    * exact on both engines (no double threshold anywhere).
+    *
+    * Shape: (grp, v)-collapse bounds state by distinct values, one
+    * grp window for the running weight, one final min — the same
+    * two-shuffle plan as [[ksTest]].
+    */
+  def quantileExactWeighted(df: DataFrame, group: Column, value: Column,
+                            weight: Column, levelNum: Long = 1L,
+                            levelDen: Long = 2L): DataFrame = {
+    require(levelNum > 0 && levelDen > 0 && levelNum <= levelDen)
+    val g = df.select(group.as("grp"), value.as("__v"), weight.as("__w"))
+      .groupBy(col("grp"), col("__v"))
+      .agg(sum(col("__w")).as("__w"))
+    val w = Window.partitionBy("grp").orderBy("__v")
+    val tot = Window.partitionBy("grp")
+    g.withColumn("__cum", sum(col("__w")).over(w))
+      .withColumn("__total", sum(col("__w")).over(tot))
+      .where(col("__cum") * levelDen >= col("__total") * levelNum)
+      .groupBy(col("grp"))
+      .agg(min(col("__v")).as("wq"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.StatTests
+
+class StatTestsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("simpleLinearRegression: exact fit, vertical group is NULL") {
+    val df = Seq(
+      // g=a: y = 2x + 3 exactly
+      ("a", 1L, 5L), ("a", 2L, 7L), ("a", 3L, 9L), ("a", 10L, 23L),
+      // g=b: all x equal -> zero denominator -> NULL slope/intercept
+      ("b", 4L, 1L), ("b", 4L, 9L)
+    ).toDF("g", "x", "y")
+    val out = StatTests.simpleLinearRegression(df, col("g"), col("x"),
+      col("y")).orderBy("grp").collect()
+    assert(out(0).getDouble(1) == 2.0 && out(0).getDouble(2) == 3.0)
+    assert(out(0).getLong(3) == 4L)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
+
+  test("welchTTest: matches the plain-Scala Welch formula; tiny groups dropped") {
+    val s0 = Seq(10L, 12L, 14L, 16L)
+    val s1 = Seq(20L, 21L, 19L, 30L, 25L)
+    val df = (s0.map(("d1", 0L, _)) ++ s1.map(("d1", 1L, _)) ++
+      Seq(("d2", 0L, 5L), ("d2", 1L, 6L))) // n=1 per sample -> dropped
+      .toDF("g", "i", "v")
+    val out = StatTests.welchTTest(df, col("g"), col("i"), col("v"))
+      .collect()
+    assert(out.length == 1 && out(0).getString(0) == "d1")
+    // plain-Scala replay of the exact same tree
+    val (n1d, n2d) = (s0.size.toDouble, s1.size.toDouble)
+    val (s1d, s2d) = (s0.sum.toDouble, s1.sum.toDouble)
+    val (q1d, q2d) = (s0.map(v => v * v).sum.toDouble,
+      s1.map(v => v * v).sum.toDouble)
+    val m1 = s1d / n1d; val m2 = s2d / n2d
+    val v1 = (q1d - s1d * s1d / n1d) / (n1d - 1)
+    val v2 = (q2d - s2d * s2d / n2d) / (n2d - 1)
+    val e1 = v1 / n1d; val e2 = v2 / n2d; val se = e1 + e2
+    val t = (m1 - m2) / math.sqrt(se)
+    val dfw = se * se / (e1 * e1 / (n1d - 1) + e2 * e2 / (n2d - 1))
+    assert(out(0).getDouble(1) == t)
+    assert(out(0).getDouble(2) == dfw)
+    assert(out(0).getLong(3) == 4L && out(0).getLong(4) == 5L)
+  }
+
+  test("ksTest: hand-built two-sample D") {
+    // s0={1,2}, s1={2,3}: D = max(|.5-0|, |1-.5|, |1-1|) = 0.5
+    val df = Seq(("g", 0L, 1L), ("g", 0L, 2L), ("g", 1L, 2L), ("g", 1L, 3L))
+      .toDF("g", "i", "v")
+    val out = StatTests.ksTest(df, col("g"), col("i"), col("v")).collect()
+    assert(out(0).getDouble(1) == 0.5)
+    assert(out(0).getLong(2) == 2L && out(0).getLong(3) == 2L)
+  }
+
+  test("mannWhitneyU: separated samples give U=0 and the known z") {
+    // s0={1,2}, s1={3,4}: R1=3, U1=0; no ties -> var = (4/12)*5
+    val df = Seq(("g", 0L, 1L), ("g", 0L, 2L), ("g", 1L, 3L), ("g", 1L, 4L))
+      .toDF("g", "i", "v")
+    val out = StatTests.mannWhitneyU(df, col("g"), col("i"), col("v"))
+      .collect()
+    assert(out(0).getDouble(1) == 0.0)
+    val varExp = 2.0 * 2.0 / 12.0 * ((4.0 + 1) - 0.0 / (4.0 * 3.0))
+    assert(out(0).getDouble(2) == (0.0 - 2.0 * 2.0 / 2.0) / math.sqrt(varExp))
+  }
+
+  test("mannWhitneyU: all-tied values give half-rank U and NULL z") {
+    // every value equal: U1 = n1*n2/2; tie correction kills the variance
+    val df = Seq(("g", 0L, 7L), ("g", 0L, 7L), ("g", 1L, 7L), ("g", 1L, 7L))
+      .toDF("g", "i", "v")
+    val out = StatTests.mannWhitneyU(df, col("g"), col("i"), col("v"))
+      .collect()
+    assert(out(0).getDouble(1) == 2.0) // 2*2/2
+    assert(out(0).isNullAt(2))         // var == 0 -> NULL
+  }
+
+  test("quantileExactWeighted: integer cumulative pick at two levels") {
+    val df = Seq(("g", 10L, 3L), ("g", 20L, 2L), ("g", 30L, 7L))
+      .toDF("g", "v", "w")
+    val med = StatTests.quantileExactWeighted(df, col("g"), col("v"),
+      col("w")).collect()
+    assert(med(0).getLong(1) == 30L) // cum(20)=5 < 6 = total/2
+    val q1 = StatTests.quantileExactWeighted(df, col("g"), col("v"),
+      col("w"), 1L, 4L).collect()
+    assert(q1(0).getLong(1) == 10L) // cum(10)=3 >= 12/4
+  }
+}
