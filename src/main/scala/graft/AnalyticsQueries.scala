@@ -192,6 +192,23 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
 
+    // B44 (round 12): ClickHouse geohashEncode — suppliers get
+    // deterministic integer-derived coordinates (exact binary-fraction
+    // lat/lon), encoded at precisions 8 and 4; gh4 is a prefix of gh8
+    // (spec-pinned), making it the geo partition/bucket key.
+    "q_geohash" -> Q { (s, d) =>
+      import graft.operators.GeoHash
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+        ((col("s_suppkey") * 7919 % 36000).cast(DoubleType) / 100.0
+          - 180.0).as("lon"),
+        ((col("s_suppkey") * 104729 % 18000).cast(DoubleType) / 100.0
+          - 90.0).as("lat"))
+      sup.select(col("s_suppkey"),
+          GeoHash.encode(col("lon"), col("lat"), 8).as("gh8"),
+          GeoHash.encode(col("lon"), col("lat"), 4).as("gh4"))
+        .orderBy("s_suppkey")
+    },
+
     // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
     // WindowGroupLimit prunes to ≤2 rows/user/partition pre-shuffle.
     "q_limit_by" -> Q { (s, d) =>
@@ -966,6 +983,22 @@ object AnalyticsQueries {
         |SELECT grp AS l_returnflag, CAST(min(v) AS DOUBLE) AS wmedian_cents
         |FROM r WHERE cum * 2 >= total * 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // geohash replay: same integer-derived coordinates, same affine
+    // grid map, same Morton rounds (GeoHash.encodeSql mirrors
+    // ZOrder.zValueSql), same base32 alphabet
+    "q_geohash" -> {
+      import graft.operators.GeoHash
+      s"""WITH src AS (
+         | SELECT s_suppkey,
+         |  CAST(s_suppkey * 7919 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon,
+         |  CAST(s_suppkey * 104729 % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat
+         | FROM supplier)
+         |SELECT s_suppkey,
+         | ${GeoHash.encodeSql("lon", "lat", 8)} AS gh8,
+         | ${GeoHash.encodeSql("lon", "lat", 4)} AS gh4
+         |FROM src ORDER BY s_suppkey""".stripMargin
+    },
 
     "q_rate_spike" ->
       """WITH hourly AS (
