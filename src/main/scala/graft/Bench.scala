@@ -39,6 +39,16 @@ object Bench {
     // round 12: the IVF2+PQ serving composition joins the tracked set
     "ann_ivf2pq", "ann_ivfpq_rerank", "ann_sq8", "ann_ivfsq", "ann_range")
 
+  /** The round-12 ClickHouse-analytics widening — tracked as its own
+    * section (same reasoning as `pipeline`: new ops get wall-clock
+    * history without moving the cross-round headline total).
+    */
+  val analytics: Seq[String] = Seq(
+    "q_sum_map", "q_max_intersections", "q_interval_union",
+    "q_minmax_map", "q_arg_minmax", "q_delta_sum", "q_bounding_ratio",
+    "q_linreg", "q_welch_ttest", "q_ks_test", "q_mann_whitney",
+    "q_quantile_weighted", "q_geohash")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -61,7 +71,7 @@ object Bench {
     // per-query cost, irrelevant at cluster scale) happens outside the
     // measured window.
     val warmDir = "/root/testdata/sf0.001"
-    (headline ++ pipeline).foreach { name =>
+    (headline ++ pipeline ++ analytics).foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -89,7 +99,7 @@ object Bench {
       }
     }
     val passes = (1 to 5).map(_ =>
-      (headline ++ pipeline).map(n => n -> runOnce(n)).toMap)
+      (headline ++ pipeline ++ analytics).map(n => n -> runOnce(n)).toMap)
     def minOf(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
       val times = passes.flatMap(_(name))
       // a query with no successful run reports the -1 sentinel, never a
@@ -101,9 +111,11 @@ object Bench {
         .mkString("{", ",", "}")
     val results = minOf(headline)
     val pipeResults = minOf(pipeline)
+    val anResults = minOf(analytics)
     val total = results.map(_._2).filter(_ >= 0).sum
     val pipeTotal = pipeResults.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"pipeline":${json(pipeResults)},"pipeline_total":$pipeTotal%.3f,"sf":"$sfDir"}""")
+    val anTotal = anResults.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"pipeline":${json(pipeResults)},"pipeline_total":$pipeTotal%.3f,"analytics":${json(anResults)},"analytics_total":$anTotal%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
