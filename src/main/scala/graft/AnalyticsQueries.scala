@@ -209,6 +209,30 @@ object AnalyticsQueries {
         .orderBy("s_suppkey")
     },
 
+    // B45 (round 12): ClickHouse sparkbar — hour-of-day activity bar
+    // per event type; integer ceil(8n/max) glyph levels replay exactly.
+    "q_sparkbar" -> Q { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts_us div 3600000000) % 24").as("hr"))
+      ChAnalytics.sparkbar(ev, col("event_type"), col("hr"), 24)
+        .select(col("grp").as("event_type"), col("bar"))
+        .orderBy("event_type")
+    },
+
+    // B46 (round 12): ClickHouse exponentialTimeDecayedAvg (half-life
+    // = 1 day) — per type, the decayed average of cents at the series
+    // end; exact power-of-2 integer weights, one final divide.
+    "q_exp_decay_avg" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr(s"ts_us div $dayUs").as("day"),
+        (col("value").cast(d2) * 100).cast(LongType).as("cents"))
+      ChAnalytics.expDecayedAvg(ev, col("event_type"), col("day"),
+        col("cents"))
+        .select(col("grp").as("event_type"), col("decayed_avg"))
+        .orderBy("event_type")
+    },
+
     // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
     // WindowGroupLimit prunes to ≤2 rows/user/partition pre-shuffle.
     "q_limit_by" -> Q { (s, d) =>
@@ -983,6 +1007,46 @@ object AnalyticsQueries {
         |SELECT grp AS l_returnflag, CAST(min(v) AS DOUBLE) AS wmedian_cents
         |FROM r WHERE cum * 2 >= total * 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sparkbar replay: same dense 24-bucket grid, same integer
+    // ceil(8n/max) levels, same glyph string (substring is
+    // character-based in DuckDB, element_at over a char array in Spark)
+    "q_sparkbar" ->
+      """WITH c AS (
+        | SELECT event_type AS grp, (epoch_us(ts) // 3600000000) % 24 AS b,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |g AS (
+        | SELECT grp, gs.b FROM (SELECT DISTINCT grp FROM c) t
+        | CROSS JOIN (SELECT unnest(range(0, 24)) AS b) gs),
+        |d AS (
+        | SELECT g.grp, g.b, coalesce(c.n, 0) AS n
+        | FROM g LEFT JOIN c ON g.grp = c.grp AND g.b = c.b),
+        |m AS (SELECT grp, b, n, max(n) OVER (PARTITION BY grp) AS mx
+        |      FROM d),
+        |l AS (SELECT grp, b,
+        |  CASE WHEN n = 0 THEN 0 ELSE (n * 8 + mx - 1) // mx END AS lvl
+        | FROM m)
+        |SELECT grp AS event_type,
+        | string_agg(substring(' ▁▂▃▄▅▆▇█', CAST(lvl AS INTEGER) + 1, 1),
+        |            '' ORDER BY b) AS bar
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exponentialTimeDecayedAvg replay: identical 2^(t−tmin) integer
+    // weights, one BIGINT→DOUBLE cast per sum, one divide
+    "q_exp_decay_avg" ->
+      """WITH src AS (
+        | SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS t,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        | FROM events),
+        |m AS (SELECT grp, t, v, min(t) OVER (PARTITION BY grp) AS tmin
+        |      FROM src),
+        |w AS (SELECT grp, v,
+        |  (CAST(1 AS BIGINT) << CAST(t - tmin AS INTEGER)) AS wt FROM m)
+        |SELECT grp AS event_type,
+        | CAST(CAST(sum(v * wt) AS BIGINT) AS DOUBLE) /
+        | CAST(CAST(sum(wt) AS BIGINT) AS DOUBLE) AS decayed_avg
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // geohash replay: same integer-derived coordinates, same affine
     // grid map, same Morton rounds (GeoHash.encodeSql mirrors

@@ -335,6 +335,71 @@ object ChAnalytics {
             (col("__mx.x") - col("__mn.x")).cast("double"))
           .as("bounding_ratio"))
 
+  /** ClickHouse `sparkbar(buckets)(x, y)` (round 12): per group, an
+    * inline unicode bar chart — one block glyph per x bucket, height
+    * proportional to the bucket's y total. Level rule is INTEGER:
+    * level = ceil(8·n / max) ∈ [1, 8] for n ≥ 1 (computed as
+    * (8n + max − 1) div max), 0 (space) for empty buckets — so the
+    * glyph picks replay exactly cross-engine. Buckets are densified
+    * against `grid` (a per-group cross join with the bucket domain) so
+    * missing buckets render as gaps, like CH.
+    *
+    * Shape: one (grp, bucket) aggregate + one grp window for the max +
+    * one collect bounded by the bucket count. The bar is ≤`buckets`
+    * chars of state per group — a rollup artifact, never row-scale.
+    */
+  def sparkbar(df: DataFrame, group: Column, bucket: Column,
+               nBuckets: Int): DataFrame = {
+    val glyphs = " ▁▂▃▄▅▆▇█"
+    val alpha = array(glyphs.map(c => lit(c.toString)): _*)
+    val counts = df.select(group.as("grp"), bucket.as("__b"))
+      .groupBy(col("grp"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val grid = counts.select(col("grp")).distinct()
+      .select(col("grp"),
+        explode(sequence(lit(0L), lit((nBuckets - 1).toLong))).as("__b"))
+    val dense = grid.join(counts, Seq("grp", "__b"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+    val w = Window.partitionBy("grp")
+    dense
+      .withColumn("__mx", max(col("__n")).over(w))
+      .withColumn("__lvl",
+        when(col("__n") === 0, lit(0L)).otherwise(
+          expr("(__n * 8 + __mx - 1) div __mx")))
+      .withColumn("__ch",
+        element_at(alpha, (col("__lvl") + 1L).cast("int")))
+      .groupBy(col("grp"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__b"), col("__ch")))),
+        e => e.getField("__ch")), "").as("bar"))
+  }
+
+  /** ClickHouse `exponentialTimeDecayedAvg` with half-life = one time
+    * unit (round 12): per group, the exponentially-decayed average of
+    * `value` at the series end — newer points weigh 2× per unit.
+    *
+    * EXACT integer kernel: weight(t) = 2^(t − tmin) as a 64-bit shift
+    * (the scaling by 2^tmin cancels in num/den), so the decayed
+    * average is ONE final long→double divide — no pow/exp anywhere
+    * (libm-portable by construction, the repo's τ=1/2 lesson).
+    *
+    * Envelope: Σ value·2^(span) must fit in a long — callers window
+    * the horizon to ≲ 30 units (CH's own function takes an explicit
+    * window for the same reason); ANSI mode fails an overflow loudly.
+    * One aggregate + one window sharing the group partitioning.
+    */
+  def expDecayedAvg(df: DataFrame, group: Column, t: Column,
+                    value: Column): DataFrame = {
+    val w = Window.partitionBy("grp")
+    df.select(group.as("grp"), t.as("__t"), value.as("__v"))
+      .withColumn("__tmin", min(col("__t")).over(w))
+      .withColumn("__w",
+        expr("shiftleft(cast(1 as bigint), cast(__t - __tmin as int))"))
+      .groupBy(col("grp"))
+      .agg((sum(col("__v") * col("__w")).cast("double") /
+        sum(col("__w")).cast("double")).as("decayed_avg"))
+  }
+
   /** ClickHouse `maxIntersections(start, end)` (round 12): the
     * maximum number of simultaneously open [start, end) intervals
     * per group — peak concurrency.

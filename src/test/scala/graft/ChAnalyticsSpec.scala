@@ -234,6 +234,23 @@ class ChAnalyticsSpec extends SparkFunSuite {
     assert(out == Seq((1L, 7.0), (2L, 0.0), (3L, 0.0)))
   }
 
+  test("sparkbar: ceil(8n/max) glyphs, empty buckets are spaces") {
+    // counts per bucket: b0=1, b1=8, b2 missing, b3=4 (max 8)
+    val rows = Seq.fill(1)(("g", 0L)) ++ Seq.fill(8)(("g", 1L)) ++
+      Seq.fill(4)(("g", 3L))
+    val out = ChAnalytics.sparkbar(rows.toDF("g", "b"), col("g"),
+      col("b"), 4).collect()
+    assert(out(0).getString(1) == "▁█ ▄") // ▁█ ▄
+  }
+
+  test("expDecayedAvg: exact power-of-2 weights, one final divide") {
+    // (t=0,v=10) w=1, (t=1,v=20) w=2 -> (10+40)/3
+    val df = Seq(("g", 0L, 10L), ("g", 1L, 20L)).toDF("g", "t", "v")
+    val out = ChAnalytics.expDecayedAvg(df, col("g"), col("t"), col("v"))
+      .collect()
+    assert(out(0).getDouble(1) == 50.0 / 3.0)
+  }
+
   test("boundingRatio: first-to-last slope; single-x group is NULL") {
     val df = Seq(
       (1L, 0L, 1L, 10.0), (1L, 5L, 2L, 20.0), (1L, 10L, 3L, 40.0),
