@@ -233,6 +233,21 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // B47 (round 12): ClickHouse largestTriangleThreeBuckets — each
+    // event type's (ts, cents) series downsampled to 30 points for
+    // plotting (bucket-anchor variant — see Downsample.lttb).
+    "q_lttb" -> Q { (s, d) =>
+      import graft.operators.Downsample
+      val ev = Tables.events(s, d).select(col("event_type"),
+        col("ts_us"),
+        (col("value").cast(d2) * 100).cast(LongType).as("cents"))
+      Downsample.lttb(ev, col("event_type"), col("ts_us"),
+        col("cents"), 30)
+        .select(col("grp").as("event_type"), col("bucket"),
+          col("t").as("t_us"), col("v").as("cents"))
+        .orderBy("event_type", "bucket")
+    },
+
     // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
     // WindowGroupLimit prunes to ≤2 rows/user/partition pre-shuffle.
     "q_limit_by" -> Q { (s, d) =>
@@ -1047,6 +1062,64 @@ object AnalyticsQueries {
         | CAST(CAST(sum(v * wt) AS BIGINT) AS DOUBLE) /
         | CAST(CAST(sum(wt) AS BIGINT) AS DOUBLE) AS decayed_avg
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // lttb replay: same integer buckets/moments, same fixed IEEE area
+    // tree over exact-long-derived doubles, argmax via ranked windows
+    // mirroring the (area, t, v) struct rule
+    "q_lttb" ->
+      """WITH src AS (
+        | SELECT event_type AS grp, epoch_us(ts) AS t,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        | FROM events),
+        |b AS (
+        | SELECT grp, t, v,
+        |  min(t) OVER (PARTITION BY grp) AS tmin,
+        |  max(t) OVER (PARTITION BY grp) AS tmax
+        | FROM src),
+        |kx AS (
+        | SELECT grp, t, v, t - tmin AS x,
+        |  ((t - tmin) * 30) // (tmax - tmin + 1) AS k
+        | FROM b),
+        |km AS (SELECT grp, t, v, x, k,
+        |       max(k) OVER (PARTITION BY grp) AS kmx FROM kx),
+        |bs AS (SELECT grp, k, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(v) AS BIGINT) AS sy
+        | FROM kx GROUP BY 1, 2),
+        |nb AS (SELECT grp, k,
+        |  lag(n) OVER (PARTITION BY grp ORDER BY k) AS pn,
+        |  lag(sx) OVER (PARTITION BY grp ORDER BY k) AS psx,
+        |  lag(sy) OVER (PARTITION BY grp ORDER BY k) AS psy,
+        |  lead(n) OVER (PARTITION BY grp ORDER BY k) AS nn,
+        |  lead(sx) OVER (PARTITION BY grp ORDER BY k) AS nsx,
+        |  lead(sy) OVER (PARTITION BY grp ORDER BY k) AS nsy
+        | FROM bs),
+        |c AS (
+        | SELECT km.grp, km.k, km.t, km.v, km.x, km.kmx,
+        |  CAST(psx AS DOUBLE)/CAST(pn AS DOUBLE) AS px,
+        |  CAST(psy AS DOUBLE)/CAST(pn AS DOUBLE) AS py,
+        |  CAST(nsx AS DOUBLE)/CAST(nn AS DOUBLE) AS nx,
+        |  CAST(nsy AS DOUBLE)/CAST(nn AS DOUBLE) AS ny
+        | FROM km JOIN nb ON km.grp = nb.grp AND km.k = nb.k),
+        |a AS (
+        | SELECT grp, k, t, v, kmx,
+        |  CASE WHEN k > 0 AND k < kmx THEN
+        |   abs((px - nx) * (CAST(v AS DOUBLE) - py) -
+        |       (px - CAST(x AS DOUBLE)) * (ny - py))
+        |  END AS area
+        | FROM c),
+        |r AS (
+        | SELECT grp, k, t, v, kmx,
+        |  row_number() OVER (PARTITION BY grp, k ORDER BY t, v) AS rf,
+        |  row_number() OVER (PARTITION BY grp, k
+        |   ORDER BY t DESC, v DESC) AS rl,
+        |  row_number() OVER (PARTITION BY grp, k
+        |   ORDER BY area DESC, t DESC, v DESC) AS ra
+        | FROM a)
+        |SELECT grp AS event_type, k AS bucket, t AS t_us, v AS cents
+        |FROM r
+        |WHERE (k = 0 AND rf = 1) OR (k = kmx AND k > 0 AND rl = 1)
+        |   OR (k > 0 AND k < kmx AND ra = 1)
+        |ORDER BY event_type, bucket""".stripMargin,
 
     // geohash replay: same integer-derived coordinates, same affine
     // grid map, same Morton rounds (GeoHash.encodeSql mirrors
