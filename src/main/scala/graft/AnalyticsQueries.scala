@@ -248,6 +248,29 @@ object AnalyticsQueries {
         .orderBy("event_type", "bucket")
     },
 
+    // B48 (round 12): WITH FILL … INTERPOLATE — sparse per-user hourly
+    // spend series densified with linear interpolation across gaps
+    // (known rows exact, edges NULL, one fixed IEEE tree per gap row).
+    "q_fill_interp" -> Q { (s, d) =>
+      val src = Tables.events(s, d).where(col("user_id") % 100 === 0)
+        .groupBy(col("user_id"), expr("ts_us div 3600000000").as("hour"))
+        .agg(sum((col("value").cast(d2) * 100).cast(LongType)).as("cents"))
+      ChAnalytics.withFillInterpolate(src, col("user_id"), col("hour"),
+        col("cents"))
+        .select(col("grp").as("user_id"), col("o").as("hour"),
+          col("v_interp"))
+        .orderBy("user_id", "hour")
+    },
+
+    // B49 (round 12): cramersV — association strength between event
+    // type and hour-of-day; the χ² sum runs as an ordered sequential
+    // fold over the (tiny) cell table so it replays bit-exactly.
+    "q_cramers_v" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("(ts_us div 3600000000) % 24").as("hr"))
+      StatTests.cramersV(ev, col("event_type"), col("hr"))
+    },
+
     // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
     // WindowGroupLimit prunes to ≤2 rows/user/partition pre-shuffle.
     "q_limit_by" -> Q { (s, d) =>
@@ -1062,6 +1085,82 @@ object AnalyticsQueries {
         | CAST(CAST(sum(v * wt) AS BIGINT) AS DOUBLE) /
         | CAST(CAST(sum(wt) AS BIGINT) AS DOUBLE) AS decayed_avg
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // fill+interpolate replay: same grid (range is end-exclusive =
+    // sequence inclusive), same IGNORE NULLS neighbor scan, same
+    // pv + (nv−pv)(o−po)/(no−po) tree
+    "q_fill_interp" ->
+      """WITH src AS (
+        | SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM events WHERE user_id % 100 = 0 GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi
+        |      FROM src GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hour FROM b),
+        |j AS (SELECT g.user_id, g.hour, src.cents
+        |      FROM g LEFT JOIN src
+        |      ON g.user_id = src.user_id AND g.hour = src.hour),
+        |w AS (SELECT user_id, hour, cents,
+        |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS pv,
+        |  last_value(CASE WHEN cents IS NOT NULL THEN hour END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS po,
+        |  first_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |   AS nv,
+        |  first_value(CASE WHEN cents IS NOT NULL THEN hour END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxo
+        | FROM j)
+        |SELECT user_id, hour,
+        | CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+        |  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |   CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+        |    CAST(hour - po AS DOUBLE) / CAST(nxo - po AS DOUBLE)
+        |  ELSE NULL END AS v_interp
+        |FROM w ORDER BY user_id, hour""".stripMargin,
+
+    // cramersV replay: same cell table and marginals, the χ² fold via
+    // list_reduce over list(term ORDER BY a, b) — same order, same
+    // IEEE adds as the Spark aggregate() HOF
+    "q_cramers_v" ->
+      """WITH seen AS (
+        | SELECT event_type AS a, (epoch_us(ts) // 3600000000) % 24 AS b,
+        |  CAST(count(*) AS BIGINT) AS o
+        | FROM events GROUP BY 1, 2),
+        |cells AS (
+        | SELECT da.a, db.b, coalesce(seen.o, 0) AS o
+        | FROM (SELECT DISTINCT a FROM seen) da
+        | CROSS JOIN (SELECT DISTINCT b FROM seen) db
+        | LEFT JOIN seen ON da.a = seen.a AND db.b = seen.b),
+        |t AS (
+        | SELECT a, b, o,
+        |  CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+        |  CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+        |  CAST(sum(o) OVER () AS BIGINT) AS n
+        | FROM cells),
+        |tm AS (
+        | SELECT a, b, n,
+        |  CAST(o AS DOUBLE)*CAST(n AS DOUBLE) -
+        |   CAST(r AS DOUBLE)*CAST(c AS DOUBLE) AS d,
+        |  CAST(r AS DOUBLE)*CAST(c AS DOUBLE)*CAST(n AS DOUBLE) AS rcn
+        | FROM t),
+        |tt AS (SELECT a, b, n, d*d/rcn AS term FROM tm),
+        |ag AS (
+        | SELECT list_reduce(list(term ORDER BY a, b),
+        |         (acc, x) -> acc + x) AS chi2,
+        |  CAST(count(DISTINCT a) AS BIGINT) AS ra,
+        |  CAST(count(DISTINCT b) AS BIGINT) AS cb,
+        |  CAST(max(n) AS BIGINT) AS n
+        | FROM tt)
+        |SELECT chi2,
+        | sqrt(chi2 / CAST(n AS DOUBLE) /
+        |      CAST(least(ra - 1, cb - 1) AS DOUBLE)) AS cramers_v,
+        | n, ra, cb
+        |FROM ag""".stripMargin,
 
     // lttb replay: same integer buckets/moments, same fixed IEEE area
     // tree over exact-long-derived doubles, argmax via ranked windows

@@ -138,6 +138,53 @@ object ChAnalytics {
     grid.join(df, Seq(orderCol), "left")
   }
 
+  /** ClickHouse `WITH FILL … INTERPOLATE` (round 12): [[withFill]]'s
+    * densified grid, per series, with gap rows LINEARLY INTERPOLATED
+    * between their neighboring known points: v = v₀ + (v₁−v₀)·(o−o₀)/
+    * (o₁−o₀). Known rows pass through exactly; rows before the first /
+    * after the last known point stay NULL (no extrapolation).
+    *
+    * Portability: order and value are exact longs; the interpolation
+    * is ONE fixed IEEE tree per gap row (three correctly-rounded
+    * long→double casts, one multiply, one divide) — bit-identical
+    * cross-engine. The prev/next scan is two frame-bounded
+    * last/first(ignoreNulls) windows sharing the series partitioning.
+    *
+    * Scale shape: like withFill, this applies to POST-AGGREGATED
+    * series — the grid is (hi−lo)/step rows per series, the join and
+    * both windows shuffle once on the series key, never on raw events.
+    */
+  def withFillInterpolate(df: DataFrame, series: Column, orderCol: Column,
+                          value: Column, step: Long = 1L): DataFrame = {
+    val src = df.select(series.as("grp"), orderCol.as("__o"),
+      value.as("__v"))
+    val bounds = src.groupBy(col("grp"))
+      .agg(min(col("__o")).as("__lo"), max(col("__o")).as("__hi"))
+    val grid = bounds.select(col("grp"),
+      explode(sequence(col("__lo"), col("__hi"), lit(step))).as("__o"))
+    val wPrev = Window.partitionBy("grp").orderBy("__o")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("grp").orderBy("__o")
+      .rowsBetween(0, Window.unboundedFollowing)
+    grid.join(src, Seq("grp", "__o"), "left")
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__po",
+        last(when(col("__v").isNotNull, col("__o")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__no",
+        first(when(col("__v").isNotNull, col("__o")), ignoreNulls = true)
+          .over(wNext))
+      .select(col("grp"), col("__o").as("o"),
+        when(col("__v").isNotNull, col("__v").cast("double"))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv").cast("double") +
+              (col("__nv") - col("__pv")).cast("double") *
+              (col("__o") - col("__po")).cast("double") /
+              (col("__no") - col("__po")).cast("double"))
+          .as("v_interp"))
+  }
+
   /** ClickHouse retention(c0, c1, …): per entity, flag r0 = "c0 ever
     * held" and ri = "c0 held AND ci held". One aggregation pass.
     */

@@ -197,6 +197,65 @@ object StatTests {
       .select(col("grp"), col("u1"), col("z"), col("n1"), col("n2"))
   }
 
+  /** ClickHouse `cramersV(a, b)` (round 12): the χ²-based association
+    * measure between two categoricals — V = √(χ²/n/min(r−1, c−1)),
+    * χ² = Σ_cells (o·n − r·c)²/(r·c·n) (the e = r·c/n form cleared of
+    * one denominator).
+    *
+    * The χ² SUM of doubles would normally be reduction-order-dependent
+    * — the one nondeterminism every other aggregate here avoids by
+    * staying integer. Here the per-cell terms are genuinely fractional,
+    * so the sum runs as an ORDERED SEQUENTIAL FOLD instead: cells are
+    * collected (bounded by r·c, e.g. 120 for 5 types × 24 hours —
+    * contingency tables are small BY DEFINITION), sorted by (a, b),
+    * and folded left-to-right with the `aggregate` HOF; DuckDB replays
+    * with list_reduce over list(term ORDER BY a, b) — same order, same
+    * IEEE adds, bit-identical χ².
+    *
+    * Every term input (o, r, c, n) is an exact long < 2^53 cast once;
+    * marginals come from three windows over the CELL table (r·c rows,
+    * not the corpus — the known benign unpartitioned-window-on-rollup
+    * pattern). One corpus shuffle total (the cell groupBy).
+    */
+  def cramersV(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val seen = df.select(a.as("__a"), b.as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__o"))
+    // densify: ZERO cells contribute (r·c/n) to χ² — dropping them
+    // (the natural groupBy output) understates association
+    val cells = seen.select(col("__a")).distinct()
+      .crossJoin(seen.select(col("__b")).distinct())
+      .join(seen, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val wa = Window.partitionBy("__a")
+    val wb = Window.partitionBy("__b")
+    val wn = Window.partitionBy()
+    val terms = cells
+      .withColumn("__r", sum(col("__o")).over(wa))
+      .withColumn("__c", sum(col("__o")).over(wb))
+      .withColumn("__n", sum(col("__o")).over(wn))
+      .withColumn("__d",
+        col("__o").cast("double") * col("__n").cast("double") -
+          col("__r").cast("double") * col("__c").cast("double"))
+      .withColumn("__term",
+        col("__d") * col("__d") /
+          (col("__r").cast("double") * col("__c").cast("double") *
+            col("__n").cast("double")))
+    terms
+      .agg(
+        aggregate(
+          array_sort(collect_list(
+            struct(col("__a"), col("__b"), col("__term")))),
+          lit(0.0), (acc, s) => acc + s.getField("__term")).as("chi2"),
+        countDistinct(col("__a")).as("ra"),
+        countDistinct(col("__b")).as("cb"),
+        max(col("__n")).as("n"))
+      .select(col("chi2"),
+        sqrt(col("chi2") / col("n").cast("double") /
+          least(col("ra") - 1, col("cb") - 1).cast("double"))
+          .as("cramers_v"),
+        col("n"), col("ra"), col("cb"))
+  }
+
   /** ClickHouse `quantileExactWeighted(level)(v, w)` (lower flavor):
     * per group, the smallest v whose cumulative weight reaches
     * level = `levelNum`/`levelDen` of the total — decided by the

@@ -251,6 +251,26 @@ class ChAnalyticsSpec extends SparkFunSuite {
     assert(out(0).getDouble(1) == 50.0 / 3.0)
   }
 
+  test("withFillInterpolate: gaps interpolate linearly, known rows exact") {
+    // series: (0,10), (3,40) -> hours 1,2 interpolate to 20, 30
+    val df = Seq(("g", 0L, 10L), ("g", 3L, 40L)).toDF("g", "o", "v")
+    val out = ChAnalytics.withFillInterpolate(df, col("g"), col("o"),
+      col("v")).orderBy("o").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((0L, 10.0), (1L, 20.0), (2L, 30.0), (3L, 40.0)))
+  }
+
+  test("withFillInterpolate: interior gap between two known islands") {
+    val df = Seq(("g", 0L, 0L), ("g", 4L, 8L), ("g", 6L, 0L))
+      .toDF("g", "o", "v")
+    val out = ChAnalytics.withFillInterpolate(df, col("g"), col("o"),
+      col("v")).orderBy("o").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // 0..4 slope 2, 4..6 slope -4
+    assert(out == Seq((0L, 0.0), (1L, 2.0), (2L, 4.0), (3L, 6.0),
+      (4L, 8.0), (5L, 4.0), (6L, 0.0)))
+  }
+
   test("boundingRatio: first-to-last slope; single-x group is NULL") {
     val df = Seq(
       (1L, 0L, 1L, 10.0), (1L, 5L, 2L, 20.0), (1L, 10L, 3L, 40.0),

@@ -75,6 +75,18 @@ class StatTestsSpec extends SparkFunSuite {
     assert(out(0).isNullAt(2))         // var == 0 -> NULL
   }
 
+  test("cramersV: perfect association is 1, independence is exactly 0") {
+    val perfect = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L))
+      .toDF("a", "b")
+    val p = StatTests.cramersV(perfect, col("a"), col("b")).collect()(0)
+    assert(p.getDouble(1) == 1.0)
+    // balanced 2x2: o*n == r*c in every cell -> chi2 == 0 exactly
+    val indep = Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L))
+      .toDF("a", "b")
+    val i = StatTests.cramersV(indep, col("a"), col("b")).collect()(0)
+    assert(i.getDouble(0) == 0.0 && i.getDouble(1) == 0.0)
+  }
+
   test("quantileExactWeighted: integer cumulative pick at two levels") {
     val df = Seq(("g", 10L, 3L), ("g", 20L, 2L), ("g", 30L, 7L))
       .toDF("g", "v", "w")
