@@ -37,7 +37,8 @@ object Bench {
     "text_lm_score", "q_quantile_merge_portable", "ann_ivf_dist",
     "ann_ivf2", "pipeline_ccnet_buckets",
     // round 12: the IVF2+PQ serving composition joins the tracked set
-    "ann_ivf2pq", "ann_ivfpq_rerank", "ann_sq8", "ann_ivfsq", "ann_range")
+    "ann_ivf2pq", "ann_ivfpq_rerank", "ann_sq8", "ann_ivfsq", "ann_range",
+    "ann_mrl")
 
   /** The round-12 ClickHouse-analytics widening — tracked as its own
     * section (same reasoning as `pipeline`: new ops get wall-clock
@@ -47,7 +48,9 @@ object Bench {
     "q_sum_map", "q_max_intersections", "q_interval_union",
     "q_minmax_map", "q_arg_minmax", "q_delta_sum", "q_bounding_ratio",
     "q_linreg", "q_welch_ttest", "q_ks_test", "q_mann_whitney",
-    "q_quantile_weighted", "q_geohash")
+    "q_quantile_weighted", "q_geohash",
+    "q_sparkbar", "q_exp_decay_avg", "q_lttb", "q_fill_interp",
+    "q_cramers_v")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

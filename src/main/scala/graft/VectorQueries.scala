@@ -76,6 +76,12 @@ object VectorQueries {
     * multiple production FAISS uses (`IndexRefineFlat` k_factor).
     */
   private[graft] val RerankShortlist = 20
+
+  // MRL serving knobs: prefix = 8 of 64 dims (8× cheaper shortlist
+  // scan), shortlist = 10·k — the adaptive-retrieval ratio from the
+  // Matryoshka paper's retrieval experiments
+  private[graft] val MrlDim = 8
+  private[graft] val MrlShortlist = 50
   private val pqModels =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.PqIndex.PqModel]
   private[graft] def pqModel(s: SparkSession, d: String): graft.operators.PqIndex.PqModel =
@@ -213,6 +219,17 @@ object VectorQueries {
       graft.operators.PqIndex.topKIvf2(Tables.embeddings(s, d), probes(s, d),
         ivf2Model(s, d), pqModel(s, d), k = 5, nProbe1 = Ivf2NProbe1,
         nProbe = Ivf2NProbe).orderBy("probe_id", "rk")
+    },
+
+    // C29h (oracle, round 12): Matryoshka prefix-dim serving
+    // (Kusupati et al. 2022) — shortlist on the first 8 of 64 dims
+    // (exact prefix L2, no trained model at all), exact full-dim
+    // rerank of only the shortlist. The cheapest ANN rung: an 8×
+    // cheaper scan bought with a prefix slice instead of a codebook.
+    "ann_mrl" -> Q { (s, d) =>
+      Similarity.mrlTopK(Tables.embeddings(s, d), probes(s, d), k = 5,
+        mrlDim = MrlDim, shortlist = MrlShortlist)
+        .orderBy("probe_id", "rk")
     },
 
     // C29 (oracle, round 8): product quantization — the compressed-
@@ -858,6 +875,44 @@ object VectorQueries {
          |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
          | FROM scored)
          |SELECT probe_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked
+         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
+    // MRL replay: prefix fold (first MrlDim elements) for the
+    // shortlist, full fold for the rerank — both the explicit
+    // left-to-right SqDistExpr order from 0.0; shortlist membership
+    // ties by (pd2, vec_id) mirror the TopK (−score, id) rule
+    "ann_mrl" ->
+      s"""WITH dv AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, dv AS pv FROM dv
+         |      WHERE vec_id % 50 = 0),
+         |pre AS (
+         | SELECT p.probe_id, c.vec_id,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |   list_transform(range(1, ${MrlDim + 1}),
+         |    i -> (p.pv[i] - c.dv[i]) * (p.pv[i] - c.dv[i]))),
+         |   (a, x) -> a + x) AS pd2
+         | FROM dv c, p WHERE c.vec_id <> p.probe_id),
+         |sl AS (
+         | SELECT probe_id, vec_id FROM (
+         |  SELECT probe_id, vec_id,
+         |   row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY pd2, vec_id) AS rn
+         |  FROM pre) WHERE rn <= $MrlShortlist),
+         |ex AS (
+         | SELECT sl.probe_id, sl.vec_id,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |   list_transform(range(1, 65),
+         |    i -> (p.pv[i] - c.dv[i]) * (p.pv[i] - c.dv[i]))),
+         |   (a, x) -> a + x) AS d2
+         | FROM sl JOIN p ON p.probe_id = sl.probe_id
+         |  JOIN dv c ON c.vec_id = sl.vec_id),
+         |ranked AS (
+         | SELECT probe_id, vec_id, d2,
+         |  row_number() OVER (PARTITION BY probe_id
+         |   ORDER BY d2, vec_id) AS rk
+         | FROM ex)
+         |SELECT probe_id, vec_id, d2, CAST(rk AS BIGINT) AS rk FROM ranked
          |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
 
     "ann_bruteforce" ->

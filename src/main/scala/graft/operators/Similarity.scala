@@ -77,6 +77,53 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Matryoshka-representation serving (round 12; Kusupati et al.
+    * 2022 — MRL trains embeddings so every PREFIX is itself a valid
+    * lower-dimensional embedding): shortlist by EXACT squared L2 on
+    * the first `mrlDim` dims — mrlDim/dim of the scan's compute and,
+    * on a column-sliced store, of its I/O — then rerank ONLY the
+    * shortlist at full dimension. The adaptive-retrieval shape from
+    * the paper, and the cheapest ANN rung of all: no trained model,
+    * no codes, just a prefix slice.
+    *
+    * Scale shape: stage 1 is [[bruteForceTopK]]'s bounded TopK
+    * aggregate over prefix slices (probes broadcast, corpus scanned
+    * once, map-side partial top-k — no scored-row shuffle); stage 2
+    * re-reads raw vectors for ONLY probes×shortlist ids via broadcast
+    * joins, zero shuffle (the `ann_ivfpq_rerank` refine shape). Both
+    * distances fold bit-exactly (SqDistExpr), so shortlist membership
+    * AND final ranks replay in the DuckDB oracle.
+    */
+  def mrlTopK(corpus: DataFrame, probes: DataFrame, k: Int, mrlDim: Int,
+              shortlist: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(mrlDim >= 1, s"mrlDim must be >= 1, got $mrlDim")
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val pre = c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.VectorOps.sqDist(
+          slice(col("probe_vec"), 1, mrlDim),
+          slice(col("vec"), 1, mrlDim)).as("pd2"))
+    // TopK orders by (-score, id): score = −pd2 → pd2 asc, vec_id asc
+    val sl = pre.groupBy("probe_id")
+      .agg(graft.functions.TopK.topk(shortlist)(-col("pd2"), col("vec_id"))
+        .as("top"))
+      .select(col("probe_id"), explode(col("top")).as("e"))
+      .select(col("probe_id"), col("e._2").as("vec_id"))
+    c.join(broadcast(sl), "vec_id")
+      .join(broadcast(p), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.VectorOps.sqDist(col("probe_vec"), col("vec"))
+          .as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("d2").asc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("d2"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** kNN label propagation: classify each probe by majority vote of
     * its k nearest labeled neighbors (exact cosine), ties on the vote
     * count broken toward the smallest label — fully deterministic.
