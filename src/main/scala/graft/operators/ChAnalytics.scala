@@ -432,8 +432,11 @@ object ChAnalytics {
     *
     * Envelope: Σ value·2^(span) must fit in a long — callers window
     * the horizon to ≲ 30 units (CH's own function takes an explicit
-    * window for the same reason); ANSI mode fails an overflow loudly.
-    * One aggregate + one window sharing the group partitioning.
+    * window for the same reason). The weight-sum overflow fails
+    * loudly under ANSI, but the SHIFT ITSELF would not: Java shifts
+    * take the amount mod 64, so a 70-unit span would produce silently
+    * WRONG weights — hence the explicit raise_error guard at span >
+    * 62. One aggregate + one window sharing the group partitioning.
     */
   def expDecayedAvg(df: DataFrame, group: Column, t: Column,
                     value: Column): DataFrame = {
@@ -441,7 +444,12 @@ object ChAnalytics {
     df.select(group.as("grp"), t.as("__t"), value.as("__v"))
       .withColumn("__tmin", min(col("__t")).over(w))
       .withColumn("__w",
-        expr("shiftleft(cast(1 as bigint), cast(__t - __tmin as int))"))
+        when(col("__t") - col("__tmin") > 62,
+          raise_error(concat(lit("expDecayedAvg: span exceeds the 62-"),
+            lit("unit 64-bit weight envelope — window the horizon "),
+            lit("(shift amounts wrap mod 64 SILENTLY past this point)"))))
+          .otherwise(
+            expr("shiftleft(cast(1 as bigint), cast(__t - __tmin as int))")))
       .groupBy(col("grp"))
       .agg((sum(col("__v") * col("__w")).cast("double") /
         sum(col("__w")).cast("double")).as("decayed_avg"))

@@ -271,6 +271,17 @@ class ChAnalyticsSpec extends SparkFunSuite {
       (4L, 8.0), (5L, 4.0), (6L, 0.0)))
   }
 
+  test("expDecayedAvg: span past the 64-bit weight envelope fails LOUDLY") {
+    // Java shifts wrap mod 64 silently — the guard must fire instead
+    val df = Seq(("g", 0L, 1L), ("g", 70L, 1L)).toDF("g", "t", "v")
+    val e = intercept[Exception] {
+      ChAnalytics.expDecayedAvg(df, col("g"), col("t"), col("v")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("weight envelope")))
+  }
+
   test("boundingRatio: first-to-last slope; single-x group is NULL") {
     val df = Seq(
       (1L, 0L, 1L, 10.0), (1L, 5L, 2L, 20.0), (1L, 10L, 3L, 40.0),
