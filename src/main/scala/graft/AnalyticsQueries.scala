@@ -271,6 +271,20 @@ object AnalyticsQueries {
       StatTests.cramersV(ev, col("event_type"), col("hr"))
     },
 
+    // B50 (round 12): sequenceNextNode — what does each user do
+    // immediately after their first adjacent view→click? NULL when
+    // the chain never fires or the stream ends there.
+    "q_sequence_next_node" -> Q { (s, d) =>
+      ChAnalytics.sequenceNextNode(
+        Tables.events(s, d).select("user_id", "event_id", "ts_us",
+          "event_type"),
+        col("user_id"), col("ts_us"), col("event_id"),
+        Seq(col("event_type") === "view", col("event_type") === "click"),
+        col("event_type"))
+        .select(col("entity").as("user_id"), col("next_node"))
+        .orderBy("user_id")
+    },
+
     // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
     // WindowGroupLimit prunes to ≤2 rows/user/partition pre-shuffle.
     "q_limit_by" -> Q { (s, d) =>
@@ -1085,6 +1099,29 @@ object AnalyticsQueries {
         | CAST(CAST(sum(v * wt) AS BIGINT) AS DOUBLE) /
         | CAST(CAST(sum(wt) AS BIGINT) AS DOUBLE) AS decayed_avg
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sequenceNextNode replay: same (ts, event_id) total order, same
+    // adjacent-chain leads, same earliest anchor, same anchor+len pick
+    "q_sequence_next_node" ->
+      """WITH s AS (
+        | SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id) AS seq
+        | FROM events),
+        |m AS (
+        | SELECT user_id, seq, event_type,
+        |  (event_type = 'view') AND
+        |   lead(event_type = 'click', 1) OVER (PARTITION BY user_id
+        |    ORDER BY seq) AS mm
+        | FROM s),
+        |a AS (
+        | SELECT user_id, seq, event_type,
+        |  min(CASE WHEN mm THEN seq END) OVER (PARTITION BY user_id)
+        |   AS anchor
+        | FROM m)
+        |SELECT user_id,
+        | max(CASE WHEN seq = anchor + 2 THEN event_type END) AS next_node
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // fill+interpolate replay: same grid (range is end-exclusive =
     // sequence inclusive), same IGNORE NULLS neighbor scan, same

@@ -238,6 +238,39 @@ object ChAnalytics {
       .select(col("entity"),
         regexp_count(col("seq"), lit(pattern)).cast("long").as("n_matches"))
 
+  /** ClickHouse `sequenceNextNode('forward', 'first_match')` (round
+    * 12): per entity, the value of the event IMMEDIATELY AFTER the
+    * first occurrence of the adjacent event chain `conds` — the path-
+    * analysis primitive ("what do users do right after view→click?").
+    *
+    * The chain is ADJACENT (CH first_match semantics): cond(i) must
+    * hold at exactly anchor+i in the (ts, tieBreak) total order.
+    * matched(s) = AND_i lead(cond_i, i)(s); anchor = earliest matched
+    * seq; the answer is `nextVal` at anchor + len(conds) (NULL if the
+    * stream ends first or no match). Every window shares the entity
+    * partitioning — one shuffle.
+    */
+  def sequenceNextNode(events: DataFrame, entity: Column, ts: Column,
+                       tieBreak: Column, conds: Seq[Column],
+                       nextVal: Column): DataFrame = {
+    require(conds.nonEmpty)
+    val wOrd = Window.partitionBy("__ent").orderBy(col("__ts"), col("__tie"))
+    val w = Window.partitionBy("__ent")
+    val base = events.select(
+      entity.as("__ent") +: ts.as("__ts") +: tieBreak.as("__tie") +:
+        nextVal.as("__nv") +:
+        conds.zipWithIndex.map { case (c, i) => c.as(s"__c$i") }: _*)
+      .withColumn("__seq", row_number().over(wOrd).cast("long"))
+    val matched = conds.indices.map { i =>
+      if (i == 0) col("__c0") else lead(col(s"__c$i"), i).over(wOrd)
+    }.reduce(_ && _)
+    base.withColumn("__m", matched)
+      .withColumn("__anchor", min(when(col("__m"), col("__seq"))).over(w))
+      .groupBy(col("__ent").as("entity"))
+      .agg(max(when(col("__seq") === col("__anchor") + conds.length,
+        col("__nv"))).as("next_node"))
+  }
+
   /** Shared base of sequenceMatch/sequenceCount: per entity, the
     * order-sorted condition-code string (one char per event).
     */

@@ -282,6 +282,28 @@ class ChAnalyticsSpec extends SparkFunSuite {
     assert(msgs(e).exists(m => m != null && m.contains("weight envelope")))
   }
 
+  test("sequenceNextNode: node after the FIRST adjacent chain; NULLs at edges") {
+    val ev = Seq(
+      // u1: view,click,purchase -> purchase
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      // u2: view,X,click (not adjacent) -> NULL
+      (2L, 1L, "view"), (2L, 2L, "error"), (2L, 3L, "click"),
+      // u3: chain at stream end -> NULL
+      (3L, 1L, "view"), (3L, 2L, "click"),
+      // u4: TWO chains — the FIRST anchors (next = 'error'), not the second
+      (4L, 1L, "view"), (4L, 2L, "click"), (4L, 3L, "error"),
+      (4L, 4L, "view"), (4L, 5L, "click"), (4L, 6L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = ChAnalytics.sequenceNextNode(ev, col("user_id"), col("ts"),
+      col("ts"), Seq(col("event_type") === "view",
+        col("event_type") === "click"), col("event_type"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) == Some("purchase"))
+    assert(got(2L) == None)
+    assert(got(3L) == None)
+    assert(got(4L) == Some("error"))
+  }
+
   test("boundingRatio: first-to-last slope; single-x group is NULL") {
     val df = Seq(
       (1L, 0L, 1L, 10.0), (1L, 5L, 2L, 20.0), (1L, 10L, 3L, 40.0),
