@@ -50,7 +50,7 @@ object Bench {
     "q_linreg", "q_welch_ttest", "q_ks_test", "q_mann_whitney",
     "q_quantile_weighted", "q_geohash",
     "q_sparkbar", "q_exp_decay_avg", "q_lttb", "q_fill_interp",
-    "q_cramers_v")
+    "q_cramers_v", "q_sequence_next_node")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

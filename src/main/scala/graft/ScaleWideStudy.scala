@@ -29,8 +29,8 @@ object ScaleWideStudy {
 
   private val O = 10000000L
 
-  private def replicateAll(spark: SparkSession, base: String, out: String,
-                           k: Int): Unit = {
+  private[graft] def replicateAll(spark: SparkSession, base: String,
+                                  out: String, k: Int): Unit = {
     val fs = new java.io.File(out)
     if (new java.io.File(fs, "_DONE").exists()) return
     fs.mkdirs()
