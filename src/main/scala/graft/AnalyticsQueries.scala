@@ -285,6 +285,37 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // B51 (round 12): ClickHouse uniqUpTo(N) — exact distinct count
+    // capped at N+1 ("more than N" is all the caller wants to know;
+    // CH keeps ≤N+1 values of state, here the cap is post-aggregate
+    // but the contract is identical). Per event type: distinct users
+    // up to 100.
+    "q_uniq_upto" -> Q { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(least(countDistinct(col("user_id")), lit(101L))
+          .as("uniq_upto_100"))
+        .orderBy("event_type")
+    },
+
+    // B52 (round 12): ClickHouse groupBitmapAnd/Or/Xor — audience set
+    // algebra over three behavior segments, as the bitmap-free
+    // relational identity: per-user presence flags, then one count
+    // per combinator. One user shuffle, 3 bits of state per user.
+    "q_group_bitmap" -> Q { (s, d) =>
+      val flags = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "view", 1L).otherwise(0L)).as("f1"),
+          max(when(col("event_type") === "click", 1L).otherwise(0L)).as("f2"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("f3"))
+      flags.agg(
+        sum(col("f1") * col("f2") * col("f3")).as("and_users"),
+        sum(greatest(col("f1"), col("f2"), col("f3"))).as("or_users"),
+        sum((col("f1") + col("f2") + col("f3")) % 2).as("xor_users"))
+    },
+
     // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
     // WindowGroupLimit prunes to ≤2 rows/user/partition pre-shuffle.
     "q_limit_by" -> Q { (s, d) =>
@@ -1099,6 +1130,24 @@ object AnalyticsQueries {
         | CAST(CAST(sum(v * wt) AS BIGINT) AS DOUBLE) /
         | CAST(CAST(sum(wt) AS BIGINT) AS DOUBLE) AS decayed_avg
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_uniq_upto" ->
+      """SELECT event_type,
+        | least(CAST(count(DISTINCT user_id) AS BIGINT), 101)
+        |  AS uniq_upto_100
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_group_bitmap" ->
+      """WITH flags AS (
+        | SELECT user_id,
+        |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f1,
+        |  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f2,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f3
+        | FROM events GROUP BY 1)
+        |SELECT CAST(sum(f1 * f2 * f3) AS BIGINT) AS and_users,
+        | CAST(sum(greatest(f1, f2, f3)) AS BIGINT) AS or_users,
+        | CAST(sum((f1 + f2 + f3) % 2) AS BIGINT) AS xor_users
+        |FROM flags""".stripMargin,
 
     // sequenceNextNode replay: same (ts, event_id) total order, same
     // adjacent-chain leads, same earliest anchor, same anchor+len pick
