@@ -20,6 +20,11 @@ object AnalyticsQueries {
 
   private val dayUs = 86400000000L
 
+  /** Fixed test quad for q_point_in_polygon (integer centi-degrees in
+    * the supplier coordinate grid — non-convex-safe ray casting). */
+  private val PipQuad: Seq[(Long, Long)] =
+    Seq((5000L, 3000L), (25000L, 5000L), (30000L, 15000L), (8000L, 16000L))
+
   /** Shared A/B prep for the per-day two-sample tests (welch/ks/mw):
     * click = sample 0, view = sample 1, value in exact cents. */
   private def abEvents(s: SparkSession, d: String): DataFrame =
@@ -314,6 +319,20 @@ object AnalyticsQueries {
         sum(col("f1") * col("f2") * col("f3")).as("and_users"),
         sum(greatest(col("f1"), col("f2"), col("f3"))).as("or_users"),
         sum((col("f1") + col("f2") + col("f3")) % 2).as("xor_users"))
+    },
+
+    // B53 (round 12): ClickHouse pointInPolygon — which suppliers'
+    // integer centi-degree coordinates fall inside a fixed quad;
+    // division-free integer ray casting, exact on both engines.
+    "q_point_in_polygon" -> Q { (s, d) =>
+      import graft.operators.GeoHash
+      Tables.supplier(s, d).select(col("s_suppkey"),
+          (col("s_suppkey") * 7919 % 36000).as("px"),
+          (col("s_suppkey") * 104729 % 18000).as("py"))
+        .select(col("s_suppkey"),
+          GeoHash.pointInPolygon(col("px"), col("py"), PipQuad)
+            .cast(LongType).as("inside"))
+        .orderBy("s_suppkey")
     },
 
     // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
@@ -1130,6 +1149,19 @@ object AnalyticsQueries {
         | CAST(CAST(sum(v * wt) AS BIGINT) AS DOUBLE) /
         | CAST(CAST(sum(wt) AS BIGINT) AS DOUBLE) AS decayed_avg
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // pointInPolygon replay: same unrolled integer edge tests
+    "q_point_in_polygon" -> {
+      import graft.operators.GeoHash
+      s"""WITH src AS (
+         | SELECT s_suppkey, s_suppkey * 7919 % 36000 AS px,
+         |  s_suppkey * 104729 % 18000 AS py
+         | FROM supplier)
+         |SELECT s_suppkey,
+         | CAST(${GeoHash.pointInPolygonSql("px", "py", PipQuad)} AS BIGINT)
+         |  AS inside
+         |FROM src ORDER BY s_suppkey""".stripMargin
+    },
 
     "q_uniq_upto" ->
       """SELECT event_type,

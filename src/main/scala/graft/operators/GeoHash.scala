@@ -57,6 +57,63 @@ object GeoHash {
     }: _*)
   }
 
+  /** ClickHouse `pointInPolygon((x, y), polygon)` (round 12) over
+    * INTEGER coordinates — even-odd ray casting with the division-free
+    * sign-adjusted cross-product test, so every decision is exact
+    * 64-bit arithmetic and replays verbatim in any engine:
+    *
+    * edge (x1,y1)→(x2,y2) crosses the +x ray from (px,py) iff
+    * (y1 > py) ≠ (y2 > py)  — the half-open vertex rule — and
+    * px is left of the intersection: with d = y2−y1,
+    * (d > 0 ∧ (px−x1)·d < (x2−x1)·(py−y1)) ∨ (d < 0 ∧ flipped).
+    *
+    * Boundary points follow the half-open rule (deterministic, the
+    * standard crossing-number convention). Products stay < 2^63 for
+    * coordinates up to ~2^31 — centi-degree grids use 16 bits.
+    * The unrolled per-edge expression chain is pure codegen'd integer
+    * ops — no UDF, no trig (unlike great-circle predicates).
+    */
+  def pointInPolygon(px: Column, py: Column,
+                     polygon: Seq[(Long, Long)]): Column = {
+    require(polygon.size >= 3, "polygon needs >= 3 vertices")
+    val crossings = polygon.indices.map { i =>
+      val (x1, y1) = polygon(i)
+      val (x2, y2) = polygon((i + 1) % polygon.size)
+      val straddles = (lit(y1) > py) =!= (lit(y2) > py)
+      val d = y2 - y1
+      val lhs = (px - lit(x1)) * lit(d)
+      val rhs = lit(x2 - x1) * (py - lit(y1))
+      val crosses =
+        if (d > 0) straddles && (lhs < rhs)
+        else if (d < 0) straddles && (lhs > rhs)
+        else lit(false) // horizontal edge never crosses the +x ray
+      when(crosses, 1L).otherwise(0L)
+    }
+    crossings.reduce(_ + _) % 2 === 1
+  }
+
+  /** DuckDB replica of [[pointInPolygon]] — the same unrolled edges,
+    * the same half-open rule and sign-adjusted comparisons.
+    */
+  def pointInPolygonSql(pxExpr: String, pyExpr: String,
+                        polygon: Seq[(Long, Long)]): String = {
+    require(polygon.size >= 3)
+    val terms = polygon.indices.map { i =>
+      val (x1, y1) = polygon(i)
+      val (x2, y2) = polygon((i + 1) % polygon.size)
+      val d = y2 - y1
+      val straddles = s"(($y1 > ($pyExpr)) <> ($y2 > ($pyExpr)))"
+      val lhs = s"((($pxExpr) - $x1) * $d)"
+      val rhs = s"(${x2 - x1} * (($pyExpr) - $y1))"
+      val crosses =
+        if (d > 0) s"($straddles AND $lhs < $rhs)"
+        else if (d < 0) s"($straddles AND $lhs > $rhs)"
+        else "FALSE"
+      s"(CASE WHEN $crosses THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
   /** DuckDB replica of [[encode]] over SQL expressions — same affine
     * tree, same Morton rounds (via ZOrder.zValueSql), same alphabet.
     */

@@ -29,6 +29,31 @@ class GeoHashSpec extends SparkFunSuite {
     assert(enc(-180.0, -90.0, 1) == "0")
   }
 
+  test("pointInPolygon: square membership, boundary half-open rule") {
+    val sq = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    def in(x: Long, y: Long): Boolean =
+      Seq((x, y)).toDF("x", "y")
+        .select(GeoHash.pointInPolygon(col("x"), col("y"), sq))
+        .collect()(0).getBoolean(0)
+    assert(in(5, 5))
+    assert(!in(15, 5) && !in(-1, 5) && !in(5, 11))
+    // half-open: bottom-left corner/edges in, top edge out
+    assert(in(0, 0) && in(5, 0) && in(0, 5))
+    assert(!in(5, 10) && !in(10, 5))
+  }
+
+  test("pointInPolygon: non-convex polygon (the notch is outside)") {
+    // a "U": (0,0)(10,0)(10,10)(6,10)(6,4)(4,4)(4,10)(0,10)
+    val u = Seq((0L, 0L), (10L, 0L), (10L, 10L), (6L, 10L),
+      (6L, 4L), (4L, 4L), (4L, 10L), (0L, 10L))
+    def in(x: Long, y: Long): Boolean =
+      Seq((x, y)).toDF("x", "y")
+        .select(GeoHash.pointInPolygon(col("x"), col("y"), u))
+        .collect()(0).getBoolean(0)
+    assert(in(2, 8) && in(8, 8) && in(5, 2)) // the two arms + base
+    assert(!in(5, 8))                        // the notch
+  }
+
   test("quadrant sanity: first character splits the globe as published") {
     // well-known single-char cells
     assert(enc(0.1, 0.1, 1) == "s")    // lon>0, lat>0 near origin
