@@ -335,6 +335,31 @@ object AnalyticsQueries {
         .orderBy("s_suppkey")
     },
 
+    // B54 (round 12): arrayAUC as a grouped aggregate — per day, does
+    // value separate clicks from views? AUC ≡ normalized Mann–Whitney
+    // U, so the integer 2·R₁ machinery serves verbatim; one divide.
+    "q_auc" -> Q { (s, d) =>
+      StatTests.auc(abEvents(s, d), col("day"), col("i") === 0,
+        col("cents"))
+        .select(col("grp").as("day"), col("auc"), col("n_pos"),
+          col("n_neg"))
+        .orderBy("day")
+    },
+
+    // B55 (round 12): ClickHouse rankCorr (Spearman) — per day, rank
+    // correlation between event value and time; integer doubled-rank
+    // moments, two sqrts at the end. Envelope: 4n⁴ < 2^63 → n ≲ 39k
+    // per group (ANSI-loud beyond; group finer — here days).
+    "q_rank_corr" -> Q { (s, d) =>
+      val src = Tables.events(s, d).select(
+        expr(s"ts_us div $dayUs").as("day"),
+        (col("value").cast(d2) * 100).cast(LongType).as("cents"),
+        col("ts_us"))
+      StatTests.rankCorr(src, col("day"), col("cents"), col("ts_us"))
+        .select(col("grp").as("day"), col("rank_corr"), col("n"))
+        .orderBy("day")
+    },
+
     // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
     // WindowGroupLimit prunes to ≤2 rows/user/partition pre-shuffle.
     "q_limit_by" -> Q { (s, d) =>
@@ -1162,6 +1187,70 @@ object AnalyticsQueries {
          |  AS inside
          |FROM src ORDER BY s_suppkey""".stripMargin
     },
+
+    // AUC replay: the Mann–Whitney chain (positives = sample 0 =
+    // click) normalized by n1·n2
+    "q_auc" ->
+      """WITH src AS (
+        | SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS i,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |c AS (
+        | SELECT day, v,
+        |  CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN i <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        | FROM src GROUP BY 1, 2),
+        |r AS (
+        | SELECT day, c1, c2, c1 + c2 AS c,
+        |  sum(c1 + c2) OVER (PARTITION BY day ORDER BY v) AS cum
+        | FROM c),
+        |a AS (
+        | SELECT day,
+        |  CAST(sum(c1*(2*cum - c + 1)) AS BIGINT) AS tr1,
+        |  CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        | FROM r GROUP BY 1),
+        |b AS (
+        | SELECT day, n1, n2,
+        |  CAST(tr1 - n1*(n1 + 1) AS DOUBLE)/2.0 AS u1
+        | FROM a WHERE n1 > 0 AND n2 > 0)
+        |SELECT day, u1 / CAST(n1 * n2 AS DOUBLE) AS auc,
+        | n1 AS n_pos, n2 AS n_neg
+        |FROM b ORDER BY day""".stripMargin,
+
+    // rankCorr replay: same doubled-rank windows per dimension, same
+    // integer moments, same num/(sqrt·sqrt) tree
+    "q_rank_corr" ->
+      """WITH src AS (
+        | SELECT epoch_us(ts) // 86400000000 AS grp,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |  epoch_us(ts) AS y
+        | FROM events),
+        |cx AS (SELECT grp, x, CAST(count(*) AS BIGINT) AS c
+        |       FROM src GROUP BY 1, 2),
+        |rx AS (SELECT grp, x,
+        |  2*(sum(c) OVER (PARTITION BY grp ORDER BY x)) - c + 1 AS rx
+        | FROM cx),
+        |cy AS (SELECT grp, y, CAST(count(*) AS BIGINT) AS c
+        |       FROM src GROUP BY 1, 2),
+        |ry AS (SELECT grp, y,
+        |  2*(sum(c) OVER (PARTITION BY grp ORDER BY y)) - c + 1 AS ry
+        | FROM cy),
+        |j AS (SELECT s.grp, rx.rx, ry.ry FROM src s
+        | JOIN rx ON s.grp = rx.grp AND s.x = rx.x
+        | JOIN ry ON s.grp = ry.grp AND s.y = ry.y),
+        |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        |  CAST(sum(rx*ry) AS BIGINT) AS sxy,
+        |  CAST(sum(rx*rx) AS BIGINT) AS sxx,
+        |  CAST(sum(ry*ry) AS BIGINT) AS syy
+        | FROM j GROUP BY 1)
+        |SELECT grp AS day,
+        | CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+        |  ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+        |   (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |    sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS rank_corr, n
+        |FROM m ORDER BY day""".stripMargin,
 
     "q_uniq_upto" ->
       """SELECT event_type,

@@ -197,6 +197,66 @@ object StatTests {
       .select(col("grp"), col("u1"), col("z"), col("n1"), col("n2"))
   }
 
+  /** ClickHouse `arrayAUC(scores, labels)` as a grouped aggregate
+    * (round 12): the ROC area of `score` predicting `positive`. AUC
+    * IS the normalized Mann–Whitney U — U₁/(n₁·n₂) with average-rank
+    * tie handling — so this reuses [[mannWhitneyU]]'s integer 2·R₁
+    * machinery verbatim (positives = sample 0) and spends exactly one
+    * divide: AUC = (2·U₁)/(2·n₁·n₂). Groups missing a class are
+    * dropped (AUC undefined).
+    */
+  def auc(df: DataFrame, group: Column, positive: Column,
+          score: Column): DataFrame =
+    mannWhitneyU(df, group, when(positive, 0L).otherwise(1L), score)
+      .select(col("grp"),
+        (col("u1") / (col("n1") * col("n2")).cast("double")).as("auc"),
+        col("n1").as("n_pos"), col("n2").as("n_neg"))
+
+  /** ClickHouse `rankCorr(x, y)` (round 12): Spearman rank
+    * correlation — Pearson over average ranks, ties getting the
+    * midpoint rank. Average ranks are rationals with denominator 2,
+    * so the moments run over the INTEGER doubled ranks 2·r (the
+    * factor cancels in the correlation); per dimension the doubled
+    * rank of a tie class is 2·cum − c + 1, broadcast to all members.
+    * Only the final (nΣxy−ΣxΣy)/√(…)·√(…) runs in doubles — one
+    * fixed tree, two sqrts. Degenerate (constant) dimensions → NULL.
+    *
+    * Shape: two (grp, v)-collapsed rank windows (one per dimension)
+    * joined back on the row id, then one moment aggregate — all on
+    * the group partitioning.
+    */
+  def rankCorr(df: DataFrame, group: Column, x: Column,
+               y: Column): DataFrame = {
+    val base = df.select(group.as("grp"), x.as("__x"), y.as("__y"))
+    def ranks(valCol: String, out: String) = {
+      val counts = base.groupBy(col("grp"), col(valCol))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy("grp").orderBy(valCol)
+      counts.withColumn("__cum", sum(col("__c")).over(w))
+        .select(col("grp"), col(valCol),
+          (lit(2L) * col("__cum") - col("__c") + 1L).as(out))
+    }
+    val withRanks = base
+      .join(ranks("__x", "__rx"), Seq("grp", "__x"))
+      .join(ranks("__y", "__ry"), Seq("grp", "__y"))
+    val m = withRanks.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"))
+    val num = (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val dx = (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val dy = (col("n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    m.select(col("grp"),
+      when(dx === 0.0 || dy === 0.0, lit(null))
+        .otherwise(num / (sqrt(dx) * sqrt(dy))).as("rank_corr"),
+      col("n"))
+  }
+
   /** ClickHouse `cramersV(a, b)` (round 12): the χ²-based association
     * measure between two categoricals — V = √(χ²/n/min(r−1, c−1)),
     * χ² = Σ_cells (o·n − r·c)²/(r·c·n) (the e = r·c/n form cleared of

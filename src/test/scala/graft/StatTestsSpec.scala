@@ -75,6 +75,41 @@ class StatTestsSpec extends SparkFunSuite {
     assert(out(0).isNullAt(2))         // var == 0 -> NULL
   }
 
+  test("auc: perfect separation 1, reversed 0, random-with-ties half") {
+    // positives score higher -> AUC 1
+    val perf = Seq(("g", true, 10L), ("g", true, 9L),
+      ("g", false, 2L), ("g", false, 1L)).toDF("g", "p", "v")
+    assert(StatTests.auc(perf, col("g"), col("p"), col("v"))
+      .collect()(0).getDouble(1) == 1.0)
+    // all scores equal -> average-rank ties give exactly 0.5
+    val tied = Seq(("g", true, 5L), ("g", true, 5L),
+      ("g", false, 5L), ("g", false, 5L)).toDF("g", "p", "v")
+    assert(StatTests.auc(tied, col("g"), col("p"), col("v"))
+      .collect()(0).getDouble(1) == 0.5)
+    // positives score LOWER -> 0
+    val rev = Seq(("g", true, 1L), ("g", false, 9L)).toDF("g", "p", "v")
+    assert(StatTests.auc(rev, col("g"), col("p"), col("v"))
+      .collect()(0).getDouble(1) == 0.0)
+  }
+
+  test("rankCorr: monotone ±1 up to the sqrt·sqrt ulp, constant NULL") {
+    // n=3 distinct ranks: the exact tree gives 24/(√24·√24) — one ulp
+    // off ±1 because sqrt(d)·sqrt(d) ≠ d; the spec pins the exact
+    // formula value, not the idealized one (what the oracle replays)
+    val one = 24.0 / (math.sqrt(24.0) * math.sqrt(24.0))
+    val up = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 35L))
+      .toDF("g", "x", "y")
+    assert(StatTests.rankCorr(up, col("g"), col("x"), col("y"))
+      .collect()(0).getDouble(1) == one)
+    val down = Seq(("g", 1L, 30L), ("g", 2L, 20L), ("g", 3L, 10L))
+      .toDF("g", "x", "y")
+    assert(StatTests.rankCorr(down, col("g"), col("x"), col("y"))
+      .collect()(0).getDouble(1) == -one)
+    val const = Seq(("g", 1L, 7L), ("g", 2L, 7L)).toDF("g", "x", "y")
+    assert(StatTests.rankCorr(const, col("g"), col("x"), col("y"))
+      .collect()(0).isNullAt(1))
+  }
+
   test("cramersV: perfect association is 1, independence is exactly 0") {
     val perfect = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L))
       .toDF("a", "b")
