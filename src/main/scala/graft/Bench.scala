@@ -50,7 +50,9 @@ object Bench {
     "q_linreg", "q_welch_ttest", "q_ks_test", "q_mann_whitney",
     "q_quantile_weighted", "q_geohash",
     "q_sparkbar", "q_exp_decay_avg", "q_lttb", "q_fill_interp",
-    "q_cramers_v", "q_sequence_next_node")
+    "q_cramers_v", "q_sequence_next_node",
+    "q_uniq_upto", "q_group_bitmap", "q_point_in_polygon", "q_auc",
+    "q_rank_corr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
