@@ -14,7 +14,35 @@ object TextQueries {
 
   private def Q(f: (SparkSession, String) => DataFrame) = f
 
+  /** Corpus-LEARNED BPE merges, memoized per data dir (the ivfModel
+    * pattern: the gate's query run and the oracle build must see the
+    * identical table; training is deterministic anyway — count desc,
+    * pair lexicographic — the memo just avoids re-training).
+    */
+  private val bpeTrainedTables =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  private[graft] def bpeTrainedMerges(s: SparkSession,
+                                      d: String): Seq[(String, String)] =
+    bpeTrainedTables.getOrElseUpdate(d,
+      graft.functions.Bpe.train(Tables.documents(s, d), "text", 48))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C30b (round 12): BPE TRAINING on the corpus itself — the
+    // distributed word-frequency aggregate feeds the classic driver-
+    // side merge loop (the bounded-collect k-means precedent), and the
+    // gate tokenizes the SAME corpus under the learned table. The
+    // oracle inlines the learned merges exactly like trained
+    // centroids and replays tokenization with the recursive-CTE BPE.
+    "text_bpe_trained" -> Q { (s, d) =>
+      val merges = bpeTrainedMerges(s, d)
+      val t = lower(trim(col("text")))
+      Tables.documents(s, d)
+        .where(length(t) > 0)
+        .select(col("doc_id"),
+          graft.functions.Bpe.tokenCount(col("text"), merges).as("n_bpe"))
+        .orderBy("doc_id")
+    },
 
     // C8: token / char / BPE-ish unit counting.
     "text_tokens" -> Q { (s, d) =>
@@ -392,10 +420,12 @@ object TextQueries {
     * 'a' || chr(1) || 'b' pair keys, in rank order — 1-based
     * list_position IS the (rank+1), and 0 means "not a merge".
     */
-  private def bpeMergeLit: String =
-    graft.functions.Bpe.DemoMerges.map { case (a, b) =>
+  private def mergeLit(ms: Seq[(String, String)]): String =
+    ms.map { case (a, b) =>
       s"'${a.replace("'", "''")}' || chr(1) || '${b.replace("'", "''")}'"
     }.mkString("[", ",", "]")
+
+  private def bpeMergeLit: String = mergeLit(graft.functions.Bpe.DemoMerges)
 
   /** text_bpe_tokens oracle: per-word greedy BPE as a recursive CTE —
     * each step merges the leftmost occurrence of the lowest-rank
@@ -405,7 +435,9 @@ object TextQueries {
     * DuckDB 1.0 pitfall: list_position returns 0, not NULL, on a
     * miss — the filters test `x > 0`, not `IS NOT NULL`.
     */
-  private def bpeCtes: String =
+  private def bpeCtes: String = bpeCtesWith(bpeMergeLit)
+
+  private def bpeCtesWith(bpeLit: String): String =
     s"""toks AS (
        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
        | FROM documents WHERE length(trim(text)) > 0
@@ -426,7 +458,7 @@ object TextQueries {
        |  FROM (
        |   SELECT word, ts,
        |    list_transform(range(1, len(ts)),
-       |      i -> list_position($bpeMergeLit, ts[i] || chr(1) || ts[i + 1])) AS pr
+       |      i -> list_position($bpeLit, ts[i] || chr(1) || ts[i + 1])) AS pr
        |   FROM enc))
        | WHERE bi IS NOT NULL
        |), fin AS (
@@ -434,7 +466,7 @@ object TextQueries {
        | FROM (
        |  SELECT word, ts,
        |   list_transform(range(1, len(ts)),
-       |     i -> list_position($bpeMergeLit, ts[i] || chr(1) || ts[i + 1])) AS pr
+       |     i -> list_position($bpeLit, ts[i] || chr(1) || ts[i + 1])) AS pr
        |  FROM enc)
        | WHERE len(list_filter(pr, x -> x > 0)) = 0
        |), docw AS (
@@ -505,7 +537,23 @@ object TextQueries {
        |FROM s3 ORDER BY doc_id""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = staticOracles ++ bpeTrainedOracle
+
+  /** text_bpe_trained oracle — LAZY binding (the pqOracle pattern):
+    * the learned merges inline like k-means centroids; training is
+    * deterministic (count desc, pair lexicographic), so the gate's
+    * query run and this build see the identical table via the memo.
+    */
+  private def bpeTrainedOracle: Map[String, String] = (for {
+    s <- SparkSession.getActiveSession
+    d <- sys.props.get("graft.oracle.sfDir")
+  } yield Map("text_bpe_trained" ->
+    s"""WITH RECURSIVE ${bpeCtesWith(mergeLit(bpeTrainedMerges(s, d)))}
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bpe
+       |FROM docw JOIN fin USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin)).getOrElse(Map.empty)
+
+  private val staticOracles: Map[String, String] = Map(
     "text_bpe_tokens" -> bpeTokensSql,
     "pack_sequences_bpe" -> bpePackSql,
     "text_pii_scrub" -> piiScrubSql,

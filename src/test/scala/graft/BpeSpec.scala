@@ -84,6 +84,19 @@ class BpeSpec extends SparkFunSuite {
     }.nonEmpty)
   }
 
+  test("corpus-trained merges COMPRESS: fewer tokens than char-level, more merges fire than none") {
+    val docs = Seq((1L, "the cat and the dog and the cat"),
+      (2L, "the best cat is the rest cat")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 16)
+    assert(merges.nonEmpty)
+    val rank = merges.zipWithIndex.toMap
+    // 'the' must fuse fully — it is the top word in the corpus
+    assert(Bpe.encodeWord("the", rank).length == 1)
+    // trained tokenization never exceeds character count
+    for (w <- Seq("cat", "and", "best", "rest"))
+      assert(Bpe.encodeWord(w, rank).length <= w.length)
+  }
+
   test("gate query matches a driver-side recompute at sf0.001") {
     val gate = TextQueries.queries("text_bpe_tokens")(spark, sf)
       .as[(Long, Long, Long)].collect()
