@@ -291,14 +291,15 @@ object AnalyticsQueries {
     },
 
     // B51 (round 12): ClickHouse uniqUpTo(N) — exact distinct count
-    // capped at N+1 ("more than N" is all the caller wants to know;
-    // CH keeps ≤N+1 values of state, here the cap is post-aggregate
-    // but the contract is identical). Per event type: distinct users
-    // up to 100.
+    // capped at N+1, as a genuinely BOUNDED-STATE aggregate (≤ N+1
+    // values per group at any corpus size, map-side combinable — CH's
+    // own state contract; least(countDistinct, N+1) computes the same
+    // number but shuffles every distinct value). Per event type:
+    // distinct users up to 100.
     "q_uniq_upto" -> Q { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(least(countDistinct(col("user_id")), lit(101L))
+        .agg(graft.functions.UniqUpTo.uniqUpTo(100)(col("user_id"))
           .as("uniq_upto_100"))
         .orderBy("event_type")
     },
