@@ -267,6 +267,20 @@ object AnalyticsQueries {
         .orderBy("user_id", "hour")
     },
 
+    // B48b (round 12): WITH FILL … carry (LOCF) — the staircase mode:
+    // gap rows repeat the previous known cents total; exact, no
+    // arithmetic. Same sparse per-user hourly series as B48.
+    "q_fill_locf" -> Q { (s, d) =>
+      val src = Tables.events(s, d).where(col("user_id") % 100 === 0)
+        .groupBy(col("user_id"), expr("ts_us div 3600000000").as("hour"))
+        .agg(sum((col("value").cast(d2) * 100).cast(LongType)).as("cents"))
+      ChAnalytics.withFillLocf(src, col("user_id"), col("hour"),
+        col("cents"))
+        .select(col("grp").as("user_id"), col("o").as("hour"),
+          col("v_locf"))
+        .orderBy("user_id", "hour")
+    },
+
     // B49 (round 12): cramersV — association strength between event
     // type and hour-of-day; the χ² sum runs as an ordered sequential
     // fold over the (tiny) cell table so it replays bit-exactly.
@@ -1330,6 +1344,25 @@ object AnalyticsQueries {
         |    CAST(hour - po AS DOUBLE) / CAST(nxo - po AS DOUBLE)
         |  ELSE NULL END AS v_interp
         |FROM w ORDER BY user_id, hour""".stripMargin,
+
+    // LOCF replay: same grid, one IGNORE NULLS carry window
+    "q_fill_locf" ->
+      """WITH src AS (
+        | SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM events WHERE user_id % 100 = 0 GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi
+        |      FROM src GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hour FROM b),
+        |j AS (SELECT g.user_id, g.hour, src.cents
+        |      FROM g LEFT JOIN src
+        |      ON g.user_id = src.user_id AND g.hour = src.hour)
+        |SELECT user_id, hour,
+        | last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+        |  ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS v_locf
+        |FROM j ORDER BY user_id, hour""".stripMargin,
 
     // cramersV replay: same cell table and marginals, the χ² fold via
     // list_reduce over list(term ORDER BY a, b) — same order, same

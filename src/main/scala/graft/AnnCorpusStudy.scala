@@ -141,6 +141,15 @@ object AnnCorpusStudy {
       graft.operators.PqIndex.trainResidual(corpus, ivf, dim = dim,
         m = 16, k = pqK))
 
+    // MRL prefix serving (round 12, C29h): no trained model at all —
+    // recall is bought with prefix dims + shortlist breadth instead of
+    // cells/codes; measured at two prefix widths and shortlists 10·k
+    // and 40·k so the recall-vs-scan-fraction trade is on record
+    for (md <- Seq(8, 16); sl <- Seq(10 * k, 40 * k)) {
+      serve("mrl", 0.0, exactL2, s""""mrlDim":$md,"shortlist":$sl""",
+        () => graft.operators.Similarity.mrlTopK(corpus, probes, k, md, sl))
+    }
+
     // probed-cell budgets: ~1/16 and ~1/4 of global cells; ivf2 probes
     // the SAME global-cell count through (nProbe1, nProbe)
     for (np <- Seq(math.max(1, nList / 16), math.max(1, nList / 4))) {

@@ -185,6 +185,28 @@ object ChAnalytics {
           .as("v_interp"))
   }
 
+  /** ClickHouse `WITH FILL … INTERPOLATE (v AS v)` — the CARRY
+    * (staircase / LOCF) mode (round 12): gap rows take the previous
+    * known value verbatim; rows before the first known point stay
+    * NULL. The monitoring-dashboard default. Exact — no arithmetic at
+    * all, so any value type replays cross-engine. Same grid + one
+    * frame-bounded ignoreNulls window as [[withFillInterpolate]].
+    */
+  def withFillLocf(df: DataFrame, series: Column, orderCol: Column,
+                   value: Column, step: Long = 1L): DataFrame = {
+    val src = df.select(series.as("grp"), orderCol.as("__o"),
+      value.as("__v"))
+    val bounds = src.groupBy(col("grp"))
+      .agg(min(col("__o")).as("__lo"), max(col("__o")).as("__hi"))
+    val grid = bounds.select(col("grp"),
+      explode(sequence(col("__lo"), col("__hi"), lit(step))).as("__o"))
+    val wPrev = Window.partitionBy("grp").orderBy("__o")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(src, Seq("grp", "__o"), "left")
+      .select(col("grp"), col("__o").as("o"),
+        last(col("__v"), ignoreNulls = true).over(wPrev).as("v_locf"))
+  }
+
   /** ClickHouse retention(c0, c1, …): per entity, flag r0 = "c0 ever
     * held" and ri = "c0 held AND ci held". One aggregation pass.
     */

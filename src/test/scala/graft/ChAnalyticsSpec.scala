@@ -260,6 +260,14 @@ class ChAnalyticsSpec extends SparkFunSuite {
     assert(out == Seq((0L, 10.0), (1L, 20.0), (2L, 30.0), (3L, 40.0)))
   }
 
+  test("withFillLocf: staircase carry, leading edge NULL") {
+    val df = Seq(("g", 1L, 10L), ("g", 4L, 40L)).toDF("g", "o", "v")
+    val out = ChAnalytics.withFillLocf(df, col("g"), col("o"), col("v"))
+      .orderBy("o").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L)))
+  }
+
   test("withFillInterpolate: interior gap between two known islands") {
     val df = Seq(("g", 0L, 0L), ("g", 4L, 8L), ("g", 6L, 0L))
       .toDF("g", "o", "v")
