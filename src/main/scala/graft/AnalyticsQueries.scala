@@ -375,6 +375,21 @@ object AnalyticsQueries {
         .orderBy("day")
     },
 
+    // B56 (round 12): dictGet — suppliers per nation name with the
+    // nation dim compiled into the plan as a literal map (no join, no
+    // broadcast exchange; the missing-key → default path exercised
+    // via dictGetOrDefault on an impossible key domain shift).
+    "q_dict_get" -> Q { (s, d) =>
+      import graft.operators.Dict
+      val nations = Dict.fromTable(Tables.nation(s, d),
+        "n_nationkey", "n_name")
+      Tables.supplier(s, d)
+        .select(Dict.getOrDefault(nations, col("s_nationkey"),
+          "UNKNOWN").as("n_name"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_suppliers"))
+        .orderBy("n_name")
+    },
+
     // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
     // WindowGroupLimit prunes to ≤2 rows/user/partition pre-shuffle.
     "q_limit_by" -> Q { (s, d) =>
@@ -1344,6 +1359,16 @@ object AnalyticsQueries {
         |    CAST(hour - po AS DOUBLE) / CAST(nxo - po AS DOUBLE)
         |  ELSE NULL END AS v_interp
         |FROM w ORDER BY user_id, hour""".stripMargin,
+
+    // dictGet replay: the dictionary IS a left join semantically —
+    // the oracle replays the semantic contract, not the literal-map
+    // plan shape
+    "q_dict_get" ->
+      """SELECT coalesce(n.n_name, 'UNKNOWN') AS n_name,
+        | CAST(count(*) AS BIGINT) AS n_suppliers
+        |FROM supplier s LEFT JOIN nation n
+        | ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // LOCF replay: same grid, one IGNORE NULLS carry window
     "q_fill_locf" ->
