@@ -161,4 +161,41 @@ class PlanGuardSpec extends SparkFunSuite {
     assert(exchanges.size <= 2, // events->user_id + post-agg level count
       s"funnel strict re-shuffles between window passes:\n$p")
   }
+
+  test("struct-extreme aggregates map-side combine, no window (r12 family)") {
+    // argMinMax/boundingRatio are ONE aggregate: partial_min/partial_max
+    // of structs before the exchange, zero Window operators
+    Seq("q_arg_minmax", "q_bounding_ratio").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_min") || p.contains("partial_max"),
+        s"$q lost its map-side combine:\n$p")
+      assert(!p.contains("WindowExec") && !p.contains("Window "),
+        s"$q regressed to a window plan:\n$p")
+    }
+  }
+
+  test("lttb: bucket stats BROADCAST to candidates, never sort-merge") {
+    val p = plan("q_lttb")
+    assert(p.contains("BroadcastHashJoin"),
+      s"lttb bucket-stats join no longer broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"lttb shuffles candidates against B-row bucket stats:\n$p")
+  }
+
+  test("dictGet: join-free, exchange-free until the final groupBy") {
+    val p = plan("q_dict_get")
+    assert(!p.contains("Join"),
+      s"dictGet compiled-in map regressed to a join:\n$p")
+  }
+
+  test("mrl serving: prefix shortlist is the bounded aggregate, " +
+    "refine joins broadcast") {
+    val p = plan("ann_mrl")
+    // stage 1 must be the TopK partial aggregate (no window over the
+    // probes×corpus scored rows); stage 2's joins all broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"mrl refine no longer broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"mrl shuffles the corpus against the shortlist:\n$p")
+  }
 }
