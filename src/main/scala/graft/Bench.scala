@@ -52,7 +52,8 @@ object Bench {
     "q_sparkbar", "q_exp_decay_avg", "q_lttb", "q_fill_interp",
     "q_cramers_v", "q_sequence_next_node",
     "q_uniq_upto", "q_group_bitmap", "q_point_in_polygon", "q_auc",
-    "q_rank_corr", "text_bpe_trained", "q_fill_locf", "q_dict_get")
+    "q_rank_corr", "text_bpe_trained", "q_fill_locf", "q_dict_get",
+    "text_readability")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 import graft.functions.{Fnv1a64, TextFunctions => T}
 
 /** SURVEY.md §2 C8-C11 — text analysis over the documents table. All
@@ -51,6 +52,40 @@ object TextQueries {
         length(col("text")).cast("long").as("n_chars"),
         T.tokenCount(col("text")).as("n_tokens"),
         T.bpeCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    // C9b (round 12): Flesch readability — the classic corpus-quality
+    // feature (Flesch 1948 / Kincaid 1975). Counts are integer regex
+    // counts (words = whitespace splits; sentences = [.!?]+ runs,
+    // min 1; syllables ≈ [aeiouy]+ vowel groups, floored at the word
+    // count — each word has ≥1 syllable; the global floor is the
+    // documented simplification of the per-word rule); both formulas
+    // are one fixed IEEE tree over exact-long casts, so the scores
+    // replay bit-exactly. One scan, no shuffle.
+    "text_readability" -> Q { (s, d) =>
+      val t = lower(trim(col("text")))
+      Tables.documents(s, d)
+        .where(length(t) > 0)
+        .select(col("doc_id"),
+          size(split(t, "\\s+")).cast("long").as("n_words"),
+          greatest(lit(1L),
+            regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+            .as("n_sentences"),
+          regexp_count(t, lit("[aeiouy]+")).cast("long").as("__vg"))
+        .withColumn("n_syllables", greatest(col("n_words"), col("__vg")))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          (lit(0.39) * (col("n_words").cast(DoubleType) /
+              col("n_sentences").cast(DoubleType)) +
+            lit(11.8) * (col("n_syllables").cast(DoubleType) /
+              col("n_words").cast(DoubleType)) - lit(15.59))
+            .as("fk_grade"),
+          (lit(206.835) - lit(1.015) * (col("n_words").cast(DoubleType) /
+              col("n_sentences").cast(DoubleType)) -
+            lit(84.6) * (col("n_syllables").cast(DoubleType) /
+              col("n_words").cast(DoubleType)))
+            .as("flesch"))
         .orderBy("doc_id")
     },
 
@@ -659,6 +694,30 @@ object TextQueries {
          |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
          | len(regexp_extract_all(text, '${T.bpePattern}')) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_readability" ->
+      """WITH base AS (
+        | SELECT doc_id, lower(trim(text)) AS t, text FROM documents
+        | WHERE length(trim(text)) > 0),
+        |c AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(t, '\s+')) AS BIGINT) AS n_words,
+        |  greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |   AS BIGINT)) AS n_sentences,
+        |  CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT) AS vg
+        | FROM base),
+        |f AS (SELECT doc_id, n_words, n_sentences,
+        |      greatest(n_words, vg) AS n_syllables FROM c)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        | 0.39::DOUBLE * (CAST(n_words AS DOUBLE) /
+        |   CAST(n_sentences AS DOUBLE)) +
+        |  11.8::DOUBLE * (CAST(n_syllables AS DOUBLE) /
+        |   CAST(n_words AS DOUBLE)) - 15.59::DOUBLE AS fk_grade,
+        | 206.835::DOUBLE - 1.015::DOUBLE * (CAST(n_words AS DOUBLE) /
+        |   CAST(n_sentences AS DOUBLE)) -
+        |  84.6::DOUBLE * (CAST(n_syllables AS DOUBLE) /
+        |   CAST(n_words AS DOUBLE)) AS flesch
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""WITH base AS (
