@@ -390,6 +390,31 @@ object AnalyticsQueries {
         .orderBy("n_name")
     },
 
+    // B57 (round 12): nonNegativeDerivative — per-user counter rate
+    // (cents per µs) against the previous event; resets clamp to 0,
+    // first rows NULL. One window, no aggregate.
+    "q_nn_derivative" -> Q { (s, d) =>
+      ChAnalytics.nonNegativeDerivative(Tables.events(s, d),
+        col("user_id"), Seq(col("ts_us"), col("event_id")),
+        col("ts_us"), (col("value").cast(d2) * 100).cast(LongType))
+        .select(col("series").as("user_id"), col("t").as("ts_us"),
+          col("rate"))
+        .orderBy("user_id", "ts_us")
+    },
+
+    // B58 (round 12): skewPop + kurtPop — shape statistics of the
+    // whole-dollar value distribution per event type, from exact long
+    // power sums (Σx..Σx⁴).
+    "q_skew_kurt" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint) div 100")
+          .as("x"))
+      StatTests.skewKurt(ev, col("event_type"), col("x"))
+        .select(col("grp").as("event_type"), col("skew_pop"),
+          col("kurt_pop"), col("n"))
+        .orderBy("event_type")
+    },
+
     // B13: ClickHouse `LIMIT 2 BY user_id` — first two events per user.
     // WindowGroupLimit prunes to ≤2 rows/user/partition pre-shuffle.
     "q_limit_by" -> Q { (s, d) =>
@@ -1217,6 +1242,58 @@ object AnalyticsQueries {
          |  AS inside
          |FROM src ORDER BY s_suppkey""".stripMargin
     },
+
+    // nonNegativeDerivative replay: same lag pair, same clamp, one
+    // cast + one divide
+    "q_nn_derivative" ->
+      """WITH src AS (
+        | SELECT user_id, epoch_us(ts) AS t, event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        | FROM events),
+        |l AS (
+        | SELECT user_id, t, v,
+        |  lag(v) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pv,
+        |  lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+        | FROM src)
+        |SELECT user_id, t AS ts_us,
+        | CASE WHEN pv IS NULL OR t = pt THEN NULL
+        |  ELSE CAST(greatest(v - pv, 0) AS DOUBLE) /
+        |       CAST(t - pt AS DOUBLE) END AS rate
+        |FROM l ORDER BY user_id, ts_us""".stripMargin,
+
+    // skew/kurt replay: same long power sums, same central-moment
+    // algebra tree (every subterm parenthesized identically)
+    "q_skew_kurt" ->
+      """WITH src AS (
+        | SELECT event_type AS grp,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS x
+        | FROM events),
+        |m AS (
+        | SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x*x) AS BIGINT) AS s2,
+        |  CAST(sum(x*x*x) AS BIGINT) AS s3,
+        |  CAST(sum(x*x*x*x) AS BIGINT) AS s4
+        | FROM src GROUP BY 1),
+        |f AS (
+        | SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |  CAST(s3 AS DOUBLE) AS s3d, CAST(s4 AS DOUBLE) AS s4d
+        | FROM m),
+        |g AS (SELECT grp, n, nd, s1d/nd AS mu, s2d, s3d, s4d FROM f),
+        |h AS (
+        | SELECT grp, n, mu,
+        |  s2d/nd - mu*mu AS m2,
+        |  s3d/nd - 3.0*mu*(s2d/nd) + 2.0*mu*mu*mu AS m3,
+        |  s4d/nd - 4.0*mu*(s3d/nd) + 6.0*mu*mu*(s2d/nd)
+        |   - 3.0*mu*mu*mu*mu AS m4
+        | FROM g),
+        |k AS (SELECT grp, n, m2, m3, m4, sqrt(m2) AS sig FROM h)
+        |SELECT grp AS event_type,
+        | CASE WHEN m2 <= 0.0 THEN NULL
+        |  ELSE m3 / (sig*sig*sig) END AS skew_pop,
+        | CASE WHEN m2 <= 0.0 THEN NULL
+        |  ELSE m4 / m2 / m2 END AS kurt_pop, n
+        |FROM k ORDER BY 1""".stripMargin,
 
     // AUC replay: the Mann–Whitney chain (positives = sample 0 =
     // click) normalized by n1·n2

@@ -53,7 +53,7 @@ object Bench {
     "q_cramers_v", "q_sequence_next_node",
     "q_uniq_upto", "q_group_bitmap", "q_point_in_polygon", "q_auc",
     "q_rank_corr", "text_bpe_trained", "q_fill_locf", "q_dict_get",
-    "text_readability")
+    "text_readability", "q_nn_derivative", "q_skew_kurt")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

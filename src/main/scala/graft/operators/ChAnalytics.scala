@@ -414,6 +414,35 @@ object ChAnalytics {
         .as("delta_sum"))
   }
 
+  /** ClickHouse `nonNegativeDerivative(v, t)` (round 12): per series,
+    * the per-row rate max(0, Δv)/Δt against the previous point — the
+    * PromQL-style counter rate as a window function (deltaSum's
+    * per-row sibling; negative deltas are counter resets and clamp to
+    * 0 rather than emitting a negative rate). First row of a series →
+    * NULL (no predecessor); Δt = 0 (duplicate timestamps under a
+    * total order cannot happen, but defensively) → NULL.
+    *
+    * Pass DECIMAL values: Δv is then one exact subtraction, and the
+    * rate is one decimal→double cast + one IEEE divide — both
+    * replayable. One window on the series partitioning, no aggregate.
+    */
+  def nonNegativeDerivative(df: DataFrame, series: Column,
+                            order: Seq[Column], t: Column,
+                            value: Column): DataFrame = {
+    val ord = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val w = Window.partitionBy("__s")
+      .orderBy(order.indices.map(i => col(s"__o$i")): _*)
+    df.select(series.as("__s") +: t.as("__t") +: value.as("__v") +: ord: _*)
+      .withColumn("__pv", lag(col("__v"), 1).over(w))
+      .withColumn("__pt", lag(col("__t"), 1).over(w))
+      .select(col("__s").as("series"), col("__t").as("t"),
+        when(col("__pv").isNull || col("__t") === col("__pt"), lit(null))
+          .otherwise(
+            greatest(col("__v") - col("__pv"), lit(0)).cast("double") /
+              (col("__t") - col("__pt")).cast("double"))
+          .as("rate"))
+  }
+
   /** ClickHouse `boundingRatio(x, y)` (round 12): the slope between the
     * first and last point of each group — (argMax(y,x) − argMin(y,x)) /
     * (max(x) − min(x)), i.e. net change per unit x. Ties on x resolve

@@ -316,6 +316,48 @@ object StatTests {
         col("n"), col("ra"), col("cb"))
   }
 
+  /** ClickHouse `skewPop` / `kurtPop` (round 12): population skewness
+    * and kurtosis from EXACT integer power sums — m_k = Σ(x−μ)^k/n
+    * expanded into raw moments (Σx, Σx², Σx³, Σx⁴ as longs; callers
+    * pass unit-scaled integer values — whole units, not cents, because
+    * Σx⁴ is the binding envelope: |Σx⁴| < 2^63 ⇒ |x| ≲ 10³ at 10⁶
+    * rows/group, ANSI-loud beyond). Only the final central-moment
+    * algebra runs in doubles (one sqrt for skew's σ³ via σ·σ·σ);
+    * skew = m₃/σ³, kurt = m₄/σ² /σ² (CH's non-excess kurtPop).
+    * Constant groups (σ = 0) → NULL. One map-side-combinable
+    * aggregate — 5 longs of state per group.
+    */
+  def skewKurt(df: DataFrame, group: Column, x: Column): DataFrame = {
+    val m = df.select(group.as("grp"), x.as("__x"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s1"),
+        sum(col("__x") * col("__x")).as("__s2"),
+        sum(col("__x") * col("__x") * col("__x")).as("__s3"),
+        sum(col("__x") * col("__x") * col("__x") * col("__x")).as("__s4"))
+    m.withColumn("__nd", col("n").cast("double"))
+      .withColumn("__mu", col("__s1").cast("double") / col("__nd"))
+      .withColumn("__m2",
+        col("__s2").cast("double") / col("__nd") - col("__mu") * col("__mu"))
+      .withColumn("__m3",
+        col("__s3").cast("double") / col("__nd") -
+          lit(3.0) * col("__mu") * (col("__s2").cast("double") / col("__nd")) +
+          lit(2.0) * col("__mu") * col("__mu") * col("__mu"))
+      .withColumn("__m4",
+        col("__s4").cast("double") / col("__nd") -
+          lit(4.0) * col("__mu") * (col("__s3").cast("double") / col("__nd")) +
+          lit(6.0) * col("__mu") * col("__mu") *
+            (col("__s2").cast("double") / col("__nd")) -
+          lit(3.0) * col("__mu") * col("__mu") * col("__mu") * col("__mu"))
+      .withColumn("__sig", sqrt(col("__m2")))
+      .select(col("grp"),
+        when(col("__m2") <= 0.0, lit(null))
+          .otherwise(col("__m3") /
+            (col("__sig") * col("__sig") * col("__sig"))).as("skew_pop"),
+        when(col("__m2") <= 0.0, lit(null))
+          .otherwise(col("__m4") / col("__m2") / col("__m2")).as("kurt_pop"),
+        col("n"))
+  }
+
   /** ClickHouse `quantileExactWeighted(level)(v, w)` (lower flavor):
     * per group, the smallest v whose cumulative weight reaches
     * level = `levelNum`/`levelDen` of the total — decided by the

@@ -312,6 +312,21 @@ class ChAnalyticsSpec extends SparkFunSuite {
     assert(got(4L) == Some("error"))
   }
 
+  test("nonNegativeDerivative: rate per unit t, resets clamp to 0, first NULL") {
+    val df = Seq(
+      (1L, 100L, 1L, 10L), (1L, 102L, 2L, 16L), // +6 over 2 -> 3.0
+      (1L, 106L, 3L, 4L),                       // reset -> 0.0
+      (1L, 108L, 4L, 5L)                        // +1 over 2 -> 0.5
+    ).toDF("s", "t", "e", "v")
+    val out = ChAnalytics.nonNegativeDerivative(df, col("s"),
+      Seq(col("t"), col("e")), col("t"), col("v"))
+      .orderBy("t").collect()
+    assert(out(0).isNullAt(2))
+    assert(out(1).getDouble(2) == 3.0)
+    assert(out(2).getDouble(2) == 0.0)
+    assert(out(3).getDouble(2) == 0.5)
+  }
+
   test("boundingRatio: first-to-last slope; single-x group is NULL") {
     val df = Seq(
       (1L, 0L, 1L, 10.0), (1L, 5L, 2L, 20.0), (1L, 10L, 3L, 40.0),

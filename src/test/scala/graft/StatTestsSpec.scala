@@ -110,6 +110,27 @@ class StatTestsSpec extends SparkFunSuite {
       .collect()(0).isNullAt(1))
   }
 
+  test("skewKurt: symmetric data skew 0; plain-Scala moment replay; constant NULL") {
+    // symmetric around 5: skew exactly 0 (integer symmetry survives
+    // the double algebra here), kurtosis = m4/m2²
+    val sym = Seq(("g", 2L), ("g", 4L), ("g", 6L), ("g", 8L))
+      .toDF("g", "x")
+    val r = StatTests.skewKurt(sym, col("g"), col("x")).collect()(0)
+    assert(r.getDouble(1) == 0.0)
+    // plain-Scala replay of the same tree
+    val xs = Seq(2.0, 4.0, 6.0, 8.0); val nd = 4.0
+    val mu = xs.sum / nd
+    val m2 = xs.map(v => v * v).sum / nd - mu * mu
+    val m4 = xs.map(v => v * v * v * v).sum / nd -
+      4.0 * mu * (xs.map(v => v * v * v).sum / nd) +
+      6.0 * mu * mu * (xs.map(v => v * v).sum / nd) -
+      3.0 * mu * mu * mu * mu
+    assert(r.getDouble(2) == m4 / m2 / m2)
+    val const = Seq(("c", 7L), ("c", 7L)).toDF("g", "x")
+    val c = StatTests.skewKurt(const, col("g"), col("x")).collect()(0)
+    assert(c.isNullAt(1) && c.isNullAt(2))
+  }
+
   test("cramersV: perfect association is 1, independence is exactly 0") {
     val perfect = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L))
       .toDF("a", "b")
