@@ -77,9 +77,13 @@ object AnalyticsScaleStudy {
     val passes = (1 to 2).map { _ =>
       (for (op <- ops; (k, d) <- dirs) yield (op, k) -> timeOnce(op, d)).toMap
     }
+    // min wall time over the passes that SUCCEEDED; a sentinel (<0)
+    // only reports through when every pass refused/crashed, so one
+    // transient refusal can't poison a cell another pass completed.
     def minAt(op: String, k: Int) = {
       val vs = passes.map(_((op, k)))
-      if (vs.exists(_ < 0)) vs.min else vs.min
+      val ok = vs.filter(_ >= 0)
+      if (ok.nonEmpty) ok.min else vs.min
     }
     val qs = ops.map { op =>
       val t1 = minAt(op, 1); val t10 = minAt(op, 10); val t100 = minAt(op, 100)

@@ -138,11 +138,18 @@ object ChAnalytics {
     grid.join(df, Seq(orderCol), "left")
   }
 
-  /** ClickHouse `WITH FILL … INTERPOLATE` (round 12): [[withFill]]'s
-    * densified grid, per series, with gap rows LINEARLY INTERPOLATED
-    * between their neighboring known points: v = v₀ + (v₁−v₀)·(o−o₀)/
-    * (o₁−o₀). Known rows pass through exactly; rows before the first /
-    * after the last known point stay NULL (no extrapolation).
+  /** `WITH FILL` densified grid, per series, with gap rows LINEARLY
+    * INTERPOLATED between their neighboring known points: v = v₀ +
+    * (v₁−v₀)·(o−o₀)/(o₁−o₀). Known rows pass through exactly; rows
+    * before the first / after the last known point stay NULL (no
+    * extrapolation).
+    *
+    * DOCUMENTED DEVIATION from ClickHouse (like Downsample.lttb):
+    * CH's `WITH FILL … INTERPOLATE (v AS expr)` evaluates `expr`
+    * against the PREVIOUS row (LOCF-style carry) — that CH-faithful
+    * mode is [[withFillLocf]]. Linear interpolation toward the next
+    * known point is this library's own gap-fill semantics, offered
+    * because monitoring backfills usually want it.
     *
     * Portability: order and value are exact longs; the interpolation
     * is ONE fixed IEEE tree per gap row (three correctly-rounded
@@ -153,13 +160,25 @@ object ChAnalytics {
     * Scale shape: like withFill, this applies to POST-AGGREGATED
     * series — the grid is (hi−lo)/step rows per series, the join and
     * both windows shuffle once on the series key, never on raw events.
+    *
+    * OUTPUT-CARDINALITY ENVELOPE (round 13): the output is input-
+    * INDEPENDENT — one row per grid step per series, so a single
+    * series spanning years at step=1µs would explode one `sequence`
+    * array regardless of how few input points it has (the r12 scale
+    * study's 11.1× at 100× users was exactly grid ∝ users × span).
+    * `maxRowsPerSeries` bounds the worst span loudly (one tiny
+    * aggregate over the per-series bounds — #series rows, not data);
+    * pathological spans should coarsen `step` (or bucket upstream)
+    * instead of raising the cap past executor memory.
     */
   def withFillInterpolate(df: DataFrame, series: Column, orderCol: Column,
-                          value: Column, step: Long = 1L): DataFrame = {
+                          value: Column, step: Long = 1L,
+                          maxRowsPerSeries: Long = 1000000L): DataFrame = {
     val src = df.select(series.as("grp"), orderCol.as("__o"),
       value.as("__v"))
     val bounds = src.groupBy(col("grp"))
       .agg(min(col("__o")).as("__lo"), max(col("__o")).as("__hi"))
+    guardGrid(bounds, step, maxRowsPerSeries, "withFillInterpolate")
     val grid = bounds.select(col("grp"),
       explode(sequence(col("__lo"), col("__hi"), lit(step))).as("__o"))
     val wPrev = Window.partitionBy("grp").orderBy("__o")
@@ -190,14 +209,17 @@ object ChAnalytics {
     * known value verbatim; rows before the first known point stay
     * NULL. The monitoring-dashboard default. Exact — no arithmetic at
     * all, so any value type replays cross-engine. Same grid + one
-    * frame-bounded ignoreNulls window as [[withFillInterpolate]].
+    * frame-bounded ignoreNulls window as [[withFillInterpolate]] —
+    * and the same output-cardinality envelope guard.
     */
   def withFillLocf(df: DataFrame, series: Column, orderCol: Column,
-                   value: Column, step: Long = 1L): DataFrame = {
+                   value: Column, step: Long = 1L,
+                   maxRowsPerSeries: Long = 1000000L): DataFrame = {
     val src = df.select(series.as("grp"), orderCol.as("__o"),
       value.as("__v"))
     val bounds = src.groupBy(col("grp"))
       .agg(min(col("__o")).as("__lo"), max(col("__o")).as("__hi"))
+    guardGrid(bounds, step, maxRowsPerSeries, "withFillLocf")
     val grid = bounds.select(col("grp"),
       explode(sequence(col("__lo"), col("__hi"), lit(step))).as("__o"))
     val wPrev = Window.partitionBy("grp").orderBy("__o")
@@ -205,6 +227,26 @@ object ChAnalytics {
     grid.join(src, Seq("grp", "__o"), "left")
       .select(col("grp"), col("__o").as("o"),
         last(col("__v"), ignoreNulls = true).over(wPrev).as("v_locf"))
+  }
+
+  /** Loud output-grid envelope check shared by the WITH FILL family:
+    * refuses when any series would densify to more than `cap` grid
+    * rows ((hi−lo)/step + 1 — a single `sequence` array on one
+    * executor). Costs one aggregate over the per-series BOUNDS
+    * relation (#series rows, post-aggregation), never over raw data.
+    */
+  private def guardGrid(bounds: DataFrame, step: Long, cap: Long,
+                        op: String): Unit = {
+    require(step > 0, s"$op: step must be positive, got $step")
+    val worst = bounds
+      .agg(max(expr(s"(__hi - __lo) div $step") + 1L).as("__w"))
+      .collect()(0)
+    if (!worst.isNullAt(0) && worst.getLong(0) > cap)
+      throw new IllegalStateException(
+        s"$op: a series would densify to ${worst.getLong(0)} grid rows " +
+          s"(> maxRowsPerSeries=$cap) — one sequence() array per series " +
+          "must fit in executor memory; coarsen step (or bucket the " +
+          "order column upstream) instead of raising the cap")
   }
 
   /** ClickHouse retention(c0, c1, …): per entity, flag r0 = "c0 ever
@@ -466,9 +508,13 @@ object ChAnalytics {
             (col("__mx.x") - col("__mn.x")).cast("double"))
           .as("bounding_ratio"))
 
-  /** ClickHouse `sparkbar(buckets)(x, y)` (round 12): per group, an
+  /** ClickHouse `sparkbar(buckets)(x)` (round 12): per group, an
     * inline unicode bar chart — one block glyph per x bucket, height
-    * proportional to the bucket's y total. Level rule is INTEGER:
+    * proportional to the bucket's ROW COUNT (the y-less CH overload;
+    * a weighted variant would thread a value column through the same
+    * shape). Bucket values outside [0, nBuckets) are DISCARDED by the
+    * grid left-join — callers bucket first (`x % n`, `div`), exactly
+    * like CH's own x-range clamp. Level rule is INTEGER:
     * level = ceil(8·n / max) ∈ [1, 8] for n ≥ 1 (computed as
     * (8n + max − 1) div max), 0 (space) for empty buckets — so the
     * glyph picks replay exactly cross-engine. Buckets are densified

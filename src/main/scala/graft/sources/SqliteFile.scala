@@ -109,6 +109,12 @@ object SqliteFile {
       require(!(wal.exists() && wal.length() > 0),
         s"$path has a non-empty -wal file: reading the main file would " +
           "be stale - checkpoint the database first (PRAGMA wal_checkpoint)")
+      val jrn = new java.io.File(path + "-journal")
+      require(!(jrn.exists() && jrn.length() > 0),
+        s"$path has a non-empty -journal file (hot rollback journal): " +
+          "the main file may contain uncommitted/torn pages - open the " +
+          "database with sqlite3 once to recover (or roll back) the " +
+          "journal first")
       // header page count can lag on legacy journals; trust the file size
       val pages = (raf.length() / pageSize).toInt
       Header(pageSize, h(20) & 0xff, enc, pages)
@@ -164,6 +170,8 @@ object SqliteFile {
 
   private def serialValue(t: Long, b: Array[Byte], off: Int): Any = t match {
     case 0 => null
+    case 10 | 11 =>
+      throw new IllegalStateException(s"reserved serial type $t in record")
     case 1 | 2 | 3 | 4 | 5 | 6 => beSigned(b, off, serialLen(t))
     case 7 => java.lang.Double.longBitsToDouble(be(b, off, 8))
     case 8 => 0L

@@ -268,6 +268,24 @@ class ChAnalyticsSpec extends SparkFunSuite {
     assert(out == Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L)))
   }
 
+  test("withFill grid guard: a span past maxRowsPerSeries refuses LOUDLY") {
+    // one series spanning 10^7 order units at step 1 would densify to
+    // a 10M-element sequence() array — the envelope guard must refuse
+    // before any grid is built, naming the knob
+    val df = Seq(("g", 0L, 1L), ("g", 10000000L, 2L)).toDF("g", "o", "v")
+    val e = intercept[IllegalStateException] {
+      ChAnalytics.withFillInterpolate(df, col("g"), col("o"), col("v"))
+    }
+    assert(e.getMessage.contains("maxRowsPerSeries"))
+    val e2 = intercept[IllegalStateException] {
+      ChAnalytics.withFillLocf(df, col("g"), col("o"), col("v"))
+    }
+    assert(e2.getMessage.contains("maxRowsPerSeries"))
+    // and a raised cap lets the same shape through
+    assert(ChAnalytics.withFillLocf(df, col("g"), col("o"), col("v"),
+      maxRowsPerSeries = 20000000L).count() == 10000001L)
+  }
+
   test("withFillInterpolate: interior gap between two known islands") {
     val df = Seq(("g", 0L, 0L), ("g", 4L, 8L), ("g", 6L, 0L))
       .toDF("g", "o", "v")
