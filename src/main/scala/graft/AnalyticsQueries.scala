@@ -852,6 +852,60 @@ object AnalyticsQueries {
         .groupBy("url")
         .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event"))
         .orderBy("url")
+    },
+
+    // B59 (round 13): ClickHouse studentTTest — the pooled-variance
+    // sibling of q_welch_ttest on the identical 6-long moment state;
+    // df is an exact long (n1+n2-2), unlike Welch's fractional df.
+    "q_student_ttest" -> Q { (s, d) =>
+      StatTests.studentTTest(abEvents(s, d), col("day"), col("i"),
+        col("cents"))
+        .select(col("grp").as("day"), col("t_stat"), col("df_p"),
+          col("n1"), col("n2"))
+        .orderBy("day")
+    },
+
+    // B60 (round 13): ClickHouse meanZTest — two-sample z with KNOWN
+    // population variances (caller-supplied, as in CH; cents² here).
+    // Means from exact long sums, z one fixed IEEE tree.
+    "q_mean_ztest" -> Q { (s, d) =>
+      StatTests.meanZTest(abEvents(s, d), col("day"), col("i"),
+        col("cents"), 4000000.0, 9000000.0)
+        .select(col("grp").as("day"), col("z_stat"), col("n1"), col("n2"))
+        .orderBy("day")
+    },
+
+    // B61 (round 13): ClickHouse entropy — per day, Shannon entropy
+    // (bits) of the event-type mix. log2 via the deterministic dyadic
+    // bit-squaring kernel (StatTests.log2Dyadic — libm log2 is not
+    // cross-engine reproducible); the fractional Σ c·log2 c runs as
+    // the ordered fold (cramersV rule), replayed in DuckDB with a
+    // recursive CTE computing the SAME 30 squarings.
+    "q_entropy" -> Q { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(expr(s"ts_us div $dayUs").as("day"), col("event_type"))
+      StatTests.entropy(ev, col("day"), col("event_type"))
+        .select(col("grp").as("day"), col("entropy_bits"), col("n"))
+        .orderBy("day")
+    },
+
+    // B62 (round 13): ClickHouse theilsU — how much of the event-type
+    // entropy the hour-of-day explains (asymmetric uncertainty
+    // coefficient, [0,1]); three ordered entropy folds off one cell
+    // table + one dyadic log2 of n.
+    "q_theils_u" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("(ts_us div 3600000000) % 24").as("hr"))
+      StatTests.theilsU(ev, col("event_type"), col("hr"))
+    },
+
+    // B63 (round 13): ClickHouse contingency — Pearson's contingency
+    // coefficient C = sqrt(chi2/(chi2+n)) on the SAME zero-densified
+    // ordered-fold chi2 kernel as q_cramers_v (shared chi2Agg).
+    "q_contingency" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("(ts_us div 3600000000) % 24").as("hr"))
+      StatTests.contingency(ev, col("event_type"), col("hr"))
     }
   )
 
@@ -1922,6 +1976,200 @@ object AnalyticsQueries {
         |   regexp_replace(text,
         |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |   '[0-9]+', '<NUM>', 'g') AS scrubbed
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // studentTTest replay: welch's moment CTEs, then the pooled sp²
+    // tree mirrored term-for-term; df_p stays BIGINT
+    "q_student_ttest" ->
+      """WITH src AS (
+        | SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS i,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |m AS (
+        | SELECT day,
+        |  CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN i = 0 THEN v ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN i = 0 THEN v*v ELSE 0 END) AS BIGINT) AS q1,
+        |  CAST(sum(CASE WHEN i <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN i <> 0 THEN v ELSE 0 END) AS BIGINT) AS s2,
+        |  CAST(sum(CASE WHEN i <> 0 THEN v*v ELSE 0 END) AS BIGINT) AS q2
+        | FROM src GROUP BY 1),
+        |f AS (
+        | SELECT day, n1, n2,
+        |  CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |  CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |  CAST(q1 AS DOUBLE) AS q1d, CAST(q2 AS DOUBLE) AS q2d
+        | FROM m WHERE n1 > 1 AND n2 > 1),
+        |g AS (
+        | SELECT day, n1, n2, n1d, n2d,
+        |  s1d/n1d AS m1, s2d/n2d AS m2,
+        |  (q1d - s1d*s1d/n1d)/(n1d - 1) AS v1,
+        |  (q2d - s2d*s2d/n2d)/(n2d - 1) AS v2
+        | FROM f),
+        |k AS (
+        | SELECT day, n1, n2, n1d, n2d, m1, m2,
+        |  ((n1d - 1)*v1 + (n2d - 1)*v2)/(n1d + n2d - 2) AS sp2
+        | FROM g)
+        |SELECT day,
+        | (m1 - m2)/sqrt(sp2*(1.0/n1d + 1.0/n2d)) AS t_stat,
+        | n1 + n2 - 2 AS df_p, n1, n2
+        |FROM k ORDER BY day""".stripMargin,
+
+    // meanZTest replay: 4-long moment state, the same fixed z tree
+    // with the gate's inlined population variances (cents²)
+    "q_mean_ztest" ->
+      """WITH src AS (
+        | SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS i,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |m AS (
+        | SELECT day,
+        |  CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN i = 0 THEN v ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN i <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN i <> 0 THEN v ELSE 0 END) AS BIGINT) AS s2
+        | FROM src GROUP BY 1),
+        |f AS (
+        | SELECT day, n1, n2,
+        |  CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |  CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d
+        | FROM m WHERE n1 > 0 AND n2 > 0)
+        |SELECT day,
+        | (s1d/n1d - s2d/n2d) /
+        |  sqrt(4000000.0/n1d + 9000000.0/n2d) AS z_stat, n1, n2
+        |FROM f ORDER BY day""".stripMargin,
+
+    // entropy replay: the dyadic log2 kernel as a recursive CTE — the
+    // IDENTICAL 30 squarings (one rounding each; halving/compare/bit
+    // accumulation exact), then the same ordered fold and final tree
+    "q_entropy" ->
+      """WITH RECURSIVE src AS (
+        | SELECT epoch_us(ts) // 86400000000 AS day, event_type AS v
+        | FROM events),
+        |cells AS (
+        | SELECT day, v, CAST(count(*) AS BIGINT) AS c
+        | FROM src GROUP BY 1, 2),
+        |tot AS (SELECT day, CAST(sum(c) AS BIGINT) AS c
+        |        FROM cells GROUP BY 1),
+        |need AS (
+        | SELECT day, v, c FROM cells
+        | UNION ALL SELECT day, NULL AS v, c FROM tot),
+        |prep AS (
+        | SELECT day, v, c, length(bin(c)) - 1 AS e,
+        |  CAST(c AS DOUBLE) /
+        |   CAST((1::BIGINT << (length(bin(c)) - 1)) AS DOUBLE) AS m
+        | FROM need),
+        |lg AS (
+        | SELECT day, v, c, e, 0 AS i, m,
+        |  CAST(0 AS DOUBLE) AS acc, CAST(0.5 AS DOUBLE) AS w
+        | FROM prep
+        | UNION ALL
+        | SELECT day, v, c, e, i + 1,
+        |  CASE WHEN m*m >= 2 THEN m*m/2 ELSE m*m END,
+        |  CASE WHEN m*m >= 2 THEN acc + w ELSE acc END, w/2
+        | FROM lg WHERE i < 30),
+        |fin AS (SELECT day, v, c, CAST(e AS DOUBLE) + acc AS l2
+        |        FROM lg WHERE i = 30),
+        |sm AS (
+        | SELECT day, list_reduce(list(CAST(c AS DOUBLE) * l2 ORDER BY v),
+        |         (a_, x_) -> a_ + x_) AS s
+        | FROM fin WHERE v IS NOT NULL GROUP BY 1),
+        |nl AS (SELECT day, c AS n, l2 AS lgn FROM fin WHERE v IS NULL)
+        |SELECT nl.day, nl.lgn - sm.s / CAST(nl.n AS DOUBLE) AS entropy_bits,
+        | nl.n AS n
+        |FROM nl JOIN sm ON nl.day = sm.day ORDER BY nl.day""".stripMargin,
+
+    // theilsU replay: one recursive log2 CTE over the union of
+    // a-marginals / b-marginals / joint cells / n (kind-tagged, keys
+    // split into VARCHAR + BIGINT so each kind's fold order matches
+    // the Spark struct sort), three ordered folds, same final tree
+    "q_theils_u" ->
+      """WITH RECURSIVE src AS (
+        | SELECT event_type AS a, (epoch_us(ts) // 3600000000) % 24 AS b
+        | FROM events),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        |          FROM src GROUP BY 1, 2),
+        |am AS (SELECT a, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |bm AS (SELECT b, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS c FROM cells),
+        |need AS (
+        | SELECT 'a' AS kind, a AS ks, CAST(0 AS BIGINT) AS kn, c FROM am
+        | UNION ALL SELECT 'b', '', b, c FROM bm
+        | UNION ALL SELECT 'j', a, b, c FROM cells
+        | UNION ALL SELECT 'n', '', 0, c FROM tot),
+        |prep AS (
+        | SELECT kind, ks, kn, c, length(bin(c)) - 1 AS e,
+        |  CAST(c AS DOUBLE) /
+        |   CAST((1::BIGINT << (length(bin(c)) - 1)) AS DOUBLE) AS m
+        | FROM need),
+        |lg AS (
+        | SELECT kind, ks, kn, c, e, 0 AS i, m,
+        |  CAST(0 AS DOUBLE) AS acc, CAST(0.5 AS DOUBLE) AS w
+        | FROM prep
+        | UNION ALL
+        | SELECT kind, ks, kn, c, e, i + 1,
+        |  CASE WHEN m*m >= 2 THEN m*m/2 ELSE m*m END,
+        |  CASE WHEN m*m >= 2 THEN acc + w ELSE acc END, w/2
+        | FROM lg WHERE i < 30),
+        |fin AS (SELECT kind, ks, kn, c, CAST(e AS DOUBLE) + acc AS l2
+        |        FROM lg WHERE i = 30),
+        |sums AS (
+        | SELECT kind,
+        |  list_reduce(list(CAST(c AS DOUBLE) * l2 ORDER BY ks, kn),
+        |   (a_, x_) -> a_ + x_) AS s
+        | FROM fin WHERE kind IN ('a', 'b', 'j') GROUP BY 1),
+        |base AS (SELECT
+        |  (SELECT s FROM sums WHERE kind = 'a') AS sa,
+        |  (SELECT s FROM sums WHERE kind = 'b') AS sb,
+        |  (SELECT s FROM sums WHERE kind = 'j') AS sab,
+        |  (SELECT c FROM fin WHERE kind = 'n') AS n,
+        |  (SELECT l2 FROM fin WHERE kind = 'n') AS lgn),
+        |h AS (SELECT n,
+        |  lgn - sa / CAST(n AS DOUBLE) AS ha,
+        |  lgn - sb / CAST(n AS DOUBLE) AS hb,
+        |  lgn - sab / CAST(n AS DOUBLE) AS hab FROM base)
+        |SELECT CASE WHEN ha <= 0 THEN NULL
+        |        ELSE (ha + hb - hab) / ha END AS theils_u,
+        | ha AS h_a, hb AS h_b, hab AS h_ab, n
+        |FROM h""".stripMargin,
+
+    // contingency replay: q_cramers_v's cell/marginal/fold CTEs with
+    // the C = sqrt(chi2/(chi2+n)) final select
+    "q_contingency" ->
+      """WITH seen AS (
+        | SELECT event_type AS a, (epoch_us(ts) // 3600000000) % 24 AS b,
+        |  CAST(count(*) AS BIGINT) AS o
+        | FROM events GROUP BY 1, 2),
+        |cells AS (
+        | SELECT da.a, db.b, coalesce(seen.o, 0) AS o
+        | FROM (SELECT DISTINCT a FROM seen) da
+        | CROSS JOIN (SELECT DISTINCT b FROM seen) db
+        | LEFT JOIN seen ON da.a = seen.a AND db.b = seen.b),
+        |t AS (
+        | SELECT a, b, o,
+        |  CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+        |  CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+        |  CAST(sum(o) OVER () AS BIGINT) AS n
+        | FROM cells),
+        |tm AS (
+        | SELECT a, b, n,
+        |  CAST(o AS DOUBLE)*CAST(n AS DOUBLE) -
+        |   CAST(r AS DOUBLE)*CAST(c AS DOUBLE) AS d,
+        |  CAST(r AS DOUBLE)*CAST(c AS DOUBLE)*CAST(n AS DOUBLE) AS rcn
+        | FROM t),
+        |tt AS (SELECT a, b, n, d*d/rcn AS term FROM tm),
+        |ag AS (
+        | SELECT list_reduce(list(term ORDER BY a, b),
+        |         (acc, x) -> acc + x) AS chi2,
+        |  CAST(count(DISTINCT a) AS BIGINT) AS ra,
+        |  CAST(count(DISTINCT b) AS BIGINT) AS cb,
+        |  CAST(max(n) AS BIGINT) AS n
+        | FROM tt)
+        |SELECT chi2,
+        | sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))) AS contingency_coeff,
+        | n, ra, cb
+        |FROM ag""".stripMargin
   )
 }

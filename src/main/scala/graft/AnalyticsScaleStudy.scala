@@ -53,7 +53,13 @@ object AnalyticsScaleStudy {
       "q_linreg", "q_welch_ttest", "q_ks_test", "q_mann_whitney",
       "q_quantile_weighted", "q_geohash", "q_sparkbar",
       "q_exp_decay_avg", "q_lttb", "q_fill_interp", "q_cramers_v",
-      "q_sequence_next_node", "ann_mrl")
+      "q_sequence_next_node", "ann_mrl",
+      // round-13 statistics completions: student/ztest stress the
+      // long-moment envelope like welch; entropy/theils/contingency
+      // stress the cell-table collapse (cells stay constant as rows
+      // grow — the fold work is scale-invariant by design)
+      "q_student_ttest", "q_mean_ztest", "q_entropy", "q_theils_u",
+      "q_contingency")
 
     def timeOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

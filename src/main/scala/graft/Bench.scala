@@ -53,7 +53,10 @@ object Bench {
     "q_cramers_v", "q_sequence_next_node",
     "q_uniq_upto", "q_group_bitmap", "q_point_in_polygon", "q_auc",
     "q_rank_corr", "text_bpe_trained", "q_fill_locf", "q_dict_get",
-    "text_readability", "q_nn_derivative", "q_skew_kurt")
+    "text_readability", "q_nn_derivative", "q_skew_kurt",
+    // round-13 statistics completions
+    "q_student_ttest", "q_mean_ztest", "q_entropy", "q_theils_u",
+    "q_contingency")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

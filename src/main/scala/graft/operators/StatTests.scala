@@ -73,17 +73,7 @@ object StatTests {
     */
   def welchTTest(df: DataFrame, group: Column, idx: Column,
                  value: Column): DataFrame = {
-    val m = df.select(group.as("grp"), idx.as("__i"), value.as("__v"))
-      .groupBy(col("grp"))
-      .agg(
-        sum(when(col("__i") === 0, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("__i") === 0, col("__v")).otherwise(0L)).as("__s1"),
-        sum(when(col("__i") === 0, col("__v") * col("__v")).otherwise(0L))
-          .as("__q1"),
-        sum(when(col("__i") =!= 0, 1L).otherwise(0L)).as("n2"),
-        sum(when(col("__i") =!= 0, col("__v")).otherwise(0L)).as("__s2"),
-        sum(when(col("__i") =!= 0, col("__v") * col("__v")).otherwise(0L))
-          .as("__q2"))
+    val m = twoSampleMoments(df, group, idx, value)
       .where(col("n1") > 1 && col("n2") > 1)
     m.withColumn("__n1d", col("n1").cast("double"))
       .withColumn("__n2d", col("n2").cast("double"))
@@ -108,6 +98,89 @@ object StatTests {
             col("__e2") * col("__e2") / (col("__n2d") - 1)))
       .select(col("grp"), col("t_stat"), col("df_ws"), col("n1"), col("n2"))
   }
+
+  /** ClickHouse `studentTTest(v, idx)` (round 13): per group, the
+    * POOLED-variance two-sample t statistic between sample 0 and
+    * sample 1 — the equal-variance flavor of [[welchTTest]], reusing
+    * the identical 6-long moment state.
+    *
+    * sp² = ((n₁−1)v₁ + (n₂−1)v₂)/(n₁+n₂−2);
+    * t = (m₁−m₂)/√(sp²·(1/n₁ + 1/n₂)); df = n₁+n₂−2 (exact long —
+    * unlike Welch's fractional df). Groups lacking two points per
+    * sample are dropped; CH returns (t, p) — the p-value needs the
+    * incomplete beta (not IEEE-portable), callers threshold on t/df.
+    */
+  def studentTTest(df: DataFrame, group: Column, idx: Column,
+                   value: Column): DataFrame = {
+    val m = twoSampleMoments(df, group, idx, value)
+      .where(col("n1") > 1 && col("n2") > 1)
+    m.withColumn("__n1d", col("n1").cast("double"))
+      .withColumn("__n2d", col("n2").cast("double"))
+      .withColumn("__m1", col("__s1").cast("double") / col("__n1d"))
+      .withColumn("__m2", col("__s2").cast("double") / col("__n2d"))
+      .withColumn("__v1",
+        (col("__q1").cast("double") -
+          col("__s1").cast("double") * col("__s1").cast("double") /
+            col("__n1d")) / (col("__n1d") - 1))
+      .withColumn("__v2",
+        (col("__q2").cast("double") -
+          col("__s2").cast("double") * col("__s2").cast("double") /
+            col("__n2d")) / (col("__n2d") - 1))
+      .withColumn("__sp2",
+        ((col("__n1d") - 1) * col("__v1") +
+          (col("__n2d") - 1) * col("__v2")) /
+          (col("__n1d") + col("__n2d") - 2))
+      .withColumn("t_stat",
+        (col("__m1") - col("__m2")) /
+          sqrt(col("__sp2") * (lit(1.0) / col("__n1d") +
+            lit(1.0) / col("__n2d"))))
+      .select(col("grp"), col("t_stat"),
+        (col("n1") + col("n2") - 2L).as("df_p"), col("n1"), col("n2"))
+  }
+
+  /** ClickHouse `meanZTest(σ₁², σ₂², conf)(v, idx)` (round 13): the
+    * two-sample z test with KNOWN population variances (caller-
+    * supplied, as in CH) — z = (m₁−m₂)/√(σ₁²/n₁ + σ₂²/n₂). Means come
+    * from exact long sums; the z formula is one fixed IEEE tree (one
+    * sqrt). CH returns the confidence interval too — that needs the
+    * inverse normal CDF (not IEEE-portable), so callers threshold on
+    * z directly. Groups missing either sample are dropped. 4 longs of
+    * state per group, map-side combinable.
+    */
+  def meanZTest(df: DataFrame, group: Column, idx: Column, value: Column,
+                popVar1: Double, popVar2: Double): DataFrame = {
+    require(popVar1 > 0 && popVar2 > 0,
+      s"population variances must be positive, got ($popVar1, $popVar2)")
+    val m = twoSampleMoments(df, group, idx, value)
+      .where(col("n1") > 0 && col("n2") > 0)
+    m.withColumn("__n1d", col("n1").cast("double"))
+      .withColumn("__n2d", col("n2").cast("double"))
+      .withColumn("__m1", col("__s1").cast("double") / col("__n1d"))
+      .withColumn("__m2", col("__s2").cast("double") / col("__n2d"))
+      .withColumn("z_stat",
+        (col("__m1") - col("__m2")) /
+          sqrt(lit(popVar1) / col("__n1d") + lit(popVar2) / col("__n2d")))
+      .select(col("grp"), col("z_stat"), col("n1"), col("n2"))
+  }
+
+  /** The exact-long two-sample moment state shared by [[welchTTest]] /
+    * [[studentTTest]] / [[meanZTest]]: per group, (n, Σv, Σv²) for
+    * sample 0 and sample 1 — one map-side-combinable aggregate,
+    * 6 longs of state.
+    */
+  private def twoSampleMoments(df: DataFrame, group: Column, idx: Column,
+                               value: Column): DataFrame =
+    df.select(group.as("grp"), idx.as("__i"), value.as("__v"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(when(col("__i") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__i") === 0, col("__v")).otherwise(0L)).as("__s1"),
+        sum(when(col("__i") === 0, col("__v") * col("__v")).otherwise(0L))
+          .as("__q1"),
+        sum(when(col("__i") =!= 0, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("__i") =!= 0, col("__v")).otherwise(0L)).as("__s2"),
+        sum(when(col("__i") =!= 0, col("__v") * col("__v")).otherwise(0L))
+          .as("__q2"))
 
   /** ClickHouse `kolmogorovSmirnovTest(v, idx)`: per group, the
     * two-sample KS statistic D = max|F₁(x) − F₂(x)| between samples
@@ -277,7 +350,32 @@ object StatTests {
     * not the corpus — the known benign unpartitioned-window-on-rollup
     * pattern). One corpus shuffle total (the cell groupBy).
     */
-  def cramersV(df: DataFrame, a: Column, b: Column): DataFrame = {
+  def cramersV(df: DataFrame, a: Column, b: Column): DataFrame =
+    chi2Agg(df, a, b)
+      .select(col("chi2"),
+        sqrt(col("chi2") / col("n").cast("double") /
+          least(col("ra") - 1, col("cb") - 1).cast("double"))
+          .as("cramers_v"),
+        col("n"), col("ra"), col("cb"))
+
+  /** ClickHouse `contingency(a, b)` (round 13): Pearson's contingency
+    * coefficient C = √(χ²/(χ²+n)) — the same zero-densified χ² fold
+    * as [[cramersV]] (shared kernel, see [[chi2Agg]]), normalized
+    * against χ²+n instead of n·min(r−1,c−1). One corpus shuffle.
+    */
+  def contingency(df: DataFrame, a: Column, b: Column): DataFrame =
+    chi2Agg(df, a, b)
+      .select(col("chi2"),
+        sqrt(col("chi2") / (col("chi2") + col("n").cast("double")))
+          .as("contingency_coeff"),
+        col("n"), col("ra"), col("cb"))
+
+  /** Shared χ² kernel for [[cramersV]] / [[contingency]] (round 13
+    * refactor): one row (chi2, ra, cb, n) from the zero-densified
+    * contingency cell table, the χ² sum running as the ordered
+    * sequential fold documented at [[cramersV]].
+    */
+  private def chi2Agg(df: DataFrame, a: Column, b: Column): DataFrame = {
     val seen = df.select(a.as("__a"), b.as("__b"))
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__o"))
     // densify: ZERO cells contribute (r·c/n) to χ² — dropping them
@@ -309,11 +407,6 @@ object StatTests {
         countDistinct(col("__a")).as("ra"),
         countDistinct(col("__b")).as("cb"),
         max(col("__n")).as("n"))
-      .select(col("chi2"),
-        sqrt(col("chi2") / col("n").cast("double") /
-          least(col("ra") - 1, col("cb") - 1).cast("double"))
-          .as("cramers_v"),
-        col("n"), col("ra"), col("cb"))
   }
 
   /** ClickHouse `skewPop` / `kurtPop` (round 12): population skewness
@@ -368,6 +461,110 @@ object StatTests {
     * grp window for the running weight, one final min — the same
     * two-shuffle plan as [[ksTest]].
     */
+  /** Deterministic base-2 logarithm of a POSITIVE integer column, to
+    * 30 fractional bits (round 13) — the portability escape for the
+    * entropy family: libm log/log2 is NOT cross-engine reproducible
+    * (not correctly rounded; JVM and DuckDB differ in the last ulp),
+    * so this computes log2 by the classic bit-squaring expansion
+    * instead, using ONLY operations IEEE defines exactly:
+    *
+    *   e = ⌊log2 c⌋ = length(bin(c)) − 1   (pure integer),
+    *   m = c / 2^e ∈ [1,2)                 (exact power-of-2 scaling),
+    *   30×: m ← m², and if m ≥ 2 { m ← m/2 (exact), emit bit 2⁻ⁱ }.
+    *
+    * Each iteration spends exactly one rounding (the square); halving,
+    * the comparison, and the dyadic bit accumulation are exact — so
+    * the result is bit-identical on any IEEE-754 engine (DuckDB
+    * replays it as a recursive CTE). |result − log2 c| < 2⁻³⁰ +
+    * 30·2⁻⁵² — a DOCUMENTED DEVIATION from CH's libm log2, traded for
+    * determinism. c beyond 2⁵³ stays deterministic (the initial cast
+    * is correctly rounded on both engines). Expression shape: one
+    * `aggregate` HOF over sequence(1,30) with a 3-double struct state
+    * — constant size, no per-stage column blowup.
+    */
+  def log2Dyadic(c: Column): Column = {
+    val e = (length(bin(c)) - 1).cast("long")
+    val m = c.cast("double") /
+      call_function("shiftleft", lit(1L), e.cast("int")).cast("double")
+    val frac = aggregate(
+      sequence(lit(1), lit(30)),
+      struct(m.as("m"), lit(0.0).as("acc"), lit(0.5).as("w")),
+      (s, _) => {
+        val sq = s.getField("m") * s.getField("m")
+        struct(
+          when(sq >= 2.0, sq / 2.0).otherwise(sq).as("m"),
+          when(sq >= 2.0, s.getField("acc") + s.getField("w"))
+            .otherwise(s.getField("acc")).as("acc"),
+          (s.getField("w") / 2.0).as("w"))
+      },
+      s => s.getField("acc"))
+    e.cast("double") + frac
+  }
+
+  /** ClickHouse `entropy(v)` (round 13): per group, the Shannon
+    * entropy (in bits) of the value distribution, via the count form
+    * H = log2(n) − (Σ c·log2 c)/n over the (grp, v)-collapsed cell
+    * table — distinct-value-bounded state, one corpus shuffle.
+    * log2 is [[log2Dyadic]] (deterministic, 30 fractional bits); the
+    * genuinely-fractional Σ c·log2 c runs as the ordered sequential
+    * fold (sorted by v) so it replays bit-exactly, like [[cramersV]].
+    */
+  def entropy(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val cells = df.select(group.as("grp"), value.as("__v"))
+      .groupBy(col("grp"), col("__v")).agg(count(lit(1)).as("__c"))
+    val terms = cells.withColumn("__term",
+      col("__c").cast("double") * log2Dyadic(col("__c")))
+    terms.groupBy(col("grp"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("__v"), col("__term")))),
+          lit(0.0), (acc, s) => acc + s.getField("__term")).as("__s"),
+        sum(col("__c")).as("n"))
+      .select(col("grp"),
+        (log2Dyadic(col("n")) - col("__s") / col("n").cast("double"))
+          .as("entropy_bits"),
+        col("n"))
+  }
+
+  /** ClickHouse `theilsU(a, b)` (round 13): the uncertainty
+    * coefficient U(a|b) = (H(a) − H(a|b))/H(a) — how much of a's
+    * entropy b explains (asymmetric, ∈ [0,1]). Via H(a|b) = H(a,b) −
+    * H(b): U = (H(a) + H(b) − H(a,b))/H(a), all three entropies from
+    * the joint cell table's marginals in the [[entropy]] count form —
+    * three ordered folds (by a / by b / by (a,b)) over tables bounded
+    * by r, c, r·c, one [[log2Dyadic]] of n, one fixed final tree.
+    * Degenerate a (H(a) = 0, single value) → NULL. One corpus shuffle
+    * (the cell groupBy); everything downstream is cell-scale.
+    */
+  def theilsU(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+    def foldTerms(t: DataFrame, ord: Column, out: String): DataFrame =
+      t.withColumn("__term",
+          col("__c").cast("double") * log2Dyadic(col("__c")))
+        .agg(aggregate(
+          array_sort(collect_list(struct(ord.as("__k"), col("__term")))),
+          lit(0.0), (acc, s) => acc + s.getField("__term")).as(out))
+    val sa = foldTerms(
+      cells.groupBy(col("__a")).agg(sum(col("__c")).as("__c")),
+      col("__a"), "__sa")
+    val sb = foldTerms(
+      cells.groupBy(col("__b")).agg(sum(col("__c")).as("__c")),
+      col("__b"), "__sb")
+    val sab = foldTerms(cells, struct(col("__a"), col("__b")), "__sab")
+    val tot = cells.agg(sum(col("__c")).as("n"))
+    val nd = col("n").cast("double")
+    val ln2 = log2Dyadic(col("n"))
+    val ha = ln2 - col("__sa") / nd
+    val hb = ln2 - col("__sb") / nd
+    val hab = ln2 - col("__sab") / nd
+    tot.crossJoin(sa).crossJoin(sb).crossJoin(sab)
+      .select(
+        when(ha <= 0.0, lit(null)).otherwise((ha + hb - hab) / ha)
+          .as("theils_u"),
+        ha.as("h_a"), hb.as("h_b"), hab.as("h_ab"), col("n"))
+  }
+
   def quantileExactWeighted(df: DataFrame, group: Column, value: Column,
                             weight: Column, levelNum: Long = 1L,
                             levelDen: Long = 2L): DataFrame = {

@@ -143,6 +143,102 @@ class StatTestsSpec extends SparkFunSuite {
     assert(i.getDouble(0) == 0.0 && i.getDouble(1) == 0.0)
   }
 
+  test("studentTTest: matches the plain-Scala pooled formula, df exact") {
+    val s0 = Seq(10L, 12L, 14L, 16L)
+    val s1 = Seq(20L, 21L, 19L, 30L, 25L)
+    val df = (s0.map(("d1", 0L, _)) ++ s1.map(("d1", 1L, _)))
+      .toDF("g", "i", "v")
+    val out = StatTests.studentTTest(df, col("g"), col("i"), col("v"))
+      .collect()
+    val (n1d, n2d) = (s0.size.toDouble, s1.size.toDouble)
+    val (s1d, s2d) = (s0.sum.toDouble, s1.sum.toDouble)
+    val (q1d, q2d) = (s0.map(v => v * v).sum.toDouble,
+      s1.map(v => v * v).sum.toDouble)
+    val m1 = s1d / n1d; val m2 = s2d / n2d
+    val v1 = (q1d - s1d * s1d / n1d) / (n1d - 1)
+    val v2 = (q2d - s2d * s2d / n2d) / (n2d - 1)
+    val sp2 = ((n1d - 1) * v1 + (n2d - 1) * v2) / (n1d + n2d - 2)
+    val t = (m1 - m2) / math.sqrt(sp2 * (1.0 / n1d + 1.0 / n2d))
+    assert(out(0).getDouble(1) == t)
+    assert(out(0).getLong(2) == 7L) // df = 4 + 5 - 2, exact long
+  }
+
+  test("meanZTest: known-variance z, equal means give exactly 0") {
+    val df = Seq(("g", 0L, 10L), ("g", 0L, 20L),
+      ("g", 1L, 14L), ("g", 1L, 16L)).toDF("g", "i", "v")
+    // means both 15 -> z = 0 exactly regardless of variances
+    val z0 = StatTests.meanZTest(df, col("g"), col("i"), col("v"),
+      4.0, 9.0).collect()
+    assert(z0(0).getDouble(1) == 0.0)
+    // shifted: z = (15 - 25)/sqrt(4/2 + 9/2)
+    val df2 = Seq(("g", 0L, 10L), ("g", 0L, 20L),
+      ("g", 1L, 24L), ("g", 1L, 26L)).toDF("g", "i", "v")
+    val z = StatTests.meanZTest(df2, col("g"), col("i"), col("v"),
+      4.0, 9.0).collect()
+    assert(z(0).getDouble(1) == (15.0 - 25.0) / math.sqrt(2.0 + 4.5))
+    val e = intercept[IllegalArgumentException] {
+      StatTests.meanZTest(df, col("g"), col("i"), col("v"), -1.0, 1.0)
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
+  test("contingency: shares cramersV's chi2; perfect 2x2 gives sqrt(n/(n+n))") {
+    // perfect association, 2x2, n=4: chi2 = n -> C = sqrt(1/2)
+    val perfect = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L))
+      .toDF("a", "b")
+    val p = StatTests.contingency(perfect, col("a"), col("b")).collect()(0)
+    assert(p.getDouble(0) == 4.0) // chi2 == n on perfect 2x2
+    assert(p.getDouble(1) == math.sqrt(4.0 / 8.0))
+    // independence -> chi2 = 0 -> C = 0
+    val indep = Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L))
+      .toDF("a", "b")
+    val i = StatTests.contingency(indep, col("a"), col("b")).collect()(0)
+    assert(i.getDouble(1) == 0.0)
+  }
+
+  test("log2Dyadic: within 2^-30 of libm log2 across magnitudes; exact on powers of 2") {
+    val vals = Seq(1L, 2L, 3L, 7L, 10L, 100L, 1023L, 1024L, 1025L,
+      999983L, (1L << 40) + 12345L, (1L << 52) + 1L)
+    val out = vals.toDF("c")
+      .select(col("c"), StatTests.log2Dyadic(col("c")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vals.foreach { c =>
+      val err = math.abs(out(c) - math.log(c.toDouble) / math.log(2.0))
+      assert(err < 1.1 * math.pow(2.0, -30),
+        s"log2Dyadic($c) = ${out(c)}, err $err")
+    }
+    assert(out(1L) == 0.0 && out(2L) == 1.0 && out(1024L) == 10.0)
+  }
+
+  test("entropy: uniform k-way is exactly log2Dyadic(k); constant column is 0") {
+    // 4 values x 8 rows each: H = log2(4) = 2 exactly (uniform counts
+    // make the fold terms c*log2(c) cancel against log2(n) dyadically)
+    val uni = (1 to 4).flatMap(v => Seq.fill(8)(("g", v.toLong)))
+      .toDF("g", "v")
+    val h = StatTests.entropy(uni, col("g"), col("v")).collect()(0)
+    assert(h.getDouble(1) == 2.0 && h.getLong(2) == 32L)
+    val const = Seq.fill(5)(("g", 9L)).toDF("g", "v")
+    val h0 = StatTests.entropy(const, col("g"), col("v")).collect()(0)
+    assert(h0.getDouble(1) == 0.0)
+  }
+
+  test("theilsU: determined mapping gives 1, independence gives ~0, constant a NULL") {
+    // a fully determined by b: H(a|b) = 0 -> U = 1 (exactly: H(ab) == H(b))
+    val det = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L), ("z", 3L))
+      .toDF("a", "b")
+    val u1 = StatTests.theilsU(det, col("a"), col("b")).collect()(0)
+    assert(u1.getDouble(0) == 1.0)
+    // balanced independent 2x2: H(ab) = H(a) + H(b) -> U = 0
+    val indep = Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L))
+      .toDF("a", "b")
+    val u0 = StatTests.theilsU(indep, col("a"), col("b")).collect()(0)
+    assert(math.abs(u0.getDouble(0)) < 1e-9)
+    // constant a: H(a) = 0 -> NULL
+    val consta = Seq(("x", 1L), ("x", 2L)).toDF("a", "b")
+    val un = StatTests.theilsU(consta, col("a"), col("b")).collect()(0)
+    assert(un.isNullAt(0))
+  }
+
   test("quantileExactWeighted: integer cumulative pick at two levels") {
     val df = Seq(("g", 10L, 3L), ("g", 20L, 2L), ("g", 30L, 7L))
       .toDF("g", "v", "w")
