@@ -899,6 +899,27 @@ object AnalyticsQueries {
       StatTests.theilsU(ev, col("event_type"), col("hr"))
     },
 
+    // B64 (round 13): ClickHouse topK — SpaceSaving heavy hitters
+    // (Metwally et al. 2005), the sketch family's missing member.
+    // The GATE builds registers DETERMINISTICALLY: foldOrdered over
+    // the (type, user) cell table in ascending item order, so DuckDB
+    // replays them register-for-register with a recursive CTE. The
+    // production path is SpaceSaving.topKSketch (k-bounded mergeable
+    // Aggregator) — spec-pinned to the same insert kernel.
+    "q_topk_sketch" -> Q { (s, d) =>
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      cells.groupBy(col("event_type"))
+        .agg(graft.functions.SpaceSaving.foldOrdered(
+          array_sort(collect_list(struct(col("user_id").as("v"),
+            col("c").as("c")))), 8).as("regs"))
+        .select(col("event_type"), explode(col("regs")).as("r"))
+        .select(col("event_type"), col("r.v").as("item"),
+          col("r.c").as("cnt_est"), col("r.e").as("err_bound"))
+        .orderBy(col("event_type"), col("cnt_est").desc, col("item"))
+    },
+
     // B63 (round 13): ClickHouse contingency — Pearson's contingency
     // coefficient C = sqrt(chi2/(chi2+n)) on the SAME zero-densified
     // ordered-fold chi2 kernel as q_cramers_v (shared chi2Agg).
@@ -2134,6 +2155,50 @@ object AnalyticsQueries {
         |        ELSE (ha + hb - hab) / ha END AS theils_u,
         | ha AS h_a, hb AS h_b, hab AS h_ab, n
         |FROM h""".stripMargin,
+
+    // topK replay: the SpaceSaving fold register-for-register — a
+    // recursive CTE threads the ≤8-counter list through the identical
+    // insert rule (tracked += w; free slot (w,0); else replace the
+    // least (count,item) counter, inheriting its count as err) over
+    // the row-numbered cell table in the same ascending-item order
+    "q_topk_sketch" ->
+      """WITH RECURSIVE cells0 AS (
+        | SELECT event_type AS grp, CAST(user_id AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1, 2),
+        |cells AS (
+        | SELECT grp, v, c,
+        |  CAST(row_number() OVER (PARTITION BY grp ORDER BY v)
+        |       AS BIGINT) AS rn
+        | FROM cells0),
+        |nmax AS (SELECT grp, max(rn) AS mx FROM cells GROUP BY 1),
+        |st AS (
+        | SELECT grp, CAST(0 AS BIGINT) AS i,
+        |  CAST([] AS STRUCT(v BIGINT, c BIGINT, e BIGINT)[]) AS regs
+        | FROM nmax
+        | UNION ALL
+        | SELECT st.grp, st.i + 1,
+        |  CASE
+        |   WHEN len(list_filter(st.regs, s -> s.v = x.v)) > 0 THEN
+        |    list_transform(st.regs, s -> CASE WHEN s.v = x.v
+        |     THEN {'v': s.v, 'c': s.c + x.c, 'e': s.e} ELSE s END)
+        |   WHEN len(st.regs) < 8 THEN
+        |    list_append(st.regs,
+        |     {'v': x.v, 'c': x.c, 'e': CAST(0 AS BIGINT)})
+        |   ELSE
+        |    list_transform(st.regs, s ->
+        |     CASE WHEN {'c': s.c, 'v': s.v} =
+        |       list_min(list_transform(st.regs,
+        |         t2 -> {'c': t2.c, 'v': t2.v}))
+        |      THEN {'v': x.v, 'c': s.c + x.c, 'e': s.c} ELSE s END)
+        |  END
+        | FROM st JOIN cells x ON x.grp = st.grp AND x.rn = st.i + 1),
+        |fin AS (SELECT st.grp, st.regs FROM st JOIN nmax
+        |        ON st.grp = nmax.grp AND st.i = nmax.mx),
+        |ex AS (SELECT grp, unnest(regs) AS r FROM fin)
+        |SELECT grp AS event_type, r.v AS item, r.c AS cnt_est,
+        | r.e AS err_bound
+        |FROM ex ORDER BY event_type, cnt_est DESC, item""".stripMargin,
 
     // contingency replay: q_cramers_v's cell/marginal/fold CTEs with
     // the C = sqrt(chi2/(chi2+n)) final select

@@ -56,7 +56,7 @@ object Bench {
     "text_readability", "q_nn_derivative", "q_skew_kurt",
     // round-13 statistics completions
     "q_student_ttest", "q_mean_ztest", "q_entropy", "q_theils_u",
-    "q_contingency")
+    "q_contingency", "q_topk_sketch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
