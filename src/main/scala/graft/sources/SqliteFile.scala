@@ -11,11 +11,18 @@ import org.apache.spark.sql.types._
   * run END-TO-END — real `.db` bytes in, Spark DataFrame out — with
   * no driver on the classpath at all.
   *
-  * Scope (refused loudly outside it): journal-mode rowid AND
-  * WITHOUT ROWID tables, UTF-8 text encoding, read-only. UTF-16
-  * databases raise with named errors; a database left in WAL mode
-  * with a non-checkpointed `-wal` file would read stale, so a
-  * non-empty sibling wal file also refuses.
+  * Scope (refused loudly outside it): rowid AND WITHOUT ROWID tables,
+  * journal or WAL mode, UTF-8 text encoding, read-only. UTF-16
+  * databases raise with named errors; a non-empty hot `-journal`
+  * sibling refuses (torn main-file pages). A non-checkpointed `-wal`
+  * sibling is READ, not refused (round 13): [[SqliteWal]] validates
+  * and replays the committed frame prefix — salt + cumulative
+  * checksum, cut at the last commit frame, exactly sqlite's own
+  * recovery rule — and pages in the override map come from the log,
+  * so the reader sees the same committed state `sqlite3` itself
+  * would. Genuinely unreadable wal states (truncated/bad-magic/
+  * failed-header-checksum/mismatched page size) refuse with named
+  * errors.
   *
   * WITHOUT ROWID tables (round 12) store rows in an INDEX b-tree
   * (page types 0x02/0x0a, fileformat2 §2.3): the record holds the
@@ -50,8 +57,16 @@ import org.apache.spark.sql.types._
   */
 object SqliteFile {
 
+  /** walPath/walOverrides (round 13): when the database has a live
+    * `-wal` sibling, pages in the override map (page number → byte
+    * offset of the page content inside the wal file) are read from
+    * the wal instead of the main file — the committed-prefix replay
+    * [[SqliteWal]] validated. Serializable; captured by the Spark
+    * read closures like the rest of the header.
+    */
   final case class Header(pageSize: Int, reserved: Int, encoding: Int,
-                          pageCount: Int) {
+                          pageCount: Int, walPath: String = "",
+                          walOverrides: Map[Int, Long] = Map.empty) {
     def usable: Int = pageSize - reserved
   }
 
@@ -90,10 +105,32 @@ object SqliteFile {
   def header(path: String): Header = {
     val raf = new java.io.RandomAccessFile(path, "r")
     try {
-      require(raf.length() >= 512,
-        s"$path is not a SQLite 3 database (too short: ${raf.length()} bytes)")
+      val jrn = new java.io.File(path + "-journal")
+      require(!(jrn.exists() && jrn.length() > 0),
+        s"$path has a non-empty -journal file (hot rollback journal): " +
+          "the main file may contain uncommitted/torn pages - open the " +
+          "database with sqlite3 once to recover (or roll back) the " +
+          "journal first")
+      val wal = new java.io.File(path + "-wal")
+      val walInfo =
+        if (wal.exists() && wal.length() > 0)
+          Some(SqliteWal.parse(wal.getPath))
+        else None
+      // effective page 1: the wal's committed copy wins over the main
+      // file (journal_mode=WAL keeps schema/header changes in the log
+      // until checkpoint — reading the stale main page 1 is exactly
+      // the hazard the old blanket refusal guarded against)
       val h = new Array[Byte](100)
-      raf.readFully(h)
+      walInfo.flatMap(_.overrides.get(1)) match {
+        case Some(off) =>
+          val wraf = new java.io.RandomAccessFile(wal.getPath, "r")
+          try { wraf.seek(off); wraf.readFully(h) } finally wraf.close()
+        case None =>
+          require(raf.length() >= 512,
+            s"$path is not a SQLite 3 database (too short: " +
+              s"${raf.length()} bytes)")
+          raf.readFully(h)
+      }
       val magic = new String(h, 0, 16, java.nio.charset.StandardCharsets.ISO_8859_1)
       require(magic == "SQLite format 3\u0000",
         s"$path is not a SQLite 3 database (bad magic)")
@@ -101,23 +138,27 @@ object SqliteFile {
       val pageSize = if (rawPs == 1) 65536 else rawPs
       require(pageSize >= 512 && (pageSize & (pageSize - 1)) == 0,
         s"invalid page size $pageSize")
+      walInfo.foreach(w => require(w.pageSize == pageSize,
+        s"$path: wal page size ${w.pageSize} != database page size " +
+          s"$pageSize - mismatched wal sibling; let sqlite recover"))
       val enc = be(h, 56, 4).toInt
       require(enc == 1,
         s"unsupported text encoding $enc (only 1 = UTF-8); " +
           "re-export the database as UTF-8")
-      val wal = new java.io.File(path + "-wal")
-      require(!(wal.exists() && wal.length() > 0),
-        s"$path has a non-empty -wal file: reading the main file would " +
-          "be stale - checkpoint the database first (PRAGMA wal_checkpoint)")
-      val jrn = new java.io.File(path + "-journal")
-      require(!(jrn.exists() && jrn.length() > 0),
-        s"$path has a non-empty -journal file (hot rollback journal): " +
-          "the main file may contain uncommitted/torn pages - open the " +
-          "database with sqlite3 once to recover (or roll back) the " +
-          "journal first")
-      // header page count can lag on legacy journals; trust the file size
-      val pages = (raf.length() / pageSize).toInt
-      Header(pageSize, h(20) & 0xff, enc, pages)
+      // page count: the last commit frame's size is authoritative when
+      // a wal applies (appended pages live only in the log; a committed
+      // truncation shrinks below the main file's size); otherwise the
+      // file size (the header count can lag on legacy journals)
+      val pages = walInfo.filter(_.dbPages > 0).map(_.dbPages)
+        .getOrElse((raf.length() / pageSize).toInt)
+      walInfo match {
+        case Some(w) if w.overrides.nonEmpty =>
+          Header(pageSize, h(20) & 0xff, enc, pages, wal.getPath,
+            w.overrides)
+        case _ =>
+          // wal present but zero committed frames: main file is current
+          Header(pageSize, h(20) & 0xff, enc, pages)
+      }
     } finally raf.close()
   }
 
@@ -203,15 +244,26 @@ object SqliteFile {
   private final class PageFile(path: String, val h: Header)
       extends AutoCloseable {
     private val raf = new java.io.RandomAccessFile(path, "r")
+    private var walRaf: java.io.RandomAccessFile = null
     def page(n: Int): Array[Byte] = {
       require(n >= 1 && n <= h.pageCount,
         s"page $n out of range 1..${h.pageCount}")
       val b = new Array[Byte](h.pageSize)
-      raf.seek((n - 1).toLong * h.pageSize)
-      raf.readFully(b)
+      h.walOverrides.get(n) match {
+        case Some(off) =>
+          if (walRaf == null)
+            walRaf = new java.io.RandomAccessFile(h.walPath, "r")
+          walRaf.seek(off); walRaf.readFully(b)
+        case None =>
+          raf.seek((n - 1).toLong * h.pageSize)
+          raf.readFully(b)
+      }
       b
     }
-    def close(): Unit = raf.close()
+    def close(): Unit = {
+      raf.close()
+      if (walRaf != null) walRaf.close()
+    }
   }
 
   /** Assemble a cell payload, following the overflow chain when the

@@ -102,4 +102,27 @@ class MigrateCliSpec extends SparkFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
   }
+
+  test("main() migrates a LIVE WAL-mode SQLite file — un-checkpointed " +
+      "-wal sibling read, not refused (round 13)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_wal").toString
+    val stdout = new java.io.ByteArrayOutputStream()
+    try {
+      Console.withOut(new java.io.PrintStream(stdout)) {
+        Migrate.main(Array(
+          "--sqlite", "src/test/resources/sqlite/fixture_wal.db",
+          "--clickhouse-database", "db",
+          "--chunk-size", "1000", "--out", out))
+      }
+      val printed = stdout.toString
+      // committed wal state: 3464 kv rows (post update+insert+delete)
+      // and the table that exists ONLY in the wal's sqlite_master
+      assert(spark.read.parquet(s"$out/kv").count() == 3464L)
+      assert(spark.read.parquet(s"$out/walnew").count() == 200L)
+      assert(printed.contains("CREATE TABLE IF NOT EXISTS db.walnew"))
+      assert(printed.contains("3664 rows total"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.sources.{SqliteFile, SqliteWal}
+
+/** The WAL-mode read path (round 13): fixture_wal.db{,-wal} was written
+  * by CPython's sqlite3 in journal_mode=WAL with wal_autocheckpoint=0
+  * and copied WHILE THE CONNECTION WAS OPEN (tools/make_wal_fixture.py)
+  * — the exact on-disk state a live application leaves, which rounds
+  * 1-12 refused. The main file alone is STALE by construction (its
+  * sqlite_master predates table `walnew`; its rows predate the UPDATE)
+  * so every passing assertion here proves the wal replay, not the main
+  * file. Expected numbers are the fixture generator's own sqlite
+  * aggregates, executed through the live wal before the copy.
+  *
+  * The committed wal also carries two SYNTHETIC tail frames: one
+  * checksum-valid NON-commit frame (an in-flight transaction's spill —
+  * content is garbage, must not be applied) and one salt-mismatched
+  * frame (stale tail — must cut validation). The content assertions
+  * below fail if either leaks through.
+  */
+class SqliteWalSpec extends SparkFunSuite {
+
+  private val db = "src/test/resources/sqlite/fixture_wal.db"
+
+  test("wal parse: committed prefix cut — 52 applied of 54 frames") {
+    val w = SqliteWal.parse(db + "-wal")
+    assert(w.frames == 54 && w.committed == 52)
+    assert(w.pageSize == 4096)
+    assert(w.overrides.nonEmpty && w.overrides.contains(1)) // page-1 override
+    // db grew past the main file: appended pages live only in the log
+    val mainPages = (new java.io.File(db).length() / 4096).toInt
+    assert(w.dbPages > mainPages)
+    // every override offset points inside the wal, at a frame content
+    val walLen = new java.io.File(db + "-wal").length()
+    w.overrides.values.foreach { off =>
+      assert(off >= 32 + 24 && off + 4096 <= walLen)
+      assert((off - 32 - 24) % (24 + 4096) == 0)
+    }
+  }
+
+  test("schema through the wal: the table CREATEd in wal mode is visible") {
+    val names = SqliteFile.listTables(db).map(_.name).toSet
+    assert(names == Set("kv", "walnew")) // walnew exists ONLY in the wal
+  }
+
+  test("kv decodes the committed wal state bit-exactly (update+insert+delete)") {
+    import org.apache.spark.sql.functions._
+    val kv = SqliteFile.read(spark, db, "kv")
+    val r = kv.agg(count(lit(1)), sum(col("grp")), sum(length(col("v"))),
+      sum(col("amount")), min(col("id")), max(col("id"))).collect()(0)
+    // the generator's sqlite aggregates through the live wal
+    assert(r.getLong(0) == 3464L)
+    assert(r.getLong(1) == 20762L)
+    assert(r.getLong(2) == 30278L)
+    assert(r.getDouble(3) == 43105.5) // exact: quarters + halves
+    assert(r.getLong(4) == 1L && r.getLong(5) == 3500L)
+    assert(kv.where(col("v").startsWith("upd-")).count() == 297L)
+    // deleted rows are really gone (id % 97 = 0 up to 3500)
+    assert(kv.where(col("id") % 97 === 0).count() == 0L)
+  }
+
+  test("walnew (rows exist only in the wal) decodes completely") {
+    import org.apache.spark.sql.functions._
+    val wn = SqliteFile.read(spark, db, "walnew")
+    val r = wn.agg(count(lit(1)), sum(col("k")),
+      sum(length(col("label")))).collect()(0)
+    assert(r.getLong(0) == 200L && r.getLong(1) == 20100L &&
+      r.getLong(2) == 1058L)
+  }
+
+  test("empty -wal sibling: main file reads normally (post-checkpoint state)") {
+    val dir = Files.createTempDirectory("graft_wal_empty")
+    val cp = dir.resolve("f.db")
+    Files.copy(Paths.get("src/test/resources/sqlite/fixture.db"), cp)
+    Files.write(dir.resolve("f.db-wal"), Array.empty[Byte])
+    assert(SqliteFile.listTables(cp.toString).nonEmpty)
+  }
+
+  test("unreadable wal states refuse with named errors") {
+    val dir = Files.createTempDirectory("graft_wal_bad")
+    val cp = dir.resolve("f.db")
+    Files.copy(Paths.get(db), cp)
+    val walBytes = Files.readAllBytes(Paths.get(db + "-wal"))
+
+    // truncated header
+    Files.write(dir.resolve("f.db-wal"), walBytes.take(16))
+    val e1 = intercept[IllegalArgumentException] {
+      SqliteFile.listTables(cp.toString)
+    }
+    assert(e1.getMessage.contains("truncated wal header"))
+
+    // bad magic
+    val badMagic = walBytes.clone(); badMagic(0) = 0x13
+    Files.write(dir.resolve("f.db-wal"), badMagic)
+    val e2 = intercept[IllegalArgumentException] {
+      SqliteFile.listTables(cp.toString)
+    }
+    assert(e2.getMessage.contains("bad wal magic"))
+
+    // corrupted header checksum (flip a salt byte: header cksum breaks)
+    val badCk = walBytes.clone(); badCk(17) = (badCk(17) ^ 0x55).toByte
+    Files.write(dir.resolve("f.db-wal"), badCk)
+    val e3 = intercept[IllegalArgumentException] {
+      SqliteFile.listTables(cp.toString)
+    }
+    assert(e3.getMessage.contains("header checksum mismatch"))
+  }
+
+  test("a corrupted MID-LOG frame cuts the committed prefix there (sqlite's rule)") {
+    val dir = Files.createTempDirectory("graft_wal_cut")
+    val cp = dir.resolve("f.db")
+    Files.copy(Paths.get(db), cp)
+    val walBytes = Files.readAllBytes(Paths.get(db + "-wal"))
+    // flip one content byte inside frame 40 (0-based 39): frames 1..39
+    // keep validating, everything from 40 on is dropped
+    val frameSize = 24 + 4096
+    val off = 32 + 39 * frameSize + 24 + 100
+    val cut = walBytes.clone(); cut(off) = (cut(off) ^ 0x1).toByte
+    Files.write(dir.resolve("f.db-wal"), cut)
+    val w = SqliteWal.parse(dir.resolve("f.db-wal").toString)
+    assert(w.frames == 54 && w.committed <= 39 && w.committed > 0)
+    // the reader still reads — an EARLIER committed snapshot
+    val kv = SqliteFile.read(spark, cp.toString, "kv")
+    assert(kv.count() > 0)
+  }
+}
