@@ -38,6 +38,7 @@ object Bench {
     "ann_ivf2", "pipeline_ccnet_buckets",
     // round 12: the IVF2+PQ serving composition joins the tracked set
     "ann_ivf2pq", "ann_ivfpq_rerank", "ann_sq8", "ann_ivfsq", "ann_range",
+    "ann_opq",
     "ann_mrl")
 
   /** The round-12 ClickHouse-analytics widening — tracked as its own

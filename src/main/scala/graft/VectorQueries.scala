@@ -105,6 +105,21 @@ object VectorQueries {
       graft.operators.PqIndex.trainResidual(Tables.embeddings(s, d),
         ivfModel(s, d), dim = 64, m = PqM, k = PqK))
 
+  /** OPQ model (round 13): trained rotation (Ge et al. 2013 — OPQ-P
+    * eigenvalue-allocation init + fixed NP alternations, all on the
+    * deterministic sorted sample) + codebooks trained in the rotated
+    * space. Rotation AND codebooks inline into the oracle with the
+    * exact-literal transport; the rotation replays as a fixed-order
+    * fold per output dim.
+    */
+  private[graft] val OpqIters = 4
+  private val opqModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.OpqIndex.OpqModel]
+  private[graft] def opqModel(s: SparkSession, d: String): graft.operators.OpqIndex.OpqModel =
+    opqModels.getOrElseUpdate(d,
+      graft.operators.OpqIndex.train(Tables.embeddings(s, d), dim = 64,
+        m = PqM, k = PqK, iters = OpqIters))
+
   /** SQ8 ranges (round 12): per-dim exact min/max — one order-
     * independent aggregate, so the trained ranges inline into the
     * oracle with the same bit-exact transport as the PQ codebooks.
@@ -240,6 +255,19 @@ object VectorQueries {
     "ann_pq" -> Q { (s, d) =>
       graft.operators.PqIndex.topK(Tables.embeddings(s, d), probes(s, d),
         pqModel(s, d), k = 5).orderBy("probe_id", "rk")
+    },
+
+    // C29g (oracle, round 13): OPQ — the trained orthogonal rotation
+    // before the subspace split (Ge et al. 2013; FAISS OPQMatrix),
+    // the PQ family's remaining rung past rerank: same 16-byte ADC
+    // budget, codebooks spent where the rotated variance actually is.
+    // The rotation is one map-side projection per scan; everything
+    // downstream is ann_pq's coded-corpus shape. Rotation + codebooks
+    // inline into the oracle; the per-dim rotation fold replays
+    // bit-exactly.
+    "ann_opq" -> Q { (s, d) =>
+      graft.operators.OpqIndex.topK(Tables.embeddings(s, d), probes(s, d),
+        opqModel(s, d), k = 5).orderBy("probe_id", "rk")
     },
 
     // C29b (oracle, round 8): IVF-PQ — the full FAISS composition:
@@ -780,6 +808,84 @@ object VectorQueries {
     * same two roundings (mul then add), and the explicit left-to-right
     * squared-diff fold (the SqDistExpr order), not list_inner_product.
     */
+  /** ann_opq oracle (round 13): the trained 64×64 rotation inlines as
+    * a VALUES table of row vectors; each corpus/probe vector rotates
+    * through the IDENTICAL fixed-order fold the Spark side uses (per
+    * output dim: products j = 1..64 left to right, one rounding per
+    * multiply and add, seeded 0.0), then the standard codes/LUT/ADC
+    * chain runs over the OPQ codebooks — same argmin, fold and add
+    * disciplines as [[pqOracle]].
+    */
+  private def opqOracle: Map[String, String] = (for {
+    s <- SparkSession.getActiveSession
+    d <- sys.props.get("graft.oracle.sfDir")
+  } yield {
+    val om = opqModel(s, d)
+    val m = om.pq
+    val dim = om.dim
+    val dsub = m.dSub
+    val rRows = om.rotation.zipWithIndex
+      .map { case (row, i) =>
+        s"($i, ${row.map(exactLit).mkString("[", ",", "]")}::DOUBLE[])"
+      }
+      .mkString(",\n   ")
+    val cents = (for {
+      (cb, j) <- m.subCentroids.zipWithIndex
+      (c, ci) <- cb.zipWithIndex
+    } yield s"($j, $ci, ${c.map(exactLit).mkString("[", ",", "]")}::DOUBLE[])")
+      .mkString(",\n   ")
+    val diff =
+      s"list_transform(range(1, ${dsub + 1}), i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))"
+    val adc = (1 to m.m)
+      .map(j => s"p.lut[$j][c.codes[$j] + 1]").mkString(" + ")
+    val rotFold =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |   list_transform(range(1, ${dim + 1}), i -> r.rrow[i] * dv0.dv[i])),
+         |   (a_, x_) -> a_ + x_)""".stripMargin
+    Map("ann_opq" ->
+      s"""WITH dv0 AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+         |), rt AS (
+         | SELECT * FROM (VALUES
+         |   $rRows) AS t(ri, rrow)
+         |), dv AS (
+         | SELECT vec_id, list(rv ORDER BY ri) AS dv FROM (
+         |  SELECT dv0.vec_id, r.ri, $rotFold AS rv
+         |  FROM dv0 CROSS JOIN rt r) GROUP BY vec_id
+         |), sc AS (
+         | SELECT * FROM (VALUES
+         |   $cents) AS t(sj, ci, cv)
+         |), slices AS (
+         | SELECT vec_id, s.sj,
+         |  list_slice(dv, s.sj * $dsub + 1, (s.sj + 1) * $dsub) AS sv
+         | FROM dv CROSS JOIN (SELECT DISTINCT sj FROM sc) s
+         |), dd AS (
+         | SELECT vec_id, slices.sj, ci,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $diff), (a, x) -> a + x) AS dd
+         | FROM slices JOIN sc ON sc.sj = slices.sj
+         |), codes AS (
+         | SELECT vec_id, list(code ORDER BY sj) AS codes FROM (
+         |  SELECT vec_id, sj, ci AS code FROM (
+         |   SELECT vec_id, sj, ci,
+         |    row_number() OVER (PARTITION BY vec_id, sj ORDER BY dd, ci) AS rn
+         |   FROM dd) WHERE rn = 1)
+         | GROUP BY vec_id
+         |), plut0 AS (
+         | SELECT vec_id AS probe_id, sj, list(dd ORDER BY ci) AS l
+         | FROM dd WHERE vec_id % 50 = 0 GROUP BY 1, 2
+         |), plut AS (
+         | SELECT probe_id, list(l ORDER BY sj) AS lut FROM plut0 GROUP BY 1
+         |), scored AS (
+         | SELECT p.probe_id, c.vec_id, $adc AS ad2
+         | FROM codes c CROSS JOIN plut p WHERE c.vec_id <> p.probe_id
+         |), ranked AS (
+         | SELECT probe_id, vec_id, ad2,
+         |  row_number() OVER (PARTITION BY probe_id ORDER BY ad2, vec_id) AS rk
+         | FROM scored)
+         |SELECT probe_id, vec_id, ad2, CAST(rk AS BIGINT) AS rk FROM ranked
+         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)
+  }).getOrElse(Map.empty)
+
   private def sqOracle: Map[String, String] = (for {
     s <- SparkSession.getActiveSession
     d <- sys.props.get("graft.oracle.sfDir")
@@ -850,7 +956,8 @@ object VectorQueries {
            |)$rankTail""".stripMargin)
   }).getOrElse(Map.empty)
 
-  def oracles: Map[String, String] = ivfOracle ++ pqOracle ++ sqOracle ++ Map(
+  def oracles: Map[String, String] =
+    ivfOracle ++ pqOracle ++ sqOracle ++ opqOracle ++ Map(
     "ann_lsh" ->
       s"""WITH dv AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
