@@ -50,14 +50,24 @@ object AnnCorpusStudy {
         val n = args.lift(1).map(_.toLong).getOrElse(200000L)
         val clusters = args.lift(2).map(_.toInt).getOrElse(256)
         val sigma = args.lift(3).map(_.toDouble).getOrElse(1.0)
+        // round 13: anisotropy knob for the OPQ arm — aniso=1 scales
+        // component i by 2^-(i div 8) (variance halves every 8 dims),
+        // the decaying-spectrum shape real learned embeddings have and
+        // the setting OPQ exists for; aniso=0 keeps the isotropic ball
+        // mixture (where a rotation provably can't help — the honest
+        // control arm)
+        val aniso = args.lift(6).map(_.toInt).getOrElse(0)
+        val scale =
+          if (aniso == 1) " / CAST(shiftleft(1L, CAST(i / 8 AS INT)) AS DOUBLE)"
+          else ""
         val c = spark.range(n).select(col("id").as("vec_id"),
           expr(
-            s"""transform(sequence(0, ${dim - 1}), i -> CAST(
+            s"""transform(sequence(0, ${dim - 1}), i -> CAST((
                |  (pmod(xxhash64(52962L, pmod(xxhash64(vec_id), $clusters), i), 2001) - 1000) / 500.0
                |  + (pmod(xxhash64(vec_id, i, 1025L), 2001) - 1000) / 1000.0 * $sigma
-               |AS FLOAT))""".stripMargin).as("embedding"))
+               |)$scale AS FLOAT))""".stripMargin).as("embedding"))
           .localCheckpoint(true)
-        (c, s""""corpus":"mog","clusters":$clusters,"sigma":$sigma""")
+        (c, s""""corpus":"mog","clusters":$clusters,"sigma":$sigma,"aniso":$aniso""")
       case "replica" =>
         val base = args.lift(1).getOrElse("/root/testdata/sf0.1")
         val reps = args.lift(2).map(_.toInt).getOrElse(100)
@@ -140,6 +150,19 @@ object AnnCorpusStudy {
     val (pqRes, tPqRes) = timed(
       graft.operators.PqIndex.trainResidual(corpus, ivf, dim = dim,
         m = 16, k = pqK))
+
+    // OPQ vs raw PQ at the same byte budget (round 13, verdict #2):
+    // flat exhaustive ADC for both, so the ONLY difference is the
+    // trained rotation — the recall delta IS the rotation's value on
+    // this corpus (expected ~0 on isotropic mog, real lift with the
+    // aniso spectrum)
+    val (opq, tOpq) = timed(
+      graft.operators.OpqIndex.train(corpus, dim = dim, m = 16, k = pqK,
+        iters = 4))
+    serve("pq_flat", tPq, exactL2, """"nProbe":0""",
+      () => graft.operators.PqIndex.topK(corpus, probes, pq, k))
+    serve("opq_flat", tOpq, exactL2, """"nProbe":0""",
+      () => graft.operators.OpqIndex.topK(corpus, probes, opq, k))
 
     // MRL prefix serving (round 12, C29h): no trained model at all —
     // recall is bought with prefix dims + shortlist breadth instead of

@@ -82,6 +82,26 @@ object PlanEnvelopeStudy {
       }
     }
 
+    // round 13 (r12 verdict #6): the typedlit MAP shape Dict.get
+    // compiles in — unlike the codegen reference objects above, the
+    // dictionary is a plan LITERAL, so the swept cost covers analysis
+    // + plan serialization per query + stage launch. Values sized like
+    // real dim attributes (~16 chars). The measured envelope sets
+    // Dict.fromTable's maxRows default.
+    for (nKeys <- Seq(16, 4096, 16384, 65536)) {
+      val dict: Map[Long, String] =
+        (0L until nKeys.toLong).map(i => i -> f"value_$i%08d_xxxxxxxx").toMap
+      val bytes = serBytes(dict)
+      def qd(tasks: Int) = probe(tasks).select(col("vec_id"),
+        graft.operators.Dict.get(dict,
+          pmod(col("vec_id"), lit(nKeys.toLong))).as("v"))
+      launch(qd(4))
+      for (tasks <- Seq(32, 256)) {
+        val sec = (1 to 3).map(_ => timed(launch(qd(tasks)))).min
+        println(f"""{"study":"plan_envelope_r13","model":"dict_map","keys":$nKeys,"ser_mb":${bytes / 1e6}%.3f,"tasks":$tasks,"sec":$sec%.3f}""")
+      }
+    }
+
     // the PQ codebook shape the round-11 fused kernels add per plan
     val cb = (0 until 16).map(m => (0 until 256).map(c =>
       (0 until 4).map(i => ((m * 131 + c * 31 + i * 7) % 2001 - 1000) / 500.0)))

@@ -257,7 +257,7 @@ object VectorQueries {
         pqModel(s, d), k = 5).orderBy("probe_id", "rk")
     },
 
-    // C29g (oracle, round 13): OPQ — the trained orthogonal rotation
+    // C29i (oracle, round 13): OPQ — the trained orthogonal rotation
     // before the subspace split (Ge et al. 2013; FAISS OPQMatrix),
     // the PQ family's remaining rung past rerank: same 16-byte ADC
     // budget, codebooks spent where the rotated variance actually is.

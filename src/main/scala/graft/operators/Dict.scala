@@ -23,9 +23,17 @@ object Dict {
 
   /** Collect (key → value) off a dimension table; refuses loudly past
     * `maxRows` (compile-time plan literals must stay small).
+    *
+    * Default set from the MEASURED typedlit-map plan envelope
+    * (tools/plan_envelope_r13.json, dict_map probe): 16384 entries ≈
+    * 0.75 MB serialized ≈ 0.05-0.14 s marginal per stage launch
+    * (32-256 tasks) — cheap; 65536 entries ≈ 3 MB ≈ 0.23-0.62 s per
+    * stage launch — at that size a broadcast join (one build, reused
+    * across stages) is already the better shape, which is exactly
+    * what the refusal message says to do.
     */
   def fromTable(dim: DataFrame, keyCol: String, valCol: String,
-                maxRows: Int = 65536): Map[Long, String] = {
+                maxRows: Int = 16384): Map[Long, String] = {
     val rows = dim.select(col(keyCol).cast("long"),
       col(valCol).cast("string")).limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
