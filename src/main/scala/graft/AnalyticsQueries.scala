@@ -920,6 +920,35 @@ object AnalyticsQueries {
         .orderBy(col("event_type"), col("cnt_est").desc, col("item"))
     },
 
+    // B64b (round 13): ClickHouse topKWeighted — the same SpaceSaving
+    // registers with WEIGHTED inserts: top users per type by total
+    // cents instead of event count. Identical deterministic fold +
+    // recursive-CTE replay; weights are exact cent sums (> 0 by the
+    // events contract, required by the insert rule).
+    "q_topk_weighted" -> Q { (s, d) =>
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum((col("value").cast(d2) * 100).cast(LongType)).as("c"))
+        .where(col("c") > 0)
+      cells.groupBy(col("event_type"))
+        .agg(graft.functions.SpaceSaving.foldOrdered(
+          array_sort(collect_list(struct(col("user_id").as("v"),
+            col("c").as("c")))), 8).as("regs"))
+        .select(col("event_type"), explode(col("regs")).as("r"))
+        .select(col("event_type"), col("r.v").as("item"),
+          col("r.c").as("cents_est"), col("r.e").as("err_bound"))
+        .orderBy(col("event_type"), col("cents_est").desc, col("item"))
+    },
+
+    // B49b (round 13): ClickHouse cramersVBiasCorrected — the
+    // Bergsma-Wicher small-sample correction on the SAME shared chi2
+    // kernel as q_cramers_v / q_contingency; one more fixed tree.
+    "q_cramers_v_bc" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("(ts_us div 3600000000) % 24").as("hr"))
+      StatTests.cramersVBiasCorrected(ev, col("event_type"), col("hr"))
+    },
+
     // B63 (round 13): ClickHouse contingency — Pearson's contingency
     // coefficient C = sqrt(chi2/(chi2+n)) on the SAME zero-densified
     // ordered-fold chi2 kernel as q_cramers_v (shared chi2Agg).
@@ -2199,6 +2228,97 @@ object AnalyticsQueries {
         |SELECT grp AS event_type, r.v AS item, r.c AS cnt_est,
         | r.e AS err_bound
         |FROM ex ORDER BY event_type, cnt_est DESC, item""".stripMargin,
+
+    // topKWeighted replay: the identical recursive SpaceSaving fold
+    // over weighted (cent-sum) cells in the same ascending-item order
+    "q_topk_weighted" ->
+      """WITH RECURSIVE cells0 AS (
+        | SELECT event_type AS grp, CAST(user_id AS BIGINT) AS v,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS c
+        | FROM events GROUP BY 1, 2),
+        |cells1 AS (SELECT grp, v, c FROM cells0 WHERE c > 0),
+        |cells AS (
+        | SELECT grp, v, c,
+        |  CAST(row_number() OVER (PARTITION BY grp ORDER BY v)
+        |       AS BIGINT) AS rn
+        | FROM cells1),
+        |nmax AS (SELECT grp, max(rn) AS mx FROM cells GROUP BY 1),
+        |st AS (
+        | SELECT grp, CAST(0 AS BIGINT) AS i,
+        |  CAST([] AS STRUCT(v BIGINT, c BIGINT, e BIGINT)[]) AS regs
+        | FROM nmax
+        | UNION ALL
+        | SELECT st.grp, st.i + 1,
+        |  CASE
+        |   WHEN len(list_filter(st.regs, s -> s.v = x.v)) > 0 THEN
+        |    list_transform(st.regs, s -> CASE WHEN s.v = x.v
+        |     THEN {'v': s.v, 'c': s.c + x.c, 'e': s.e} ELSE s END)
+        |   WHEN len(st.regs) < 8 THEN
+        |    list_append(st.regs,
+        |     {'v': x.v, 'c': x.c, 'e': CAST(0 AS BIGINT)})
+        |   ELSE
+        |    list_transform(st.regs, s ->
+        |     CASE WHEN {'c': s.c, 'v': s.v} =
+        |       list_min(list_transform(st.regs,
+        |         t2 -> {'c': t2.c, 'v': t2.v}))
+        |      THEN {'v': x.v, 'c': s.c + x.c, 'e': s.c} ELSE s END)
+        |  END
+        | FROM st JOIN cells x ON x.grp = st.grp AND x.rn = st.i + 1),
+        |fin AS (SELECT st.grp, st.regs FROM st JOIN nmax
+        |        ON st.grp = nmax.grp AND st.i = nmax.mx),
+        |ex AS (SELECT grp, unnest(regs) AS r FROM fin)
+        |SELECT grp AS event_type, r.v AS item, r.c AS cents_est,
+        | r.e AS err_bound
+        |FROM ex ORDER BY event_type, cents_est DESC, item""".stripMargin,
+
+    // cramersVBiasCorrected replay: the shared chi2 CTEs + the
+    // Bergsma-Wicher tree mirrored term-for-term
+    "q_cramers_v_bc" ->
+      """WITH seen AS (
+        | SELECT event_type AS a, (epoch_us(ts) // 3600000000) % 24 AS b,
+        |  CAST(count(*) AS BIGINT) AS o
+        | FROM events GROUP BY 1, 2),
+        |cells AS (
+        | SELECT da.a, db.b, coalesce(seen.o, 0) AS o
+        | FROM (SELECT DISTINCT a FROM seen) da
+        | CROSS JOIN (SELECT DISTINCT b FROM seen) db
+        | LEFT JOIN seen ON da.a = seen.a AND db.b = seen.b),
+        |t AS (
+        | SELECT a, b, o,
+        |  CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+        |  CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+        |  CAST(sum(o) OVER () AS BIGINT) AS n
+        | FROM cells),
+        |tm AS (
+        | SELECT a, b, n,
+        |  CAST(o AS DOUBLE)*CAST(n AS DOUBLE) -
+        |   CAST(r AS DOUBLE)*CAST(c AS DOUBLE) AS d,
+        |  CAST(r AS DOUBLE)*CAST(c AS DOUBLE)*CAST(n AS DOUBLE) AS rcn
+        | FROM t),
+        |tt AS (SELECT a, b, n, d*d/rcn AS term FROM tm),
+        |ag AS (
+        | SELECT list_reduce(list(term ORDER BY a, b),
+        |         (acc, x) -> acc + x) AS chi2,
+        |  CAST(count(DISTINCT a) AS BIGINT) AS ra,
+        |  CAST(count(DISTINCT b) AS BIGINT) AS cb,
+        |  CAST(max(n) AS BIGINT) AS n
+        | FROM tt),
+        |f AS (
+        | SELECT chi2, n, ra, cb, CAST(n AS DOUBLE) AS nd,
+        |  CAST(ra AS DOUBLE) AS rad, CAST(cb AS DOUBLE) AS cbd
+        | FROM ag),
+        |g AS (
+        | SELECT chi2, n, ra, cb,
+        |  greatest(0.0, chi2/nd - (rad - 1)*(cbd - 1)/(nd - 1)) AS phi2bc,
+        |  least(rad - (rad - 1)*(rad - 1)/(nd - 1),
+        |        cbd - (cbd - 1)*(cbd - 1)/(nd - 1)) - 1 AS den
+        | FROM f)
+        |SELECT chi2,
+        | CASE WHEN den <= 0 THEN NULL ELSE sqrt(phi2bc/den) END
+        |  AS cramers_v_bc,
+        | n, ra, cb
+        |FROM g""".stripMargin,
 
     // contingency replay: q_cramers_v's cell/marginal/fold CTEs with
     // the C = sqrt(chi2/(chi2+n)) final select

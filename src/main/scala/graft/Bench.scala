@@ -38,7 +38,7 @@ object Bench {
     "ann_ivf2", "pipeline_ccnet_buckets",
     // round 12: the IVF2+PQ serving composition joins the tracked set
     "ann_ivf2pq", "ann_ivfpq_rerank", "ann_sq8", "ann_ivfsq", "ann_range",
-    "ann_opq",
+    "ann_opq", "ann_ivfopq",
     "ann_mrl")
 
   /** The round-12 ClickHouse-analytics widening — tracked as its own
@@ -57,7 +57,8 @@ object Bench {
     "text_readability", "q_nn_derivative", "q_skew_kurt",
     // round-13 statistics completions
     "q_student_ttest", "q_mean_ztest", "q_entropy", "q_theils_u",
-    "q_contingency", "q_topk_sketch")
+    "q_contingency", "q_topk_sketch", "q_topk_weighted",
+    "q_cramers_v_bc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

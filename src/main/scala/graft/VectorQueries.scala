@@ -120,6 +120,23 @@ object VectorQueries {
       graft.operators.OpqIndex.train(Tables.embeddings(s, d), dim = 64,
         m = PqM, k = PqK, iters = OpqIters))
 
+  /** IVF trained in the OPQ-ROTATED space (round 13): ann_ivfopq's
+    * coarse quantizer — assignment and probing must happen where the
+    * OPQ codebooks live. Same deterministic training; rotated vectors
+    * are a fixed-order fold of deterministic inputs, so these
+    * centroids inline into the oracle like every other model.
+    */
+  private val ivfRotModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.IvfIndex.Model]
+  private[graft] def ivfRotModel(s: SparkSession, d: String): graft.operators.IvfIndex.Model =
+    ivfRotModels.getOrElseUpdate(d, {
+      val om = opqModel(s, d)
+      graft.operators.IvfIndex.train(
+        Tables.embeddings(s, d).select(graft.operators.OpqIndex
+          .rotate(col("embedding"), om.rotation).as("embedding")),
+        nList = IvfNList)
+    })
+
   /** SQ8 ranges (round 12): per-dim exact min/max — one order-
     * independent aggregate, so the trained ranges inline into the
     * oracle with the same bit-exact transport as the PQ codebooks.
@@ -268,6 +285,16 @@ object VectorQueries {
     "ann_opq" -> Q { (s, d) =>
       graft.operators.OpqIndex.topK(Tables.embeddings(s, d), probes(s, d),
         opqModel(s, d), k = 5).orderBy("probe_id", "rk")
+    },
+
+    // C29i2 (oracle, round 13): IVF-OPQ — FAISS's OPQ16,IVF16,PQ16
+    // index string: the coarse quantizer trained AND probed in the
+    // rotated space, ADC over the OPQ codebooks. Rotation, rotated
+    // IVF centroids and codebooks all inline into one oracle.
+    "ann_ivfopq" -> Q { (s, d) =>
+      graft.operators.OpqIndex.topKIvf(Tables.embeddings(s, d),
+        probes(s, d), ivfRotModel(s, d), opqModel(s, d), k = 5,
+        nProbe = IvfNProbe).orderBy("probe_id", "rk")
     },
 
     // C29b (oracle, round 8): IVF-PQ — the full FAISS composition:
@@ -842,8 +869,35 @@ object VectorQueries {
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |   list_transform(range(1, ${dim + 1}), i -> r.rrow[i] * dv0.dv[i])),
          |   (a_, x_) -> a_ + x_)""".stripMargin
-    Map("ann_opq" ->
-      s"""WITH dv0 AS (
+    // rotated-space IVF (ann_ivfopq): centroids trained on rotated
+    // vectors, cell decisions replayed over the rotated dv
+    val rim = ivfRotModel(s, d)
+    val ricents = rim.centroids.zipWithIndex
+      .map { case (c, i) =>
+        s"($i, ${c.map(exactLit).mkString("[", ",", "]")}::DOUBLE[])"
+      }
+      .mkString(",\n   ")
+    val ridiff = s"list_transform(range(1, ${dim + 1}), i -> dv[i] - icv[i])"
+    val rIvfCtes =
+      s""", ic AS (
+         | SELECT * FROM (VALUES
+         |   $ricents) AS t(ici, icv)
+         |), idist AS (
+         | SELECT vec_id, ici, list_inner_product($ridiff, $ridiff) AS id2
+         | FROM dv CROSS JOIN ic
+         |), assigned AS (
+         | SELECT vec_id, ici AS cell FROM (
+         |  SELECT vec_id, ici,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY id2, ici) AS rn
+         |  FROM idist) WHERE rn = 1
+         |), pcells AS (
+         | SELECT vec_id AS probe_id, ici AS cell FROM (
+         |  SELECT vec_id, ici,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY id2, ici) AS rn
+         |  FROM idist WHERE vec_id % 50 = 0) WHERE rn <= $IvfNProbe
+         |)""".stripMargin
+    val opqCtes =
+      s"""dv0 AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
          |), rt AS (
          | SELECT * FROM (VALUES
@@ -875,15 +929,28 @@ object VectorQueries {
          | FROM dd WHERE vec_id % 50 = 0 GROUP BY 1, 2
          |), plut AS (
          | SELECT probe_id, list(l ORDER BY sj) AS lut FROM plut0 GROUP BY 1
-         |), scored AS (
-         | SELECT p.probe_id, c.vec_id, $adc AS ad2
-         | FROM codes c CROSS JOIN plut p WHERE c.vec_id <> p.probe_id
-         |), ranked AS (
+         |)""".stripMargin
+    val rankTail =
+      s""", ranked AS (
          | SELECT probe_id, vec_id, ad2,
          |  row_number() OVER (PARTITION BY probe_id ORDER BY ad2, vec_id) AS rk
          | FROM scored)
          |SELECT probe_id, vec_id, ad2, CAST(rk AS BIGINT) AS rk FROM ranked
-         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)
+         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+    Map(
+      "ann_opq" ->
+        s"""WITH $opqCtes, scored AS (
+           | SELECT p.probe_id, c.vec_id, $adc AS ad2
+           | FROM codes c CROSS JOIN plut p WHERE c.vec_id <> p.probe_id
+           |)$rankTail""".stripMargin,
+      "ann_ivfopq" ->
+        s"""WITH $opqCtes$rIvfCtes, scored AS (
+           | SELECT p.probe_id, c.vec_id, $adc AS ad2
+           | FROM assigned a
+           |  JOIN pcells pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+           |  JOIN codes c ON c.vec_id = a.vec_id
+           |  JOIN plut p ON p.probe_id = pc.probe_id
+           |)$rankTail""".stripMargin)
   }).getOrElse(Map.empty)
 
   private def sqOracle: Map[String, String] = (for {

@@ -153,6 +153,23 @@ object OpqIndex {
     PqIndex.topK(rot(corpus), rot(probes), model.pq, k, idCol, vecCol)
   }
 
+  /** IVF-OPQ (FAISS's `OPQm,IVFn,PQm` index string): rotate, then the
+    * standard IVF-PQ serving shape over rotated vectors. `ivfRot` MUST
+    * be trained on the ROTATED corpus (train IvfIndex over
+    * rotate(corpus) — assignment and probing happen in the rotated
+    * space, where the codebooks live). Join shape, broadcasts and the
+    * 140×-rule index materialization are [[PqIndex.topKIvf]]'s.
+    */
+  def topKIvf(corpus: DataFrame, probes: DataFrame,
+              ivfRot: IvfIndex.Model, model: OpqModel, k: Int,
+              nProbe: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    def rot(df: DataFrame) = df.select(col(idCol),
+      rotate(col(vecCol), model.rotation).as(vecCol))
+    PqIndex.topKIvf(rot(corpus), rot(probes), ivfRot, model.pq, k,
+      nProbe, idCol, vecCol)
+  }
+
   // -------------------------------------------------- driver kernels
 
   /** OPQ-P initialization: rows of R are the sample covariance's

@@ -370,6 +370,31 @@ object StatTests {
           .as("contingency_coeff"),
         col("n"), col("ra"), col("cb"))
 
+  /** ClickHouse `cramersVBiasCorrected(a, b)` (round 13): the
+    * Bergsma-Wicher 2013 small-sample correction — φ² loses its
+    * expected-under-independence part, r and c shrink accordingly:
+    * φ²₊ = max(0, χ²/n − (r−1)(c−1)/(n−1)), r̃ = r − (r−1)²/(n−1),
+    * c̃ = c − (c−1)²/(n−1), Ṽ = √(φ²₊ / min(r̃−1, c̃−1)). Same shared
+    * [[chi2Agg]] kernel, one more fixed double tree (degenerate
+    * min(r̃,c̃) ≤ 1 → NULL; a 1×1 table has no association to correct).
+    */
+  def cramersVBiasCorrected(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val nd = col("n").cast("double")
+    val rad = col("ra").cast("double")
+    val cbd = col("cb").cast("double")
+    val phi2 = col("chi2") / nd
+    val phi2bc = greatest(lit(0.0),
+      phi2 - (rad - 1) * (cbd - 1) / (nd - 1))
+    val rbc = rad - (rad - 1) * (rad - 1) / (nd - 1)
+    val cbc = cbd - (cbd - 1) * (cbd - 1) / (nd - 1)
+    val den = least(rbc, cbc) - 1
+    chi2Agg(df, a, b)
+      .select(col("chi2"),
+        when(den <= 0.0, lit(null))
+          .otherwise(sqrt(phi2bc / den)).as("cramers_v_bc"),
+        col("n"), col("ra"), col("cb"))
+  }
+
   /** Shared χ² kernel for [[cramersV]] / [[contingency]] (round 13
     * refactor): one row (chi2, ra, cb, n) from the zero-densified
     * contingency cell table, the χ² sum running as the ordered

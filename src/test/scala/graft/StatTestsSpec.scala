@@ -196,6 +196,29 @@ class StatTestsSpec extends SparkFunSuite {
     assert(i.getDouble(1) == 0.0)
   }
 
+  test("cramersVBiasCorrected: shrinks V on small tables, clamps to 0 " +
+      "at independence, degenerate 1xk is NULL") {
+    // perfect 2x2 at n=4: V = 1 but the correction bites hard
+    val perfect = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L))
+      .toDF("a", "b")
+    val v = StatTests.cramersV(perfect, col("a"), col("b"))
+      .collect()(0).getDouble(1)
+    val vbc = StatTests.cramersVBiasCorrected(perfect, col("a"), col("b"))
+      .collect()(0).getDouble(1)
+    assert(v == 1.0 && vbc < v && vbc >= 0.0)
+    // independence: chi2 = 0 -> phi2bc clamps at 0 -> V_bc = 0
+    val indep = Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L))
+      .toDF("a", "b")
+    val i = StatTests.cramersVBiasCorrected(indep, col("a"), col("b"))
+      .collect()(0)
+    assert(i.getDouble(1) == 0.0)
+    // 1xk: corrected min dimension collapses -> NULL
+    val degen = Seq(("x", 1L), ("x", 2L), ("x", 3L)).toDF("a", "b")
+    val dRow = StatTests.cramersVBiasCorrected(degen, col("a"), col("b"))
+      .collect()(0)
+    assert(dRow.isNullAt(1))
+  }
+
   test("log2Dyadic: within 2^-30 of libm log2 across magnitudes; exact on powers of 2") {
     val vals = Seq(1L, 2L, 3L, 7L, 10L, 100L, 1023L, 1024L, 1025L,
       999983L, (1L << 40) + 12345L, (1L << 52) + 1L)
