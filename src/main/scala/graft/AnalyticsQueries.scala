@@ -949,6 +949,22 @@ object AnalyticsQueries {
       StatTests.cramersVBiasCorrected(ev, col("event_type"), col("hr"))
     },
 
+    // B39b (round 13): ClickHouse covarPop/covarSamp — quantity vs
+    // whole-dollar price covariance per return flag, both flavors off
+    // one exact 4-long moment state (the linreg kernel, incl. its
+    // dollars transport: cents-scale y would push n·Σxy past 2^63 at
+    // sf0.1 group sizes — same envelope note as B39).
+    "q_covar" -> Q { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 0)).cast(LongType).as("x"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) div 100")
+          .as("y"))
+      StatTests.covariance(li, col("l_returnflag"), col("x"), col("y"))
+        .select(col("grp").as("l_returnflag"), col("covar_pop"),
+          col("covar_samp"), col("n"))
+        .orderBy("l_returnflag")
+    },
+
     // B63 (round 13): ClickHouse contingency — Pearson's contingency
     // coefficient C = sqrt(chi2/(chi2+n)) on the SAME zero-densified
     // ordered-fold chi2 kernel as q_cramers_v (shared chi2Agg).
@@ -2319,6 +2335,27 @@ object AnalyticsQueries {
         |  AS cramers_v_bc,
         | n, ra, cb
         |FROM g""".stripMargin,
+
+    // covariance replay: identical long moments, one exact integer
+    // numerator, one cast + one divide per flavor
+    "q_covar" ->
+      """WITH src AS (
+        | SELECT l_returnflag AS grp,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS x,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   // 100 AS y
+        | FROM lineitem),
+        |m AS (
+        | SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy
+        | FROM src GROUP BY 1)
+        |SELECT grp AS l_returnflag,
+        | CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE) AS covar_pop,
+        | CASE WHEN n < 2 THEN NULL
+        |  ELSE CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n - 1) AS DOUBLE)
+        | END AS covar_samp, n
+        |FROM m ORDER BY 1""".stripMargin,
 
     // contingency replay: q_cramers_v's cell/marginal/fold CTEs with
     // the C = sqrt(chi2/(chi2+n)) final select

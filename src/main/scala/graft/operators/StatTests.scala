@@ -99,6 +99,31 @@ object StatTests {
       .select(col("grp"), col("t_stat"), col("df_ws"), col("n1"), col("n2"))
   }
 
+  /** ClickHouse `covarPop(x, y)` / `covarSamp(x, y)` (round 13): per
+    * group, population and sample covariance from the same exact long
+    * moments as [[simpleLinearRegression]] (n, Σx, Σy, Σxy — 4 longs,
+    * map-side combinable): cov_p = (n·Σxy − Σx·Σy)/n², cov_s = (n·Σxy
+    * − Σx·Σy)/(n·(n−1)). The numerator is ONE exact integer; each
+    * flavor spends exactly one long→double cast and one divide.
+    * Single-row groups → NULL covarSamp (undefined), 0 covarPop.
+    */
+  def covariance(df: DataFrame, group: Column, x: Column,
+                 y: Column): DataFrame = {
+    val m = df.select(group.as("grp"), x.as("__x"), y.as("__y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val num = col("n") * col("__sxy") - col("__sx") * col("__sy")
+    m.select(col("grp"),
+      (num.cast("double") / (col("n") * col("n")).cast("double"))
+        .as("covar_pop"),
+      when(col("n") < 2, lit(null))
+        .otherwise(num.cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")).as("covar_samp"),
+      col("n"))
+  }
+
   /** ClickHouse `studentTTest(v, idx)` (round 13): per group, the
     * POOLED-variance two-sample t statistic between sample 0 and
     * sample 1 — the equal-variance flavor of [[welchTTest]], reusing

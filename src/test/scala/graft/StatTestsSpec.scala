@@ -196,16 +196,32 @@ class StatTestsSpec extends SparkFunSuite {
     assert(i.getDouble(1) == 0.0)
   }
 
+  test("covariance: exact integer numerator, both flavors, n=1 NULL samp") {
+    // x = (1,2,3), y = (2,4,7): n=3, sx=6, sy=13, sxy=31
+    // num = 3*31 - 6*13 = 15; covar_pop = 15/9, covar_samp = 15/6
+    val df = Seq(("g", 1L, 2L), ("g", 2L, 4L), ("g", 3L, 7L),
+      ("h", 5L, 5L)).toDF("g", "x", "y")
+    val out = StatTests.covariance(df, col("g"), col("x"), col("y"))
+      .orderBy("grp").collect()
+    assert(out(0).getDouble(1) == 15.0 / 9.0)
+    assert(out(0).getDouble(2) == 15.0 / 6.0)
+    assert(out(1).getDouble(1) == 0.0 && out(1).isNullAt(2)) // n=1
+  }
+
   test("cramersVBiasCorrected: shrinks V on small tables, clamps to 0 " +
       "at independence, degenerate 1xk is NULL") {
-    // perfect 2x2 at n=4: V = 1 but the correction bites hard
-    val perfect = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L))
-      .toDF("a", "b")
-    val v = StatTests.cramersV(perfect, col("a"), col("b"))
+    // noisy 2x2 at n=8 (3/1 vs 1/3): chi2 = 2, V = 0.5; the correction
+    // genuinely shrinks (phi2+ = 0.25 - 1/7, den = 6/7 -> ~0.354).
+    // (On a PERFECT 2x2 the correction cancels exactly - V_bc = 1 too,
+    // verified the hard way writing this test.)
+    val noisy = Seq.fill(3)(("x", 1L)) ++ Seq(("x", 2L)) ++
+      Seq.fill(3)(("y", 2L)) ++ Seq(("y", 1L))
+    val ndf = noisy.toDF("a", "b")
+    val v = StatTests.cramersV(ndf, col("a"), col("b"))
       .collect()(0).getDouble(1)
-    val vbc = StatTests.cramersVBiasCorrected(perfect, col("a"), col("b"))
+    val vbc = StatTests.cramersVBiasCorrected(ndf, col("a"), col("b"))
       .collect()(0).getDouble(1)
-    assert(v == 1.0 && vbc < v && vbc >= 0.0)
+    assert(v == 0.5 && vbc < v && vbc > 0.0)
     // independence: chi2 = 0 -> phi2bc clamps at 0 -> V_bc = 0
     val indep = Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L))
       .toDF("a", "b")
