@@ -60,10 +60,10 @@ object AnalyticsScaleStudy {
       // grow — the fold work is scale-invariant by design)
       "q_student_ttest", "q_mean_ztest", "q_entropy", "q_theils_u",
       "q_contingency",
-      // q_topk_sketch's gate fold is cell-table-bounded (users), and
-      // the replication grows the user domain 100x — the stress is
-      // the sequential per-group fold length
-      "q_topk_sketch")
+      // the topk gates' fold is cell-table-bounded (users), and the
+      // replication grows the user domain 100x — the stress is the
+      // sequential per-group fold length
+      "q_topk_sketch", "q_topk_weighted", "q_cramers_v_bc", "q_covar")
 
     def timeOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

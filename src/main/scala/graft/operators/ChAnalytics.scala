@@ -176,8 +176,12 @@ object ChAnalytics {
                           maxRowsPerSeries: Long = 1000000L): DataFrame = {
     val src = df.select(series.as("grp"), orderCol.as("__o"),
       value.as("__v"))
+    // materialize the (#series)-row bounds once: the guard's check and
+    // the grid both read it, and without the checkpoint the guard
+    // would re-run the full input aggregation a second time
     val bounds = src.groupBy(col("grp"))
       .agg(min(col("__o")).as("__lo"), max(col("__o")).as("__hi"))
+      .localCheckpoint(true)
     guardGrid(bounds, step, maxRowsPerSeries, "withFillInterpolate")
     val grid = bounds.select(col("grp"),
       explode(sequence(col("__lo"), col("__hi"), lit(step))).as("__o"))
@@ -219,6 +223,7 @@ object ChAnalytics {
       value.as("__v"))
     val bounds = src.groupBy(col("grp"))
       .agg(min(col("__o")).as("__lo"), max(col("__o")).as("__hi"))
+      .localCheckpoint(true) // see withFillInterpolate
     guardGrid(bounds, step, maxRowsPerSeries, "withFillLocf")
     val grid = bounds.select(col("grp"),
       explode(sequence(col("__lo"), col("__hi"), lit(step))).as("__o"))
