@@ -965,6 +965,36 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
 
+    // B65 (round 13): portable Bloom filter — the sketch family's
+    // set-membership member: purchaser user-ids built into a sparse
+    // bit relation IN TWO HALVES and merged (the merge-of-partials
+    // gate precedent — union+distinct IS bitwise OR), then every
+    // distinct user probed. in_bloom has NO false negatives
+    // (is_purchaser=1 ⇒ in_bloom=1, provable and oracle-checked row
+    // by row); false positives at the documented (1−e^(−kn/m))^k rate.
+    "q_bloom_filter" -> Q { (s, d) =>
+      val BF = graft.operators.BloomFilter
+      // m sized for the gate corpus per the operator's FPR contract:
+      // the seen-set is ~1/7 of users, m=1024/k=3 puts the FPR near
+      // 10% at sf0.1 — false positives genuinely occur, false
+      // negatives provably never do (the oracle checks every row)
+      val m = 1024
+      val ev = Tables.events(s, d)
+      val seen = ev.filter(col("event_type") === "purchase" &&
+          col("user_id") % 7 === 0)
+        .select("user_id").distinct()
+      val bf = BF.merge(
+        BF.build(seen.filter(col("user_id") % 2 === 0), "user_id", m),
+        BF.build(seen.filter(col("user_id") % 2 =!= 0), "user_id", m))
+      val probes = ev.select("user_id").distinct()
+      BF.contains(bf, probes, "user_id", m)
+        .join(seen.withColumn("is_member", lit(1L)),
+          Seq("user_id"), "left")
+        .select(col("user_id"), col("in_bloom"),
+          coalesce(col("is_member"), lit(0L)).as("is_member"))
+        .orderBy("user_id")
+    },
+
     // B63 (round 13): ClickHouse contingency — Pearson's contingency
     // coefficient C = sqrt(chi2/(chi2+n)) on the SAME zero-densified
     // ordered-fold chi2 kernel as q_cramers_v (shared chi2Agg).
@@ -974,6 +1004,46 @@ object AnalyticsQueries {
       StatTests.contingency(ev, col("event_type"), col("hr"))
     }
   )
+
+  /** q_bloom_filter oracle: purchaser hashes through the long-kernel
+    * CTEs, the proven 32-bit fold, the operator's inlined affine
+    * coefficients → the distinct set-bit relation; probes re-derive
+    * their k bits the same way and membership = all k present.
+    */
+  private def bloomSql: String = {
+    val BF = graft.operators.BloomFilter
+    val rows = BF.rowCoeffs.zipWithIndex
+      .map { case ((a, b), j) => s"($j, ${a}::HUGEINT, ${b}::HUGEINT)" }
+      .mkString(", ")
+    val p = graft.operators.Dedup.MinhashPrime
+    s"""WITH uu AS (
+       | SELECT DISTINCT user_id, user_id AS v FROM events
+       |), ${graft.DedupOracles.xxh64LongCtes("uu", "user_id", "v")},
+       |x3 AS (
+       | SELECT user_id,
+       |  CAST(xor(hu // 4294967296, hu % 4294967296) AS HUGEINT) AS x32
+       | FROM xh
+       |), bits AS (
+       | SELECT user_id, j,
+       |  CAST(((aj * x32 + bj) % $p) % 1024 AS BIGINT) AS bit
+       | FROM x3 CROSS JOIN (VALUES $rows) t(j, aj, bj)
+       |), seen AS (
+       | SELECT DISTINCT user_id FROM events
+       | WHERE event_type = 'purchase' AND user_id % 7 = 0
+       |), bf AS (
+       | SELECT DISTINCT bit FROM bits JOIN seen USING (user_id)
+       |), hits AS (
+       | SELECT b.user_id, count(s.bit) AS nhit
+       | FROM bits b LEFT JOIN bf s ON s.bit = b.bit
+       | GROUP BY 1)
+       |SELECT h.user_id,
+       | CAST(CASE WHEN h.nhit = ${BF.NumHashes} THEN 1 ELSE 0 END
+       |      AS BIGINT) AS in_bloom,
+       | CAST(CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+       |  AS is_member
+       |FROM hits h LEFT JOIN seen p ON p.user_id = h.user_id
+       |ORDER BY h.user_id""".stripMargin
+  }
 
   /** q_cms_counts oracle: distinct user hashes through the long-kernel
     * CTEs, the proven 32-bit fold, the operator's inlined affine row
@@ -1043,6 +1113,7 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q_cms_counts" -> cmsSql,
+    "q_bloom_filter" -> bloomSql,
     "cms_stream_relation" -> cmsStreamSql,
 
     // sumMap replay: the same per-row (type, 'all') expansion, the

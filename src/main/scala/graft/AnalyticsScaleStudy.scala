@@ -101,7 +101,7 @@ object AnalyticsScaleStudy {
       val r100 = if (t1 > 0 && t100 > 0) t100 / t1 else -2.0
       f""""$op":{"x1":$t1%.2f,"x10":$t10%.2f,"x100":$t100%.2f,"r10":$r10%.2f,"r100":$r100%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"analytics_scale_r12","base":"$base","ops":$qs}""")
+    println(s"""{"metric":"analytics_scale_r13","base":"$base","ops":$qs}""")
     spark.stop()
   }
 }
