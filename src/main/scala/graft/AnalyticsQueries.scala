@@ -995,6 +995,25 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // B66 (round 13): ClickHouse IPv4 functions — IPv4NumToString /
+    // IPv4StringToNum / IPv4CIDRToRange. Addresses synthesized
+    // derivably from user ids (the dedup_url planting pattern); the
+    // gate proves BOTH directions (ip_rt = parse(format(ip)) must
+    // equal ip on every row) and the /24 CIDR bounds. All integer +
+    // string ops — exact on any engine.
+    "q_ipv4_funcs" -> Q { (s, d) =>
+      import graft.functions.IpFuncs
+      val u = Tables.events(s, d).select("user_id").distinct()
+        .withColumn("ip",
+          pmod(col("user_id") * 2654435761L, lit(4294967296L)))
+      val (lo, hi) = IpFuncs.ipv4CidrRange(col("ip"), 24)
+      u.select(col("user_id"), col("ip"),
+          IpFuncs.ipv4NumToString(col("ip")).as("ip_str"),
+          lo.as("net24_lo"), hi.as("net24_hi"))
+        .withColumn("ip_rt", IpFuncs.ipv4StringToNum(col("ip_str")))
+        .orderBy("user_id")
+    },
+
     // B63 (round 13): ClickHouse contingency — Pearson's contingency
     // coefficient C = sqrt(chi2/(chi2+n)) on the SAME zero-densified
     // ordered-fold chi2 kernel as q_cramers_v (shared chi2Agg).
@@ -2406,6 +2425,29 @@ object AnalyticsQueries {
         |  AS cramers_v_bc,
         | n, ra, cb
         |FROM g""".stripMargin,
+
+    // IPv4 replay: identical shift/mask/concat assembly, string-split
+    // parse, and the /24 mask arithmetic
+    "q_ipv4_funcs" ->
+      """WITH u AS (
+        | SELECT DISTINCT user_id,
+        |  (user_id * 2654435761) % 4294967296 AS ip
+        | FROM events),
+        |f AS (
+        | SELECT user_id, ip,
+        |  CAST((ip // 16777216) % 256 AS VARCHAR) || '.' ||
+        |  CAST((ip // 65536) % 256 AS VARCHAR) || '.' ||
+        |  CAST((ip // 256) % 256 AS VARCHAR) || '.' ||
+        |  CAST(ip % 256 AS VARCHAR) AS ip_str,
+        |  ip & 4294967040 AS net24_lo,
+        |  (ip & 4294967040) + 255 AS net24_hi
+        | FROM u)
+        |SELECT user_id, ip, ip_str, net24_lo, net24_hi,
+        | CAST(string_split(ip_str, '.')[1] AS BIGINT) * 16777216 +
+        | CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536 +
+        | CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256 +
+        | CAST(string_split(ip_str, '.')[4] AS BIGINT) AS ip_rt
+        |FROM f ORDER BY user_id""".stripMargin,
 
     // covariance replay: identical long moments, one exact integer
     // numerator, one cast + one divide per flavor

@@ -26,6 +26,27 @@ class BloomFilterSpec extends SparkFunSuite {
     assert(merged == direct)
   }
 
+  test("BloomStream settles to the batch build's exact bit set") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val keys = (1L to 300L).map(_ * 7919L)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = graft.streaming.BloomStream
+      .filterStream(mem.toDF().toDF("k"), "k", 2048)
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(keys.take(100)); q.processAllAvailable()
+      mem.addData(keys.drop(100)); q.processAllAvailable()
+      val streamed = spark.table("bloom_stream")
+        .select("bit").collect().map(_.getLong(0)).toSet
+      val batch = BloomFilter.build(keys.toDF("k"), "k", 2048)
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(streamed.size <= 2048)
+    } finally q.stop()
+  }
+
   test("FPR sits near the (1-e^(-kn/m))^k contract; state is bounded") {
     val n = 500
     val m = 4096
