@@ -188,6 +188,41 @@ class PlanGuardSpec extends SparkFunSuite {
       s"dictGet compiled-in map regressed to a join:\n$p")
   }
 
+  test("bloom membership: filter side BROADCASTS, never sort-merge (round 13)") {
+    // the filter is <= m rows by construction; a SortMergeJoin here
+    // would shuffle every probe bit against a 1024-row relation
+    val p = plan("q_bloom_filter")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bloom filter join no longer broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bloom probes shuffle against the m-row filter:\n$p")
+  }
+
+  test("opq serving: the rotation adds NO exchange before the encode scan (round 13)") {
+    // rotate is a map-side projection; the only corpus exchanges
+    // allowed are the ones ann_pq itself plans (the final ranking
+    // window's partitioning). An extra hashpartitioning of raw
+    // embeddings means the rotation started shuffling.
+    val pPq = plan("ann_pq")
+    val pOpq = plan("ann_opq")
+    def exchanges(p: String) =
+      p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges(pOpq) <= exchanges(pPq),
+      s"ann_opq plans more corpus exchanges than ann_pq:\n$pOpq")
+  }
+
+  test("topk sketch gate: one corpus shuffle (the cell groupBy), " +
+    "fold runs post-aggregation (round 13)") {
+    val p = plan("q_topk_sketch")
+    // the (type, user) cell collapse is the only corpus-scale
+    // hashpartitioning; the register fold happens on the collapsed
+    // relation (a second exchange moves #cells rows, not events)
+    val corpusExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(corpusExchanges.size <= 2,
+      s"q_topk_sketch plans extra corpus shuffles:\n$p")
+  }
+
   test("mrl serving: prefix shortlist is the bounded aggregate, " +
     "refine joins broadcast") {
     val p = plan("ann_mrl")
