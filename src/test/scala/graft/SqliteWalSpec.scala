@@ -69,6 +69,21 @@ class SqliteWalSpec extends SparkFunSuite {
       r.getLong(2) == 1058L)
   }
 
+  test("created-in-WAL database: main file is one stale page, schema " +
+      "and data live ONLY in the log (page-1 override is load-bearing)") {
+    val wo = "src/test/resources/sqlite/fixture_walonly.db"
+    assert(new java.io.File(wo).length() == 4096) // a single page
+    val names = SqliteFile.listTables(wo).map(_.name)
+    assert(names == Seq("t"))
+    import org.apache.spark.sql.functions._
+    val t = SqliteFile.read(spark, wo, "t")
+    val r = t.agg(count(lit(1)), sum(col("id")), sum(length(col("v"))),
+      sum(col("x"))).collect()(0)
+    // the generator's own sqlite aggregates (quarters -> exact double)
+    assert(r.getLong(0) == 500L && r.getLong(1) == 125250L &&
+      r.getLong(2) == 2500L && r.getDouble(3) == 31312.5)
+  }
+
   test("empty -wal sibling: main file reads normally (post-checkpoint state)") {
     val dir = Files.createTempDirectory("graft_wal_empty")
     val cp = dir.resolve("f.db")
