@@ -1014,6 +1014,26 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // B67 (round 13): bucketized interval join — `t BETWEEN lo AND hi`
+    // as a co-partitioned EQUI-join (grid bucketing; Spark's native
+    // plan for range predicates is BroadcastNestedLoop). Per user: how
+    // much total traffic fell inside their first-2h window. Each pair
+    // meets in exactly the point's bucket — no dedup pass.
+    "q_interval_join" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts_us"))
+      val win = ev.groupBy(col("user_id").as("w_user"))
+        .agg(min(col("ts_us")).as("w_lo"))
+        .withColumn("w_hi", col("w_lo") + 7200000000L)
+      graft.operators.IntervalJoin.join(
+          ev.select(col("ts_us"), col("user_id").as("p_user")),
+          col("ts_us"),
+          win, col("w_lo"), col("w_hi"), bucketWidth = 900000000L)
+        .groupBy(col("w_user").as("user_id"))
+        .agg(count(lit(1)).as("n_events_in_window"),
+          countDistinct(col("p_user")).as("n_users_in_window"))
+        .orderBy("user_id")
+    },
+
     // B63 (round 13): ClickHouse contingency — Pearson's contingency
     // coefficient C = sqrt(chi2/(chi2+n)) on the SAME zero-densified
     // ordered-fold chi2 kernel as q_cramers_v (shared chi2Agg).
@@ -2448,6 +2468,23 @@ object AnalyticsQueries {
         | CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256 +
         | CAST(string_split(ip_str, '.')[4] AS BIGINT) AS ip_rt
         |FROM f ORDER BY user_id""".stripMargin,
+
+    // interval-join replay: a plain range join — DuckDB can afford the
+    // naive plan at gate scale, which makes it the perfect oracle for
+    // the bucketized rewrite (any bucket-boundary bug shows up as a
+    // count mismatch)
+    "q_interval_join" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |win AS (
+        | SELECT user_id AS w_user, min(ts_us) AS lo,
+        |  min(ts_us) + 7200000000 AS hi
+        | FROM ev GROUP BY 1)
+        |SELECT w.w_user AS user_id,
+        | CAST(count(*) AS BIGINT) AS n_events_in_window,
+        | CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users_in_window
+        |FROM win w JOIN ev e ON e.ts_us >= w.lo AND e.ts_us <= w.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // covariance replay: identical long moments, one exact integer
     // numerator, one cast + one divide per flavor
