@@ -63,7 +63,11 @@ object AnalyticsScaleStudy {
       // the topk gates' fold is cell-table-bounded (users), and the
       // replication grows the user domain 100x — the stress is the
       // sequential per-group fold length
-      "q_topk_sketch", "q_topk_weighted", "q_cramers_v_bc", "q_covar")
+      "q_topk_sketch", "q_topk_weighted", "q_cramers_v_bc", "q_covar",
+      // bloom scales in filter-relation size (capped at m); ipv4 is a
+      // pure scan projection; interval_join's windows grow with users
+      // while the bucket grid bounds the candidate pairs
+      "q_bloom_filter", "q_ipv4_funcs", "q_interval_join")
 
     def timeOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
