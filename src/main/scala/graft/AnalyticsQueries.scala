@@ -1034,6 +1034,20 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // B68 (round 13): ClickHouse analysisOfVariance — per day, does
+    // mean spend differ across the event types? Exact long moments
+    // per (day, type); the fractional sum(s²/n) runs as the ordered
+    // fold over the <=5 type cells; F is one fixed tree.
+    "q_anova" -> Q { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        expr(s"ts_us div $dayUs").as("day"), col("event_type"),
+        (col("value").cast(d2) * 100).cast(LongType).as("cents"))
+      StatTests.anova(ev, col("day"), col("event_type"), col("cents"))
+        .select(col("grp").as("day"), col("f_stat"), col("df_between"),
+          col("df_within"), col("k"), col("n"))
+        .orderBy("day")
+    },
+
     // B63 (round 13): ClickHouse contingency — Pearson's contingency
     // coefficient C = sqrt(chi2/(chi2+n)) on the SAME zero-densified
     // ordered-fold chi2 kernel as q_cramers_v (shared chi2Agg).
@@ -2485,6 +2499,41 @@ object AnalyticsQueries {
         | CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users_in_window
         |FROM win w JOIN ev e ON e.ts_us >= w.lo AND e.ts_us <= w.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // anova replay: per-(day,type) long moments, the ordered s²/n
+    // fold (list_reduce over list ORDER BY type), the identical tree
+    "q_anova" ->
+      """WITH src AS (
+        | SELECT epoch_us(ts) // 86400000000 AS day, event_type AS s,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        | FROM events),
+        |cells AS (
+        | SELECT day, s, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v*v) AS BIGINT) AS qv
+        | FROM src GROUP BY 1, 2),
+        |t AS (
+        | SELECT day, s, n, sv, qv,
+        |  CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+        |   AS tt
+        | FROM cells),
+        |ag AS (
+        | SELECT day,
+        |  list_reduce(list(tt ORDER BY s), (a_, x_) -> a_ + x_) AS st,
+        |  CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(sv) AS BIGINT) AS ss, CAST(sum(qv) AS BIGINT) AS sq
+        | FROM t GROUP BY 1),
+        |f AS (
+        | SELECT day, k, n,
+        |  st - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) /
+        |       CAST(n AS DOUBLE) AS ssb,
+        |  CAST(sq AS DOUBLE) - st AS ssw
+        | FROM ag)
+        |SELECT day,
+        | CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN NULL
+        |  ELSE (ssb / CAST(k - 1 AS DOUBLE)) /
+        |       (ssw / CAST(n - k AS DOUBLE)) END AS f_stat,
+        | k - 1 AS df_between, n - k AS df_within, k, n
+        |FROM f ORDER BY day""".stripMargin,
 
     // covariance replay: identical long moments, one exact integer
     // numerator, one cast + one divide per flavor

@@ -67,7 +67,7 @@ object AnalyticsScaleStudy {
       // bloom scales in filter-relation size (capped at m); ipv4 is a
       // pure scan projection; interval_join's windows grow with users
       // while the bucket grid bounds the candidate pairs
-      "q_bloom_filter", "q_ipv4_funcs", "q_interval_join")
+      "q_bloom_filter", "q_ipv4_funcs", "q_interval_join", "q_anova")
 
     def timeOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -511,6 +511,52 @@ object StatTests {
     * grp window for the running weight, one final min — the same
     * two-shuffle plan as [[ksTest]].
     */
+  /** ClickHouse `analysisOfVariance(v, sample)` (round 13): one-way
+    * ANOVA per group — the F statistic testing whether the samples'
+    * means differ. From exact long moments per (group, sample)
+    * (n_s, Σv, Σv²):
+    *   SSB = Σ_s s_s²/n_s − S²/N,  SSW = Σ_s q_s − Σ_s s_s²/n_s,
+    *   F = (SSB/(k−1)) / (SSW/(N−k)).
+    * The per-sample s²/n terms are genuinely fractional, so their sum
+    * runs as the ORDERED SEQUENTIAL FOLD over the sample cells
+    * (bounded by k — the cramersV rule); everything else is exact
+    * integers until the final fixed tree. Groups with k < 2 samples
+    * or zero within-variance → NULL F (CH returns NaN; NULL is this
+    * library's NaN discipline). CH returns (F, p); the p-value needs
+    * the incomplete beta (not IEEE-portable) — threshold on F with
+    * the returned integer dfs.
+    */
+  def anova(df: DataFrame, group: Column, sample: Column,
+            value: Column): DataFrame = {
+    val cells = df.select(group.as("grp"), sample.as("__s"),
+        value.as("__v"))
+      .groupBy(col("grp"), col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__sv"),
+        sum(col("__v") * col("__v")).as("__qv"))
+      .withColumn("__t",
+        col("__sv").cast("double") * col("__sv").cast("double") /
+          col("__n").cast("double"))
+    val agg = cells.groupBy(col("grp"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("__s"), col("__t")))),
+          lit(0.0), (acc, s) => acc + s.getField("__t")).as("__st"),
+        count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum(col("__sv")).as("__ss"), sum(col("__qv")).as("__sq"))
+    val nd = col("n").cast("double")
+    val ssb = col("__st") -
+      col("__ss").cast("double") * col("__ss").cast("double") / nd
+    val ssw = col("__sq").cast("double") - col("__st")
+    val f = (ssb / (col("k") - 1).cast("double")) /
+      (ssw / (col("n") - col("k")).cast("double"))
+    agg.select(col("grp"),
+      when(col("k") < 2 || col("n") <= col("k") || ssw <= 0.0, lit(null))
+        .otherwise(f).as("f_stat"),
+      (col("k") - 1).as("df_between"),
+      (col("n") - col("k")).as("df_within"),
+      col("k"), col("n"))
+  }
+
   /** Deterministic base-2 logarithm of a POSITIVE integer column, to
     * 30 fractional bits (round 13) — the portability escape for the
     * entropy family: libm log/log2 is NOT cross-engine reproducible

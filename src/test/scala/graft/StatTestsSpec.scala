@@ -196,6 +196,24 @@ class StatTestsSpec extends SparkFunSuite {
     assert(i.getDouble(1) == 0.0)
   }
 
+  test("anova: plain-Scala F replay; degenerate groups NULL") {
+    // g1: samples a={1,2,3}, b={5,6,7}: clear mean separation
+    val df = (Seq(1L, 2L, 3L).map(("g1", "a", _)) ++
+      Seq(5L, 6L, 7L).map(("g1", "b", _)) ++
+      Seq(("g2", "a", 4L), ("g2", "a", 9L)) ++ // single sample -> NULL
+      Seq(("g3", "a", 2L), ("g3", "a", 2L), ("g3", "b", 2L))) // ssw=0
+      .toDF("g", "s", "v")
+    val out = StatTests.anova(df, col("g"), col("s"), col("v"))
+      .orderBy("grp").collect()
+    // plain replay for g1: st = 36/3 + 324/3 = 120; ss=24, n=6
+    // ssb = 120 - 576/6 = 24; ssw = (14 + 110) - 120 = 4
+    // F = (24/1)/(4/4) = 24
+    assert(out(0).getDouble(1) == 24.0)
+    assert(out(0).getLong(2) == 1L && out(0).getLong(3) == 4L)
+    assert(out(1).isNullAt(1)) // k=1
+    assert(out(2).isNullAt(1)) // zero within-variance
+  }
+
   test("covariance: exact integer numerator, both flavors, n=1 NULL samp") {
     // x = (1,2,3), y = (2,4,7): n=3, sx=6, sy=13, sxy=31
     // num = 3*31 - 6*13 = 15; covar_pop = 15/9, covar_samp = 15/6
