@@ -950,10 +950,11 @@ object AnalyticsQueries {
     },
 
     // B39b (round 13): ClickHouse covarPop/covarSamp — quantity vs
-    // whole-dollar price covariance per return flag, both flavors off
-    // one exact 4-long moment state (the linreg kernel, incl. its
-    // dollars transport: cents-scale y would push n·Σxy past 2^63 at
-    // sf0.1 group sizes — same envelope note as B39).
+    // whole-dollar price covariance per return flag, exact 4-long
+    // moments (the linreg kernel) combined double-first (r14: the
+    // all-long numerator multiplied Σxy by n before any cast,
+    // shrinking the overflow envelope by a factor of n vs the t-test
+    // siblings; the oracle mirrors the same IEEE cast points).
     "q_covar" -> Q { (s, d) =>
       val li = Tables.lineitem(s, d).select(col("l_returnflag"),
         col("l_quantity").cast(DecimalType(18, 0)).cast(LongType).as("x"),
@@ -2550,9 +2551,13 @@ object AnalyticsQueries {
         |  CAST(sum(x*y) AS BIGINT) AS sxy
         | FROM src GROUP BY 1)
         |SELECT grp AS l_returnflag,
-        | CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE) AS covar_pop,
+        | (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |   - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) AS covar_pop,
         | CASE WHEN n < 2 THEN NULL
-        |  ELSE CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n - 1) AS DOUBLE)
+        |  ELSE (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |   / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1))
         | END AS covar_samp, n
         |FROM m ORDER BY 1""".stripMargin,
 

@@ -25,14 +25,23 @@ object IpFuncs {
       n.bitwiseAND(lit(255L)).cast("string"))
 
   /** Numeric address from a dotted quad (the inverse — gate-proven
-    * roundtrip). Malformed strings yield NULL via the long casts.
+    * roundtrip). Malformed strings yield NULL — strictly: exactly four
+    * dot-separated fields, each a numeric octet in [0,255]. Without the
+    * gate, '300.1.1.1' would silently wrap into arithmetic garbage and
+    * '1.2.3.4.5' would parse as its first four octets (r13 advice).
     */
   def ipv4StringToNum(s: Column): Column = {
+    // shape-gate BEFORE any cast: under ANSI mode a bare cast on a
+    // non-numeric field throws instead of nulling, so the regex must
+    // prove every field is 1-3 digits (exactly four fields) first
+    val shaped = s.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$")
     val p = split(s, "\\.")
-    (element_at(p, 1).cast("long") * 16777216L) +
-      (element_at(p, 2).cast("long") * 65536L) +
-      (element_at(p, 3).cast("long") * 256L) +
-      element_at(p, 4).cast("long")
+    def oct(i: Int): Column = element_at(p, i).cast("long")
+    val inRange = oct(1) <= 255L && oct(2) <= 255L &&
+      oct(3) <= 255L && oct(4) <= 255L
+    when(shaped && inRange,
+      oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4))
+      .otherwise(lit(null).cast("long"))
   }
 
   /** CIDR range [lo, hi] of the /prefix network containing `n`

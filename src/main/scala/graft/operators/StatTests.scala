@@ -103,8 +103,13 @@ object StatTests {
     * group, population and sample covariance from the same exact long
     * moments as [[simpleLinearRegression]] (n, Σx, Σy, Σxy — 4 longs,
     * map-side combinable): cov_p = (n·Σxy − Σx·Σy)/n², cov_s = (n·Σxy
-    * − Σx·Σy)/(n·(n−1)). The numerator is ONE exact integer; each
-    * flavor spends exactly one long→double cast and one divide.
+    * − Σx·Σy)/(n·(n−1)). The MOMENTS are exact longs; the numerator is
+    * combined in DOUBLES (each moment cast first), trading one IEEE
+    * rounding per term for an overflow envelope that no longer shrinks
+    * by a factor of n — the all-long numerator multiplied Σxy by the
+    * group count before any cast, so large groups hit ANSI overflow
+    * refusal where ClickHouse covarPop succeeds (r13 advice). Same
+    * double-first moment discipline as the sibling t-test aggregates.
     * Single-row groups → NULL covarSamp (undefined), 0 covarPop.
     */
   def covariance(df: DataFrame, group: Column, x: Column,
@@ -114,13 +119,13 @@ object StatTests {
       .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
         sum(col("__y")).as("__sy"),
         sum(col("__x") * col("__y")).as("__sxy"))
-    val num = col("n") * col("__sxy") - col("__sx") * col("__sy")
+    val nd = col("n").cast("double")
+    val num = nd * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")
     m.select(col("grp"),
-      (num.cast("double") / (col("n") * col("n")).cast("double"))
-        .as("covar_pop"),
+      (num / (nd * nd)).as("covar_pop"),
       when(col("n") < 2, lit(null))
-        .otherwise(num.cast("double") /
-          (col("n") * (col("n") - 1)).cast("double")).as("covar_samp"),
+        .otherwise(num / (nd * (nd - 1))).as("covar_samp"),
       col("n"))
   }
 

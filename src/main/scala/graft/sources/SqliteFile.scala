@@ -138,9 +138,27 @@ object SqliteFile {
       val pageSize = if (rawPs == 1) 65536 else rawPs
       require(pageSize >= 512 && (pageSize & (pageSize - 1)) == 0,
         s"invalid page size $pageSize")
-      walInfo.foreach(w => require(w.pageSize == pageSize,
-        s"$path: wal page size ${w.pageSize} != database page size " +
-          s"$pageSize - mismatched wal sibling; let sqlite recover"))
+      walInfo.foreach { w =>
+        require(w.pageSize == pageSize,
+          s"$path: wal page size ${w.pageSize} != database page size " +
+            s"$pageSize - mismatched wal sibling; let sqlite recover")
+        // Independent check against the MAIN file's own header bytes
+        // 16-17: when the wal carries a committed page-1 frame, the
+        // pageSize above came from the wal itself, so a foreign wal
+        // with a different page size would self-validate — and the
+        // non-overridden pages would then be sliced from the main file
+        // at the wrong stride (garbage decode instead of this refusal).
+        if (raf.length() >= 512) {
+          val mh = new Array[Byte](18)
+          raf.seek(0); raf.readFully(mh)
+          val mRaw = be(mh, 16, 2).toInt
+          val mainPs = if (mRaw == 1) 65536 else mRaw
+          require(mainPs == w.pageSize,
+            s"$path: main-file page size $mainPs != wal page size " +
+              s"${w.pageSize} - foreign/mismatched wal sibling; let " +
+              "sqlite recover")
+        }
+      }
       val enc = be(h, 56, 4).toInt
       require(enc == 1,
         s"unsupported text encoding $enc (only 1 = UTF-8); " +

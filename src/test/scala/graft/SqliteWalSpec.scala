@@ -155,6 +155,65 @@ class SqliteWalSpec extends SparkFunSuite {
     assert(e.getMessage.contains("wal page size"), e.getMessage)
   }
 
+  test("foreign wal with a committed page-1 frame cannot self-validate " +
+      "its page size (main-file bytes 16-17 are checked independently)") {
+    // r13 advice: the old check compared the wal header's page size
+    // against the EFFECTIVE page 1 — which, when the wal carries a
+    // committed page-1 frame, is read from the wal itself. A foreign
+    // 8192-page wal next to a 4096-page main file then self-validated,
+    // and every non-overridden page would be sliced from the main file
+    // at the wrong stride. Build exactly that wal: checksum-valid,
+    // one COMMIT frame for page 1 whose content declares 8192.
+    val dir = Files.createTempDirectory("graft_wal_foreign")
+    val cp = dir.resolve("f.db")
+    Files.copy(Paths.get("src/test/resources/sqlite/fixture.db"), cp)
+    val ps = 8192
+    val wal = java.nio.ByteBuffer.allocate(32 + 24 + ps)
+    wal.putInt(0x377f0683) // big-endian checksums
+    wal.putInt(3007000)
+    wal.putInt(ps)
+    wal.putInt(1) // checkpoint seq
+    wal.putInt(0xCAFE) // salt1
+    wal.putInt(0xBEEF) // salt2
+    val b = wal.array()
+    def w32(o: Int): Long = ((b(o) & 0xffL) << 24) |
+      ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) |
+      (b(o + 3) & 0xffL)
+    def ck(s: (Long, Long), off: Int, n: Int): (Long, Long) = {
+      var (s0, s1) = s; var i = off
+      while (i < off + n) {
+        s0 = (s0 + w32(i) + s1) & 0xffffffffL
+        s1 = (s1 + w32(i + 4) + s0) & 0xffffffffL
+        i += 8
+      }
+      (s0, s1)
+    }
+    val hck = ck((0L, 0L), 0, 24)
+    wal.putInt(24, hck._1.toInt); wal.putInt(28, hck._2.toInt)
+    // frame content at offset 32+24: a fake page 1 declaring 8192 + enc 1
+    val c = 32 + 24
+    val magic = "SQLite format 3\u0000".getBytes("ISO-8859-1")
+    System.arraycopy(magic, 0, b, c, 16)
+    b(c + 16) = ((ps >> 8) & 0xff).toByte; b(c + 17) = (ps & 0xff).toByte
+    wal.putInt(c + 56, 1) // text encoding UTF-8
+    // frame header: page 1, commit size 1, salts, cumulative checksum
+    wal.putInt(32, 1); wal.putInt(36, 1)
+    wal.putInt(40, 0xCAFE); wal.putInt(44, 0xBEEF)
+    val f1 = ck(hck, 32, 8)
+    val f2 = ck(f1, c, ps)
+    wal.putInt(48, f2._1.toInt); wal.putInt(52, f2._2.toInt)
+    Files.write(dir.resolve("f.db-wal"), b)
+    // sanity: the wal itself parses as one committed page-1 frame —
+    // proving the refusal below comes from the MAIN-FILE cross-check,
+    // not from a checksum/salt reject
+    val wi = SqliteWal.parse(dir.resolve("f.db-wal").toString)
+    assert(wi.committed == 1 && wi.overrides.contains(1))
+    val e = intercept[IllegalArgumentException] {
+      SqliteFile.listTables(cp.toString)
+    }
+    assert(e.getMessage.contains("main-file page size"), e.getMessage)
+  }
+
   test("a corrupted MID-LOG frame cuts the committed prefix there (sqlite's rule)") {
     val dir = Files.createTempDirectory("graft_wal_cut")
     val cp = dir.resolve("f.db")

@@ -214,9 +214,12 @@ class StatTestsSpec extends SparkFunSuite {
     assert(out(2).isNullAt(1)) // zero within-variance
   }
 
-  test("covariance: exact integer numerator, both flavors, n=1 NULL samp") {
+  test("covariance: exact long moments, double-first numerator, both " +
+      "flavors, n=1 NULL samp") {
     // x = (1,2,3), y = (2,4,7): n=3, sx=6, sy=13, sxy=31
-    // num = 3*31 - 6*13 = 15; covar_pop = 15/9, covar_samp = 15/6
+    // num = 3*31 - 6*13 = 15 (double-exact at these magnitudes — the
+    // r14 double-first combine widens the overflow envelope without
+    // moving any value below 2^53); covar_pop = 15/9, covar_samp = 15/6
     val df = Seq(("g", 1L, 2L), ("g", 2L, 4L), ("g", 3L, 7L),
       ("h", 5L, 5L)).toDF("g", "x", "y")
     val out = StatTests.covariance(df, col("g"), col("x"), col("y"))
