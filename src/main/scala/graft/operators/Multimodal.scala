@@ -95,8 +95,30 @@ object Multimodal {
     64L + Math.floorMod(docId * 104729L + nBytes, 1016L),
     1L + Math.floorMod(nBytes, 240L))
 
-  /** Columnar metadata extraction — used by the gate query; pure
-    * codegen'd expressions, byte-identical to the typed path below.
+  /** REAL columnar metadata extraction (round 14): the pure-byte
+    * [[graft.functions.ImageHeader]] Catalyst expression parses each
+    * payload's container header in-place — format sniff (png/jpeg/gif/
+    * bmp), width/height, bit depth — inside whole-stage codegen, plus
+    * size and sha256 of the full payload. Unknown formats and cut
+    * headers surface as the named in-band refusals ('unknown' /
+    * 'truncated') with NULL dimensions — per-row, so one corrupt
+    * payload never kills a 100 TB scan.
+    */
+  def extractImageMeta(payloads: DataFrame): DataFrame =
+    payloads.select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("sha_hex"),
+        graft.functions.ImageHeader.imageMeta(col("payload")).as("m"))
+      .select(col("doc_id"), col("n_bytes"), col("sha_hex"),
+        col("m.format").as("format"), col("m.width").as("width"),
+        col("m.height").as("height"), col("m.bit_depth").as("bit_depth"))
+
+  /** Columnar metadata extraction with STUB dimensions — the
+    * format-agnostic fallback shape (video/audio payloads have no
+    * in-JVM parser here); pure codegen'd expressions, byte-identical
+    * to the typed path below. Image payloads should use
+    * [[extractImageMeta]] (real header parse) instead.
     */
   def extractMeta(payloads: DataFrame): DataFrame =
     payloads.select(
