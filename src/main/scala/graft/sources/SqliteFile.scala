@@ -12,8 +12,10 @@ import org.apache.spark.sql.types._
   * no driver on the classpath at all.
   *
   * Scope (refused loudly outside it): rowid AND WITHOUT ROWID tables,
-  * journal or WAL mode, UTF-8 text encoding, read-only. UTF-16
-  * databases raise with named errors; a non-empty hot `-journal`
+  * journal or WAL mode, all three header text encodings (UTF-8,
+  * UTF-16le, UTF-16be — round 14; text serial types store raw bytes
+  * in the header-declared encoding, decoded per record), read-only.
+  * A non-empty hot `-journal`
   * sibling refuses (torn main-file pages). A non-checkpointed `-wal`
   * sibling is READ, not refused (round 13): [[SqliteWal]] validates
   * and replays the committed frame prefix — salt + cumulative
@@ -160,9 +162,9 @@ object SqliteFile {
         }
       }
       val enc = be(h, 56, 4).toInt
-      require(enc == 1,
-        s"unsupported text encoding $enc (only 1 = UTF-8); " +
-          "re-export the database as UTF-8")
+      require(enc >= 1 && enc <= 3,
+        s"unsupported text encoding $enc (1 = UTF-8, 2 = UTF-16le, " +
+          "3 = UTF-16be); re-export the database")
       // page count: the last commit frame's size is authoritative when
       // a wal applies (appended pages live only in the log; a committed
       // truncation shrinks below the main file's size); otherwise the
@@ -227,7 +229,23 @@ object SqliteFile {
     case n => ((n - 12) / 2).toInt
   }
 
-  private def serialValue(t: Long, b: Array[Byte], off: Int): Any = t match {
+  /** The database text encoding's charset (header byte 56: 1 = UTF-8,
+    * 2 = UTF-16le, 3 = UTF-16be — the three encodings the file format
+    * defines). Text serial values hold raw bytes in THIS encoding;
+    * their serial-type length is always a BYTE count regardless.
+    */
+  private[sources] def charsetOf(enc: Int): java.nio.charset.Charset =
+    enc match {
+      case 1 => java.nio.charset.StandardCharsets.UTF_8
+      case 2 => java.nio.charset.StandardCharsets.UTF_16LE
+      case 3 => java.nio.charset.StandardCharsets.UTF_16BE
+      case other => throw new IllegalArgumentException(
+        s"unsupported text encoding $other (1 = UTF-8, 2 = UTF-16le, " +
+          "3 = UTF-16be)")
+    }
+
+  private def serialValue(t: Long, b: Array[Byte], off: Int,
+                          cs: java.nio.charset.Charset): Any = t match {
     case 0 => null
     case 10 | 11 =>
       throw new IllegalStateException(s"reserved serial type $t in record")
@@ -236,14 +254,17 @@ object SqliteFile {
     case 8 => 0L
     case 9 => 1L
     case n if n >= 13 && n % 2 == 1 =>
-      new String(b, off, ((n - 13) / 2).toInt,
-        java.nio.charset.StandardCharsets.UTF_8)
+      new String(b, off, ((n - 13) / 2).toInt, cs)
     case n if n >= 12 =>
       java.util.Arrays.copyOfRange(b, off, off + ((n - 12) / 2).toInt)
   }
 
-  /** Decode one record payload into its column values. */
-  private[sources] def record(p: Array[Byte]): IndexedSeq[Any] = {
+  /** Decode one record payload into its column values (text decoded
+    * with the database's header-declared charset).
+    */
+  private[sources] def record(p: Array[Byte],
+      cs: java.nio.charset.Charset =
+        java.nio.charset.StandardCharsets.UTF_8): IndexedSeq[Any] = {
     val (hdrLen, h0) = varint(p, 0)
     var hOff = h0
     var bOff = hdrLen.toInt
@@ -251,7 +272,7 @@ object SqliteFile {
     while (hOff < hdrLen) {
       val (t, n) = varint(p, hOff)
       hOff += n
-      out += serialValue(t, p, bOff)
+      out += serialValue(t, p, bOff, cs)
       bOff += serialLen(t)
     }
     out.toIndexedSeq
@@ -330,6 +351,7 @@ object SqliteFile {
   private[sources] final class TableWalk(path: String, h: Header, root: Int)
       extends Iterator[(Long, IndexedSeq[Any])] with AutoCloseable {
     private val pf = new PageFile(path, h)
+    private val cs = charsetOf(h.encoding)
     // stack of page numbers; negative = emit that page's cells only
     private var stack = List(root)
     private var cells: Iterator[(Long, IndexedSeq[Any])] = Iterator.empty
@@ -359,7 +381,7 @@ object SqliteFile {
               val c = be(pg, off + 8 + 2 * i, 2).toInt
               val (p, n1) = varint(pg, c)
               val (rowid, n2) = varint(pg, c + n1)
-              (rowid, record(payload(pf, pg, c, p, c + n1 + n2)))
+              (rowid, record(payload(pf, pg, c, p, c + n1 + n2), cs))
             }
           case 0x02 => // interior index: records in cells + children
             if (!cellsOnly) {
@@ -371,13 +393,13 @@ object SqliteFile {
             cells = (0 until k).iterator.map { i =>
               val c = be(pg, off + 12 + 2 * i, 2).toInt
               val (p, n1) = varint(pg, c + 4) // 4-byte child ptr first
-              (0L, record(payload(pf, pg, c, p, c + 4 + n1, index = true)))
+              (0L, record(payload(pf, pg, c, p, c + 4 + n1, index = true), cs))
             }
           case 0x0a => // leaf index
             cells = (0 until k).iterator.map { i =>
               val c = be(pg, off + 8 + 2 * i, 2).toInt
               val (p, n1) = varint(pg, c)
-              (0L, record(payload(pf, pg, c, p, c + n1, index = true)))
+              (0L, record(payload(pf, pg, c, p, c + n1, index = true), cs))
             }
           case other =>
             throw new IllegalStateException(

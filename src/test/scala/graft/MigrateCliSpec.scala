@@ -125,4 +125,29 @@ class MigrateCliSpec extends SparkFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
   }
+
+  test("main() migrates a UTF-16LE SQLite file — non-UTF-8 text decoded " +
+      "through the same CLI (round 14)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_u16").toString
+    val stdout = new java.io.ByteArrayOutputStream()
+    try {
+      Console.withOut(new java.io.PrintStream(stdout)) {
+        Migrate.main(Array(
+          "--sqlite", "src/test/resources/sqlite/fixture_utf16le.db",
+          "--clickhouse-database", "db",
+          "--chunk-size", "1000", "--out", out))
+      }
+      val printed = stdout.toString
+      val tx = spark.read.parquet(s"$out/tx")
+      assert(tx.count() == 5L)
+      // surrogate-pair text survives the staging round-trip
+      import org.apache.spark.sql.functions.col
+      assert(tx.where(col("id") === 2L).collect()(0)
+        .getAs[String]("u") == "😀🚀 pair")
+      assert(printed.contains("CREATE TABLE IF NOT EXISTS db.tx"))
+      assert(printed.contains("6 rows total")) // 5 tx + 1 bin
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
 }
