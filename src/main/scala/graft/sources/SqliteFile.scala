@@ -15,8 +15,12 @@ import org.apache.spark.sql.types._
   * journal or WAL mode, all three header text encodings (UTF-8,
   * UTF-16le, UTF-16be — round 14; text serial types store raw bytes
   * in the header-declared encoding, decoded per record), read-only.
-  * A non-empty hot `-journal`
-  * sibling refuses (torn main-file pages). A non-checkpointed `-wal`
+  * A non-empty HOT `-journal` sibling is READ, not refused (round
+  * 14): [[SqliteJournal]] validates the pre-image records and the
+  * reader overlays them on the (possibly torn) main file — sqlite's
+  * own rollback playback, producing the pre-transaction snapshot; the
+  * journal's initial page count truncates appended pages away. Cold
+  * (zeroed-header) journals are ignored. A non-checkpointed `-wal`
   * sibling is READ, not refused (round 13): [[SqliteWal]] validates
   * and replays the committed frame prefix — salt + cumulative
   * checksum, cut at the last commit frame, exactly sqlite's own
@@ -59,12 +63,17 @@ import org.apache.spark.sql.types._
   */
 object SqliteFile {
 
-  /** walPath/walOverrides (round 13): when the database has a live
-    * `-wal` sibling, pages in the override map (page number → byte
-    * offset of the page content inside the wal file) are read from
-    * the wal instead of the main file — the committed-prefix replay
-    * [[SqliteWal]] validated. Serializable; captured by the Spark
-    * read closures like the rest of the header.
+  /** walPath/walOverrides (round 13; journal overlay round 14): when
+    * the database has a live `-wal` sibling OR a hot `-journal`
+    * sibling, pages in the override map (page number → byte offset of
+    * the page content inside the overlay file) are read from that
+    * file instead of the main one. For a wal the overlay is the
+    * committed-prefix replay [[SqliteWal]] validated (newer pages);
+    * for a journal it is the pre-image set [[SqliteJournal]] validated
+    * (ORIGINAL pages under an in-flight transaction's spill) — the
+    * same mechanism restores the consistent snapshot from either
+    * side. Serializable; captured by the Spark read closures like the
+    * rest of the header.
     */
   final case class Header(pageSize: Int, reserved: Int, encoding: Int,
                           pageCount: Int, walPath: String = "",
@@ -107,26 +116,41 @@ object SqliteFile {
   def header(path: String): Header = {
     val raf = new java.io.RandomAccessFile(path, "r")
     try {
+      // Hot rollback journal (round 14 — replaces the blanket refusal):
+      // a non-empty -journal sibling whose header is live means the
+      // main file may hold uncommitted/torn pages; SqliteJournal
+      // validates the pre-image records and we read THOSE pages from
+      // the journal instead — sqlite's own playback, as a read overlay.
+      // A cold journal (zeroed header, journal_mode=PERSIST leftovers)
+      // carries no authority and is ignored.
       val jrn = new java.io.File(path + "-journal")
-      require(!(jrn.exists() && jrn.length() > 0),
-        s"$path has a non-empty -journal file (hot rollback journal): " +
-          "the main file may contain uncommitted/torn pages - open the " +
-          "database with sqlite3 once to recover (or roll back) the " +
-          "journal first")
+      val jrnInfo =
+        if (jrn.exists() && jrn.length() > 0) {
+          val j = SqliteJournal.parse(jrn.getPath)
+          if (j.hot) Some(j) else None
+        } else None
       val wal = new java.io.File(path + "-wal")
+      require(!(jrnInfo.nonEmpty && wal.exists() && wal.length() > 0),
+        s"$path has BOTH a hot -journal and a non-empty -wal sibling - " +
+          "not a state sqlite itself produces; let sqlite recover")
       val walInfo =
-        if (wal.exists() && wal.length() > 0)
+        if (jrnInfo.isEmpty && wal.exists() && wal.length() > 0)
           Some(SqliteWal.parse(wal.getPath))
         else None
       // effective page 1: the wal's committed copy wins over the main
       // file (journal_mode=WAL keeps schema/header changes in the log
-      // until checkpoint — reading the stale main page 1 is exactly
-      // the hazard the old blanket refusal guarded against)
+      // until checkpoint); SYMMETRICALLY, a hot journal's page-1
+      // PRE-IMAGE wins over a dirty main page 1 (an in-flight schema
+      // change spilled mid-transaction must roll back)
       val h = new Array[Byte](100)
-      walInfo.flatMap(_.overrides.get(1)) match {
-        case Some(off) =>
-          val wraf = new java.io.RandomAccessFile(wal.getPath, "r")
-          try { wraf.seek(off); wraf.readFully(h) } finally wraf.close()
+      val p1Override = walInfo.flatMap(_.overrides.get(1))
+        .map(off => (wal.getPath, off))
+        .orElse(jrnInfo.flatMap(_.overrides.get(1))
+          .map(off => (jrn.getPath, off)))
+      p1Override match {
+        case Some((opath, off)) =>
+          val oraf = new java.io.RandomAccessFile(opath, "r")
+          try { oraf.seek(off); oraf.readFully(h) } finally oraf.close()
         case None =>
           require(raf.length() >= 512,
             s"$path is not a SQLite 3 database (too short: " +
@@ -161,22 +185,50 @@ object SqliteFile {
               "sqlite recover")
         }
       }
+      jrnInfo.foreach { j =>
+        // same self-validation hazard as the wal (a journal page-1
+        // pre-image is where pageSize came from): cross-check both
+        // the journal header's declared page size and the main file's
+        // own bytes 16-17
+        require(j.pageSize == pageSize,
+          s"$path: journal page size ${j.pageSize} != database page " +
+            s"size $pageSize - mismatched journal sibling; let sqlite " +
+            "recover")
+        if (raf.length() >= 512) {
+          val mh = new Array[Byte](18)
+          raf.seek(0); raf.readFully(mh)
+          val mRaw = be(mh, 16, 2).toInt
+          val mainPs = if (mRaw == 1) 65536 else mRaw
+          require(mainPs == j.pageSize,
+            s"$path: main-file page size $mainPs != journal page size " +
+              s"${j.pageSize} - foreign/mismatched journal sibling; " +
+              "let sqlite recover")
+        }
+      }
       val enc = be(h, 56, 4).toInt
       require(enc >= 1 && enc <= 3,
         s"unsupported text encoding $enc (1 = UTF-8, 2 = UTF-16le, " +
           "3 = UTF-16be); re-export the database")
       // page count: the last commit frame's size is authoritative when
       // a wal applies (appended pages live only in the log; a committed
-      // truncation shrinks below the main file's size); otherwise the
-      // file size (the header count can lag on legacy journals)
+      // truncation shrinks below the main file's size); a hot journal's
+      // initial page count is authoritative the same way (an in-flight
+      // transaction may have APPENDED pages to the main file — rollback
+      // truncates them away); otherwise the file size (the header count
+      // can lag on legacy journals)
       val pages = walInfo.filter(_.dbPages > 0).map(_.dbPages)
+        .orElse(jrnInfo.map(_.dbPages))
         .getOrElse((raf.length() / pageSize).toInt)
-      walInfo match {
-        case Some(w) if w.overrides.nonEmpty =>
+      (walInfo, jrnInfo) match {
+        case (Some(w), _) if w.overrides.nonEmpty =>
           Header(pageSize, h(20) & 0xff, enc, pages, wal.getPath,
             w.overrides)
+        case (_, Some(j)) if j.overrides.nonEmpty =>
+          Header(pageSize, h(20) & 0xff, enc, pages, jrn.getPath,
+            j.overrides)
         case _ =>
-          // wal present but zero committed frames: main file is current
+          // wal with zero committed frames / journal with zero valid
+          // records: the main file is current
           Header(pageSize, h(20) & 0xff, enc, pages)
       }
     } finally raf.close()

@@ -126,6 +126,32 @@ class MigrateCliSpec extends SparkFunSuite {
     }
   }
 
+  test("main() migrates a TORN SQLite file with a hot rollback journal " +
+      "— pre-image replay restores the pre-transaction snapshot (round 14)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_jrn").toString
+    val stdout = new java.io.ByteArrayOutputStream()
+    try {
+      Console.withOut(new java.io.PrintStream(stdout)) {
+        Migrate.main(Array(
+          "--sqlite", "src/test/resources/sqlite/fixture_journal.db",
+          "--clickhouse-database", "db",
+          "--chunk-size", "1000", "--out", out))
+      }
+      val printed = stdout.toString
+      // the raw torn main file holds 3658 rows mixing committed and
+      // uncommitted state; the journal replay restores exactly 4000
+      val acct = spark.read.parquet(s"$out/acct")
+      assert(acct.count() == 4000L)
+      import org.apache.spark.sql.functions.col
+      assert(acct.where(col("label").startsWith("dirty-")).count() == 0L)
+      // the uncommitted CREATE TABLE must not be discovered or staged
+      assert(!printed.contains("db.ghost"))
+      assert(printed.contains("4000 rows total"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("main() migrates a UTF-16LE SQLite file — non-UTF-8 text decoded " +
       "through the same CLI (round 14)") {
     val out = java.nio.file.Files.createTempDirectory("graft_cli_u16").toString
