@@ -117,4 +117,38 @@ object MigrationJob {
       migrateTable(df, database, t.toLowerCase, outDir, chunkSize, declared)
     }
   }
+
+  /** LIVE JDBC→JDBC migration (round 14 — the write half of the loop
+    * with BOTH ends live, reference main.py:138-179): discover +
+    * pk-partitioned read from the source catalog, conform each table
+    * (null-as-default, wraparound, temporal parsing — exactly what the
+    * staging path runs), then CHUNKED-batch write into the target over
+    * JDBC (`batchsize` = the reference's chunk_size: every executor
+    * flushes bounded INSERT batches in parallel — the distributed
+    * fetchmany loop). Returns the same TableReports as the staging
+    * path: the ClickHouse DDL carried in each report is what the
+    * identical plan executes against a real cluster; an offline JDBC
+    * engine stands in for ClickHouse exactly as in the dry-run story,
+    * with Spark's target dialect supplying the local CREATE TABLE.
+    */
+  def migrateJdbcLive(spark: SparkSession, srcUrl: String, dstUrl: String,
+                      dstProps: java.util.Properties, database: String,
+                      chunkSize: Long = 10000L,
+                      numPartitions: Int = 8): Seq[TableReport] = {
+    import graft.sources.JdbcCatalog
+    JdbcCatalog.listTables(srcUrl).map { t =>
+      val pk = JdbcCatalog.primaryKey(srcUrl, t)
+      val df = JdbcCatalog.readTable(spark, srcUrl, t,
+        JdbcCatalog.partitionKey(spark, srcUrl, t), numPartitions)
+      val conformed = conform(df)
+      conformed.write.mode("overwrite")
+        .option("batchsize", chunkSize)
+        .jdbc(dstUrl, t.toLowerCase, dstProps)
+      val declared = if (pk.isEmpty) None
+        else Some(if (pk.size == 1) pk.head else pk.mkString("(", ", ", ")"))
+      TableReport(t.toLowerCase, conformed.count(),
+        ClickHouseDdl.createTable(database, t.toLowerCase,
+          conformed.schema, declared))
+    }
+  }
 }
