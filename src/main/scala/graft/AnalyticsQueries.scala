@@ -1056,6 +1056,89 @@ object AnalyticsQueries {
       val ev = Tables.events(s, d).select(col("event_type"),
         expr("(ts_us div 3600000000) % 24").as("hr"))
       StatTests.contingency(ev, col("event_type"), col("hr"))
+    },
+
+    // B70 (round 14): ClickHouse histogram(N) — the ADAPTIVE-bin
+    // aggregate (Ben-Haim/Tom-Tov streaming histogram: insert each
+    // point as a bin, merge the closest adjacent pair while over N).
+    // CH's version is explicitly order-dependent ("the results are
+    // non-deterministic... depend on the order"); the gate pins the
+    // DETERMINISTIC ordered-fold discipline the repo's other
+    // order-sensitive kernels use (chi2, entropy, topK): pre-aggregate
+    // to exact (value, count) pairs — ONE bounded partial-agg shuffle,
+    // ≤ #distinct-values rows per group at any scale — then fold in
+    // ascending value order with ties-leftmost min-gap merges, as one
+    // Catalyst HOF tree (aggregate/transform/slice) whose IEEE ops the
+    // oracle replays lambda for lambda (list_reduce/list_transform).
+    // Output = (center, weight) bin state; CH's lower/upper are
+    // interpolation cosmetics over the same state (documented
+    // deviation).
+    "q_histogram_adaptive" -> Q { (s, d) =>
+      val vals = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          expr("cast(cast(l_quantity as decimal(18,0)) as bigint)")
+            .as("v"))
+        .agg(count(lit(1)).as("n"))
+      val arr = vals.groupBy("l_returnflag")
+        .agg(expr("array_sort(collect_list(struct(v, n)))").as("arr"))
+      // the fold: size < 8 -> append (ascending order keeps centers
+      // sorted); else append + merge the min-gap adjacent pair. The
+      // single-element-array transform(...)[0] idiom is SQL's let.
+      val fold =
+        """aggregate(
+          |  arr,
+          |  cast(array() as array<struct<c: double, w: bigint>>),
+          |  (acc, x) -> CASE WHEN size(acc) < 8
+          |   THEN concat(acc,
+          |     array(named_struct('c', cast(x.v as double), 'w', x.n)))
+          |   ELSE transform(
+          |    array(concat(acc,
+          |      array(named_struct('c', cast(x.v as double), 'w', x.n)))),
+          |    b -> transform(
+          |     array(transform(sequence(1, size(b) - 1),
+          |       j -> element_at(b, cast(j + 1 as int)).c
+          |            - element_at(b, cast(j as int)).c)),
+          |     g -> transform(
+          |      array(cast(array_position(g, array_min(g)) as int)),
+          |      jm -> concat(
+          |       slice(b, 1, jm - 1),
+          |       array(named_struct(
+          |        'c', (element_at(b, jm).c * element_at(b, jm).w
+          |              + element_at(b, jm + 1).c * element_at(b, jm + 1).w)
+          |             / (element_at(b, jm).w + element_at(b, jm + 1).w),
+          |        'w', element_at(b, jm).w + element_at(b, jm + 1).w)),
+          |       slice(b, jm + 2, size(b) - jm - 1)))[0])[0])[0]
+          |  END)""".stripMargin
+      arr.select(col("l_returnflag"), expr(fold).as("bins"))
+        .select(col("l_returnflag"),
+          expr("explode(sequence(1, size(bins)))").as("bin_idx"),
+          col("bins"))
+        .select(col("l_returnflag"), col("bin_idx"),
+          expr("element_at(bins, cast(bin_idx as int)).c").as("center"),
+          expr("element_at(bins, cast(bin_idx as int)).w").as("cnt"))
+        .orderBy("l_returnflag", "bin_idx")
+    },
+
+    // B69 (round 14): ClickHouse groupArrayMovingSum/MovingAvg — the
+    // frame-bounded moving window over each series, CH semantics: the
+    // moving AVG divides by the FIXED window size N even on the
+    // partial head (CH's documented contract, not a running count
+    // like q_moving_avg's ma7). Per-day exact cents pre-agg bounds
+    // each window partition to #days rows; per-row transport instead
+    // of CH's array (the q_sum_map precedent — arrays don't survive
+    // the gate canonicalizer; the frame math is what's under test).
+    "q_moving_sum" -> Q { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .agg(sum((col("value").cast(d2) * 100).cast(LongType))
+          .as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-2, 0)
+      daily.select(col("event_type"), col("day"),
+          sum(col("cents")).over(w).as("ms3_cents"))
+        .withColumn("mavg3",
+          col("ms3_cents").cast(DoubleType) / 100.0 / 3.0)
+        .orderBy("event_type", "day")
     }
   )
 
@@ -2596,6 +2679,61 @@ object AnalyticsQueries {
         |SELECT chi2,
         | sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))) AS contingency_coeff,
         | n, ra, cb
-        |FROM ag""".stripMargin
+        |FROM ag""".stripMargin,
+
+    // adaptive-histogram replay: the identical ordered fold, lambda
+    // for lambda — list_reduce needs acc/element type equality, so
+    // each (v,n) pair is pre-wrapped as a single-bin LIST and the
+    // fold concatenates (the list_prepend-seed idiom of the FNV
+    // oracle); [x][1] single-element lists are SQL's let-binding on
+    // this side too
+    "q_histogram_adaptive" ->
+      """WITH vals AS (
+        | SELECT l_returnflag,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM lineitem GROUP BY 1, 2),
+        |arr AS (
+        | SELECT l_returnflag,
+        |  list_transform(list({'v': v, 'n': n} ORDER BY v),
+        |    x -> [{'c': CAST(x.v AS DOUBLE), 'w': x.n}]) AS singles
+        | FROM vals GROUP BY 1),
+        |hist AS (
+        | SELECT l_returnflag,
+        |  list_reduce(singles, (acc, x) ->
+        |   CASE WHEN len(acc) < 8 THEN list_concat(acc, x)
+        |   ELSE list_transform([list_concat(acc, x)], b ->
+        |    list_transform([list_transform(range(1, len(b)),
+        |      j -> b[j + 1].c - b[j].c)], g ->
+        |     list_transform([list_position(g, list_aggregate(g, 'min'))],
+        |      jm -> list_concat(list_concat(
+        |       b[1:jm - 1],
+        |       [{'c': (b[jm].c * b[jm].w + b[jm + 1].c * b[jm + 1].w)
+        |              / (b[jm].w + b[jm + 1].w),
+        |         'w': b[jm].w + b[jm + 1].w}]),
+        |       b[jm + 2:len(b)]))[1])[1])[1]
+        |   END) AS bins
+        | FROM arr)
+        |SELECT h.l_returnflag, r.j AS bin_idx,
+        | h.bins[r.j].c AS center, h.bins[r.j].w AS cnt
+        |FROM hist h, (SELECT unnest(range(1, 9)) AS j) r
+        |WHERE r.j <= len(h.bins)
+        |ORDER BY l_returnflag, bin_idx""".stripMargin,
+
+    // moving-window replay: identical frame, identical two-divide tree
+    "q_moving_sum" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, day,
+        | CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY day
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS ms3_cents,
+        | CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY day
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / 100.0 / 3.0 AS mavg3
+        |FROM daily ORDER BY event_type, day""".stripMargin
   )
 }

@@ -59,7 +59,9 @@ object Bench {
     "q_student_ttest", "q_mean_ztest", "q_entropy", "q_theils_u",
     "q_contingency", "q_topk_sketch", "q_topk_weighted",
     "q_cramers_v_bc", "q_covar", "q_bloom_filter", "q_ipv4_funcs",
-    "q_interval_join", "q_anova")
+    "q_interval_join", "q_anova",
+    // round-14 additions
+    "q_moving_sum", "q_histogram_adaptive")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
