@@ -1,0 +1,181 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph ANN (round 14 — the last named FAISS serving rung): per-cell
+  * NAVIGABLE-SMALL-WORLD graphs under the IVF coarse quantizer.
+  *
+  * Design decision, on the record (SURVEY §2 C42): full HNSW is a
+  * single sequential structure — every insert greedily walks the whole
+  * graph, so the build serializes and the graph must fit one machine;
+  * that is the wrong shape for a 100 TB batch engine. What the
+  * HIERARCHY of HNSW buys (logarithmic coarse routing to the right
+  * neighborhood) the IVF cell layer here already provides: probes
+  * route to nProbe cells via the broadcast quantizer (Malkov &
+  * Yashunin's own analysis frames the upper layers as a coarse
+  * quantizer over entry points). So the partitioned form keeps the
+  * NSW *base layer* — where all the recall lives — per cell:
+  *
+  *  - BUILD is embarrassingly parallel: one deterministic sequential
+  *    NSW construction per cell (mapGroups), each bounded by the cell
+  *    size (nList ≈ √n keeps cells ~√n), never a cluster-wide walk.
+  *  - SEARCH scores O(ef · degree) candidates per (probe, cell)
+  *    instead of the cell's full scan — the sublinear within-cell
+  *    rung IVF alone lacks; distances are EXACT (no code
+  *    quantization), so this sits beside IVF-PQ-rerank as the
+  *    no-compression serving point.
+  *  - Everything is deterministic (insert order = ascending vec_id,
+  *    every ordering tie-broken by (distance, index)), so recall is a
+  *    REPRODUCIBLE pinned number, not a flaky bound. What it is NOT:
+  *    SQL-replayable — the greedy walk's visit set has no closed
+  *    form, so this is a spec-pinned §2 row (the streaming-operator
+  *    precedent), measured against brute force in NswIndexSpec and
+  *    costed against IVF/IVF-rerank in tools/ann_nsw_study_r14.json.
+  *
+  * Graph rules (the public NSW/HNSW construction, simple-selection
+  * variant): insert nodes in ascending id order; each new node links
+  * bidirectionally to its M nearest among the already-inserted
+  * (found by beam search, efConstruction wide, from entry node 0);
+  * any node exceeding 2M edges prunes back to its 2M nearest
+  * neighbors. Search is the standard layer walk: beam of ef, expand
+  * the nearest unexpanded candidate, stop when it is farther than the
+  * worst of ef results.
+  */
+object NswIndex {
+
+  final case class CellGraph(cell: Int, ids: Array[Long],
+                             vecs: Array[Array[Double]],
+                             adj: Array[Array[Int]])
+
+  private def sqd(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic beam search over one cell graph: up to `ef`
+    * (distance, node) results, every ordering tied by (d, idx).
+    * Returns (results, distance evaluations) — the eval count is the
+    * honest cost unit the study compares against a full cell scan.
+    */
+  private[graft] def layerSearch(vecs: Array[Array[Double]],
+      adj: Array[mutable.ArrayBuffer[Int]], q: Array[Double], ef: Int,
+      entry: Int): (mutable.PriorityQueue[(Double, Int)], Int) = {
+    var evals = 0
+    // res: max-heap (worst on top) of the best ef seen; cand: min-heap
+    val res = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int).reverse)
+    val visited = new java.util.BitSet(vecs.length)
+    val d0 = sqd(q, vecs(entry)); evals += 1
+    visited.set(entry)
+    res.enqueue((d0, entry)); cand.enqueue((d0, entry))
+    while (cand.nonEmpty) {
+      val (dc, c) = cand.dequeue()
+      if (dc > res.head._1 && res.size >= ef) {
+        cand.clear() // nearest open candidate is worse than the beam
+      } else {
+        val ns = adj(c)
+        var i = 0
+        while (i < ns.length) {
+          val nb = ns(i)
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val dn = sqd(q, vecs(nb)); evals += 1
+            if (res.size < ef || dn < res.head._1 ||
+                (dn == res.head._1 && nb < res.head._2)) {
+              res.enqueue((dn, nb)); cand.enqueue((dn, nb))
+              if (res.size > ef) res.dequeue()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    (res, evals)
+  }
+
+  /** Sequential deterministic NSW construction over one cell's
+    * vectors (insert order = array order = ascending id).
+    */
+  private[operators] def buildGraph(vecs: Array[Array[Double]], m: Int,
+                                    efC: Int): Array[Array[Int]] = {
+    val n = vecs.length
+    val adj = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+    val mMax = 2 * m
+    def prune(j: Int): Unit =
+      if (adj(j).size > mMax) {
+        val kept = adj(j).map(x => (sqd(vecs(j), vecs(x)), x))
+          .sorted.take(mMax).map(_._2)
+        adj(j).clear(); adj(j) ++= kept
+      }
+    var i = 1
+    while (i < n) {
+      val found = layerSearch(vecs, adj, vecs(i), efC, entry = 0)
+        ._1.toArray.sorted // ascending (d, idx)
+      val nbrs = found.take(m)
+      nbrs.foreach { case (_, j) =>
+        adj(i) += j; adj(j) += i; prune(j)
+      }
+      i += 1
+    }
+    adj.map(_.toArray)
+  }
+
+  /** Build the per-cell graphs — one deterministic sequential
+    * construction per cell, all cells in parallel.
+    */
+  def build(corpus: DataFrame, model: IvfIndex.Model, m: Int = 8,
+            efC: Int = 32, idCol: String = "vec_id",
+            vecCol: String = "embedding"): Dataset[CellGraph] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        IvfIndex.assignCell(col(vecCol), model).as("cell"))
+      .as[(Long, Seq[Double], Int)]
+      .groupByKey(_._3)
+      .mapGroups { (cell, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val vecs = rows.map(_._2.toArray)
+        CellGraph(cell, rows.map(_._1), vecs, buildGraph(vecs, m, efC))
+      }
+  }
+
+  /** Approximate top-k: probes beam-search their nProbe cells' graphs;
+    * exact distances, deterministic (d, id) ranking. `graphs` should
+    * be persisted/localCheckpointed by the caller when reused across
+    * probe batches (the materialize-before-serve rule).
+    */
+  def topK(graphs: Dataset[CellGraph], probes: DataFrame,
+           model: IvfIndex.Model, k: Int, nProbe: Int = 2, ef: Int = 32,
+           idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    val pc = probes.select(col(idCol).cast("long").as("probe_id"),
+        col(vecCol).cast("array<double>").as("pv"),
+        explode(IvfIndex.probeCells(col(vecCol), model, nProbe)).as("cell"))
+      .as[(Long, Seq[Double], Int)]
+    val cand = graphs.joinWith(broadcast(pc), graphs("cell") === pc("cell"))
+      .flatMap { case (g, (pid, pv, _)) =>
+        if (g.ids.isEmpty) Iterator.empty
+        else {
+          val adjB = g.adj.map(a => mutable.ArrayBuffer(a: _*))
+          layerSearch(g.vecs, adjB, pv.toArray, ef, entry = 0)
+            ._1.toArray.map { case (d, idx) => (pid, g.ids(idx), d) }
+            .iterator
+        }
+      }
+      .toDF("probe_id", "vec_id", "d2")
+      .where(col("vec_id") =!= col("probe_id"))
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("vec_id"))
+    cand.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("probe_id", "rk", "vec_id", "d2")
+  }
+}
