@@ -43,23 +43,35 @@ object BenchAB {
   // only the named per-query SECTIONS are harvested — scraping every
   // "key":number pair would silently sum any future top-level numeric
   // field (a new metric, a count) into both sides' totals (ADVICE r9)
-  private val sectionRe = """"(?:queries|pipeline)":\{([^}]*)\}""".r
+  private val sectionRe = """"(?:queries|pipeline|analytics)":\{([^}]*)\}""".r
 
   /** Run one child bench; returns every query->seconds pair found in
-    * the JSON line's "queries" and "pipeline" sections (and only
-    * those — top-level numeric fields like value/pipeline_total/new
-    * additions are structurally excluded).
+    * the per-query sections ("queries"/"pipeline"/"analytics") — and
+    * only those; top-level numeric fields like value/pipeline_total
+    * are structurally excluded.
+    *
+    * Round 14: the bench's stdout line went compact (the driver's tail
+    * capture clipped the 2.4 KB full line — BENCH_r13.json parsed
+    * null), with per-query detail moved to tools/bench_detail_latest
+    * .json in the child's CWD. So each child runs in its OWN temp CWD
+    * and we harvest the detail file when present, falling back to the
+    * stdout line for pre-r14 jars that still print everything.
     */
   private def runChild(cp: String, sf: String, cpus: String): Map[String, Double] = {
+    val cwd = java.nio.file.Files.createTempDirectory("benchab_child").toFile
     val cmd = Seq("java") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false", "-Xmx8g", "-cp", cp, "graft.Bench")
     val out = mutable.ArrayBuffer.empty[String]
-    val rc = Process(cmd, None,
+    val rc = Process(cmd, cwd,
       "SPARK_GRAFT_SF_DIR" -> sf, "SPARK_GRAFT_CPUS" -> cpus)
       .!(ProcessLogger(out += _, l => System.err.println(s"  [child] $l")))
     require(rc == 0, s"child bench exited $rc")
-    val line = out.reverse.find(_.startsWith("{\"metric\""))
-      .getOrElse(sys.error("no bench JSON line in child output"))
+    val detailPath = cwd.toPath.resolve("tools/bench_detail_latest.json")
+    val line =
+      if (java.nio.file.Files.exists(detailPath))
+        new String(java.nio.file.Files.readAllBytes(detailPath), "UTF-8")
+      else out.reverse.find(_.startsWith("{\"metric\""))
+        .getOrElse(sys.error("no bench JSON line in child output"))
     sectionRe.findAllMatchIn(line).flatMap(s =>
       queryRe.findAllMatchIn(s.group(1))
         .map(m => m.group(1) -> m.group(2).toDouble))

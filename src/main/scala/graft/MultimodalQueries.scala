@@ -86,7 +86,122 @@ object MultimodalQueries {
       .replace("\n", " ")
   }
 
+  /** Planted AUDIO/VIDEO container payloads (round 14, the time-based
+    * sibling of [[plantHxSql]]) — six classes by doc_id % 6:
+    *   0 WAV: a junk 'LIST' chunk of VARIABLE length k (odd sizes take
+    *     the RIFF pad byte) sits BEFORE 'fmt ', so the chunk walk is
+    *     genuinely load-bearing; 'data' declares dsz bytes but only a
+    *     16-byte snippet follows — the header-prefix sample shape an
+    *     object-store range-read produces.
+    *   1 FLAC: STREAMINFO with the 20/3/5/36-bit packed group; both
+    *     last-metadata-block flag values; doc_id % 7 == 0 plants
+    *     total-samples 0 (= "unknown" per spec → NULL duration).
+    *   2 MP4 mvhd v0: a VARIABLE-size 'free' box between 'ftyp' and
+    *     'moov'; tn ∈ 0..3 empty 'trak' stubs counted as streams.
+    *   3 MP4 mvhd v1: 64-bit creation/modification/duration offsets.
+    *   4 raw text bytes — the 'unknown' refusal (prefix-classified, so
+    *     a text that happens to start with a real magic parses the
+    *     same way in BOTH engines).
+    *   5 truncated: WAVE with no chunks / a 5-byte FLAC stub.
+    * Expects columns doc_id, text + the planted params (dialect-neutral
+    * arithmetic, % and * only). The two dialects emit the IDENTICAL
+    * string.
+    */
+  private val avParams = Seq(
+    "8000 + (doc_id * 7) % 40000 AS srw",
+    "1 + doc_id % 8 AS chw",
+    "8 * (1 + doc_id % 4) AS bpw",
+    "1 + doc_id % 4 AS bpb",
+    "1000 + (doc_id * 11) % 100000 AS dsz",
+    "doc_id % 13 AS k",
+    "8000 + (doc_id * 13) % 180000 AS srf",
+    "1 + (doc_id * 5) % 8 AS chf",
+    "8 + (doc_id % 3) * 8 AS bpf",
+    "CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 100000 + (doc_id * 977) % 100000000 END AS tot",
+    "600 + (doc_id % 5) * 100 AS tsm",
+    "10000 + (doc_id * 37) % 10000000 AS durm",
+    "doc_id % 4 AS tn")
+
+  private def plantAvHxSql(spark: Boolean): String = {
+    def hx(x: String, n: Int): String =
+      if (spark) s"lpad(hex($x), $n, '0')"
+      else s"lpad(upper(to_hex($x)), $n, '0')"
+    def dv(a: String, b: String): String =
+      if (spark) s"($a div $b)" else s"($a // $b)"
+    def bin(x: String): String =
+      if (spark) s"hex(cast($x as binary))"
+      else s"upper(to_hex(encode($x)))"
+    def le2(x: String): String =
+      hx(s"($x) % 256", 2) + " || " + hx(s"${dv(s"($x)", "256")} % 256", 2)
+    def le4(x: String): String = Seq(
+      hx(s"($x) % 256", 2),
+      hx(s"${dv(s"($x)", "256")} % 256", 2),
+      hx(s"${dv(s"($x)", "65536")} % 256", 2),
+      hx(s"${dv(s"($x)", "16777216")} % 256", 2)).mkString(" || ")
+    val body = bin("substring(text, 1, 16)")
+    // mvhd payload after the duration field: rate/volume/reserved,
+    // unity matrix, 6 predefined u32s, next-track-id — constant bytes
+    val rest80 = "00010000" + "0100" + "0000" + "00000000" * 2 +
+      ("00010000" + "00000000" * 3) * 2 + "40000000" +
+      "00" * 24 + "00000002"
+    val flacV = "srf * 17592186044416 + (chf - 1) * 2199023255552 + " +
+      "(bpf - 1) * 68719476736 + tot"
+    s"""CASE CAST(doc_id % 6 AS INT)
+       | WHEN 0 THEN '52494646'
+       |  || ${le4("44 + k + k % 2 + dsz")} || '57415645'
+       |  || '4C495354' || ${le4("k")} || repeat('4A', CAST(k AS INT))
+       |  || CASE WHEN k % 2 = 1 THEN '00' ELSE '' END
+       |  || '666D7420' || '10000000' || '0100' || ${le2("chw")}
+       |  || ${le4("srw")} || ${le4("srw * chw * bpb")}
+       |  || ${le2("chw * bpb")} || ${le2("bpw")}
+       |  || '64617461' || ${le4("dsz")}
+       |  || $body
+       | WHEN 1 THEN '664C6143'
+       |  || CASE WHEN doc_id % 2 = 0 THEN '00' ELSE '80' END || '000022'
+       |  || '10001000' || '000000' || '000000'
+       |  || ${hx(flacV, 16)}
+       |  || '${"00" * 16}'
+       |  || $body
+       | WHEN 2 THEN '0000001066747970' || '69736F6D' || '00000200'
+       |  || ${hx("8 + k", 8)} || '66726565' || repeat('4B', CAST(k AS INT))
+       |  || ${hx("116 + 8 * tn", 8)} || '6D6F6F76'
+       |  || '0000006C6D766864' || '00000000' || '00000000' || '00000000'
+       |  || ${hx("tsm", 8)} || ${hx("durm", 8)} || '$rest80'
+       |  || repeat('000000087472616B', CAST(tn AS INT))
+       |  || '000000186D646174' || $body
+       | WHEN 3 THEN '0000001066747970' || '69736F6D' || '00000200'
+       |  || ${hx("128 + 8 * tn", 8)} || '6D6F6F76'
+       |  || '000000786D766864' || '01000000' || '${"00" * 16}'
+       |  || ${hx("tsm", 8)} || ${hx("durm * 1000003", 16)} || '$rest80'
+       |  || repeat('000000087472616B', CAST(tn AS INT))
+       |  || '000000186D646174' || $body
+       | WHEN 4 THEN ${bin("substring(text, 1, 32)")}
+       | ELSE CASE WHEN doc_id % 2 = 0
+       |  THEN '52494646' || ${le4("36")} || '57415645'
+       |  ELSE '664C614300' END
+       |END""".stripMargin
+      // single-line so embedding inside the oracle's .stripMargin can't
+      // re-strip a leading '||' continuation to '|'
+      .replace("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C12d (oracle, round 14 — REAL audio/video decode): planted real
+    // WAV/FLAC/MP4 container bytes parsed by the pure-byte MediaHeader
+    // expression; the oracle re-parses the same bytes independently
+    // (recursive-CTE RIFF chunk walk + ISO-BMFF box walks, FLAC
+    // bit-unpack via integer division). 'unknown'/'truncated' rows
+    // prove the named in-band refusals.
+    "multimodal_av_meta" -> Q { (s, d) =>
+      val planted = Tables.documents(s, d)
+        .selectExpr(Seq("doc_id", "text") ++ avParams: _*)
+        .selectExpr("doc_id", plantAvHxSql(spark = true) + " AS hx")
+        .selectExpr("doc_id", "unhex(hx) AS payload")
+      Multimodal.extractAvMeta(planted)
+        .drop("sha_hex") // DuckDB 1.0 lacks sha256(BLOB); spec-covered
+        .orderBy("doc_id")
+    },
 
     // C12 (oracle, round 14 — REAL decode): planted real-format image
     // payloads parsed by the pure-byte ImageHeader expression; the
@@ -167,6 +282,183 @@ object MultimodalQueries {
          |SELECT doc_id, e0, e1, e2, e3, e4, e5, e6, e7,
          | sqrt($norm) AS l2_norm
          |FROM e ORDER BY doc_id""".stripMargin
+    },
+
+    // Round 14 (C12d): the oracle RE-PARSES the planted audio/video
+    // container bytes independently — the hex payload is decomposed
+    // once into a byte LIST (the multimodal_embed technique), then a
+    // recursive-CTE RIFF chunk walk (honoring the odd-size pad byte), a
+    // fixed-offset FLAC STREAMINFO bit-unpack via integer division, and
+    // two recursive-CTE ISO-BMFF box walks (top-level to 'moov' with
+    // largesize/size-0 handling, then moov's children for mvhd v0/v1 +
+    // trak count) mirror MediaHeader's loops byte for byte.
+    "multimodal_av_meta" -> {
+      def hb(o: String) = s"bt[($o)+1]"
+      def le16(o: String) = s"(${hb(o)} + 256 * ${hb(s"($o)+1")})"
+      def le32(o: String) = s"(${hb(o)} + 256 * ${hb(s"($o)+1")} + " +
+        s"65536 * ${hb(s"($o)+2")} + 16777216 * ${hb(s"($o)+3")})"
+      def be16(o: String) = s"(256 * ${hb(o)} + ${hb(s"($o)+1")})"
+      def be32(o: String) = s"(${be16(o)} * 65536 + ${be16(s"($o)+2")})"
+      def be64(o: String) = s"(${be32(o)} * 4294967296 + ${be32(s"($o)+4")})"
+      def cc(o: String) = s"substring(hx, 2*($o)+1, 8)" // 4CC as hex
+      val p44 = "17592186044416"   // 2^44
+      val p41 = "2199023255552"    // 2^41
+      val p36 = "68719476736"      // 2^36
+      // WAV chunk fields at chunk offset `pos`
+      val cid = cc("pos")
+      val csz = le32("pos + 4")
+      val fmtOk = s"pos + 8 <= nb AND $cid = '666D7420' AND $csz >= 16 AND pos + 24 <= nb"
+      // ISO-BMFF box size/header at `pos` (largesize + to-EOF), bounded
+      // by `lim` — shared between the two box walks
+      def sz0(lim: String) = be32("pos")
+      def esz(lim: String) =
+        s"(CASE WHEN ${sz0(lim)} = 1 THEN ${be64("pos + 8")} " +
+          s"WHEN ${sz0(lim)} = 0 THEN $lim - pos ELSE ${sz0(lim)} END)"
+      def ehdr(lim: String) = s"(CASE WHEN ${sz0(lim)} = 1 THEN 16 ELSE 8 END)"
+      val typ = cc("pos + 4")
+      s"""WITH RECURSIVE src AS (
+         | SELECT doc_id, text, ${avParams.mkString(", ")} FROM documents),
+         |hp AS (
+         | SELECT doc_id, ${plantAvHxSql(spark = false)} AS hx FROM src),
+         |hb0 AS (
+         | SELECT doc_id, hx, CAST(length(hx) // 2 AS BIGINT) AS nb,
+         |  list_transform(range(1, CAST(length(hx) // 2 AS BIGINT) + 1),
+         |   i -> CAST((strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+         |        + strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1 AS BIGINT)) AS bt
+         | FROM hp),
+         |p AS (
+         | SELECT doc_id, hx, nb, bt,
+         |  CASE
+         |   WHEN substring(hx, 1, 8) = '52494646' THEN
+         |    CASE WHEN length(hx) < 24 THEN 'trunc'
+         |         WHEN substring(hx, 17, 8) <> '57415645' THEN 'unknown'
+         |         ELSE 'wav' END
+         |   WHEN substring(hx, 1, 8) = '664C6143' THEN
+         |    CASE WHEN length(hx) < 52 THEN 'trunc'
+         |         WHEN ${hb("4")} % 128 <> 0 THEN 'trunc'
+         |         WHEN ${be64("18")} // $p44 = 0 THEN 'trunc'
+         |         ELSE 'flac' END
+         |   WHEN length(hx) >= 16 AND substring(hx, 9, 8) = '66747970'
+         |    THEN 'mp4'
+         |   ELSE 'unknown'
+         |  END AS cls
+         | FROM hb0),
+         |ww(doc_id, hx, nb, bt, pos, sr, ch, bps, brate, dsz, res) AS (
+         | SELECT doc_id, hx, nb, bt, CAST(12 AS BIGINT),
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+         | FROM p WHERE cls = 'wav'
+         | UNION ALL
+         | SELECT doc_id, hx, nb, bt,
+         |  coalesce(pos + 8 + $csz + $csz % 2, nb + 1),
+         |  CASE WHEN $fmtOk THEN ${le32("pos + 12")} ELSE sr END,
+         |  CASE WHEN $fmtOk THEN ${le16("pos + 10")} ELSE ch END,
+         |  CASE WHEN $fmtOk THEN ${le16("pos + 22")} ELSE bps END,
+         |  CASE WHEN $fmtOk THEN ${le32("pos + 16")} ELSE brate END,
+         |  CASE WHEN pos + 8 <= nb AND $cid = '64617461' THEN $csz ELSE dsz END,
+         |  CASE
+         |   WHEN pos + 8 > nb THEN
+         |    CASE WHEN sr IS NOT NULL THEN 'wav' ELSE 'truncated' END
+         |   WHEN $cid = '666D7420' AND ($csz < 16 OR pos + 24 > nb)
+         |    THEN 'truncated'
+         |   WHEN ($cid = '666D7420' OR sr IS NOT NULL)
+         |    AND ($cid = '64617461' OR dsz IS NOT NULL) THEN 'wav'
+         |   ELSE NULL
+         |  END
+         | FROM ww WHERE res IS NULL),
+         |tw(doc_id, hx, nb, bt, pos, mo, me, res) AS (
+         | SELECT doc_id, hx, nb, bt, CAST(0 AS BIGINT),
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+         | FROM p WHERE cls = 'mp4'
+         | UNION ALL
+         | SELECT doc_id, hx, nb, bt,
+         |  coalesce(pos + ${esz("nb")}, nb + 1),
+         |  CASE WHEN $typ = '6D6F6F76' THEN pos + ${ehdr("nb")} END,
+         |  CASE WHEN $typ = '6D6F6F76' THEN least(pos + ${esz("nb")}, nb) END,
+         |  CASE
+         |   WHEN pos + 8 > nb THEN 'truncated'
+         |   WHEN ${sz0("nb")} = 1 AND pos + 16 > nb THEN 'truncated'
+         |   WHEN ${esz("nb")} < ${ehdr("nb")} THEN 'truncated'
+         |   WHEN $typ = '6D6F6F76' THEN 'moov'
+         |   ELSE NULL
+         |  END
+         | FROM tw WHERE res IS NULL),
+         |mw(doc_id, hx, nb, bt, pos, me, ts, dur, traks, res) AS (
+         | SELECT doc_id, hx, nb, bt, mo, me,
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(NULL AS VARCHAR)
+         | FROM tw WHERE res = 'moov'
+         | UNION ALL
+         | SELECT doc_id, hx, nb, bt,
+         |  coalesce(pos + ${esz("me")}, me + 1), me,
+         |  CASE WHEN pos + 8 <= me AND $typ = '6D766864' THEN
+         |   CASE WHEN ${hb(s"pos + ${ehdr("me")}")} = 1
+         |    AND pos + ${ehdr("me")} + 32 <= me
+         |    THEN ${be32(s"pos + ${ehdr("me")} + 20")}
+         |    WHEN ${hb(s"pos + ${ehdr("me")}")} <> 1
+         |    AND pos + ${ehdr("me")} + 20 <= me
+         |    THEN ${be32(s"pos + ${ehdr("me")} + 12")} ELSE ts END
+         |   ELSE ts END,
+         |  CASE WHEN pos + 8 <= me AND $typ = '6D766864' THEN
+         |   CASE WHEN ${hb(s"pos + ${ehdr("me")}")} = 1
+         |    AND pos + ${ehdr("me")} + 32 <= me
+         |    THEN ${be64(s"pos + ${ehdr("me")} + 24")}
+         |    WHEN ${hb(s"pos + ${ehdr("me")}")} <> 1
+         |    AND pos + ${ehdr("me")} + 20 <= me
+         |    THEN ${be32(s"pos + ${ehdr("me")} + 16")} ELSE dur END
+         |   ELSE dur END,
+         |  CASE WHEN pos + 8 <= me AND $typ = '7472616B'
+         |   THEN traks + 1 ELSE traks END,
+         |  CASE
+         |   WHEN pos + 8 > me THEN
+         |    CASE WHEN ts IS NOT NULL AND ts > 0 THEN 'mp4'
+         |         ELSE 'truncated' END
+         |   WHEN ${sz0("me")} = 1 AND pos + 16 > me THEN 'truncated'
+         |   WHEN ${esz("me")} < ${ehdr("me")} THEN 'truncated'
+         |   WHEN $typ = '6D766864' AND ${hb(s"pos + ${ehdr("me")}")} = 1
+         |    AND pos + ${ehdr("me")} + 32 > me THEN 'truncated'
+         |   WHEN $typ = '6D766864' AND ${hb(s"pos + ${ehdr("me")}")} <> 1
+         |    AND pos + ${ehdr("me")} + 20 > me THEN 'truncated'
+         |   ELSE NULL
+         |  END
+         | FROM mw WHERE res IS NULL),
+         |fl AS (
+         | SELECT doc_id, nb, ${be64("18")} AS v FROM p WHERE cls = 'flac')
+         |SELECT doc_id, nb AS n_bytes,
+         | CASE cls WHEN 'unknown' THEN 'unknown' ELSE 'truncated' END AS format,
+         | CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS BIGINT) AS sample_rate,
+         | CAST(NULL AS BIGINT) AS channels, CAST(NULL AS BIGINT) AS bit_depth,
+         | CAST(NULL AS BIGINT) AS streams
+         |FROM p WHERE cls IN ('unknown', 'trunc')
+         |UNION ALL
+         |SELECT doc_id, nb, 'flac',
+         | CASE WHEN v % $p36 > 0 THEN ((v % $p36) * 1000) // (v // $p44) END,
+         | v // $p44, (v // $p41) % 8 + 1, (v // $p36) % 32 + 1,
+         | CAST(1 AS BIGINT)
+         |FROM fl
+         |UNION ALL
+         |SELECT doc_id, nb,
+         | CASE WHEN res = 'wav' THEN 'wav' ELSE 'truncated' END,
+         | CASE WHEN res = 'wav' AND dsz IS NOT NULL AND brate > 0
+         |      THEN dsz * 1000 // brate END,
+         | CASE WHEN res = 'wav' THEN sr END,
+         | CASE WHEN res = 'wav' THEN ch END,
+         | CASE WHEN res = 'wav' THEN bps END,
+         | CASE WHEN res = 'wav' THEN CAST(1 AS BIGINT) END
+         |FROM ww WHERE res IS NOT NULL
+         |UNION ALL
+         |SELECT doc_id, nb, 'truncated', CAST(NULL AS BIGINT),
+         | CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         | CAST(NULL AS BIGINT)
+         |FROM tw WHERE res = 'truncated'
+         |UNION ALL
+         |SELECT doc_id, nb,
+         | CASE WHEN res = 'mp4' THEN 'mp4' ELSE 'truncated' END,
+         | CASE WHEN res = 'mp4' THEN dur * 1000 // ts END,
+         | CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         | CASE WHEN res = 'mp4' THEN traks END
+         |FROM mw WHERE res IS NOT NULL
+         |ORDER BY doc_id""".stripMargin
     },
 
     // Round 14: the oracle RE-PARSES the planted bytes independently —

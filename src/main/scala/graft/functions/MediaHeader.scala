@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-byte AUDIO/VIDEO container HEADER parser — the sibling of
+  * [[ImageHeader]] for the time-based media formats a training-data
+  * metadata scan meets: WAV (RIFF 'fmt '/'data' chunk walk), FLAC
+  * (STREAMINFO bit-packed stream parameters), and MP4/ISO-BMFF (box
+  * walk to moov/mvhd + trak count). Zero libraries — byte layouts from
+  * the public specs (RIFF/WAVE: Microsoft multimedia file format docs;
+  * FLAC: xiph.org format spec §METADATA_BLOCK_STREAMINFO; ISO-BMFF:
+  * ISO/IEC 14496-12 §8.2.2 MovieHeaderBox), the same
+  * fileformat-doc-to-byte-parser discipline as sources/SqliteFile and
+  * functions/ImageHeader.
+  *
+  * A native Catalyst `Expression` with `doGenCode`, so a 100 TB binary
+  * scan keeps the parse inside whole-stage codegen — no UDF encoder
+  * boundary per payload. Cost is a bounded header walk: RIFF hops
+  * chunk-to-chunk (honoring the odd-size pad byte) and stops once
+  * 'fmt ' and 'data' are seen; FLAC reads fixed offsets (STREAMINFO is
+  * mandated first); MP4 hops top-level boxes to 'moov' (handling
+  * 64-bit largesize and size-0 to-EOF boxes) then walks moov's
+  * children once. Media payload bytes are never touched, so a header
+  * PREFIX sample of a multi-GB file parses identically to the full
+  * file — the shape an object-store range-read scan produces.
+  *
+  * Output columns: format, duration_ms (floor of stream duration —
+  * WAV: data bytes / byte-rate; FLAC: total samples / sample rate,
+  * NULL when total-samples is 0 = "unknown" per spec; MP4: mvhd
+  * duration / timescale), sample_rate, channels, bit_depth (audio
+  * only; NULL for MP4 — those live per-trak), streams (trak count for
+  * MP4; 1 for single-stream WAV/FLAC).
+  *
+  * Refusals are NAMED IN-BAND per row (an ETL scan must not die on one
+  * corrupt payload):
+  *  - 'truncated': a known magic whose structure breaks — RIFF/WAVE
+  *    ending before any 'fmt ' chunk, FLAC whose first metadata block
+  *    is not STREAMINFO or is cut short, MP4 with no 'moov' in-buffer
+  *    or an mvhd cut mid-field, a chunk/box length that walks
+  *    backwards. Fields are NULL.
+  *  - 'unknown': no known magic — including RIFF containers whose form
+  *    type is not WAVE (AVI etc.): the magic alone does not identify a
+  *    format this parser speaks, so it declines rather than guesses.
+  */
+object MediaHeader {
+
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("channels", LongType, nullable = true),
+    StructField("bit_depth", LongType, nullable = true),
+    StructField("streams", LongType, nullable = true)))
+
+  /** Column API: struct(format, duration_ms, sample_rate, channels,
+    * bit_depth, streams). */
+  def mediaMeta(c: Column): Column =
+    graftShim.column(MediaHeaderExpr(graftShim.expression(c)))
+
+  // ---------------------------------------------------------- kernel
+
+  private val Wav = UTF8String.fromString("wav")
+  private val Flac = UTF8String.fromString("flac")
+  private val Mp4 = UTF8String.fromString("mp4")
+  private val Truncated = UTF8String.fromString("truncated")
+  private val Unknown = UTF8String.fromString("unknown")
+
+  private def row(fmt: UTF8String, dur: Any, sr: Any, ch: Any, bd: Any,
+                  st: Any): InternalRow =
+    new GenericInternalRow(Array[Any](fmt, dur, sr, ch, bd, st))
+  private def bad(fmt: UTF8String): InternalRow =
+    new GenericInternalRow(Array[Any](fmt, null, null, null, null, null))
+
+  private def be(b: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < n) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    v
+  }
+  private def le(b: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L; var i = n - 1
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def parseRow(b: Array[Byte]): InternalRow = {
+    val n = b.length
+
+    // RIFF: 'RIFF' <size LE32> <form type>; only form 'WAVE' is ours.
+    if (n >= 4 && be(b, 0, 4) == 0x52494646L) {
+      if (n < 12) return bad(Truncated)
+      if (be(b, 8, 4) != 0x57415645L) return bad(Unknown) // AVI etc.
+      // chunk walk: <id 4CC> <size LE32> <payload, padded to even>.
+      var i = 12L
+      var sr = -1L; var ch = 0L; var bps = 0L; var byteRate = 0L
+      var dataSize = -1L
+      while (i + 8 <= n && (sr < 0 || dataSize < 0)) {
+        val io = i.toInt
+        val id = be(b, io, 4)
+        val sz = le(b, io + 4, 4)
+        if (id == 0x666D7420L) { // 'fmt '
+          if (sz < 16 || i + 8 + 16 > n) return bad(Truncated)
+          ch = le(b, io + 10, 2)
+          sr = le(b, io + 12, 4)
+          byteRate = le(b, io + 16, 4)
+          bps = le(b, io + 22, 2)
+        } else if (id == 0x64617461L) { // 'data'
+          dataSize = sz // header may be a prefix: size is in the header
+        }
+        i += 8 + sz + (sz & 1) // RIFF pads odd-sized chunks to even
+      }
+      if (sr < 0) return bad(Truncated) // claimed WAVE, no fmt in-buffer
+      val dur: Any =
+        if (dataSize >= 0 && byteRate > 0) java.lang.Long.valueOf(dataSize * 1000L / byteRate)
+        else null // data chunk beyond the sampled prefix, or byte-rate 0
+      return row(Wav, dur, sr, ch, bps, 1L)
+    }
+
+    // FLAC: 'fLaC' then metadata blocks; STREAMINFO MUST be first
+    // (spec) — 1-byte header (bit7 last-flag, bits 0-6 type 0), BE24
+    // length, then 10 bytes of block/frame sizes, then one BE64 group:
+    // sample rate (20 bits) | channels-1 (3) | bps-1 (5) | total (36).
+    if (n >= 4 && be(b, 0, 4) == 0x664C6143L) {
+      if (n < 26) return bad(Truncated)
+      if ((b(4) & 0x7f) != 0) return bad(Truncated) // first block not STREAMINFO
+      val v = be(b, 18, 8)
+      val sr = v >>> 44
+      if (sr == 0) return bad(Truncated) // spec: sample rate 0 is invalid
+      val ch = ((v >>> 41) & 0x7L) + 1L
+      val bps = ((v >>> 36) & 0x1fL) + 1L
+      val total = v & 0xFFFFFFFFFL
+      val dur: Any =
+        if (total > 0) java.lang.Long.valueOf(total * 1000L / sr)
+        else null // 0 = "unknown" per spec
+      return row(Flac, dur, sr, ch, bps, 1L)
+    }
+
+    // MP4/ISO-BMFF: <size BE32> <type 4CC> per box (size 1 → BE64
+    // largesize follows; size 0 → box extends to EOF). Sniff on the
+    // FIRST box being 'ftyp' (the spec-mandated leading box), walk
+    // top-level to 'moov', then moov's children for 'mvhd' + 'trak's.
+    if (n >= 8 && be(b, 4, 4) == 0x66747970L) {
+      var i = 0L
+      var moovOff = -1L; var moovEnd = -1L
+      while (i + 8 <= n && moovOff < 0) {
+        val io = i.toInt
+        var sz = be(b, io, 4)
+        val typ = be(b, io + 4, 4)
+        var hdr = 8L
+        if (sz == 1) {
+          if (i + 16 > n) return bad(Truncated)
+          sz = be(b, io + 8, 8); hdr = 16L
+        } else if (sz == 0) sz = n - i
+        if (sz < hdr) return bad(Truncated) // box walks backwards
+        if (typ == 0x6D6F6F76L) { // 'moov'
+          moovOff = i + hdr
+          moovEnd = math.min(i + sz, n.toLong)
+        }
+        i += sz
+      }
+      if (moovOff < 0) return bad(Truncated) // no movie header in-buffer
+      var j = moovOff
+      var ts = -1L; var dur = -1L; var traks = 0L
+      while (j + 8 <= moovEnd) {
+        val jo = j.toInt
+        var sz = be(b, jo, 4)
+        val typ = be(b, jo + 4, 4)
+        var hdr = 8L
+        if (sz == 1) {
+          if (j + 16 > moovEnd) return bad(Truncated)
+          sz = be(b, jo + 8, 8); hdr = 16L
+        } else if (sz == 0) sz = moovEnd - j
+        if (sz < hdr) return bad(Truncated)
+        if (typ == 0x6D766864L) { // 'mvhd' — §8.2.2: v1 has 64-bit times
+          val p = (j + hdr).toInt
+          val ver = b(p) & 0xff
+          if (ver == 1) {
+            if (j + hdr + 32 > moovEnd) return bad(Truncated)
+            ts = be(b, p + 20, 4); dur = be(b, p + 24, 8)
+          } else {
+            if (j + hdr + 20 > moovEnd) return bad(Truncated)
+            ts = be(b, p + 12, 4); dur = be(b, p + 16, 4)
+          }
+        } else if (typ == 0x7472616BL) traks += 1 // 'trak'
+        j += sz
+      }
+      if (ts <= 0) return bad(Truncated) // moov present but no/invalid mvhd
+      return row(Mp4, dur * 1000L / ts, null, null, null, traks)
+    }
+
+    bad(Unknown)
+  }
+}
+
+case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaHeader.schema
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"media_meta requires a binary input, got ${child.dataType}")
+  override def prettyName: String = "media_meta"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaHeader.parseRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaHeader.parseRow($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaHeaderExpr =
+    copy(child = newChild)
+}

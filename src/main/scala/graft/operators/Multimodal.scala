@@ -114,6 +114,29 @@ object Multimodal {
         col("m.format").as("format"), col("m.width").as("width"),
         col("m.height").as("height"), col("m.bit_depth").as("bit_depth"))
 
+  /** REAL audio/video container metadata (round 14, the time-based
+    * sibling of [[extractImageMeta]]): the pure-byte
+    * [[graft.functions.MediaHeader]] Catalyst expression parses each
+    * payload's container header in-place — WAV RIFF chunk walk, FLAC
+    * STREAMINFO bit-unpack, MP4 box walk to mvhd + trak count — inside
+    * whole-stage codegen, plus payload size and sha256. Duration,
+    * sample rate, channel count, bit depth, and stream count come from
+    * the container's own header fields; unknown formats and cut
+    * headers surface as the named in-band refusals ('unknown' /
+    * 'truncated') with NULL fields.
+    */
+  def extractAvMeta(payloads: DataFrame): DataFrame =
+    payloads.select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("sha_hex"),
+        graft.functions.MediaHeader.mediaMeta(col("payload")).as("m"))
+      .select(col("doc_id"), col("n_bytes"), col("sha_hex"),
+        col("m.format").as("format"), col("m.duration_ms").as("duration_ms"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"),
+        col("m.bit_depth").as("bit_depth"), col("m.streams").as("streams"))
+
   /** Columnar metadata extraction with STUB dimensions — the
     * format-agnostic fallback shape (video/audio payloads have no
     * in-JVM parser here); pure codegen'd expressions, byte-identical
