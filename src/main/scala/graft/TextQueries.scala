@@ -432,6 +432,27 @@ object TextQueries {
           T.tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
       graft.operators.TrainExport.manifest(kept, "doc_id", "n_tokens", 8)
         .orderBy("shard")
+    },
+
+    // C42 (oracle, round 14): multinomial Naive Bayes classifier —
+    // train on the 80% split (doc_id % 5 <> 0) labeled by lang, score
+    // the held-out 20%. Dyadic floor-log2 likelihoods (integer BIGINT
+    // scores) + the portable md5 feature bucket make training AND
+    // scoring exactly replayable in DuckDB. At 100 TB: one
+    // (bucket,label) count shuffle to train, the ≤ B·|classes|-row
+    // model broadcast, scoring embarrassingly parallel with a per-doc
+    // argmax window.
+    "text_nb_classify" -> Q { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nb = graft.operators.NaiveBayes
+      val model = nb.train(docs.filter(col("doc_id") % 5 =!= 0),
+        "text", "lang", seed = 11L, nBuckets = 4096)
+      val heldOut = docs.filter(col("doc_id") % 5 === 0)
+      nb.classify(model, heldOut, "doc_id", "text")
+        .join(heldOut.select(col("doc_id"), col("lang").as("true_lang")),
+          Seq("doc_id"))
+        .select("doc_id", "true_lang", "n_tokens", "pred", "score")
+        .orderBy("doc_id")
     }
   )
 
@@ -975,6 +996,62 @@ object TextQueries {
           |""".stripMargin
       keptSql + graft.operators.TrainExport
         .manifestSql("kept", "doc_id", "n_tokens", 8)
+    },
+
+    // C42: the oracle REPLAYS NB training and scoring — same 80/20
+    // split, same md5 feature buckets (positional hex decode, the
+    // md5BucketSql technique with a parametric modulus), same dyadic
+    // floor-log2 = length(bin(x))-1 likelihoods, same smallest-label
+    // tie-break. Integer scores end to end, so the argmax is exact.
+    "text_nb_classify" -> {
+      def bucket(keyExpr: String): String = {
+        val h = s"md5($keyExpr || ':11')"
+        val terms = (1 to 8).map { i =>
+          val p = 1L << (4 * (8 - i))
+          s"(strpos('0123456789abcdef', substring($h,$i,1))-1)*$p"
+        }.mkString(" + ")
+        s"(($terms) % 4096)"
+      }
+      val toks = """CASE WHEN length(trim(text)) = 0
+                   | THEN CAST([] AS VARCHAR[])
+                   | ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                   |END""".stripMargin.replace("\n", " ")
+      s"""WITH tr AS (
+         | SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+         |sc AS (
+         | SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+         |trb AS (
+         | SELECT lang, ${bucket("tok")} AS b
+         | FROM (SELECT lang, unnest($toks) AS tok FROM tr)),
+         |cnts AS (
+         | SELECT b, lang, count(*) AS cnt FROM trb GROUP BY 1, 2),
+         |cls AS (
+         | SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len($toks)) AS BIGINT) AS tot_tokens
+         | FROM tr GROUP BY 1),
+         |scb AS (
+         | SELECT doc_id, ${bucket("tok")} AS b
+         | FROM (SELECT doc_id, unnest($toks) AS tok FROM sc)),
+         |ntok AS (
+         | SELECT doc_id, lang AS true_lang,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens FROM sc),
+         |hits AS (
+         | SELECT s.doc_id, c.lang,
+         |  CAST(sum(length(bin(c.cnt + 1)) - 1) AS BIGINT) AS hsum
+         | FROM scb s JOIN cnts c ON s.b = c.b GROUP BY 1, 2),
+         |scored AS (
+         | SELECT n.doc_id, n.true_lang, n.n_tokens, k.lang AS cand,
+         |  coalesce(h.hsum, 0) + (length(bin(k.n_docs)) - 1)
+         |   - n.n_tokens * (length(bin(k.tot_tokens + 4096)) - 1) AS score
+         | FROM ntok n CROSS JOIN cls k
+         | LEFT JOIN hits h ON h.doc_id = n.doc_id AND h.lang = k.lang),
+         |r AS (
+         | SELECT *, row_number() OVER (
+         |   PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+         | FROM scored)
+         |SELECT doc_id, true_lang, n_tokens, cand AS pred,
+         | CAST(score AS BIGINT) AS score
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
     }
   )
 

@@ -233,4 +233,20 @@ class PlanGuardSpec extends SparkFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"mrl shuffles the corpus against the shortlist:\n$p")
   }
+
+  test("nb classify: model and class joins broadcast; the only " +
+    "corpus-keyed window is the per-doc argmax (round 14)") {
+    val p = plan("text_nb_classify")
+    // the ≤ B·|classes| model must hash-join broadcast; the |classes|
+    // frame must nested-loop broadcast — a SortMergeJoin on either
+    // means the corpus shuffles against a bounded relation
+    assert(p.contains("BroadcastHashJoin"),
+      s"nb model join no longer broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"nb classes frame degenerated to a cartesian product:\n$p")
+    // argmax window partitions by the doc key, never globally
+    assert(!p.contains("Window [") ||
+      !p.contains("windowspecdefinition()"),
+      s"nb argmax window lost its per-doc partitioning:\n$p")
+  }
 }
