@@ -40,8 +40,10 @@ object Bench {
     "ann_ivf2pq", "ann_ivfpq_rerank", "ann_sq8", "ann_ivfsq", "ann_range",
     "ann_opq", "ann_ivfopq",
     "ann_mrl",
-    // round 14: real multimodal decode + the NB classifier join the set
-    "multimodal_meta", "multimodal_av_meta", "text_nb_classify")
+    // round 14: real multimodal decode + the NB classifier + the
+    // edit-distance verifier join the set
+    "multimodal_meta", "multimodal_av_meta", "text_nb_classify",
+    "dedup_fuzzy")
 
   /** The round-12 ClickHouse-analytics widening — tracked as its own
     * section (same reasoning as `pipeline`: new ops get wall-clock

@@ -326,6 +326,18 @@ object DedupQueries {
         T.tokenCount(col("text")).as("n_tokens"))
       graft.operators.DomainMix.planTemperature(docs, "lang", "n_tokens")
         .orderBy("lang")
+    },
+
+    // C44 (oracle, round 14): blocking + exact-verify fuzzy pairs by
+    // EDIT DISTANCE over the 64-char doc prefix — the entity-resolution
+    // / ClickHouse-editDistance shape for character-level near-dups.
+    // Candidates equi-join on the 8-char blocking key (Σ|block|²,
+    // never all-pairs); verify is codegen'd levenshtein, exact on both
+    // engines (unit-cost classic DP), so the gate is integer-exact.
+    "dedup_fuzzy" -> Q { (s, d) =>
+      graft.operators.Dedup
+        .editDistancePairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -711,6 +723,19 @@ object DedupQueries {
          |  ELSE least(1.0, CAST(goal_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE))
          | END AS keep_frac
          |FROM pl3 ORDER BY lang""".stripMargin,
+
+    // C44: same blocking key, same prefix, DuckDB's own levenshtein
+    // (identical unit-cost DP) as the independent verifier.
+    "dedup_fuzzy" ->
+      """WITH p AS (
+        | SELECT doc_id, substring(lower(trim(text)), 1, 64) AS pre
+        | FROM documents),
+        |b AS (SELECT doc_id, pre, substring(pre, 1, 8) AS blk FROM p)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        | CAST(levenshtein(a.pre, c.pre) AS BIGINT) AS dist
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.pre, c.pre) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_exact" ->
       """WITH corpus AS (

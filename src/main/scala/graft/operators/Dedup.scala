@@ -166,6 +166,39 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
       .select("keeper", "n_copies")
 
+  /** Blocking + exact-verify fuzzy near-dup pairs by EDIT DISTANCE —
+    * the entity-resolution shape (and ClickHouse's `editDistance`
+    * niche) for SHORT text fields where character-level edits matter
+    * more than shingle overlap: titles, names, URLs, doc prefixes.
+    * Candidates come from an equi-join on a cheap blocking key (the
+    * first `blkLen` chars of the compared prefix) so pair work is
+    * Σ|block|² — bucketed, never all-pairs — and the verify stage is
+    * the codegen'd `levenshtein` on the bounded `preLen`-char prefix
+    * (O(preLen²) per pair, constant).
+    *
+    * Scale honesty: a hot blocking key (boilerplate openings: "the",
+    * "<!DOCTYPE html>") concentrates Σ|block|² exactly like a hot LSH
+    * band bucket — production composes the same escapes as minhash
+    * (drop top-frequency blocks / lengthen the key); recall loss from
+    * blocking (an edit INSIDE the first blkLen chars moves the pair to
+    * different blocks) is the documented tradeoff every blocking
+    * scheme makes. Content-scale near-dup stays minhash's job; this is
+    * the character-level verifier.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        preLen: Int = 64, blkLen: Int = 8,
+                        maxDist: Int = 6): DataFrame = {
+    val p = docs.select(col(idCol),
+        substring(lower(trim(col(textCol))), 1, preLen).as("pre"))
+      .withColumn("blk", substring(col("pre"), 1, blkLen))
+    val a = p.as("a"); val b = p.as("b")
+    a.join(b, col(s"a.blk") === col(s"b.blk") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        levenshtein(col("a.pre"), col("b.pre")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Char-5-gram shingle hashes of a text column (64-bit, xxhash64).
