@@ -28,7 +28,13 @@ import org.apache.spark.sql.types._
   * so the reader sees the same committed state `sqlite3` itself
   * would. Genuinely unreadable wal states (truncated/bad-magic/
   * failed-header-checksum/mismatched page size) refuse with named
-  * errors.
+  * errors. AUTO-VACUUM databases (FULL and INCREMENTAL) read
+  * transparently (round 14): their pointer-map pages and
+  * vacuum-relocated b-trees are invisible to this reader BY DESIGN —
+  * it walks sqlite_schema ROOTPAGE POINTERS, never page order, and
+  * rootpages are rewritten by the vacuum itself (fixtures with live
+  * ptrmap pages + incremental_vacuum churn pin the immunity in
+  * SqliteFileSpec).
   *
   * WITHOUT ROWID tables (round 12) store rows in an INDEX b-tree
   * (page types 0x02/0x0a, fileformat2 §2.3): the record holds the
