@@ -453,6 +453,15 @@ object TextQueries {
           Seq("doc_id"))
         .select("doc_id", "true_lang", "n_tokens", "pred", "score")
         .orderBy("doc_id")
+    },
+
+    // C45 (oracle, round 14): BM25 phrase-relevance top-20 — dyadic
+    // constants (k1=1, b=3/4, floor-log2 idf) reduce each term weight
+    // to one exact-integer rational and ONE IEEE divide; the doc score
+    // is a fixed-order coalesce chain, so ranks replay exactly.
+    "text_bm25" -> Q { (s, d) =>
+      graft.operators.Bm25.rank(Tables.documents(s, d), "doc_id", "text",
+        Seq("hash join", "window merge", "scan filter"), k = 20)
     }
   )
 
@@ -1052,6 +1061,49 @@ object TextQueries {
          |SELECT doc_id, true_lang, n_tokens, cand AS pred,
          | CAST(score AS BIGINT) AS score
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // C45: the oracle replays BM25 with the identical two IEEE ops per
+    // term (idf-double × (int-num / int-den)) and the same fixed-order
+    // coalesce-chain total.
+    "text_bm25" -> {
+      val phrases = Seq("hash join", "window merge", "scan filter")
+      val inList = phrases.map(p => s"'$p'").mkString(", ")
+      val pivots = phrases.zipWithIndex.map { case (p, i) =>
+        s"sum(CASE WHEN gram = '$p' THEN score END) AS s${i + 1}"
+      }.mkString(",\n         | ")
+      val total = phrases.indices
+        .map(i => s"coalesce(s${i + 1}, 0.0)").mkString(" + ")
+      s"""WITH base AS (
+         | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+         | FROM documents),
+         |b2 AS (
+         | SELECT doc_id, CAST(len(tk) - 1 AS BIGINT) AS dl, tk
+         | FROM base WHERE len(tk) >= 2),
+         |st AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS t_grams FROM b2),
+         |g AS (
+         | SELECT doc_id, dl, tk[i] || ' ' || tk[i + 1] AS gram
+         | FROM b2, unnest(range(1, len(tk))) AS u(i)),
+         |tf AS (
+         | SELECT doc_id, dl, gram, CAST(count(*) AS BIGINT) AS tf
+         | FROM g WHERE gram IN ($inList) GROUP BY 1, 2, 3),
+         |dfq AS (
+         | SELECT gram, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         | SELECT tf.doc_id, tf.dl, tf.gram,
+         |  CAST(length(bin(n_docs // df)) - 1 AS DOUBLE) *
+         |   (CAST(8 * tf * t_grams AS DOUBLE) /
+         |    CAST(4 * tf * t_grams + t_grams + 3 * dl * n_docs AS DOUBLE))
+         |  AS score
+         | FROM tf JOIN dfq USING (gram) CROSS JOIN st),
+         |pv AS (
+         | SELECT doc_id, dl,
+         | $pivots
+         | FROM sc GROUP BY 1, 2)
+         |SELECT doc_id, dl, s1, s2, s3, $total AS bm25
+         |FROM pv ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
     }
   )
 
