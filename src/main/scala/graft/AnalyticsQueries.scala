@@ -631,6 +631,30 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // B69 (round 14): top-k SEQUENCE-SIMILARITY search — the
+    // interactive "find entities whose event trajectory looks like
+    // this pattern" shape (EDBT'20 top-k similarity sessions / ICDE'21
+    // distributed trajectory top-k, re-expressed relationally): per
+    // user the order-sorted condition-code string (ONE user shuffle,
+    // the sequenceMatch family's shared base, 1 byte/event state), a
+    // bounded 24-event journey prefix, exact edit distance to the
+    // query pattern (codegen'd levenshtein — integer, oracle-exact),
+    // TakeOrdered top-20 by (dist, user) — never a global sort.
+    "q_journey_topk" -> Q { (s, d) =>
+      ChAnalytics.sequenceAgg(
+        Tables.events(s, d).select("user_id", "ts_us", "event_id", "event_type"),
+        col("user_id"), Seq(col("ts_us"), col("event_id")),
+        Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+        .select(col("entity").as("user_id"),
+          substring(col("seq"), 1, 24).as("journey"))
+        .withColumn("dist",
+          levenshtein(col("journey"), lit("123121312")).cast(LongType))
+        .orderBy(col("dist"), col("user_id"))
+        .limit(20)
+    },
+
     // B32: conditional-aggregate pivot (the CH countIf/sumIf idiom for
     // wide rollups): daily event counts by type + purchase revenue in
     // one partial-agg pass — a pivot with zero extra shuffles.
@@ -2014,6 +2038,24 @@ object AnalyticsQueries {
         |SELECT user_id, regexp_matches(seq, '1.*2.*3') AS matched,
         | CAST(len(regexp_extract_all(seq, '1.*?2')) AS BIGINT) AS n_vc
         |FROM agg ORDER BY user_id""".stripMargin,
+
+    // B69: identical code-string aggregation (ORDER BY ts_us, event_id
+    // ≡ the array_sort on the unique (ts, id) struct), DuckDB's own
+    // levenshtein as the independent verifier, same (dist, user) tie
+    // order at the top-20 cut.
+    "q_journey_topk" ->
+      """WITH agg AS (
+        | SELECT user_id, string_agg(c, '' ORDER BY ts_us, event_id) AS seq
+        | FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |   CASE event_type WHEN 'view' THEN '1' WHEN 'click' THEN '2'
+        |        WHEN 'purchase' THEN '3' ELSE 'x' END AS c
+        |  FROM events)
+        | GROUP BY user_id),
+        |j AS (SELECT user_id, substring(seq, 1, 24) AS journey FROM agg)
+        |SELECT user_id, journey,
+        | CAST(levenshtein(journey, '123121312') AS BIGINT) AS dist
+        |FROM j ORDER BY dist, user_id LIMIT 20""".stripMargin,
 
     "q_pivot_if" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_start_us,

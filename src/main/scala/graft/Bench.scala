@@ -43,7 +43,7 @@ object Bench {
     // round 14: real multimodal decode + the NB classifier + the
     // edit-distance verifier join the set
     "multimodal_meta", "multimodal_av_meta", "text_nb_classify",
-    "dedup_fuzzy")
+    "dedup_fuzzy", "text_bm25")
 
   /** The round-12 ClickHouse-analytics widening — tracked as its own
     * section (same reasoning as `pipeline`: new ops get wall-clock
@@ -65,7 +65,7 @@ object Bench {
     "q_cramers_v_bc", "q_covar", "q_bloom_filter", "q_ipv4_funcs",
     "q_interval_join", "q_anova",
     // round-14 additions
-    "q_moving_sum", "q_histogram_adaptive")
+    "q_moving_sum", "q_histogram_adaptive", "q_journey_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
