@@ -65,7 +65,8 @@ object Bench {
     "q_cramers_v_bc", "q_covar", "q_bloom_filter", "q_ipv4_funcs",
     "q_interval_join", "q_anova",
     // round-14 additions
-    "q_moving_sum", "q_histogram_adaptive", "q_journey_topk")
+    "q_moving_sum", "q_histogram_adaptive", "q_journey_topk",
+    "q_attribution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -334,6 +334,35 @@ object OlapQueries {
         .orderBy("event_id")
     },
 
+    // B72 (round 14): LAST-TOUCH MARKETING ATTRIBUTION — the composite
+    // the asof machinery exists for: every purchase credits the user's
+    // most recent at-or-before view's channel (JSON-extracted from the
+    // view's props), unattributed purchases fall to 'direct', revenue
+    // rolls up per channel in exact DECIMAL. One user shuffle (the
+    // shared asof window) + one bounded channel agg. Views pre-dedup
+    // to one channel per (user, ts) — min(channel) — because BOTH
+    // engines' asof semantics are ambiguous on duplicate right
+    // timestamps; the rule is deterministic and replayed by the oracle.
+    "q_attribution" -> Q { (s, d) =>
+      val ev = Tables.events(s, d)
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"),
+          concat(lit("ch"),
+            pmod(get_json_object(col("props"), "$.k").cast("long"), lit(5L))
+              .cast("string")).as("channel"))
+        .groupBy("user_id", "ts_us").agg(min("channel").as("channel"))
+      graft.operators.AsofJoin
+        .leftAsof(pur, views, "user_id", "ts_us", "ts_us", strict = false)
+        .select(coalesce(col("asof.channel"), lit("direct")).as("channel"),
+          col("value"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("channel")
+    },
+
     // B12f (oracle, round 9): ASOF with a TOLERANCE bound (pandas
     // merge_asof tolerance): a prior purchase more than 1 h back does
     // not count — the match nulls, the row survives. Same
@@ -581,6 +610,25 @@ object OlapQueries {
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
         |ON l.user_id = r.user_id AND l.ts > r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // B72: DuckDB's native ASOF with the same dedup rule and the same
+    // exact-DECIMAL revenue roll-up.
+    "q_attribution" ->
+      """WITH pur AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+        | WHERE event_type = 'purchase'),
+        |vw AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us,
+        |  min('ch' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 5
+        |      AS VARCHAR)) AS channel
+        | FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |att AS (
+        | SELECT coalesce(v.channel, 'direct') AS channel, p.value
+        | FROM pur p ASOF LEFT JOIN vw v
+        | ON p.user_id = v.user_id AND p.ts_us >= v.ts_us)
+        |SELECT channel, count(*) AS n_purchases,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM att GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "q_asof_tolerance" ->
       """SELECT l.event_id,
