@@ -180,6 +180,21 @@ object EtlQueries {
           .agg(ceil(count(lit(1)) / 10000.0).cast(LongType).as("n_chunks"))
           .select(lit(t).as("table_name"), col("n_chunks"))
       }.reduce(_ unionByName _).orderBy("table_name")
+    },
+
+    // A10 (oracle, round 14): ANALYZE-style table profiling — per
+    // column: rows, nulls, EXACT distincts, canonical min/max. One
+    // aggregation pass (Catalyst's Expand handles the multi-distinct),
+    // unpivoted executor-side. The double column routes through exact
+    // DECIMAL (raw double rendering is not cross-engine portable); the
+    // HLL sketch family is the documented 100 TB distinct swap-in.
+    "q_profile" -> Q { (s, d) =>
+      graft.operators.Profiler.profile(Tables.orders(s, d), Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_orderdate" -> col("o_orderdate"),
+        "o_totalprice" -> col("o_totalprice").cast("decimal(18,2)")))
     }
   )
 
@@ -352,6 +367,24 @@ object EtlQueries {
 
     "chunked_ingest" -> tableList
       .map(t => s"SELECT '$t' AS table_name, CAST(ceil(count(*) / 10000.0) AS BIGINT) AS n_chunks FROM $t")
-      .mkString("", " UNION ALL ", " ORDER BY table_name")
+      .mkString("", " UNION ALL ", " ORDER BY table_name"),
+
+    // A10: per-column stats recomputed independently; the decimal cast
+    // mirrors the Spark side so min/max render identically.
+    "q_profile" -> Seq(
+      "o_orderkey" -> "o_orderkey",
+      "o_custkey" -> "o_custkey",
+      "o_orderstatus" -> "o_orderstatus",
+      "o_orderdate" -> "o_orderdate",
+      "o_totalprice" -> "CAST(o_totalprice AS DECIMAL(18,2))")
+      .map { case (n, e) =>
+        s"""SELECT '$n' AS "column", count(*) AS n_rows,
+           | count(*) - count($e) AS n_null,
+           | CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+           | CAST(min($e) AS VARCHAR) AS min_s,
+           | CAST(max($e) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      }
+      .mkString("", " UNION ALL ", " ORDER BY \"column\"")
   )
 }
