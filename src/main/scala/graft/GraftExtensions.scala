@@ -133,6 +133,36 @@ object GraftExtensions {
         Add(Cast(n, LongType), Literal(1L))))
     },
     one("bitCount")(BitwiseCount(_)),
+    // CH editDistance: classic unit-cost Levenshtein (Spark's builtin
+    // kernel is the same DP, codegen'd)
+    two("editDistance")((a, b) => Levenshtein(a, b)),
+    // CH IPv4 string/number conversions — catalyst replicas of the
+    // functions/IpFuncs trees (Column-built trees can't splice into a
+    // registry builder on Spark 4: they wrap unresolved ColumnNodes)
+    one("IPv4NumToString") { n0 =>
+      val n = Cast(n0, LongType)
+      def oct(shift: Int): Expression = Cast(BitwiseAnd(
+        if (shift == 0) n else ShiftRight(n, Literal(shift)),
+        Literal(255L)), StringType)
+      ConcatWs(Seq(Literal("."), oct(24), oct(16), oct(8), oct(0)))
+    },
+    one("IPv4StringToNum") { s =>
+      // the strict r13-advice contract: exactly four 1-3 digit fields,
+      // each ≤ 255, else NULL — the shape gate runs BEFORE any cast so
+      // ANSI mode can't throw on garbage (And short-circuits)
+      val shaped = RLike(s, Literal("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$"))
+      val p = StringSplit(s, Literal("\\."), Literal(-1))
+      def oct(i: Int): Expression = Cast(ElementAt(p, Literal(i)), LongType)
+      val inRange = (1 to 4).map(i =>
+          LessThanOrEqual(oct(i), Literal(255L)): Expression)
+        .reduceLeft(And(_, _))
+      val value = Add(Add(Add(
+        Multiply(oct(1), Literal(16777216L)),
+        Multiply(oct(2), Literal(65536L))),
+        Multiply(oct(3), Literal(256L))), oct(4))
+      CaseWhen(Seq((And(shaped, inRange), value)),
+        Literal.create(null, LongType))
+    },
     one("hex")(Hex(_)),
     one("unhex")(Unhex(_)),
     // CH MD5 returns FixedString(16) raw bytes; here: lowercase hex

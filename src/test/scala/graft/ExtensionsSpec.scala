@@ -175,6 +175,20 @@ class GraftExtensionsSpec extends SparkFunSuite {
     assert(r.getInt(13) == 2)
   }
 
+  test("round-14 compat batch: editDistance, IPv4NumToString/StringToNum") {
+    GraftCatalog.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT editDistance('kitten', 'sitting') AS d1,
+        |       editDistance('flaw', 'lawn') AS d2,
+        |       IPv4NumToString(3232235777) AS ip,
+        |       IPv4StringToNum('192.168.1.1') AS n,
+        |       IPv4StringToNum('300.1.1.1') AS bad
+        |FROM range(1)""".stripMargin).head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 2)
+    assert(r.getString(2) == "192.168.1.1" && r.getLong(3) == 3232235777L)
+    assert(r.isNullAt(4)) // strict parse: out-of-range octet → NULL
+  }
+
   test("round-5 compat batch: uniqUpTo, bitCount, hex/unhex, MD5, JSON family") {
     GraftCatalog.registerTables(spark, sf)
     val agg = spark.sql(
