@@ -103,6 +103,12 @@ object MultimodalQueries {
     *     a text that happens to start with a real magic parses the
     *     same way in BOTH engines).
     *   5 truncated: WAVE with no chunks / a 5-byte FLAC stub.
+    *   6 MP3: an ID3v2 tag of VARIABLE syncsafe size k precedes the
+    *     frame header (the skip is load-bearing); MPEG1/MPEG2 version
+    *     bit, all 14 bitrate indices, all 3 sample-rate indices, all 4
+    *     channel modes planted.
+    *   7 OGG: one-page BOS header + the codec identification packet —
+    *     Vorbis (0x01'vorbis') and OpusHead alternating.
     * Expects columns doc_id, text + the planted params (dialect-neutral
     * arithmetic, % and * only). The two dialects emit the IDENTICAL
     * string.
@@ -120,7 +126,12 @@ object MultimodalQueries {
     "CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 100000 + (doc_id * 977) % 100000000 END AS tot",
     "600 + (doc_id % 5) * 100 AS tsm",
     "10000 + (doc_id * 37) % 10000000 AS durm",
-    "doc_id % 4 AS tn")
+    "doc_id % 4 AS tn",
+    "1 + doc_id % 14 AS brm",
+    "doc_id % 3 AS srm",
+    "doc_id % 4 AS mdm",
+    "8000 + (doc_id * 3) % 88000 AS sro",
+    "1 + doc_id % 8 AS cho")
 
   private def plantAvHxSql(spark: Boolean): String = {
     def hx(x: String, n: Int): String =
@@ -146,7 +157,7 @@ object MultimodalQueries {
       "00" * 24 + "00000002"
     val flacV = "srf * 17592186044416 + (chf - 1) * 2199023255552 + " +
       "(bpf - 1) * 68719476736 + tot"
-    s"""CASE CAST(doc_id % 6 AS INT)
+    s"""CASE CAST(doc_id % 8 AS INT)
        | WHEN 0 THEN '52494646'
        |  || ${le4("44 + k + k % 2 + dsz")} || '57415645'
        |  || '4C495354' || ${le4("k")} || repeat('4A', CAST(k AS INT))
@@ -176,9 +187,21 @@ object MultimodalQueries {
        |  || repeat('000000087472616B', CAST(tn AS INT))
        |  || '000000186D646174' || $body
        | WHEN 4 THEN ${bin("substring(text, 1, 32)")}
-       | ELSE CASE WHEN doc_id % 2 = 0
+       | WHEN 5 THEN CASE WHEN doc_id % 2 = 0
        |  THEN '52494646' || ${le4("36")} || '57415645'
        |  ELSE '664C614300' END
+       | WHEN 6 THEN '494433' || '0400' || '00' || '000000' || ${hx("k", 2)}
+       |  || repeat('4D', CAST(k AS INT))
+       |  || 'FF' || CASE WHEN doc_id % 2 = 0 THEN 'FB' ELSE 'F3' END
+       |  || ${hx("brm * 16 + srm * 4", 2)} || ${hx("mdm * 64", 2)}
+       |  || $body
+       | ELSE '4F676753' || '00' || '02' || '${"00" * 8}'
+       |  || '00000001' || '00000000' || '00000000' || '01' || '1E'
+       |  || CASE WHEN doc_id % 2 = 0
+       |   THEN '01766F72626973' || '00000000' || ${hx("cho", 2)} || ${le4("sro")}
+       |   ELSE '4F70757348656164' || '01' || ${hx("cho", 2)} || '0000' || ${le4("sro")}
+       |  END
+       |  || $body
        |END""".stripMargin
       // single-line so embedding inside the oracle's .stripMargin can't
       // re-strip a leading '||' continuation to '|'
@@ -316,6 +339,8 @@ object MultimodalQueries {
           s"WHEN ${sz0(lim)} = 0 THEN $lim - pos ELSE ${sz0(lim)} END)"
       def ehdr(lim: String) = s"(CASE WHEN ${sz0(lim)} = 1 THEN 16 ELSE 8 END)"
       val typ = cc("pos + 4")
+      val m3base = s"(CASE (${hb("o + 2")} // 4) % 4 WHEN 0 THEN 44100 " +
+        "WHEN 1 THEN 48000 ELSE 32000 END)"
       s"""WITH RECURSIVE src AS (
          | SELECT doc_id, text, ${avParams.mkString(", ")} FROM documents),
          |hp AS (
@@ -340,6 +365,10 @@ object MultimodalQueries {
          |         ELSE 'flac' END
          |   WHEN length(hx) >= 16 AND substring(hx, 9, 8) = '66747970'
          |    THEN 'mp4'
+         |   WHEN substring(hx, 1, 6) = '494433' THEN 'mp3'
+         |   WHEN substring(hx, 1, 2) = 'FF' AND ${hb("1")} // 32 = 7
+         |    THEN 'mp3raw'
+         |   WHEN substring(hx, 1, 8) = '4F676753' THEN 'ogg'
          |   ELSE 'unknown'
          |  END AS cls
          | FROM hb0),
@@ -423,7 +452,63 @@ object MultimodalQueries {
          |  END
          | FROM mw WHERE res IS NULL),
          |fl AS (
-         | SELECT doc_id, nb, ${be64("18")} AS v FROM p WHERE cls = 'flac')
+         | SELECT doc_id, nb, ${be64("18")} AS v FROM p WHERE cls = 'flac'),
+         |m3 AS (
+         | SELECT doc_id, nb, bt, cls,
+         |  CASE WHEN cls = 'mp3' THEN
+         |   10 + (${hb("6")} % 128) * 2097152 + (${hb("7")} % 128) * 16384
+         |      + (${hb("8")} % 128) * 128 + (${hb("9")} % 128)
+         |  ELSE CAST(0 AS BIGINT) END AS o
+         | FROM p WHERE cls IN ('mp3', 'mp3raw')),
+         |m3f AS (
+         | SELECT doc_id, nb, bt, cls, o,
+         |  CASE
+         |   WHEN cls = 'mp3' AND nb < 10 THEN 'bad'
+         |   WHEN o + 4 > nb THEN 'bad'
+         |   WHEN ${hb("o")} <> 255 OR ${hb("o + 1")} // 32 <> 7 THEN 'bad'
+         |   WHEN (${hb("o + 1")} // 8) % 4 = 1
+         |     OR (${hb("o + 1")} // 2) % 4 = 0 THEN 'bad'
+         |   WHEN ${hb("o + 2")} // 16 = 15
+         |     OR (${hb("o + 2")} // 4) % 4 = 3 THEN 'bad'
+         |   ELSE 'ok' END AS st
+         | FROM m3),
+         |m3r AS (
+         | SELECT doc_id, nb,
+         |  CASE WHEN st = 'ok' THEN 'mp3'
+         |       WHEN cls = 'mp3' THEN 'truncated' ELSE 'unknown' END AS format,
+         |  CASE WHEN st = 'ok' THEN
+         |   CASE (${hb("o + 1")} // 8) % 4
+         |    WHEN 3 THEN ${m3base}
+         |    WHEN 2 THEN ${m3base} // 2
+         |    ELSE ${m3base} // 4 END
+         |  END AS sample_rate,
+         |  CASE WHEN st = 'ok' THEN
+         |   CASE WHEN ${hb("o + 3")} // 64 = 3 THEN 1 ELSE 2 END
+         |  END AS channels
+         | FROM m3f),
+         |og AS (
+         | SELECT doc_id, nb, bt, hx, 27 + ${hb("26")} AS po
+         | FROM p WHERE cls = 'ogg'),
+         |ogr AS (
+         | SELECT doc_id, nb,
+         |  CASE
+         |   WHEN nb < 27 THEN 'truncated'
+         |   WHEN po + 7 > nb THEN 'truncated'
+         |   WHEN ${hb("po")} = 1
+         |    AND substring(hx, 2 * po + 3, 12) = '766F72626973' THEN
+         |    CASE WHEN po + 16 > nb THEN 'truncated'
+         |         WHEN ${le32("po + 12")} = 0 OR ${hb("po + 11")} = 0
+         |          THEN 'truncated'
+         |         ELSE 'vorbis' END
+         |   WHEN po + 8 <= nb
+         |    AND substring(hx, 2 * po + 1, 16) = '4F70757348656164' THEN
+         |    CASE WHEN po + 16 > nb THEN 'truncated'
+         |         WHEN ${hb("po + 9")} = 0 THEN 'truncated'
+         |         ELSE 'opus' END
+         |   ELSE 'ogg' END AS format,
+         |  ${le32("po + 12")} AS sr_raw,
+         |  ${hb("po + 11")} AS ch_vorbis, ${hb("po + 9")} AS ch_opus
+         | FROM og)
          |SELECT doc_id, nb AS n_bytes,
          | CASE cls WHEN 'unknown' THEN 'unknown' ELSE 'truncated' END AS format,
          | CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS BIGINT) AS sample_rate,
@@ -458,6 +543,19 @@ object MultimodalQueries {
          | CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
          | CASE WHEN res = 'mp4' THEN traks END
          |FROM mw WHERE res IS NOT NULL
+         |UNION ALL
+         |SELECT doc_id, nb, format, CAST(NULL AS BIGINT),
+         | sample_rate, channels, CAST(NULL AS BIGINT),
+         | CASE WHEN format = 'mp3' THEN CAST(1 AS BIGINT) END
+         |FROM m3r
+         |UNION ALL
+         |SELECT doc_id, nb, format, CAST(NULL AS BIGINT),
+         | CASE WHEN format IN ('vorbis', 'opus') THEN sr_raw END,
+         | CASE WHEN format = 'vorbis' THEN ch_vorbis
+         |      WHEN format = 'opus' THEN ch_opus END,
+         | CAST(NULL AS BIGINT),
+         | CASE WHEN format IN ('vorbis', 'opus') THEN CAST(1 AS BIGINT) END
+         |FROM ogr
          |ORDER BY doc_id""".stripMargin
     },
 

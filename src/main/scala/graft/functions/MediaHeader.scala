@@ -13,13 +13,16 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Pure-byte AUDIO/VIDEO container HEADER parser — the sibling of
   * [[ImageHeader]] for the time-based media formats a training-data
   * metadata scan meets: WAV (RIFF 'fmt '/'data' chunk walk), FLAC
-  * (STREAMINFO bit-packed stream parameters), and MP4/ISO-BMFF (box
-  * walk to moov/mvhd + trak count). Zero libraries — byte layouts from
-  * the public specs (RIFF/WAVE: Microsoft multimedia file format docs;
-  * FLAC: xiph.org format spec §METADATA_BLOCK_STREAMINFO; ISO-BMFF:
-  * ISO/IEC 14496-12 §8.2.2 MovieHeaderBox), the same
-  * fileformat-doc-to-byte-parser discipline as sources/SqliteFile and
-  * functions/ImageHeader.
+  * (STREAMINFO bit-packed stream parameters), MP4/ISO-BMFF (box walk
+  * to moov/mvhd + trak count), MP3 (ID3v2 syncsafe skip + MPEG audio
+  * frame header), and OGG (page header + Vorbis/Opus identification
+  * packets). Zero libraries — byte layouts from the public specs
+  * (RIFF/WAVE: Microsoft multimedia file format docs; FLAC: xiph.org
+  * format spec §METADATA_BLOCK_STREAMINFO; ISO-BMFF: ISO/IEC 14496-12
+  * §8.2.2 MovieHeaderBox; MP3: ISO/IEC 11172-3 frame header + id3.org
+  * ID3v2; OGG: RFC 3533 + Vorbis I spec §4.2.2 / RFC 7845 §5.1), the
+  * same fileformat-doc-to-byte-parser discipline as sources/SqliteFile
+  * and functions/ImageHeader.
   *
   * A native Catalyst `Expression` with `doGenCode`, so a 100 TB binary
   * scan keeps the parse inside whole-stage codegen — no UDF encoder
@@ -70,6 +73,10 @@ object MediaHeader {
   private val Wav = UTF8String.fromString("wav")
   private val Flac = UTF8String.fromString("flac")
   private val Mp4 = UTF8String.fromString("mp4")
+  private val Mp3 = UTF8String.fromString("mp3")
+  private val Vorbis = UTF8String.fromString("vorbis")
+  private val Opus = UTF8String.fromString("opus")
+  private val Ogg = UTF8String.fromString("ogg")
   private val Truncated = UTF8String.fromString("truncated")
   private val Unknown = UTF8String.fromString("unknown")
 
@@ -196,7 +203,85 @@ object MediaHeader {
       return row(Mp4, dur * 1000L / ts, null, null, null, traks)
     }
 
+    // MP3: optional ID3v2 prefix (10-byte header, 28-bit SYNCSAFE size
+    // — bit 7 of each size byte is zero by spec), then the first MPEG
+    // audio frame header: 11 sync bits, version/layer bits, bitrate +
+    // sample-rate indices, channel mode. Bare frame-sync files (no
+    // ID3) are detected by the sync pattern itself — which cannot
+    // collide with JPEG's FF D8 (D8 & E0 ≠ E0) or valid UTF-8 text
+    // (0xFF never appears in UTF-8).
+    if (n >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      if (n < 10) return bad(Truncated)
+      val sz = ((b(6) & 0x7fL) << 21) | ((b(7) & 0x7fL) << 14) |
+        ((b(8) & 0x7fL) << 7) | (b(9) & 0x7fL)
+      return parseMp3Frame(b, 10L + sz, claimed = true)
+    }
+    if (n >= 2 && (b(0) & 0xff) == 0xFF && (b(1) & 0xE0) == 0xE0) {
+      val r = parseMp3Frame(b, 0L, claimed = false)
+      if (r ne null) return r
+    }
+
+    // OGG: page header ('OggS', version 0) + segment table, then the
+    // first packet identifies the codec — Vorbis identification header
+    // (0x01 'vorbis': channels u8 @11, rate LE32 @12) or OpusHead
+    // ('OpusHead': channels u8 @9, input rate LE32 @12). Duration is
+    // honestly NULL: it lives in the LAST page's granule position,
+    // which a header-prefix sample cannot see. A recognized container
+    // with an unrecognized codec reports format 'ogg' with NULL fields.
+    if (n >= 4 && be(b, 0, 4) == 0x4F676753L) {
+      if (n < 27) return bad(Truncated)
+      val nseg = b(26) & 0xff
+      val po = 27L + nseg
+      if (po + 7 > n) return bad(Truncated)
+      val p = po.toInt
+      if ((b(p) & 0xff) == 0x01 && be(b, p + 1, 6) == 0x766F72626973L) {
+        if (po + 16 > n) return bad(Truncated)
+        val ch = b(p + 11) & 0xffL
+        val sr = le(b, p + 12, 4)
+        if (sr == 0 || ch == 0) return bad(Truncated) // spec-invalid
+        return row(Vorbis, null, sr, ch, null, 1L)
+      }
+      if (po + 8 <= n && be(b, p, 8) == 0x4F70757348656164L) { // 'OpusHead'
+        if (po + 16 > n) return bad(Truncated)
+        val ch = b(p + 9) & 0xffL
+        val sr = le(b, p + 12, 4) // input sample rate (informational)
+        if (ch == 0) return bad(Truncated)
+        return row(Opus, null, sr, ch, null, 1L)
+      }
+      return row(Ogg, null, null, null, null, null)
+    }
+
     bad(Unknown)
+  }
+
+  /** First MPEG audio frame header at byte `off`. `claimed` = an ID3
+    * tag promised audio follows (structure breaks → 'truncated');
+    * unclaimed bare-sync probes return null on non-frames so the
+    * caller falls through to 'unknown'.
+    */
+  private def parseMp3Frame(b: Array[Byte], off: Long,
+                            claimed: Boolean): InternalRow = {
+    val n = b.length
+    def fail: InternalRow = if (claimed) bad(Truncated) else null
+    if (off + 4 > n) return fail
+    val o = off.toInt
+    if ((b(o) & 0xff) != 0xFF || (b(o + 1) & 0xE0) != 0xE0) return fail
+    val b1 = b(o + 1) & 0xff
+    val ver = (b1 >> 3) & 0x3   // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layer = (b1 >> 1) & 0x3 // 0=reserved, 1=III, 2=II, 3=I
+    if (ver == 1 || layer == 0) return fail
+    val b2 = b(o + 2) & 0xff
+    val brIdx = b2 >> 4
+    val srIdx = (b2 >> 2) & 0x3
+    if (brIdx == 15 || srIdx == 3) return fail // spec-reserved values
+    val srBase = srIdx match { case 0 => 44100L; case 1 => 48000L; case _ => 32000L }
+    val sr = ver match { case 3 => srBase; case 2 => srBase / 2; case _ => srBase / 4 }
+    val mode = (b(o + 3) >> 6) & 0x3
+    val ch = if (mode == 3) 1L else 2L
+    // duration needs the full file (frame count / VBR header) — a
+    // header sample honestly reports NULL; bit depth is not an MP3
+    // concept (decoded PCM width is the decoder's choice)
+    row(Mp3, null, sr, ch, null, 1L)
   }
 }
 

@@ -214,6 +214,75 @@ class MediaHeaderSpec extends SparkFunSuite {
     assert(parse(cat(ftyp.bytes, bad))._1 == "truncated")
   }
 
+  // ----------------------------------------------------------- MP3
+
+  private def mp3(id3Size: Int, b1: Int, b2: Int, b3: Int): Array[Byte] = {
+    val b = new B()
+    if (id3Size >= 0) b.ascii("ID3").u8(4).u8(0).u8(0)
+      .u8((id3Size >> 21) & 0x7f).u8((id3Size >> 14) & 0x7f)
+      .u8((id3Size >> 7) & 0x7f).u8(id3Size & 0x7f)
+      .fill(id3Size, 0x4d)
+    b.u8(0xFF).u8(b1).u8(b2).u8(b3).fill(8).bytes
+  }
+
+  test("MP3: syncsafe ID3v2 skip (7-bit boundary crossing), version " +
+      "bit sample-rate halving, channel modes") {
+    // ID3 size 200 = syncsafe 00 00 01 48; MPEG1 Layer III, 44100,
+    // joint stereo (mode 1)
+    assert(parse(mp3(200, 0xFB, 0x90, 0x40)) ==
+      (("mp3", None, Some(44100L), Some(2L), None, Some(1L))))
+    // MPEG2 (ver bits 10) halves the base; mono (mode 3) → 1 channel
+    assert(parse(mp3(0, 0xF3, 0x94, 0xC0)) ==
+      (("mp3", None, Some(24000L), Some(1L), None, Some(1L))))
+    // MPEG2.5 (ver bits 00) quarters; sample-rate idx 2 → 32000/4
+    assert(parse(mp3(5, 0xE3, 0x98, 0x00)) ==
+      (("mp3", None, Some(8000L), Some(2L), None, Some(1L))))
+    // bare frame sync, no ID3 tag at all
+    assert(parse(new B().u8(0xFF).u8(0xFB).u8(0x90).u8(0x00).fill(4).bytes)
+      ._1 == "mp3")
+  }
+
+  test("MP3 refusals: ID3-claimed but structure broken → truncated; " +
+      "reserved version/layer/bitrate/rate indices; bare 0xFF that is " +
+      "not a frame sync → unknown") {
+    val cut = mp3(200, 0xFB, 0x90, 0x40).take(30) // cut inside the tag
+    assert(parse(cut)._1 == "truncated")
+    assert(parse(mp3(0, 0xEB, 0x90, 0x00))._1 == "truncated") // ver reserved
+    assert(parse(mp3(0, 0xF9, 0x90, 0x00))._1 == "truncated") // layer reserved
+    assert(parse(mp3(0, 0xFB, 0xF0, 0x00))._1 == "truncated") // bitrate 15
+    assert(parse(mp3(0, 0xFB, 0x9C, 0x00))._1 == "truncated") // rate idx 3
+    assert(parse(Array(0xFF, 0x00, 0x90, 0x00).map(_.toByte))._1 ==
+      "unknown") // 0xFF but no sync bits: never claimed mp3
+  }
+
+  // ----------------------------------------------------------- OGG
+
+  private def oggPage(packet: Array[Byte]): Array[Byte] = {
+    val b = new B().ascii("OggS").u8(0).u8(2).fill(8) // BOS, granule 0
+      .le32(1).le32(0).le32(0)                        // serial/seq/crc
+      .u8(1).u8(packet.length)                        // one segment
+    packet.foreach(x => b.u8(x.toInt)); b.bytes
+  }
+
+  test("OGG: Vorbis and Opus identification packets; unknown codec " +
+      "reports the container only; refusals") {
+    val vorbis = new B().u8(1).ascii("vorbis").be32(0)
+      .u8(2).le32(44100).fill(5).bytes
+    assert(parse(oggPage(vorbis)) ==
+      (("vorbis", None, Some(44100L), Some(2L), None, Some(1L))))
+    val opus = new B().ascii("OpusHead").u8(1).u8(6).le16(312)
+      .le32(48000).fill(3).bytes
+    assert(parse(oggPage(opus)) ==
+      (("opus", None, Some(48000L), Some(6L), None, Some(1L))))
+    val theora = new B().u8(0x80).ascii("theora").fill(10).bytes
+    val (f, d, s, c, _, st) = parse(oggPage(theora))
+    assert(f == "ogg" && d.isEmpty && s.isEmpty && c.isEmpty && st.isEmpty)
+    assert(parse(oggPage(vorbis).take(20))._1 == "truncated")
+    val rate0 = new B().u8(1).ascii("vorbis").be32(0)
+      .u8(2).le32(0).fill(5).bytes
+    assert(parse(oggPage(rate0))._1 == "truncated")
+  }
+
   test("unknown: no known magic, NULL fields") {
     val (f, d, s, c, bd, st) = parse("plain text".getBytes("UTF-8"))
     assert(f == "unknown" && d.isEmpty && s.isEmpty && c.isEmpty &&
