@@ -48,6 +48,12 @@ object ImageHeader {
   def imageMeta(c: Column): Column =
     graftShim.column(ImageHeaderExpr(graftShim.expression(c)))
 
+  /** Column API: EXIF orientation (1-8) of a JPEG payload, NULL when
+    * absent/not-JPEG/malformed. See [[exifOrientation(b*)]].
+    */
+  def exifOrientation(c: Column): Column =
+    graftShim.column(ExifOrientationExpr(graftShim.expression(c)))
+
   // ---------------------------------------------------------- kernel
 
   private val Png = UTF8String.fromString("png")
@@ -125,6 +131,93 @@ object ImageHeader {
     }
     bad(Unknown)
   }
+
+  /** EXIF orientation (tag 0x0112, values 1-8) from a JPEG's APP1
+    * segment — the one EXIF field a resize/thumbnail pipeline MUST
+    * read (cameras store sensor-native pixels and record the rotation
+    * here; ignoring it ships sideways images). Pure-byte: the same
+    * segment walk as [[parseRow]] hops to APP1 'Exif\0\0', then the
+    * embedded TIFF structure (byte order 'II'/'MM', magic 42, IFD0
+    * entry scan) yields the tag — public layouts from ITU-T T.81 +
+    * the TIFF 6.0 / EXIF 2.x specs.
+    *
+    * NULL-not-refusal contract: orientation is OPTIONAL metadata, so
+    * every miss — not a JPEG, no APP1, no EXIF marker, malformed TIFF,
+    * tag absent, value out of 1-8 — is NULL, never an error. (The
+    * format/dimension REQUIRED fields keep parseRow's named refusals.)
+    */
+  def exifOrientation(b: Array[Byte]): Any = {
+    val n = b.length
+    if (n < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return null
+    var i = 2
+    while (i + 4 <= n) {
+      if ((b(i) & 0xff) != 0xFF) return null
+      val mk = b(i + 1) & 0xff
+      if (mk == 0xFF) { i += 1 }
+      else if (mk == 0x01 || (mk >= 0xD0 && mk <= 0xD7)) i += 2
+      else if (mk == 0xD9 || mk == 0xDA) return null // no APP1 before scan
+      else {
+        val len = be(b, i + 2, 2).toInt
+        if (len < 2 || i + 2 + len > n) return null
+        if (mk == 0xE1 && len >= 16 &&
+            be(b, i + 4, 4) == 0x45786966L && be(b, i + 8, 2) == 0L) {
+          val t = i + 10 // TIFF header origin (offsets are relative here)
+          val little = b(t) == 'I' && b(t + 1) == 'I'
+          val big = b(t) == 'M' && b(t + 1) == 'M'
+          if (!little && !big) return null
+          def u16(o: Int): Long = if (little) le(b, o, 2) else be(b, o, 2)
+          def u32(o: Int): Long = if (little) le(b, o, 4) else be(b, o, 4)
+          val segEnd = i + 2 + len
+          if (u16(t + 2) != 42L) return null
+          val ifd = t + u32(t + 4).toInt
+          if (ifd + 2 > segEnd || ifd < t) return null
+          val cnt = u16(ifd).toInt
+          var e = 0
+          while (e < cnt) {
+            val off = ifd + 2 + e * 12
+            if (off + 12 > segEnd) return null
+            if (u16(off) == 0x0112L) {
+              if (u16(off + 2) != 3L || u32(off + 4) != 1L) return null
+              val v = u16(off + 8) // SHORT value sits in the first 2 bytes
+              return if (v >= 1 && v <= 8) java.lang.Long.valueOf(v) else null
+            }
+            e += 1
+          }
+          return null // IFD0 has no orientation tag
+        }
+        i += 2 + len
+      }
+    }
+    null
+  }
+}
+
+/** EXIF orientation as a codegen'd unary expression — LongType 1-8,
+  * NULL on every miss (optional metadata, not a refusal).
+  */
+case class ExifOrientationExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"exif_orientation requires a binary input, got ${child.dataType}")
+  override def prettyName: String = "exif_orientation"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageHeader.exifOrientation(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val resultCode = (c: String) =>
+      s"""Object r = graft.functions.ImageHeader.exifOrientation($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) r).longValue(); }
+         |""".stripMargin
+    nullSafeCodeGen(ctx, ev, resultCode)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExifOrientationExpr =
+    copy(child = newChild)
 }
 
 case class ImageHeaderExpr(child: Expression) extends UnaryExpression {

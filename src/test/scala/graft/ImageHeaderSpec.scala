@@ -127,6 +127,83 @@ class ImageHeaderSpec extends SparkFunSuite {
     assert(parse(neg) == (("bmp", Some(10L), Some(7L), Some(24L))))
   }
 
+  // ------------------------------------------------ EXIF orientation
+
+  /** Minimal EXIF JPEG: SOI + APP1('Exif\0\0' + TIFF IFD0). The
+    * orientation entry sits SECOND so the IFD scan is load-bearing;
+    * a junk COM segment precedes APP1 in the `shifted` variant so the
+    * segment walk is too.
+    */
+  private def exifJpeg(little: Boolean, orient: Int,
+                       comBefore: Int = 0): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit =
+      if (little) { u8(v); u8(v >> 8) } else { u8(v >> 8); u8(v) }
+    def u32(v: Int): Unit =
+      if (little) { u8(v); u8(v >> 8); u8(v >> 16); u8(v >> 24) }
+      else { u8(v >> 24); u8(v >> 16); u8(v >> 8); u8(v) }
+    u8(0xFF); u8(0xD8)
+    if (comBefore > 0) {
+      u8(0xFF); u8(0xFE); u8(0); u8(comBefore + 2)
+      (0 until comBefore).foreach(_ => u8(0x41))
+    }
+    // APP1: 2 len + 6 exif + 8 tiff hdr + 2 count + 2*12 entries + 4 next
+    val len = 2 + 6 + 8 + 2 + 24 + 4
+    u8(0xFF); u8(0xE1); u8(len >> 8); u8(len & 0xff)
+    bos.write("Exif".getBytes); u8(0); u8(0)
+    if (little) { u8('I'); u8('I') } else { u8('M'); u8('M') }
+    u16(42); u32(8)  // IFD0 right after the 8-byte TIFF header
+    u16(2)           // two entries; orientation is the SECOND
+    u16(0x011A); u16(5); u32(1); u32(0)       // XResolution (RATIONAL)
+    u16(0x0112); u16(3); u32(1)               // Orientation (SHORT, 1)
+    u16(orient); u16(0)                       // value in first 2 bytes
+    u32(0)           // next-IFD pointer
+    bos.toByteArray
+  }
+
+  private def exif(b: Array[Byte]): Option[Long] = {
+    val e = graft.functions.ImageHeader.exifOrientation(b)
+    Option(e).map(_.asInstanceOf[java.lang.Long].longValue())
+  }
+
+  test("EXIF orientation: both TIFF byte orders, IFD entry scan, the " +
+      "segment walk past junk segments") {
+    assert(exif(exifJpeg(little = true, orient = 6)).contains(6L))
+    assert(exif(exifJpeg(little = false, orient = 8)).contains(8L))
+    assert(exif(exifJpeg(little = true, orient = 3, comBefore = 11))
+      .contains(3L))
+  }
+
+  test("EXIF orientation misses are NULL, never errors: no APP1 " +
+      "(encoder JPEGs are JFIF-only), out-of-range value, bad TIFF " +
+      "magic, not a JPEG") {
+    val plain = encode(
+      new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB), "jpg")
+    assert(exif(plain).isEmpty) // JDK writes JFIF APP0, no EXIF
+    assert(exif(exifJpeg(little = true, orient = 9)).isEmpty)
+    val badMagic = exifJpeg(little = true, orient = 1)
+    badMagic(14) = 0x2B // TIFF magic 42 -> 43
+    assert(exif(badMagic).isEmpty)
+    assert(exif("not an image".getBytes("UTF-8")).isEmpty)
+    assert(exif(encode(
+      new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB), "png")).isEmpty)
+  }
+
+  test("EXIF orientation through the Column API (codegen path)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, exifJpeg(little = true, orient = 6)),
+      (2L, encode(new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB), "jpg")),
+      (3L, "text".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        graft.functions.ImageHeader.exifOrientation(col("payload"))
+          .as("orient"))
+      .orderBy("doc_id").collect()
+    assert(df(0).getLong(1) == 6L && df(1).isNullAt(1) && df(2).isNullAt(1))
+  }
+
   test("the Column API parses inside a DataFrame (codegen path) and " +
       "extractImageMeta carries size+sha alongside") {
     import spark.implicits._
