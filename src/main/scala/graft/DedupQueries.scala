@@ -338,6 +338,18 @@ object DedupQueries {
       graft.operators.Dedup
         .editDistancePairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")
+    },
+
+    // C44b (oracle, round 14): the fuzzy pairs closed into CLUSTERS —
+    // the same large-star/small-star min-propagation that serves the
+    // minhash family (16-byte edges, no driver collect, loud
+    // non-convergence), composed over the edit-distance verifier.
+    // Oracle = the recursive-reach closure precedent.
+    "dedup_fuzzy_cluster" -> Q { (s, d) =>
+      val pairs = graft.operators.Dedup
+        .editDistancePairs(Tables.documents(s, d), "doc_id", "text")
+      graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy("doc_id")
     }
   )
 
@@ -736,6 +748,26 @@ object DedupQueries {
         |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.pre, c.pre) <= 6
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // C44b: the same pair derivation closed transitively (the
+    // minhashClustersSql reach pattern), min-id cluster labels.
+    "dedup_fuzzy_cluster" ->
+      """WITH RECURSIVE p AS (
+        | SELECT doc_id, substring(lower(trim(text)), 1, 64) AS pre
+        | FROM documents),
+        |b AS (SELECT doc_id, pre, substring(pre, 1, 8) AS blk FROM p),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+        | FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        | WHERE levenshtein(a.pre, c.pre) <= 6),
+        |edges AS (
+        | SELECT doc_a AS a, doc_b AS b FROM pairs
+        | UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | SELECT a, b FROM edges
+        | UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, min(least(a, b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """WITH corpus AS (
