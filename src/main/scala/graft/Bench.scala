@@ -43,7 +43,8 @@ object Bench {
     // round 14: real multimodal decode + the NB classifier + the
     // edit-distance verifier join the set
     "multimodal_meta", "multimodal_av_meta", "text_nb_classify",
-    "dedup_fuzzy", "text_bm25")
+    "dedup_fuzzy", "text_bm25", "dedup_fuzzy_cluster",
+    "multimodal_export_manifest")
 
   /** The round-12 ClickHouse-analytics widening — tracked as its own
     * section (same reasoning as `pipeline`: new ops get wall-clock

@@ -133,6 +133,15 @@ object MultimodalQueries {
     "8000 + (doc_id * 3) % 88000 AS sro",
     "1 + doc_id % 8 AS cho")
 
+  /** The planted A/V payload frame (doc_id, payload) — shared by the
+    * C12d meta gate and the C12e manifest composition.
+    */
+  private def plantedAv(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr(Seq("doc_id", "text") ++ avParams: _*)
+      .selectExpr("doc_id", plantAvHxSql(spark = true) + " AS hx")
+      .selectExpr("doc_id", "unhex(hx) AS payload")
+
   private def plantAvHxSql(spark: Boolean): String = {
     def hx(x: String, n: Int): String =
       if (spark) s"lpad(hex($x), $n, '0')"
@@ -168,7 +177,7 @@ object MultimodalQueries {
        |  || '64617461' || ${le4("dsz")}
        |  || $body
        | WHEN 1 THEN '664C6143'
-       |  || CASE WHEN doc_id % 2 = 0 THEN '00' ELSE '80' END || '000022'
+       |  || CASE WHEN ${dv("doc_id", "8")} % 2 = 0 THEN '00' ELSE '80' END || '000022'
        |  || '10001000' || '000000' || '000000'
        |  || ${hx(flacV, 16)}
        |  || '${"00" * 16}'
@@ -187,17 +196,17 @@ object MultimodalQueries {
        |  || repeat('000000087472616B', CAST(tn AS INT))
        |  || '000000186D646174' || $body
        | WHEN 4 THEN ${bin("substring(text, 1, 32)")}
-       | WHEN 5 THEN CASE WHEN doc_id % 2 = 0
+       | WHEN 5 THEN CASE WHEN ${dv("doc_id", "8")} % 2 = 0
        |  THEN '52494646' || ${le4("36")} || '57415645'
        |  ELSE '664C614300' END
        | WHEN 6 THEN '494433' || '0400' || '00' || '000000' || ${hx("k", 2)}
        |  || repeat('4D', CAST(k AS INT))
-       |  || 'FF' || CASE WHEN doc_id % 2 = 0 THEN 'FB' ELSE 'F3' END
+       |  || 'FF' || CASE WHEN ${dv("doc_id", "8")} % 2 = 0 THEN 'FB' ELSE 'F3' END
        |  || ${hx("brm * 16 + srm * 4", 2)} || ${hx("mdm * 64", 2)}
        |  || $body
        | ELSE '4F676753' || '00' || '02' || '${"00" * 8}'
        |  || '00000001' || '00000000' || '00000000' || '01' || '1E'
-       |  || CASE WHEN doc_id % 2 = 0
+       |  || CASE WHEN ${dv("doc_id", "8")} % 2 = 0
        |   THEN '01766F72626973' || '00000000' || ${hx("cho", 2)} || ${le4("sro")}
        |   ELSE '4F70757348656164' || '01' || ${hx("cho", 2)} || '0000' || ${le4("sro")}
        |  END
@@ -217,13 +226,27 @@ object MultimodalQueries {
     // bit-unpack via integer division). 'unknown'/'truncated' rows
     // prove the named in-band refusals.
     "multimodal_av_meta" -> Q { (s, d) =>
-      val planted = Tables.documents(s, d)
-        .selectExpr(Seq("doc_id", "text") ++ avParams: _*)
-        .selectExpr("doc_id", plantAvHxSql(spark = true) + " AS hx")
-        .selectExpr("doc_id", "unhex(hx) AS payload")
-      Multimodal.extractAvMeta(planted)
+      Multimodal.extractAvMeta(plantedAv(s, d))
         .drop("sha_hex") // DuckDB 1.0 lacks sha256(BLOB); spec-covered
         .orderBy("doc_id")
+    },
+
+    // C12e (oracle): the media decode COMPOSED with the export
+    // machinery — per decodable-audio format: doc count, byte total,
+    // xor checksum (TrainExport's 60-bit md5 fold; counts add,
+    // checksums xor, so per-format manifests merge like shard
+    // manifests). Proves the C12d decode drives a real delivery
+    // decision, not just a metadata column.
+    "multimodal_export_manifest" -> Q { (s, d) =>
+      Multimodal.extractAvMeta(plantedAv(s, d))
+        .filter(col("format").isin("wav", "flac", "mp3", "vorbis", "opus"))
+        .select(col("format"), col("n_bytes"),
+          graft.operators.TrainExport.checksum60(col("doc_id")).as("_ck"))
+        .groupBy("format")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bytes").as("total_bytes"),
+          expr("bit_xor(_ck)").as("checksum"))
+        .orderBy("format")
     },
 
     // C12 (oracle, round 14 — REAL decode): planted real-format image
@@ -315,7 +338,104 @@ object MultimodalQueries {
     // two recursive-CTE ISO-BMFF box walks (top-level to 'moov' with
     // largesize/size-0 handling, then moov's children for mvhd v0/v1 +
     // trak count) mirror MediaHeader's loops byte for byte.
-    "multimodal_av_meta" -> {
+    "multimodal_av_meta" -> avMetaOracleSql,
+
+    // C12e: per decodable-audio format — doc count, byte total, xor
+    // checksum (the export_manifest 60-bit md5 fold). The format
+    // derivation here is a LINEAR re-parse (no recursive CTEs): the
+    // audio classifications are closed-form, and the one walk (WAV's
+    // chunk hop to 'fmt ') is UNROLLED to 4 hops — double the planted
+    // corpus's maximum — because DuckDB 1.0 mis-plans a second copy of
+    // the full recursive re-parse in the same connection into an OOM
+    // (reproduced + recorded); the unbounded walk remains C12d's job.
+    "multimodal_export_manifest" -> {
+      def hb(o: String) = s"bt[($o)+1]"
+      def le32(o: String) = s"(${hb(o)} + 256 * ${hb(s"($o)+1")} + " +
+        s"65536 * ${hb(s"($o)+2")} + 16777216 * ${hb(s"($o)+3")})"
+      def be64(o: String): String = {
+        val be16 = (p: String) => s"(256 * ${hb(p)} + ${hb(s"($p)+1")})"
+        val be32 = (p: String) => s"(${be16(p)} * 65536 + ${be16(s"($p)+2")})"
+        s"(${be32(o)} * 4294967296 + ${be32(s"($o)+4")})"
+      }
+      def cc(o: String) = s"substring(hx, 2*($o)+1, 8)"
+      // WAV: is there a valid 'fmt ' chunk at hop offset o? The hop
+      // offsets are staged as CTE COLUMNS (h0..h3) so each chunk-size
+      // le32 evaluates once — a nested-string unroll would duplicate
+      // the byte-index expressions ~5× per level.
+      def fmtAt(o: String) =
+        s"(($o) + 8 <= nb AND ${cc(o)} = '666D7420' AND " +
+          s"${le32(s"($o) + 4")} >= 16 AND ($o) + 24 <= nb)"
+      def nxt(o: String) =
+        s"coalesce(($o) + 8 + ${le32(s"($o) + 4")} + ${le32(s"($o) + 4")} % 2, nb + 1)"
+      val wavOk = s"(${fmtAt("h0")} OR ${fmtAt("h1")} OR ${fmtAt("h2")} OR ${fmtAt("h3")})"
+      // MP3: frame-header validity at offset expression `o` (column mo)
+      val mp3Ok = s"(mo + 4 <= nb AND ${hb("mo")} = 255 AND " +
+        s"${hb("mo + 1")} // 32 = 7 AND (${hb("mo + 1")} // 8) % 4 <> 1 " +
+        s"AND (${hb("mo + 1")} // 2) % 4 <> 0 AND ${hb("mo + 2")} // 16 <> 15 " +
+        s"AND (${hb("mo + 2")} // 4) % 4 <> 3)"
+      val key = "CAST(doc_id AS VARCHAR)"
+      val h = s"md5($key || ':42')"
+      val ck = (1 to 15).map { i =>
+        val p = BigInt(16).pow(15 - i)
+        s"(strpos('0123456789abcdef', substring($h,$i,1))-1)*$p"
+      }.mkString("(", " + ", ")")
+      s"""WITH src AS (
+         | SELECT doc_id, text, ${avParams.mkString(", ")} FROM documents),
+         |hp AS MATERIALIZED (
+         | SELECT doc_id, ${plantAvHxSql(spark = false)} AS hx FROM src),
+         |hb0 AS MATERIALIZED (
+         | SELECT doc_id, hx, CAST(length(hx) // 2 AS BIGINT) AS nb,
+         |  list_transform(range(1, CAST(length(hx) // 2 AS BIGINT) + 1),
+         |   i -> CAST((strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+         |        + strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1 AS BIGINT)) AS bt
+         | FROM hp),
+         |mo0 AS MATERIALIZED (
+         | SELECT *, CASE WHEN substring(hx, 1, 6) = '494433' AND nb >= 10
+         |   THEN 10 + (${hb("6")} % 128) * 2097152 + (${hb("7")} % 128) * 16384
+         |      + (${hb("8")} % 128) * 128 + (${hb("9")} % 128)
+         |  ELSE CAST(0 AS BIGINT) END AS mo,
+         |  27 + ${hb("26")} AS po, CAST(12 AS BIGINT) AS h0
+         | FROM hb0),
+         |w1 AS MATERIALIZED (SELECT *, ${nxt("h0")} AS h1 FROM mo0),
+         |w2 AS MATERIALIZED (SELECT *, ${nxt("h1")} AS h2 FROM w1),
+         |w3 AS MATERIALIZED (SELECT *, ${nxt("h2")} AS h3 FROM w2),
+         |cls AS MATERIALIZED (
+         | SELECT doc_id, nb,
+         |  CASE
+         |   WHEN substring(hx, 1, 8) = '52494646' AND length(hx) >= 24
+         |    AND substring(hx, 17, 8) = '57415645' AND $wavOk THEN 'wav'
+         |   WHEN substring(hx, 1, 8) = '664C6143' AND length(hx) >= 52
+         |    AND ${hb("4")} % 128 = 0 AND ${be64("18")} // 17592186044416 > 0
+         |    THEN 'flac'
+         |   WHEN (substring(hx, 1, 6) = '494433' AND nb >= 10
+         |         OR substring(hx, 1, 2) = 'FF' AND ${hb("1")} // 32 = 7)
+         |    AND $mp3Ok THEN 'mp3'
+         |   WHEN substring(hx, 1, 8) = '4F676753' AND nb >= 27
+         |    AND po + 16 <= nb THEN
+         |    CASE WHEN ${hb("po")} = 1
+         |          AND substring(hx, 2 * po + 3, 12) = '766F72626973'
+         |          AND ${le32("po + 12")} > 0 AND ${hb("po + 11")} > 0
+         |         THEN 'vorbis'
+         |         WHEN substring(hx, 2 * po + 1, 16) = '4F70757348656164'
+         |          AND ${hb("po + 9")} > 0
+         |         THEN 'opus'
+         |         ELSE 'other' END
+         |   ELSE 'other'
+         |  END AS format
+         | FROM w3)
+         |SELECT format, count(*) AS n_docs,
+         | CAST(sum(nb) AS BIGINT) AS total_bytes,
+         | bit_xor(CAST($ck AS BIGINT)) AS checksum
+         |FROM cls
+         |WHERE format IN ('wav', 'flac', 'mp3', 'vorbis', 'opus')
+         |GROUP BY format ORDER BY format""".stripMargin
+    }
+  ) ++ imageOracles
+
+  /** The full C12d re-parse, shared by the av_meta gate and the C12e
+    * manifest composition (which wraps it as a subquery).
+    */
+  private lazy val avMetaOracleSql: String = {
       def hb(o: String) = s"bt[($o)+1]"
       def le16(o: String) = s"(${hb(o)} + 256 * ${hb(s"($o)+1")})"
       def le32(o: String) = s"(${hb(o)} + 256 * ${hb(s"($o)+1")} + " +
@@ -343,15 +463,15 @@ object MultimodalQueries {
         "WHEN 1 THEN 48000 ELSE 32000 END)"
       s"""WITH RECURSIVE src AS (
          | SELECT doc_id, text, ${avParams.mkString(", ")} FROM documents),
-         |hp AS (
+         |hp AS MATERIALIZED (
          | SELECT doc_id, ${plantAvHxSql(spark = false)} AS hx FROM src),
-         |hb0 AS (
+         |hb0 AS MATERIALIZED (
          | SELECT doc_id, hx, CAST(length(hx) // 2 AS BIGINT) AS nb,
          |  list_transform(range(1, CAST(length(hx) // 2 AS BIGINT) + 1),
          |   i -> CAST((strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
          |        + strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1 AS BIGINT)) AS bt
          | FROM hp),
-         |p AS (
+         |p AS MATERIALIZED (
          | SELECT doc_id, hx, nb, bt,
          |  CASE
          |   WHEN substring(hx, 1, 8) = '52494646' THEN
@@ -451,7 +571,7 @@ object MultimodalQueries {
          |   ELSE NULL
          |  END
          | FROM mw WHERE res IS NULL),
-         |fl AS (
+         |fl AS MATERIALIZED (
          | SELECT doc_id, nb, ${be64("18")} AS v FROM p WHERE cls = 'flac'),
          |m3 AS (
          | SELECT doc_id, nb, bt, cls,
@@ -557,8 +677,9 @@ object MultimodalQueries {
          | CASE WHEN format IN ('vorbis', 'opus') THEN CAST(1 AS BIGINT) END
          |FROM ogr
          |ORDER BY doc_id""".stripMargin
-    },
+  }
 
+  private lazy val imageOracles: Map[String, String] = Map(
     // Round 14: the oracle RE-PARSES the planted bytes independently —
     // nibble arithmetic (strpos over the hex alphabet) at the fixed
     // offsets each format spec defines, plus a recursive-CTE JPEG
