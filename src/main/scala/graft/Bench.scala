@@ -34,7 +34,7 @@ object Bench {
     // continuation on; the r9-comparable subset is the per-query
     // history / BenchAB's shared-set total)
     "q_audience_overlap_sketch", "span_stream_flags", "cms_stream_relation",
-    "text_lm_score", "q_quantile_merge_portable", "ann_ivf_dist",
+    "text_lm_score", "q_quantile_merge_portable", "q_sliding_hll", "ann_ivf_dist",
     "ann_ivf2", "pipeline_ccnet_buckets",
     // round 12: the IVF2+PQ serving composition joins the tracked set
     "ann_ivf2pq", "ann_ivfpq_rerank", "ann_sq8", "ann_ivfsq", "ann_range",

@@ -233,6 +233,20 @@ object OlapQueries {
         .orderBy("event_type")
     },
 
+    // B6f (oracle, round 14): SLIDING-WINDOW distinct — per day, the
+    // distinct users of the trailing 3 days, by register-max MERGING
+    // the daily HLL states instead of re-counting raw rows per window
+    // (raw recount reads every row windowDays times at 100 TB; the
+    // merge runs over #days × 1 KB of state). Truncated windows at
+    // history start are deterministic and oracle-mirrored.
+    "q_sliding_hll" -> Q { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("day", expr("ts_us div 86400000000"))
+      graft.functions.HllPortable
+        .slidingDistinct(ev, "day", col("user_id"), 3, "n_users_3d")
+        .orderBy("day")
+    },
+
     // B29b (round 10): MERGEABLE quantile states — the CH quantileState
     // / quantileMerge idiom, quantile twin of uniq_merge_portable. Daily
     // fixed-grid histogram states (≤256 16-byte rows per group-day,
@@ -569,6 +583,12 @@ object OlapQueries {
     // plan is exactly the reaggregation-correctness statement
     "uniq_merge_portable" -> graft.functions.HllPortable.oracleSql(
       "events", "event_type", "user_id", "n_users_approx"),
+
+    // B6f: the register-level merge replayed day for day — the oracle
+    // rebuilds daily sketches and the trailing-window max-merge, so a
+    // hash match proves the sliding composition, not just the sketch
+    "q_sliding_hll" -> graft.functions.HllPortable.slidingDistinctSql(
+      "events", "epoch_us(ts) // 86400000000", "user_id", 3, "n_users_3d"),
 
     // direct-build estimate; the Spark side goes through daily partials
     // + merge, so a hash match proves the sketch's reaggregation law

@@ -120,6 +120,82 @@ object HllPortable {
     agg.select(groupCols.map(col) :+ floor(e).cast("long").as(outCol): _*)
   }
 
+  /** SLIDING-WINDOW distinct (round 14): distinct `value` per `dayCol`
+    * over the TRAILING `windowDays`-day window — the "distinct users
+    * over the last N days, per day" rollup — computed by register-max
+    * MERGING the per-day sketches instead of re-counting raw rows per
+    * window. This is the -State/-Merge pattern's killer use: raw
+    * recount touches each row `windowDays` times (N× the I/O at
+    * 100 TB); here each row feeds ONE day sketch and the merge runs
+    * over bounded state (#days × m one-byte registers). Windows at the
+    * start of history merge fewer than `windowDays` sketches
+    * (truncated trailing window — deterministic, oracle-mirrored).
+    *
+    * Plan: one shuffle builds daily registers; the day↔window mapping
+    * is a bounded #days×windowDays relation (explode over offsets,
+    * broadcast-joined); the merge aggregates #days×windowDays×m
+    * register rows. No raw value ever crosses twice.
+    */
+  def slidingDistinct(df: DataFrame, dayCol: String, value: Column,
+                      windowDays: Int, outCol: String): DataFrame = {
+    require(windowDays >= 1)
+    val daily = registers(df, Seq(dayCol), value)
+    val days = daily.select(dayCol).distinct()
+    val mapping = days
+      .select(col(dayCol).as("_day_in"),
+        explode(sequence(lit(0L), lit(windowDays - 1L))).as("_off"))
+      .select(col("_day_in"), (col("_day_in") + col("_off")).as("_day_out"))
+    val merged = daily
+      .join(broadcast(mapping), col(dayCol) === col("_day_in"))
+      .groupBy(col("_day_out").as(dayCol), col("_idx"))
+      .agg(max("_reg").as("_reg"))
+      // day_out slots past the last observed day exist in the mapping
+      // but are not report rows — keep the observed days only
+      .join(broadcast(days), Seq(dayCol), "left_semi")
+    estimateFromRegisters(merged, Seq(dayCol), outCol)
+  }
+
+  /** [[slidingDistinct]]'s DuckDB twin over a BIGINT value column. */
+  def slidingDistinctSql(table: String, dayExpr: String, valueCol: String,
+                         windowDays: Int, outCol: String): String = {
+    val lut = Lut.mkString("[", ",", "]")
+    val kernel = graft.DedupOracles.xxh64LongCtes("base", "day", "uv")
+    s"""WITH base AS (
+       | SELECT DISTINCT $dayExpr AS day, $valueCol AS uv FROM $table
+       | WHERE $valueCol IS NOT NULL
+       |), $kernel,
+       |regs AS (
+       | SELECT day, CAST(hu % $M AS BIGINT) AS idx,
+       |  max(least(CASE WHEN hu // $M = 0 THEN ${W + 1}
+       |       ELSE ${W + 1} - length(bin(CAST(hu // $M AS BIGINT))) END,
+       |      $Cap)) AS reg
+       | FROM xh GROUP BY 1, 2
+       |), days AS (SELECT DISTINCT day FROM regs),
+       |mapping AS (
+       | SELECT day AS day_in, day + off AS day_out
+       | FROM days, unnest(range(0, $windowDays)) AS t(off)),
+       |merged AS (
+       | SELECT m.day_out AS day, r.idx, max(r.reg) AS reg
+       | FROM regs r JOIN mapping m ON r.day = m.day_in
+       | WHERE m.day_out IN (SELECT day FROM days)
+       | GROUP BY 1, 2
+       |), agg AS (
+       | SELECT day,
+       |  sum(CAST(1 AS BIGINT) << CAST($Cap - reg AS BIGINT)) AS s_present,
+       |  count(*) AS c
+       | FROM merged GROUP BY 1
+       |), est AS (
+       | SELECT day,
+       |  CAST(s_present + ($M - c) * ${1L << Cap} AS DOUBLE) AS sd,
+       |  CAST($M - c AS BIGINT) AS v
+       | FROM agg)
+       |SELECT day,
+       | CAST(floor(CASE WHEN v > 0 AND ($Num / sd) <= $RawThreshold
+       |   THEN (($lut)::DOUBLE[])[CAST(v AS BIGINT)] ELSE ($Num / sd) END) AS BIGINT)
+       |  AS $outCol
+       |FROM est ORDER BY day""".stripMargin
+  }
+
   /** BOUNDED-STATE pairwise audience overlap (SURVEY.md §2 B13b): for
     * every pair of groups, estimate |users(a) ∩ users(b)| by
     * inclusion-exclusion over HLL register states —
