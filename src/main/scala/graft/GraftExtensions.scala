@@ -262,6 +262,16 @@ object GraftExtensions {
           LambdaFunction(fin, Seq(fin)))
       case other => Size(ArrayFilter(arr, other))
     }),
+    // CH arrayFold(lambda(acc, x), arr, init) — the general fold;
+    // Spark's ArrayAggregate merge takes (acc, element) in the same
+    // order, so the user lambda splices verbatim
+    d("arrayFold") {
+      case Seq(f: LambdaFunction, arr, init) =>
+        val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+        ArrayAggregate(arr, init, f, LambdaFunction(fin, Seq(fin)))
+      case _ => throw new IllegalArgumentException(
+        "arrayFold expects (lambda, array, init)")
+    },
     two("arrayExists")((f, arr) => ArrayExists(arr, f)),
     two("arrayAll")((f, arr) => ArrayForAll(arr, f)),
     // arrayEnumerate([a,b,c]) = [1,2,3]; the Size>0 guard keeps the

@@ -187,6 +187,12 @@ class GraftExtensionsSpec extends SparkFunSuite {
     assert(r.getInt(0) == 3 && r.getInt(1) == 2)
     assert(r.getString(2) == "192.168.1.1" && r.getLong(3) == 3232235777L)
     assert(r.isNullAt(4)) // strict parse: out-of-range octet → NULL
+    val f = spark.sql(
+      """SELECT arrayFold((acc, x) -> acc + x, array(1, 2, 3, 4), 0) AS s,
+        |       arrayFold((acc, x) -> greatest(acc, x), array(3, 9, 2), -1) AS m,
+        |       arrayFold((acc, x) -> concat(acc, x), array('a','b','c'), '') AS c
+        |FROM range(1)""".stripMargin).head()
+    assert(f.getInt(0) == 10 && f.getInt(1) == 9 && f.getString(2) == "abc")
   }
 
   test("round-5 compat batch: uniqUpTo, bitCount, hex/unhex, MD5, JSON family") {
