@@ -234,6 +234,22 @@ class PlanGuardSpec extends SparkFunSuite {
       s"mrl shuffles the corpus against the shortlist:\n$p")
   }
 
+  test("sliding hll: day-window mapping and day filter BROADCAST; no " +
+    "raw-row window recount (round 14)") {
+    val p = plan("q_sliding_hll")
+    // the #days×window mapping and the observed-days semi filter are
+    // bounded relations — a SortMergeJoin here means register state
+    // shuffled against a relation that fits in one broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"sliding-hll mapping join no longer broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"sliding-hll shuffles sketch state against a bounded relation:\n$p")
+    // no window operator at all: the 'sliding' comes from the mapping
+    // join + register max, never a per-row frame over raw events
+    assert(!p.contains("WindowExec"),
+      s"sliding-hll regressed to a raw-row window:\n$p")
+  }
+
   test("nb classify: model and class joins broadcast; the only " +
     "corpus-keyed window is the per-doc argmax (round 14)") {
     val p = plan("text_nb_classify")
