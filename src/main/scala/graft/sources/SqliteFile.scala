@@ -342,7 +342,13 @@ object SqliteFile {
       extends AutoCloseable {
     private val raf = new java.io.RandomAccessFile(path, "r")
     private var walRaf: java.io.RandomAccessFile = null
+    /** Pages fetched through this handle — the pruning receipt the
+      * incremental-read specs assert on (a rowid-bounded walk of a
+      * deep tree must touch O(matching leaves + spine), not O(tree)).
+      */
+    var reads: Int = 0
     def page(n: Int): Array[Byte] = {
+      reads += 1
       require(n >= 1 && n <= h.pageCount,
         s"page $n out of range 1..${h.pageCount}")
       val b = new Array[Byte](h.pageSize)
@@ -405,15 +411,31 @@ object SqliteFile {
     * slices an index ROOT's own records into their own partition.
     * One open file handle per iterator; closed when exhausted (or via
     * close()).
+    *
+    * Rowid-range pruning (round 14, the incremental-read primitive):
+    * `minEx`/`maxInc` restrict the walk to rowids in (minEx, maxInc].
+    * Interior TABLE cells carry the max rowid of their child subtree
+    * (fileformat2 §1.6: the key orders the children), so a bounded
+    * walk descends ONLY children whose rowid interval overlaps the
+    * bound — O(matching leaves + interior spine) pages, the indexed
+    * shape a `WHERE rowid > ?` takes inside sqlite itself. Leaves
+    * filter exactly. Bounds on an INDEX tree (WITHOUT ROWID content,
+    * whose keys are the declared PK, not a rowid) are refused loudly.
     */
-  private[sources] final class TableWalk(path: String, h: Header, root: Int)
+  private[sources] final class TableWalk(path: String, h: Header, root: Int,
+                                         minEx: Long = Long.MinValue,
+                                         maxInc: Long = Long.MaxValue)
       extends Iterator[(Long, IndexedSeq[Any])] with AutoCloseable {
     private val pf = new PageFile(path, h)
     private val cs = charsetOf(h.encoding)
+    private val bounded = minEx != Long.MinValue || maxInc != Long.MaxValue
     // stack of page numbers; negative = emit that page's cells only
     private var stack = List(root)
     private var cells: Iterator[(Long, IndexedSeq[Any])] = Iterator.empty
     private var open = true
+
+    /** Pages touched so far — the pruning receipt. */
+    def pagesRead: Int = pf.reads
 
     private def pageHeaderOff(n: Int) = if (n == 1) 100 else 0
 
@@ -430,18 +452,35 @@ object SqliteFile {
           case 0x05 => // interior table: children left-to-right + rightmost
             require(!cellsOnly, s"page $n: cells-only slice of a table " +
               "interior page has nothing to emit")
-            val ptrs = (0 until k).map { i =>
-              be(pg, be(pg, off + 12 + 2 * i, 2).toInt, 4).toInt
-            } :+ be(pg, off + 8, 4).toInt
-            stack = ptrs.toList ::: stack
+            // cell i = (4-byte child ptr, varint key); key = MAX rowid
+            // in that child, so child i covers (key_{i-1}, key_i] and
+            // the rightmost pointer covers (key_{k-1}, +inf)
+            var prevKey = Long.MinValue
+            val keep = List.newBuilder[Int]
+            var i = 0
+            while (i < k) {
+              val c = be(pg, off + 12 + 2 * i, 2).toInt
+              val child = be(pg, c, 4).toInt
+              val key = varint(pg, c + 4)._1
+              if (key > minEx && prevKey < maxInc) keep += child
+              prevKey = key
+              i += 1
+            }
+            if (prevKey < maxInc) keep += be(pg, off + 8, 4).toInt
+            stack = keep.result() ::: stack
           case 0x0d => // leaf table
-            cells = (0 until k).iterator.map { i =>
+            cells = (0 until k).iterator.flatMap { i =>
               val c = be(pg, off + 8 + 2 * i, 2).toInt
               val (p, n1) = varint(pg, c)
               val (rowid, n2) = varint(pg, c + n1)
-              (rowid, record(payload(pf, pg, c, p, c + n1 + n2), cs))
+              if (rowid > minEx && rowid <= maxInc)
+                Some((rowid, record(payload(pf, pg, c, p, c + n1 + n2), cs)))
+              else None
             }
           case 0x02 => // interior index: records in cells + children
+            require(!bounded, s"page $n: rowid bounds on an index " +
+              "b-tree (WITHOUT ROWID content) are meaningless - " +
+              "incremental reads need a rowid table")
             if (!cellsOnly) {
               val ptrs = (0 until k).map { i =>
                 be(pg, be(pg, off + 12 + 2 * i, 2).toInt, 4).toInt
@@ -454,6 +493,9 @@ object SqliteFile {
               (0L, record(payload(pf, pg, c, p, c + 4 + n1, index = true), cs))
             }
           case 0x0a => // leaf index
+            require(!bounded, s"page $n: rowid bounds on an index " +
+              "b-tree (WITHOUT ROWID content) are meaningless - " +
+              "incremental reads need a rowid table")
             cells = (0 until k).iterator.map { i =>
               val c = be(pg, off + 8 + 2 * i, 2).toInt
               val (p, n1) = varint(pg, c)
@@ -495,6 +537,147 @@ object SqliteFile {
         if (tpe == 0x02) children :+ (-n) else children
       }
     } finally pf.close()
+  }
+
+  /** The largest rowid in a rowid table — the incremental-read
+    * watermark. O(tree depth): follows the rightmost pointer spine to
+    * the last leaf cell, sqlite's own `SELECT max(rowid)` shape. None
+    * for an empty table; refuses WITHOUT ROWID tables (no rowid to
+    * watermark — incremental sync there needs a monotonic declared
+    * column, which is a query-level contract, not a file-level one).
+    */
+  def maxRowid(path: String, table: TableDef): Option[Long] = {
+    require(!table.withoutRowid,
+      s"${table.name} is WITHOUT ROWID - no rowid watermark exists; " +
+        "incremental reads need a rowid table")
+    val h = header(path)
+    val pf = new PageFile(path, h)
+    try {
+      var n = table.rootPage
+      while (true) {
+        val pg = pf.page(n)
+        val off = if (n == 1) 100 else 0
+        val tpe = pg(off) & 0xff
+        val k = be(pg, off + 3, 2).toInt
+        tpe match {
+          case 0x05 => n = be(pg, off + 8, 4).toInt // rightmost child
+          case 0x0d =>
+            if (k == 0) return None
+            // leaf cells are rowid-ordered; the last one is the max
+            val c = be(pg, off + 8 + 2 * (k - 1), 2).toInt
+            val n1 = varint(pg, c)._2
+            return Some(varint(pg, c + n1)._1)
+          case other => throw new IllegalStateException(
+            s"${table.name}: page $n has b-tree type $other, not a " +
+              "table page - corrupt rootpage or an index tree")
+        }
+      }
+      None
+    } finally pf.close()
+  }
+
+  /** Level-1 subtrees of a rowid table WITH their rowid intervals:
+    * (root, lowExclusive, highInclusive). An interior root's cell keys
+    * delimit the children ((key_{i-1}, key_i], rightmost unbounded);
+    * a leaf root is one unbounded subtree. This is what lets an
+    * incremental scan PLAN-prune whole subtrees before any task runs
+    * (only intervals overlapping (watermark, latest] become input
+    * partitions). Refuses WITHOUT ROWID tables like [[maxRowid]].
+    */
+  def subtreeRanges(path: String, table: TableDef): Seq[(Int, Long, Long)] = {
+    require(!table.withoutRowid,
+      s"${table.name} is WITHOUT ROWID - rowid subtree intervals do " +
+        "not exist; incremental reads need a rowid table")
+    val h = header(path)
+    val pf = new PageFile(path, h)
+    try {
+      val n = table.rootPage
+      val pg = pf.page(n)
+      val off = if (n == 1) 100 else 0
+      val tpe = pg(off) & 0xff
+      if (tpe == 0x0d) Seq((n, Long.MinValue, Long.MaxValue))
+      else {
+        require(tpe == 0x05, s"${table.name}: root page $n has b-tree " +
+          s"type $tpe, not a table page")
+        val k = be(pg, off + 3, 2).toInt
+        var prev = Long.MinValue
+        val out = Seq.newBuilder[(Int, Long, Long)]
+        var i = 0
+        while (i < k) {
+          val c = be(pg, off + 12 + 2 * i, 2).toInt
+          val child = be(pg, c, 4).toInt
+          val key = varint(pg, c + 4)._1
+          out += ((child, prev, key))
+          prev = key
+          i += 1
+        }
+        out += ((be(pg, off + 8, 4).toInt, prev, Long.MaxValue))
+        out.result()
+      }
+    } finally pf.close()
+  }
+
+  /** Diagnostic: pages touched by a LOCAL bounded walk of the whole
+    * tree — the pruning receipt (bounded walk over a deep tree must
+    * touch O(matching leaves + spine) pages, not O(tree)). Returns
+    * (rowsYielded, pagesRead).
+    */
+  def pagesTouched(path: String, table: TableDef,
+                   minExclusive: Long = Long.MinValue,
+                   maxInclusive: Long = Long.MaxValue): (Long, Int) = {
+    val h = header(path)
+    val w = new TableWalk(path, h, table.rootPage, minExclusive,
+      maxInclusive)
+    try {
+      var n = 0L
+      while (w.hasNext) { w.next(); n += 1 }
+      (n, w.pagesRead)
+    } finally w.close()
+  }
+
+  /** Incremental read: rows of a rowid table with rowid in
+    * (minExclusive, maxInclusive] — the watermark shape every
+    * incremental-sync run takes (`rowid > last_seen`, optionally
+    * capped at a consistent `maxInclusive` snapshot point so rows
+    * committed DURING the run land in the next one). Subtrees whose
+    * interval misses the bound are pruned at PLAN time; surviving
+    * walks prune interior-cell-by-interior-cell. Composes with the
+    * WAL/journal overlay in [[header]], so a live WAL database yields
+    * its newest committed rows. WITHOUT ROWID refuses (see
+    * [[maxRowid]]).
+    */
+  def readRange(spark: SparkSession, path: String, table: TableDef,
+                minExclusive: Long, maxInclusive: Long = Long.MaxValue,
+                maxPartitions: Int = 32): DataFrame = {
+    val h = header(path)
+    val schema = schemaOf(table)
+    val cols = table.columns.toIndexedSeq
+    val recIdx = table.recordIndex
+    val tname = table.name
+    val roots = subtreeRanges(path, table)
+      .filter { case (_, lo, hi) => hi > minExclusive && lo < maxInclusive }
+      .map(_._1)
+    if (roots.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    val groups = roots.grouped(
+      math.max(1, (roots.size + maxPartitions - 1) / maxPartitions)).toSeq
+    val rdd = spark.sparkContext
+      .parallelize(groups, math.max(1, groups.size))
+      .flatMap { subtrees =>
+        subtrees.iterator.flatMap { root =>
+          new TableWalk(path, h, root, minExclusive, maxInclusive).map {
+            case (rowid, vals) =>
+              Row.fromSeq(cols.zipWithIndex.map { case (c, i) =>
+                val src = recIdx(i)
+                if (c.rowidAlias) rowid
+                else if (src < vals.size) coerceValue(vals(src), c, tname)
+                else null
+              })
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
   }
 
   // ----------------------------------------------------- sqlite_master
