@@ -195,6 +195,37 @@ object EtlQueries {
         "o_orderstatus" -> col("o_orderstatus"),
         "o_orderdate" -> col("o_orderdate"),
         "o_totalprice" -> col("o_totalprice").cast("decimal(18,2)")))
+    },
+
+    // A11 (round 14, the batch twin of the SqliteCdcStream source):
+    // incremental-migration audit law. An incremental sync ships only
+    // key > watermark; the auditable question is "does already-loaded
+    // ⊕ delta reconstruct the full table?". Per priority group:
+    // counts and 60-bit XOR checksums (the export_manifest kernel —
+    // order-independent, so ANY engine recomputes them) for the
+    // already/delta split at watermark = max(key) div 2, plus the
+    // full-table checksum the merge must equal. One scan + one
+    // broadcast 1-row watermark; checksums merge by XOR exactly like
+    // TrainExport.mergeManifests.
+    "migrate_incremental" -> Q { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val wm = o.agg(expr("max(o_orderkey) div 2").as("watermark"))
+      val ck = graft.operators.TrainExport.checksum60(col("o_orderkey"))
+      o.crossJoin(broadcast(wm))
+        .select(col("o_orderpriority"), col("watermark"),
+          (col("o_orderkey") > col("watermark")).as("is_delta"),
+          ck.as("_ck"))
+        .groupBy("o_orderpriority", "watermark")
+        .agg(
+          sum(when(col("is_delta"), 0L).otherwise(1L)).as("n_already"),
+          sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+          expr("bit_xor(CASE WHEN is_delta THEN CAST(0 AS BIGINT) " +
+            "ELSE _ck END)").as("ck_already"),
+          expr("bit_xor(CASE WHEN is_delta THEN _ck " +
+            "ELSE CAST(0 AS BIGINT) END)").as("ck_delta"),
+          expr("bit_xor(_ck)").as("ck_full"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -386,5 +417,31 @@ object EtlQueries {
            |FROM orders""".stripMargin
       }
       .mkString("", " UNION ALL ", " ORDER BY \"column\"")
+  ,
+
+    // A11: the oracle recomputes the watermark split independently —
+    // the 60-bit checksum is the manifestSql positional md5 decode
+    // (first 15 hex chars), identical to TrainExport.checksum60's
+    // conv(substring(md5(id || ':42'), 1, 15), 16, 10).
+    "migrate_incremental" -> {
+      val h = "md5(CAST(o_orderkey AS VARCHAR) || ':42')"
+      val ck = (1 to 15).map { i =>
+        val p = BigInt(16).pow(15 - i)
+        s"(strpos('0123456789abcdef', substring($h,$i,1))-1)*$p"
+      }.mkString("(", " + ", ")")
+      s"""WITH wm AS (SELECT max(o_orderkey) // 2 AS watermark FROM orders),
+         |r AS (
+         | SELECT o_orderpriority, watermark,
+         |  o_orderkey > watermark AS is_delta,
+         |  CAST($ck AS BIGINT) AS ck
+         | FROM orders, wm)
+         |SELECT o_orderpriority, watermark,
+         | CAST(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS n_already,
+         | CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+         | CAST(bit_xor(CASE WHEN is_delta THEN CAST(0 AS BIGINT) ELSE ck END) AS BIGINT) AS ck_already,
+         | CAST(bit_xor(CASE WHEN is_delta THEN ck ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ck_delta,
+         | CAST(bit_xor(ck) AS BIGINT) AS ck_full
+         |FROM r GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin
+    }
   )
 }
