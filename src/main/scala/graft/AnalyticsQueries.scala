@@ -153,6 +153,28 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
 
+    // B73 (round 14): multiple linear regression — ClickHouse's
+    // stochasticLinearRegression niche done deterministically: SGD is
+    // sample-order-dependent (irreproducible distributed), so the
+    // batch engine solves the same linear model EXACTLY via the 3×3
+    // normal equations. Integer moments (quantity, discount-in-cents,
+    // whole-unit price — the q_linreg discipline), Cramer's rule as
+    // one fixed IEEE tree, singular groups → NULL.
+    "q_multi_linreg" -> Q { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 0)).cast(LongType).as("x1"),
+        expr("cast(cast(l_discount as decimal(18,2)) * 100 as bigint)")
+          .as("x2"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) div 100")
+          .as("y"))
+      StatTests.multipleLinearRegression2(li, col("l_returnflag"),
+        col("x1"), col("x2"), col("y"))
+        .select(col("grp").as("l_returnflag"), col("n"),
+          col("intercept"), col("beta1").as("beta_qty"),
+          col("beta2").as("beta_disc"))
+        .orderBy("l_returnflag")
+    },
+
     // B40 (round 12): ClickHouse welchTTest — does click value differ
     // from view value, per day? Cents-exact moments, fixed IEEE tree.
     "q_welch_ttest" -> Q { (s, d) =>
@@ -1417,6 +1439,52 @@ object AnalyticsQueries {
         |  ELSE (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
         |       CAST(n AS DOUBLE) END AS intercept, n
         |FROM k ORDER BY 1""".stripMargin,
+
+    // B73 replay: identical integer moments, identical first-row
+    // cofactor expansion (left-assoc a*(ei−fh) − b*(di−fg) + c*(dh−eg))
+    // on double-cast moments — term-for-term the operator's tree
+    "q_multi_linreg" -> {
+      def det3(a: String, b: String, c: String, d: String, e: String,
+               f: String, g: String, h: String, i: String) =
+        s"$a*($e*$i - $f*$h) - $b*($d*$i - $f*$g) + $c*($d*$h - $e*$g)"
+      val det = det3("nn", "f1", "f2", "f1", "f11", "f12", "f2", "f12", "f22")
+      val det0 = det3("fy", "f1", "f2", "f1y", "f11", "f12", "f2y", "f12", "f22")
+      val det1 = det3("nn", "fy", "f2", "f1", "f1y", "f12", "f2", "f2y", "f22")
+      val det2 = det3("nn", "f1", "fy", "f1", "f11", "f1y", "f2", "f12", "f2y")
+      s"""WITH src AS (
+         | SELECT l_returnflag AS grp,
+         |  CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS x1,
+         |  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   // 100 AS y
+         | FROM lineitem),
+         |m AS (
+         | SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |  CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x1*x1) AS BIGINT) AS s11,
+         |  CAST(sum(x2*x2) AS BIGINT) AS s22,
+         |  CAST(sum(x1*x2) AS BIGINT) AS s12,
+         |  CAST(sum(x1*y) AS BIGINT) AS s1y,
+         |  CAST(sum(x2*y) AS BIGINT) AS s2y
+         | FROM src GROUP BY 1),
+         |f AS (
+         | SELECT grp, n, CAST(n AS DOUBLE) AS nn,
+         |  CAST(s1 AS DOUBLE) AS f1, CAST(s2 AS DOUBLE) AS f2,
+         |  CAST(sy AS DOUBLE) AS fy, CAST(s11 AS DOUBLE) AS f11,
+         |  CAST(s22 AS DOUBLE) AS f22, CAST(s12 AS DOUBLE) AS f12,
+         |  CAST(s1y AS DOUBLE) AS f1y, CAST(s2y AS DOUBLE) AS f2y
+         | FROM m),
+         |k AS (
+         | SELECT grp, n, $det AS det, $det0 AS det0, $det1 AS det1,
+         |  $det2 AS det2
+         | FROM f)
+         |SELECT grp AS l_returnflag, n,
+         | CASE WHEN det = 0 THEN NULL ELSE det0/det END AS intercept,
+         | CASE WHEN det = 0 THEN NULL ELSE det1/det END AS beta_qty,
+         | CASE WHEN det = 0 THEN NULL ELSE det2/det END AS beta_disc
+         |FROM k ORDER BY 1""".stripMargin
+    },
 
     // welchTTest replay: same cents moments, same fixed IEEE tree —
     // m, v, e, se staged in CTEs exactly as the operator's withColumns

@@ -67,7 +67,8 @@ object Bench {
     "q_interval_join", "q_anova",
     // round-14 additions
     "q_moving_sum", "q_histogram_adaptive", "q_journey_topk",
-    "q_attribution", "q_profile")
+    "q_attribution", "q_profile", "migrate_incremental",
+    "q_multi_linreg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -59,6 +59,56 @@ object StatTests {
       .select(col("grp"), col("slope"), col("intercept"), col("n"))
   }
 
+  /** Deterministic batch OLS with two features + intercept — the
+    * reproducible equivalent of ClickHouse's
+    * `stochasticLinearRegression` (SGD is sample-order-dependent, so
+    * a distributed replay cannot reproduce it bit-for-bit; a batch
+    * engine solves the SAME linear model exactly via the 3×3 normal
+    * equations instead — the deviation is documented, not hidden).
+    * Moments are exact integer sums (callers integerize features,
+    * the q_linreg discipline) in ONE partial-agg shuffle — 9 longs of
+    * state per group regardless of input size; the solve is Cramer's
+    * rule as one fixed IEEE tree on double-CAST moments (each moment
+    * cast before any product — the covar overflow-envelope lesson),
+    * replayed term-for-term in the oracle. Singular systems
+    * (collinear features, degenerate groups) yield NULL coefficients
+    * rather than a pseudo-inverse guess.
+    */
+  def multipleLinearRegression2(df: DataFrame, group: Column, x1: Column,
+                                x2: Column, y: Column): DataFrame = {
+    val m = df.select(group.as("grp"), x1.as("__x1"), x2.as("__x2"),
+        y.as("__y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x1")).as("__s1"), sum(col("__x2")).as("__s2"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x1") * col("__x1")).as("__s11"),
+        sum(col("__x2") * col("__x2")).as("__s22"),
+        sum(col("__x1") * col("__x2")).as("__s12"),
+        sum(col("__x1") * col("__y")).as("__s1y"),
+        sum(col("__x2") * col("__y")).as("__s2y"))
+    def d(c: String) = col(c).cast("double")
+    val (nn, s1, s2, sy) = (d("n"), d("__s1"), d("__s2"), d("__sy"))
+    val (s11, s22, s12, s1y, s2y) =
+      (d("__s11"), d("__s22"), d("__s12"), d("__s1y"), d("__s2y"))
+    // 3×3 determinant, first-row cofactor expansion — the EXACT tree
+    // the oracle SQL writes (left-assoc a*(ei−fh) − b*(di−fg) +
+    // c*(dh−eg); every multiply/subtract in the same order)
+    def det3(a: Column, b: Column, c: Column, dd: Column, e: Column,
+             f: Column, g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (dd * i - f * g) + c * (dd * h - e * g)
+    // normal equations M·β = r with M = [[n,s1,s2],[s1,s11,s12],
+    // [s2,s12,s22]], r = [sy,s1y,s2y]; βᵢ = det(M with col i := r)/det(M)
+    val det = det3(nn, s1, s2, s1, s11, s12, s2, s12, s22)
+    val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val det1 = det3(nn, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val det2 = det3(nn, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    m.select(col("grp"), col("n"),
+      when(det === 0d, lit(null)).otherwise(det0 / det).as("intercept"),
+      when(det === 0d, lit(null)).otherwise(det1 / det).as("beta1"),
+      when(det === 0d, lit(null)).otherwise(det2 / det).as("beta2"))
+  }
+
   /** ClickHouse `welchTTest(v, idx)`: per group, Welch's unequal-
     * variance t statistic between sample 0 and sample 1, plus the
     * Welch–Satterthwaite degrees of freedom (CH returns (t, p); the

@@ -20,6 +20,26 @@ class StatTestsSpec extends SparkFunSuite {
     assert(out(1).isNullAt(1) && out(1).isNullAt(2))
   }
 
+  test("multipleLinearRegression2: exact plane recovery, collinear " +
+      "group is NULL, reduces to simple OLS when x2 is informative-free") {
+    val plane = for (x1 <- 1L to 5L; x2 <- 0L to 3L)
+      yield ("a", x1, x2, 3L + 2L * x1 + 5L * x2) // y = 3 + 2·x1 + 5·x2
+    // g=b: x2 constant -> collinear with the intercept -> singular
+    val sing = Seq(("b", 1L, 7L, 10L), ("b", 2L, 7L, 12L),
+      ("b", 3L, 7L, 14L))
+    val df = (plane ++ sing).toDF("g", "x1", "x2", "y")
+    val out = StatTests.multipleLinearRegression2(df, col("g"),
+      col("x1"), col("x2"), col("y")).orderBy("grp").collect()
+    assert(out(0).getString(0) == "a" && out(0).getLong(1) == 20L)
+    // the plane is exact in the integer moments: Cramer recovers it
+    // to double round-off
+    assert(math.abs(out(0).getDouble(2) - 3.0) < 1e-9)
+    assert(math.abs(out(0).getDouble(3) - 2.0) < 1e-9)
+    assert(math.abs(out(0).getDouble(4) - 5.0) < 1e-9)
+    assert(out(1).getString(0) == "b")
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3) && out(1).isNullAt(4))
+  }
+
   test("welchTTest: matches the plain-Scala Welch formula; tiny groups dropped") {
     val s0 = Seq(10L, 12L, 14L, 16L)
     val s1 = Seq(20L, 21L, 19L, 30L, 25L)
