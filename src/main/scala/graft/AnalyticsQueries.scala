@@ -175,6 +175,28 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
 
+    // B75 (round 14): ClickHouse corrMatrix — all pairwise Pearson
+    // correlations of (quantity, whole-unit price, discount-cents) in
+    // ONE pass, 10 longs of state per group. Whole units (not cents)
+    // for the price keep the Σx² envelope inside 2⁶³ at ~1e6-row
+    // groups; √ is the one portable power function, so the tree
+    // replays exactly.
+    "q_corr_matrix" -> Q { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 0)).cast(LongType).as("x1"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) div 100")
+          .as("x2"),
+        expr("cast(cast(l_discount as decimal(18,2)) * 100 as bigint)")
+          .as("x3"))
+      StatTests.corrMatrix3(li, col("l_returnflag"),
+        col("x1"), col("x2"), col("x3"))
+        .select(col("grp").as("l_returnflag"), col("n"),
+          col("corr_12").as("corr_qty_price"),
+          col("corr_13").as("corr_qty_disc"),
+          col("corr_23").as("corr_price_disc"))
+        .orderBy("l_returnflag")
+    },
+
     // B40 (round 12): ClickHouse welchTTest — does click value differ
     // from view value, per day? Cents-exact moments, fixed IEEE tree.
     "q_welch_ttest" -> Q { (s, d) =>
@@ -1484,6 +1506,47 @@ object AnalyticsQueries {
          | CASE WHEN det = 0 THEN NULL ELSE det1/det END AS beta_qty,
          | CASE WHEN det = 0 THEN NULL ELSE det2/det END AS beta_disc
          |FROM k ORDER BY 1""".stripMargin
+    },
+
+    // B75 replay: same integer moments, same per-pair tree
+    // (n·Σxy−ΣxΣy)/(√(n·Σxx−Σx²)·√(n·Σyy−Σy²)) on double casts
+    "q_corr_matrix" -> {
+      def corr(si: String, sj: String, sij: String, sii: String,
+               sjj: String) =
+        s"CASE WHEN sqrt(nn*$sii - $si*$si) * sqrt(nn*$sjj - $sj*$sj) = 0" +
+          s" THEN NULL ELSE (nn*$sij - $si*$sj) /" +
+          s" (sqrt(nn*$sii - $si*$si) * sqrt(nn*$sjj - $sj*$sj)) END"
+      s"""WITH src AS (
+         | SELECT l_returnflag AS grp,
+         |  CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS x1,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   // 100 AS x2,
+         |  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x3
+         | FROM lineitem),
+         |m AS (
+         | SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |  CAST(sum(x3) AS BIGINT) AS s3,
+         |  CAST(sum(x1*x1) AS BIGINT) AS s11,
+         |  CAST(sum(x2*x2) AS BIGINT) AS s22,
+         |  CAST(sum(x3*x3) AS BIGINT) AS s33,
+         |  CAST(sum(x1*x2) AS BIGINT) AS s12,
+         |  CAST(sum(x1*x3) AS BIGINT) AS s13,
+         |  CAST(sum(x2*x3) AS BIGINT) AS s23
+         | FROM src GROUP BY 1),
+         |f AS (
+         | SELECT grp, n, CAST(n AS DOUBLE) AS nn,
+         |  CAST(s1 AS DOUBLE) AS f1, CAST(s2 AS DOUBLE) AS f2,
+         |  CAST(s3 AS DOUBLE) AS f3, CAST(s11 AS DOUBLE) AS f11,
+         |  CAST(s22 AS DOUBLE) AS f22, CAST(s33 AS DOUBLE) AS f33,
+         |  CAST(s12 AS DOUBLE) AS f12, CAST(s13 AS DOUBLE) AS f13,
+         |  CAST(s23 AS DOUBLE) AS f23
+         | FROM m)
+         |SELECT grp AS l_returnflag, n,
+         | ${corr("f1", "f2", "f12", "f11", "f22")} AS corr_qty_price,
+         | ${corr("f1", "f3", "f13", "f11", "f33")} AS corr_qty_disc,
+         | ${corr("f2", "f3", "f23", "f22", "f33")} AS corr_price_disc
+         |FROM f ORDER BY 1""".stripMargin
     },
 
     // welchTTest replay: same cents moments, same fixed IEEE tree —

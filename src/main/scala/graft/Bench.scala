@@ -68,7 +68,7 @@ object Bench {
     // round-14 additions
     "q_moving_sum", "q_histogram_adaptive", "q_journey_topk",
     "q_attribution", "q_profile", "migrate_incremental",
-    "q_multi_linreg")
+    "q_multi_linreg", "q_window_suite", "q_corr_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

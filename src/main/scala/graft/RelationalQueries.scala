@@ -92,6 +92,34 @@ object RelationalQueries {
         .orderBy("day")
     },
 
+    // B74 (round 14): the navigation/distribution window-function
+    // suite — lag/lead/row_number/ntile/percent_rank/cume_dist, the
+    // bread-and-butter OLAP windows a migrated warehouse user reaches
+    // for daily, pinned for cross-engine parity in one gate. The
+    // partition key is the HIGH-cardinality o_custkey (the scale
+    // story: per-key ordering work is bounded by orders-per-customer,
+    // never a global or low-cardinality sort; a priority-partitioned
+    // window would serialize 1/5 of the table per task). Prices ride
+    // as exact cents; percent_rank/cume_dist are single divides, and
+    // both engines define the 1-row partition as pr=0, cd=1.
+    "q_window_suite" -> Q { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+          .as("price_c"),
+        col("o_orderdate"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(col("o_orderkey"), col("o_custkey"),
+        lag("price_c", 1).over(w).as("prev_price"),
+        lead("price_c", 1).over(w).as("next_price"),
+        row_number().over(w).cast(LongType).as("rn"),
+        ntile(4).over(w).cast(LongType).as("tile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    },
+
     // B24: moment statistics (CH varSamp/stddevSamp) from EXACT decimal
     // power sums — never a streaming-variance double reduction, whose
     // result depends on partitioning. n, Σx, Σx² are exact; the variance
@@ -353,6 +381,28 @@ object RelationalQueries {
         | CAST(sum(u_events) AS BIGINT) AS sum_u
         |FROM events JOIN dim USING (user_id)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // B74: identical window definition; ntile/percent_rank/cume_dist
+    // are SQL-standard on both engines (1-row partition: pr=0, cd=1,
+    // verified); the (o_orderdate, o_orderkey) order is total, so
+    // every navigation value is deterministic
+    "q_window_suite" ->
+      """SELECT o_orderkey, o_custkey,
+        | lag(price_c) OVER w AS prev_price,
+        | lead(price_c) OVER w AS next_price,
+        | CAST(row_number() OVER w AS BIGINT) AS rn,
+        | CAST(ntile(4) OVER w AS BIGINT) AS tile,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM (
+        | SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS price_c,
+        |  o_orderdate
+        | FROM orders) t
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_set_ops" ->
       """SELECT 'purchase_and_click' AS grp, user_id FROM (

@@ -59,6 +59,50 @@ object StatTests {
       .select(col("grp"), col("slope"), col("intercept"), col("n"))
   }
 
+  /** ClickHouse `corrMatrix(x1, x2, x3)`: all pairwise Pearson
+    * correlations in ONE aggregation pass — 10 longs of state per
+    * group (n + 3 sums + 3 squares + 3 cross-products) regardless of
+    * input size, the same moments discipline as the t-test family.
+    * Each correlation is the fixed IEEE tree
+    * (n·Σxy − ΣxΣy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²)) on
+    * double-CAST moments — √ is the one portable power function
+    * (IEEE correctly-rounded on both engines), so the oracle replays
+    * it term-for-term. Zero-variance pairs → NULL. Callers integerize
+    * inputs (the overflow envelope is the caller's units choice —
+    * whole units, not cents, for ~1e5-magnitude values over ~1e6-row
+    * groups).
+    */
+  def corrMatrix3(df: DataFrame, group: Column, x1: Column, x2: Column,
+                  x3: Column): DataFrame = {
+    val m = df.select(group.as("grp"), x1.as("__x1"), x2.as("__x2"),
+        x3.as("__x3"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x1")).as("__s1"), sum(col("__x2")).as("__s2"),
+        sum(col("__x3")).as("__s3"),
+        sum(col("__x1") * col("__x1")).as("__s11"),
+        sum(col("__x2") * col("__x2")).as("__s22"),
+        sum(col("__x3") * col("__x3")).as("__s33"),
+        sum(col("__x1") * col("__x2")).as("__s12"),
+        sum(col("__x1") * col("__x3")).as("__s13"),
+        sum(col("__x2") * col("__x3")).as("__s23"))
+    def d(c: String) = col(c).cast("double")
+    val nn = d("n")
+    def corr(si: Column, sj: Column, sij: Column, sii: Column,
+             sjj: Column): Column = {
+      val num = nn * sij - si * sj
+      val den = sqrt(nn * sii - si * si) * sqrt(nn * sjj - sj * sj)
+      when(den === 0d, lit(null)).otherwise(num / den)
+    }
+    m.select(col("grp"), col("n"),
+      corr(d("__s1"), d("__s2"), d("__s12"), d("__s11"), d("__s22"))
+        .as("corr_12"),
+      corr(d("__s1"), d("__s3"), d("__s13"), d("__s11"), d("__s33"))
+        .as("corr_13"),
+      corr(d("__s2"), d("__s3"), d("__s23"), d("__s22"), d("__s33"))
+        .as("corr_23"))
+  }
+
   /** Deterministic batch OLS with two features + intercept — the
     * reproducible equivalent of ClickHouse's
     * `stochasticLinearRegression` (SGD is sample-order-dependent, so

@@ -40,6 +40,34 @@ class StatTestsSpec extends SparkFunSuite {
     assert(out(1).isNullAt(2) && out(1).isNullAt(3) && out(1).isNullAt(4))
   }
 
+  test("corrMatrix3: matches plain-Scala Pearson; zero-variance pair NULL; " +
+      "perfect linear pair = ±1 to round-off") {
+    val xs = Seq(1L, 2L, 3L, 4L, 5L, 9L)
+    val rows = xs.map(x => ("a", x, 10L - 2L * x, (x * x) % 7L))
+    val zv = Seq(("b", 1L, 5L, 2L), ("b", 2L, 5L, 3L)) // x2 constant
+    val df = (rows ++ zv).toDF("g", "x1", "x2", "x3")
+    val out = StatTests.corrMatrix3(df, col("g"), col("x1"), col("x2"),
+      col("x3")).orderBy("grp").collect()
+    // g=a: x2 = 10 - 2·x1 exactly -> corr_12 = -1 (to round-off)
+    assert(math.abs(out(0).getDouble(2) - (-1.0)) < 1e-12)
+    // plain-Scala replay of corr_13 with the same moment tree
+    def pearson(u: Seq[Long], v: Seq[Long]): Double = {
+      val n = u.size.toDouble
+      val (su, sv) = (u.sum.toDouble, v.sum.toDouble)
+      val suu = u.map(a => a * a).sum.toDouble
+      val svv = v.map(a => a * a).sum.toDouble
+      val suv = u.zip(v).map { case (a, b) => a * b }.sum.toDouble
+      (n * suv - su * sv) /
+        (math.sqrt(n * suu - su * su) * math.sqrt(n * svv - sv * sv))
+    }
+    val x3s = xs.map(x => (x * x) % 7L)
+    assert(out(0).getDouble(3) == pearson(xs, x3s))
+    // g=b: x2 has zero variance -> its pairs are NULL, the x1-x3 pair
+    // is still defined
+    assert(out(1).isNullAt(2) && out(1).isNullAt(4))
+    assert(!out(1).isNullAt(3))
+  }
+
   test("welchTTest: matches the plain-Scala Welch formula; tiny groups dropped") {
     val s0 = Seq(10L, 12L, 14L, 16L)
     val s1 = Seq(20L, 21L, 19L, 30L, 25L)
