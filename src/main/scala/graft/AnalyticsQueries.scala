@@ -1207,6 +1207,83 @@ object AnalyticsQueries {
         .withColumn("mavg3",
           col("ms3_cents").cast(DoubleType) / 100.0 / 3.0)
         .orderBy("event_type", "day")
+    },
+
+    // B76 (round 14): classical additive seasonal decomposition — the
+    // ClickHouse seriesDecomposeSTL niche done DETERMINISTICALLY (STL
+    // runs loess fits that no second engine replays bit-for-bit; the
+    // classical form's arithmetic is exact — the q_multi_linreg
+    // precedent of swapping an iterative method for its closed
+    // classical twin, deviation documented). Trend = centered 7-day
+    // MA kept as an exact ×7-scaled long (RANGE frame: calendar gaps
+    // leave the window incomplete and the trend NULL instead of
+    // sliding over them); seasonal = per-(type, weekday-phase) mean
+    // of the exact detrended values — ONE IEEE divide; resid = the
+    // fixed double tree value − trend − seasonal. Raw rows collapse
+    // to the per-(type, day) cents relation in one map-side-combined
+    // shuffle; everything after is calendar-bounded.
+    "q_stl_decompose" -> Q { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .agg(sum((col("value").cast(d2) * 100).cast(LongType)).as("cents"))
+      graft.operators.Series.decompose(daily, "event_type", "day", "cents", 7)
+        .orderBy("event_type", "day")
+    },
+
+    // B77 (round 14): autocorrelation period detection — the CH
+    // seriesPeriodDetectFFT niche without the libm FFT: integer ACF
+    // over the FLOOR-mean-centered daily series (non-negative sums,
+    // so Spark div and DuckDB // agree), every product and sum an
+    // exact BIGINT, ONE IEEE divide per lag for the normalized
+    // score, peak = row_number over (score DESC, lag ASC) — a total
+    // order. The lag self-join runs on the calendar-bounded daily
+    // relation, never raw rows.
+    "q_period_detect" -> Q { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .agg(sum((col("value").cast(d2) * 100).cast(LongType)).as("cents"))
+      graft.operators.Series.periodDetect(
+          daily, "event_type", "day", "cents", 2, 10)
+        .orderBy("event_type", "lag")
+    },
+
+    // B78 (round 14): WoE / Information Value — ClickHouse
+    // `categoricalInformationValue`, the feature-selection aggregate.
+    // Real-valued WoE = ln((g_c/G)/(b_c/B)) rides libm, so the gate
+    // pins three deterministic forms per category: the exact odds-
+    // ratio integers num = g_c·B, den = b_c·G (cross-multiplied — no
+    // division), their IEEE ratio (ONE divide, the score-tree rule),
+    // and the DYADIC log form floor(log2 num) − floor(log2 den) with
+    // the ×(num − den) IV numerator kept integer (the §11 discipline:
+    // the log2-floor ranking a 100 TB feature scan can compute with
+    // zero libm). Zero cells → NULL woe, the CH contract. One
+    // partial-agg shuffle + a broadcast 1-row totals frame.
+    "q_info_value" -> Q { (s, d) =>
+      val o = Tables.orders(s, d)
+      val isBad = col("o_orderstatus") === "F"
+      val tot = o.agg(
+        sum(when(isBad, 0L).otherwise(1L)).as("g_tot"),
+        sum(when(isBad, 1L).otherwise(0L)).as("b_tot"))
+      val per = o.groupBy("o_orderpriority")
+        .agg(sum(when(isBad, 0L).otherwise(1L)).as("n_good"),
+          sum(when(isBad, 1L).otherwise(0L)).as("n_bad"))
+      def flog2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        length(bin(c)).cast(LongType) - 1L
+      per.crossJoin(broadcast(tot)) // bounded: 1 row
+        .withColumn("odds_num", col("n_good") * col("b_tot"))
+        .withColumn("odds_den", col("n_bad") * col("g_tot"))
+        .withColumn("odds_ratio",
+          when(col("odds_den") > 0,
+            col("odds_num").cast(DoubleType) / col("odds_den").cast(DoubleType)))
+        .withColumn("woe2",
+          when(col("n_good") > 0 && col("n_bad") > 0,
+            flog2(col("odds_num")) - flog2(col("odds_den"))))
+        .withColumn("iv2_scaled",
+          (col("odds_num") - col("odds_den")) * col("woe2"))
+        .select(col("o_orderpriority"), col("n_good"), col("n_bad"),
+          col("odds_num"), col("odds_den"), col("odds_ratio"),
+          col("woe2"), col("iv2_scaled"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -2907,6 +2984,110 @@ object AnalyticsQueries {
         | CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY day
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |  / 100.0 / 3.0 AS mavg3
-        |FROM daily ORDER BY event_type, day""".stripMargin
+        |FROM daily ORDER BY event_type, day""".stripMargin,
+
+    // decomposition replay: identical RANGE frame, identical ×7-scaled
+    // integer detrending, the same single divides in the same spots
+    "q_stl_decompose" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        |w AS (
+        | SELECT event_type, day, cents,
+        |  CAST(sum(cents) OVER win AS BIGINT) AS tsum,
+        |  count(*) OVER win AS tn
+        | FROM daily
+        | WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t AS (
+        | SELECT event_type, day, cents,
+        |  CASE WHEN tn = 7 THEN tsum END AS tsum, day % 7 AS phase
+        | FROM w),
+        |dd AS (SELECT *, 7 * cents - tsum AS dt FROM t),
+        |seas AS (
+        | SELECT event_type, phase,
+        |  CAST(sum(dt) AS DOUBLE) / CAST(7 * count(*) AS DOUBLE)
+        |   AS seasonal
+        | FROM dd WHERE dt IS NOT NULL GROUP BY 1, 2)
+        |SELECT dd.event_type, dd.day, dd.cents,
+        | CAST(dd.tsum AS DOUBLE) / 7.0 AS trend,
+        | CASE WHEN dd.tsum IS NOT NULL THEN s.seasonal END AS seasonal,
+        | CAST(dd.cents AS DOUBLE) - CAST(dd.tsum AS DOUBLE) / 7.0
+        |  - CASE WHEN dd.tsum IS NOT NULL THEN s.seasonal END AS resid
+        |FROM dd LEFT JOIN seas s
+        | ON s.event_type = dd.event_type AND s.phase = dd.phase
+        |ORDER BY dd.event_type, dd.day""".stripMargin,
+
+    // ACF replay: same floor-mean centering (non-negative sums, // =
+    // div), same exact products, same one-divide score, same peak rule
+    "q_period_detect" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        |st AS (
+        | SELECT event_type, CAST(sum(cents) // count(*) AS BIGINT) AS m
+        | FROM daily GROUP BY 1),
+        |c AS (
+        | SELECT d.event_type, d.day, d.cents - st.m AS y
+        | FROM daily d JOIN st USING (event_type)),
+        |acf AS (
+        | SELECT a.event_type, l.lag,
+        |  CAST(sum(a.y * b.y) AS BIGINT) AS acf_num,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        | FROM c a CROSS JOIN (SELECT unnest(range(2, 11)) AS lag) l
+        | JOIN c b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+        | GROUP BY 1, 2),
+        |sc AS (
+        | SELECT *, CAST(acf_num AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+        |  AS score
+        | FROM acf),
+        |r AS (
+        | SELECT *, CASE WHEN n_pairs >= 2 THEN row_number() OVER (
+        |   PARTITION BY event_type ORDER BY score DESC, lag ASC) END AS rn
+        | FROM sc)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag, acf_num, n_pairs,
+        | score, coalesce(rn = 1, false) AS is_best
+        |FROM r ORDER BY event_type, lag""".stripMargin,
+
+    // WoE/IV replay: cross-multiplied integer odds, one IEEE ratio
+    // divide, dyadic log2 via length(bin(x)) − 1
+    "q_info_value" ->
+      """WITH o AS (
+        | SELECT o_orderpriority, o_orderstatus = 'F' AS is_bad
+        | FROM orders),
+        |tot AS (
+        | SELECT CAST(sum(CASE WHEN is_bad THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS g_tot,
+        |  CAST(sum(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS b_tot
+        | FROM o),
+        |per AS (
+        | SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN is_bad THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS n_good,
+        |  CAST(sum(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_bad
+        | FROM o GROUP BY 1),
+        |j AS (
+        | SELECT p.*, t.g_tot, t.b_tot,
+        |  p.n_good * t.b_tot AS odds_num,
+        |  p.n_bad * t.g_tot AS odds_den
+        | FROM per p CROSS JOIN tot t)
+        |SELECT o_orderpriority, n_good, n_bad, odds_num, odds_den,
+        | CASE WHEN odds_den > 0 THEN
+        |  CAST(odds_num AS DOUBLE) / CAST(odds_den AS DOUBLE) END
+        |  AS odds_ratio,
+        | CASE WHEN n_good > 0 AND n_bad > 0 THEN
+        |  (length(bin(odds_num)) - 1) - (length(bin(odds_den)) - 1) END
+        |  AS woe2,
+        | CAST((odds_num - odds_den) *
+        |  (CASE WHEN n_good > 0 AND n_bad > 0 THEN
+        |   (length(bin(odds_num)) - 1) - (length(bin(odds_den)) - 1) END)
+        |  AS BIGINT) AS iv2_scaled
+        |FROM j ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -68,7 +68,9 @@ object Bench {
     // round-14 additions
     "q_moving_sum", "q_histogram_adaptive", "q_journey_topk",
     "q_attribution", "q_profile", "migrate_incremental",
-    "q_multi_linreg", "q_window_suite", "q_corr_matrix")
+    "q_multi_linreg", "q_window_suite", "q_corr_matrix",
+    "q_stl_decompose", "q_period_detect", "q_info_value",
+    "q_group_concat", "q_ttl_expire", "text_dsir")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

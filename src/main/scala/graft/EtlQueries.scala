@@ -226,6 +226,27 @@ object EtlQueries {
             "ELSE CAST(0 AS BIGINT) END)").as("ck_delta"),
           expr("bit_xor(_ck)").as("ck_full"))
         .orderBy("o_orderpriority")
+    },
+
+    // A13 (round 14): MergeTree TTL with GROUP BY rollup — `TTL day +
+    // INTERVAL 20 DAY GROUP BY event_type SET n = sum(n), cents =
+    // sum(cents)`: rows past the horizon age into ONE aggregate row
+    // per group instead of being dropped; fresh rows pass through.
+    // The horizon is max(day) − 20 (a pure function of the data — CH
+    // evaluates now() at merge time, the documented deviation), the
+    // rolled row's day is min(day) (CH's "first row in ORDER BY
+    // order" rule stated relationally). One scan + one bounded
+    // partial-agg shuffle; daily exact-cents pre-agg first, so the
+    // rollup never touches raw rows.
+    "q_ttl_expire" -> Q { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("value").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType)).as("cents"))
+      ReplacingMerge.ttlRollup(daily, "day", 20L,
+          Seq("event_type"), Seq("n_rows", "cents"))
+        .orderBy("event_type", "day")
     }
   )
 
@@ -442,6 +463,27 @@ object EtlQueries {
          | CAST(bit_xor(CASE WHEN is_delta THEN ck ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ck_delta,
          | CAST(bit_xor(ck) AS BIGINT) AS ck_full
          |FROM r GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin
-    }
+    },
+
+    // A13: the TTL rollup replayed — same data-derived horizon, same
+    // min-day representative, same exact-cents kernel.
+    "q_ttl_expire" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        |b AS (SELECT max(day) - 20 AS cut FROM daily),
+        |fresh AS (
+        | SELECT event_type, day, n_rows, cents, false AS is_rolled
+        | FROM daily, b WHERE day > cut),
+        |rolled AS (
+        | SELECT event_type, min(day) AS day,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS cents, true AS is_rolled
+        | FROM daily, b WHERE day <= cut GROUP BY 1)
+        |SELECT * FROM fresh UNION ALL SELECT * FROM rolled
+        |ORDER BY event_type, day""".stripMargin
   )
 }

@@ -256,6 +256,27 @@ object RelationalQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("u_events")).as("sum_u"))
         .orderBy("event_type")
+    },
+
+    // B79 (round 14): ordered group concatenation — ClickHouse
+    // groupUniqArray + arrayStringConcat (and ANSI string_agg): the
+    // canonical "list the categories per group" rollup. Deterministic
+    // ONLY because the set is sorted before joining (an unordered
+    // string_agg is partitioning-dependent — the trap this gate
+    // pins). Both collected sets are bounded relations (≤ #statuses,
+    // ≤ #months), so collect_set survives any corpus size; the count
+    // rides the same partial-agg pass.
+    "q_group_concat" -> Q { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+            .as("statuses"),
+          array_join(array_sort(collect_set(
+            date_format(col("l_shipdate"), "yyyy-MM"))), ",")
+            .as("ship_months"),
+          countDistinct(col("l_linestatus")).as("n_status"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -414,6 +435,20 @@ object RelationalQueries {
         | SELECT user_id FROM events WHERE event_type = 'view'
         | EXCEPT
         | SELECT user_id FROM events WHERE event_type = 'purchase')
-        |ORDER BY grp, user_id""".stripMargin
+        |ORDER BY grp, user_id""".stripMargin,
+
+    // B79: sorted-distinct concatenation via list ops (DuckDB's
+    // string_agg ordering guarantees are looser; the sorted list is
+    // the deterministic common form). Timestamp months format the
+    // same under the UTC session timezone.
+    "q_group_concat" ->
+      """SELECT l_returnflag,
+        | array_to_string(list_sort(list_distinct(list(l_linestatus))),
+        |   ',') AS statuses,
+        | array_to_string(list_sort(list_distinct(
+        |   list(strftime(l_shipdate, '%Y-%m')))), ',') AS ship_months,
+        | CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

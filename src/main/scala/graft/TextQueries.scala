@@ -462,6 +462,23 @@ object TextQueries {
     "text_bm25" -> Q { (s, d) =>
       graft.operators.Bm25.rank(Tables.documents(s, d), "doc_id", "text",
         Seq("hash join", "window merge", "scan filter"), k = 20)
+    },
+
+    // C46 (oracle, round 14): DSIR — Data Selection via Importance
+    // Resampling (Xie et al. 2023): score every document by how much
+    // its hashed-unigram distribution looks like the TARGET subset
+    // (lang = 'en') versus the raw corpus, then keep the top-50 by
+    // the deterministic importance ranking. Dyadic floor-log2 ratios
+    // make the score one exact BIGINT per doc (the text_lm_score /
+    // text_nb_classify discipline — the documented deviation from the
+    // paper's real-valued logs + Gumbel noise); both bucket-count
+    // distributions are ≤ 4096-row broadcast relations; text never
+    // shuffles.
+    "text_dsir" -> Q { (s, d) =>
+      val scored = graft.operators.Dsir.scores(
+        Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en", seed = 7L, nBuckets = 4096)
+      graft.operators.Dsir.selectTopK(scored, "doc_id", 50)
     }
   )
 
@@ -1104,6 +1121,49 @@ object TextQueries {
          | FROM sc GROUP BY 1, 2)
          |SELECT doc_id, dl, s1, s2, s3, $total AS bm25
          |FROM pv ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    // C46: the oracle replays DSIR end to end — same md5 feature
+    // buckets (positional hex decode, seed 7, mod 4096), same dyadic
+    // floor-log2 = length(bin(x))-1 ratios, same Laplace(+1) and +B
+    // smoothing, same (score DESC, doc_id) top-50.
+    "text_dsir" -> {
+      def bucket(keyExpr: String): String = {
+        val h = s"md5($keyExpr || ':7')"
+        val terms = (1 to 8).map { i =>
+          val p = 1L << (4 * (8 - i))
+          s"(strpos('0123456789abcdef', substring($h,$i,1))-1)*$p"
+        }.mkString(" + ")
+        s"(($terms) % 4096)"
+      }
+      val toks = """CASE WHEN length(trim(text)) = 0
+                   | THEN CAST([] AS VARCHAR[])
+                   | ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                   |END""".stripMargin.replace("\n", " ")
+      s"""WITH g AS (
+         | SELECT doc_id, t, ${bucket("tok")} AS b
+         | FROM (SELECT doc_id, lang = 'en' AS t, unnest($toks) AS tok
+         |       FROM documents)),
+         |rc AS (SELECT b, count(*) AS cnt_r FROM g GROUP BY 1),
+         |tc AS (SELECT b, count(*) AS cnt_t FROM g WHERE t GROUP BY 1),
+         |tot AS (
+         | SELECT CAST(count(*) AS BIGINT) AS tot_r,
+         |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tot_t
+         | FROM g),
+         |ev AS (
+         | SELECT g.doc_id,
+         |  CAST(sum((length(bin(coalesce(tc.cnt_t, 0) + 1)) - 1)
+         |         - (length(bin(rc.cnt_r + 1)) - 1)) AS BIGINT) AS ev
+         | FROM g JOIN rc USING (b) LEFT JOIN tc USING (b) GROUP BY 1),
+         |base AS (
+         | SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+         | FROM documents)
+         |SELECT b.doc_id, b.n_tokens,
+         | CAST(coalesce(e.ev, 0) + b.n_tokens *
+         |  ((length(bin(tot_r + 4096)) - 1)
+         |   - (length(bin(tot_t + 4096)) - 1)) AS BIGINT) AS score
+         |FROM base b LEFT JOIN ev e USING (doc_id) CROSS JOIN tot
+         |ORDER BY score DESC, b.doc_id LIMIT 50""".stripMargin
     }
   )
 

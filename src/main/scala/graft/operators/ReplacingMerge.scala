@@ -130,6 +130,51 @@ object ReplacingMerge {
         others.map(c => col(s"_rep.$c").as(c))): _*)
   }
 
+  /** MergeTree TTL with GROUP BY rollup (`TTL t + INTERVAL n DAY
+    * GROUP BY k SET s = sum(s)`): rows older than the TTL horizon are
+    * not dropped but ROLLED UP — one aggregate row per TTL group —
+    * while fresh rows pass through untouched. This is how a MergeTree
+    * ages raw data into coarse aggregates in place.
+    *
+    * Determinism deviations, both documented: (1) CH evaluates the
+    * horizon against now() at merge time; the batch twin uses
+    * max(timeCol) − ttl, a pure function of the data (one broadcast
+    * 1-row bound — the migrate_incremental watermark shape). (2) CH
+    * sets non-aggregated columns from the group's first row in ORDER
+    * BY order; here `timeCol` takes min(time) — the same rule stated
+    * relationally.
+    *
+    * Input must be pre-projected to keys ++ timeCol ++ sumCols (the
+    * summingMerge restriction made explicit — a representative rule
+    * for arbitrary extra columns would hide the CH "first row"
+    * ambiguity instead of resolving it).
+    *
+    * Scale shape: one scan + one bounded partial-agg shuffle of the
+    * expired slice; the fresh slice is a pass-through filter. The
+    * output carries `is_rolled` so downstream readers can tell
+    * aged aggregates from raw rows.
+    */
+  def ttlRollup(df: DataFrame, timeCol: String, ttl: Long,
+                keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val expect = (keys :+ timeCol) ++ sumCols
+    require(df.columns.toSet == expect.toSet,
+      s"ttlRollup input must be exactly keys+time+sums ($expect), got ${df.columns.toSeq}")
+    val outCols = (keys :+ timeCol) ++ sumCols
+    val bound = df.agg((max(col(timeCol)) - ttl).as("_cut"))
+    val marked = df.crossJoin(broadcast(bound))
+    val fresh = marked.filter(col(timeCol) > col("_cut"))
+      .select(outCols.map(col): _*)
+      .withColumn("is_rolled", lit(false))
+    val aggs = min(col(timeCol)).as(timeCol) +:
+      sumCols.map(c => sum(col(c)).as(c))
+    val rolled = marked.filter(col(timeCol) <= col("_cut"))
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(outCols.map(col): _*)
+      .withColumn("is_rolled", lit(true))
+    fresh.unionByName(rolled)
+  }
+
   /** OPTIMIZE TABLE analog (main.py:178): force the merge *and* leave
     * the data clustered by the ORDER BY key — repartition on the key
     * and sort within partitions, which is what a merged ClickHouse part

@@ -265,4 +265,37 @@ class PlanGuardSpec extends SparkFunSuite {
       !p.contains("windowspecdefinition()"),
       s"nb argmax window lost its per-doc partitioning:\n$p")
   }
+
+  test("dsir: both bucket-count distributions broadcast; the corpus " +
+    "never sort-merges against a bounded relation (round 14)") {
+    val p = plan("text_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dsir bucket-count joins no longer broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"dsir totals frame degenerated to a cartesian product:\n$p")
+    // top-k must be TakeOrdered, never a global sort of all docs
+    assert(p.contains("TakeOrderedAndProject"),
+      s"dsir top-k lost its bounded-heap TakeOrdered:\n$p")
+  }
+
+  test("stl decompose: seasonal means broadcast back; the trend " +
+    "window partitions by series key (round 14)") {
+    val p = plan("q_stl_decompose")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stl seasonal join no longer broadcasts:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"stl trend window lost its per-key partitioning:\n$p")
+  }
+
+  test("period detect: the floor-mean stats broadcast; the lag " +
+    "self-join runs on the daily pre-agg, not raw rows (round 14)") {
+    val p = plan("q_period_detect")
+    assert(p.contains("BroadcastHashJoin"),
+      s"acf mean-stats join no longer broadcasts:\n$p")
+    // the daily collapse (partial+final) and the per-lag sum must all
+    // be hash aggregates — the lag fan-out runs over the #days
+    // relation those aggregates produce, never over raw rows
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"acf lost its daily pre-aggregation before the lag join:\n$p")
+  }
 }
