@@ -81,15 +81,89 @@ private[sources] final class SqliteTable(path: String,
     new SqliteScanBuilder(path, tdef, maxPartitions)
 }
 
+/** The pushed point-probe a scan serves instead of a full walk:
+  * either a rowid(-alias) equality (bounded table-tree descent, no
+  * index needed) or a secondary-index equality (index probe + bounded
+  * per-rowid fetches).
+  */
+private[sources] sealed trait SqlitePushedProbe extends Serializable
+private[sources] final case class RowidEq(rowid: Long) extends SqlitePushedProbe
+private[sources] final case class IndexEq(idx: SqliteIndex.IndexDef,
+                                          value: Any) extends SqlitePushedProbe
+
 private[sources] final class SqliteScanBuilder(path: String,
                                                tdef: SqliteFile.TableDef,
                                                maxPartitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+
   private var required: StructType = SqliteFile.schemaOf(tdef)
+  private var accepted: Array[Filter] = Array.empty
+  private var probe: Option[SqlitePushedProbe] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Accept ONE equality the file can serve as a point probe: on the
+    * rowid alias (O(depth) bounded descent — sqlite's own fastest
+    * path) or on the leading column of a supported CREATE INDEX
+    * (O(log n + matches) index probe). Everything else stays with
+    * Spark. The probe is EXACT (same rows sqlite's WHERE returns), so
+    * the accepted filter is NOT re-evaluated post-scan.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def normalize(v: Any): Option[Any] = v match {
+      case null => None // IS NULL never matches via equality
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case s: String => Some(s)
+      case _ => None
+    }
+    lazy val indexes =
+      if (tdef.withoutRowid) Nil
+      else SqliteIndex.listIndexes(path)
+        .filter(i => i.supported && i.table == tdef.name)
+    def probeFor(f: Filter): Option[SqlitePushedProbe] = f match {
+      case EqualTo(attr, raw) =>
+        normalize(raw).flatMap { v =>
+          val col = tdef.columns.find(_.name == attr)
+          if (col.exists(_.rowidAlias)) v match {
+            case l: Long => Some(RowidEq(l))
+            case _ => None
+          } else indexes.find(_.cols.headOption.contains(attr))
+            .map(IndexEq(_, v))
+        }
+      case _ => None
+    }
+    val chosen = filters.iterator
+      .map(f => f -> probeFor(f)).collectFirst {
+        case (f, Some(p)) => (f, p)
+      }
+    chosen match {
+      case Some((f @ EqualTo(attr, _), p)) =>
+        // the equality implies IsNotNull(attr): swallow that guard too
+        // so the probe leaves no redundant post-scan Filter
+        val implied: Filter => Boolean = {
+          case IsNotNull(a) => a == attr
+          case g => g eq f
+        }
+        accepted = filters.filter(implied); probe = Some(p)
+        filters.filterNot(implied)
+      case _ =>
+        accepted = Array.empty; probe = None
+        filters
+    }
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
   override def build(): Scan =
-    new SqliteScan(path, tdef, required, maxPartitions)
+    new SqliteScan(path, tdef, required, maxPartitions, probe)
 }
 
 /** One task's work: a group of b-tree subtree roots, the rowid bound
@@ -103,22 +177,49 @@ private[sources] final case class SqliteSubtrees(
     minEx: Long = Long.MinValue, maxInc: Long = Long.MaxValue)
     extends InputPartition
 
+/** An index-equality probe as one task: the index walk + bounded
+  * per-rowid table fetches both run executor-side against the
+  * plan-time header snapshot.
+  */
+private[sources] final case class SqliteIndexProbePartition(
+    idx: SqliteIndex.IndexDef, value: Any, tableRoot: Int,
+    h: SqliteFile.Header) extends InputPartition
+
 private[sources] final class SqliteScan(path: String,
                                         tdef: SqliteFile.TableDef,
                                         required: StructType,
-                                        maxPartitions: Int)
+                                        maxPartitions: Int,
+                                        probe: Option[SqlitePushedProbe] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"sqlite ${tdef.name} cols=[${required.fieldNames.mkString(",")}]"
+  override def description(): String = {
+    val p = probe.map {
+      case RowidEq(r) => s" probe=rowid:$r"
+      case IndexEq(i, v) => s" probe=${i.name}:$v"
+    }.getOrElse("")
+    s"sqlite ${tdef.name} cols=[${required.fieldNames.mkString(",")}]$p"
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val h = SqliteFile.header(path)
-    val roots = SqliteFile.subtreeRoots(path, tdef)
-    roots.grouped(
-        math.max(1, (roots.size + maxPartitions - 1) / maxPartitions))
-      .map(SqliteSubtrees(_, h)).toArray
+    probe match {
+      case Some(RowidEq(r)) =>
+        // one task, roots pruned to the subtrees whose rowid interval
+        // can contain r; the walk itself descends only the spine
+        val roots = SqliteFile.subtreeRanges(path, tdef)
+          .filter { case (_, lo, hi) => hi > r - 1 && lo <= r }
+          .map(_._1)
+        if (roots.isEmpty) Array.empty
+        else Array(SqliteSubtrees(roots, h, r - 1, r))
+      case Some(IndexEq(idx, v)) =>
+        Array(SqliteIndexProbePartition(idx, v, tdef.rootPage, h))
+      case None =>
+        val roots = SqliteFile.subtreeRoots(path, tdef)
+        roots.grouped(
+            math.max(1, (roots.size + maxPartitions - 1) / maxPartitions))
+          .map(SqliteSubtrees(_, h)).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -212,9 +313,6 @@ private[sources] final class SqliteReaderFactory(path: String,
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[SqliteSubtrees]
-    val roots = part.roots
-    val h = part.h
     // (RECORD position — declared order for rowid tables, the
     // pk-first permutation for WITHOUT ROWID — and the ColumnDef)
     // per REQUIRED output slot; pruning decided on the driver,
@@ -224,9 +322,24 @@ private[sources] final class SqliteReaderFactory(path: String,
       require(i >= 0, s"pruned column $n not in $table")
       (recIdx(i), cols(i))
     }
+    // each partition kind reduces to a sequence of bounded TableWalks:
+    // subtree groups walk their roots (optionally rowid-bounded); an
+    // index probe walks one (rowid−1, rowid] spine per matched rowid
+    val walkPlan: Iterator[SqliteFile.TableWalk] = p match {
+      case part: SqliteSubtrees =>
+        part.roots.iterator.map(r =>
+          new SqliteFile.TableWalk(path, part.h, r, part.minEx, part.maxInc))
+      case probe: SqliteIndexProbePartition =>
+        val (rowids, _) =
+          SqliteIndex.indexRowids(path, probe.h, probe.idx, probe.value)
+        rowids.sorted.iterator.map(rid =>
+          new SqliteFile.TableWalk(path, probe.h, probe.tableRoot,
+            rid - 1, rid))
+      case other => throw new IllegalStateException(
+        s"unknown sqlite partition ${other.getClass.getName}")
+    }
     new PartitionReader[InternalRow] {
-      private val walks = roots.iterator.map(r =>
-        new SqliteFile.TableWalk(path, h, r, part.minEx, part.maxInc))
+      private val walks = walkPlan
       private var cur: SqliteFile.TableWalk = _
       private var row: InternalRow = _
 

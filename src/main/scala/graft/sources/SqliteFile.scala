@@ -245,7 +245,7 @@ object SqliteFile {
   /** Big-endian unsigned read of n<=4 bytes (returns Long to stay
     * unsigned-safe).
     */
-  private def be(b: Array[Byte], off: Int, n: Int): Long = {
+  private[sources] def be(b: Array[Byte], off: Int, n: Int): Long = {
     var v = 0L; var i = 0
     while (i < n) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
     v
@@ -338,7 +338,7 @@ object SqliteFile {
 
   // ------------------------------------------------------------- pages
 
-  private final class PageFile(path: String, val h: Header)
+  private[sources] final class PageFile(path: String, val h: Header)
       extends AutoCloseable {
     private val raf = new java.io.RandomAccessFile(path, "r")
     private var walRaf: java.io.RandomAccessFile = null
@@ -374,7 +374,7 @@ object SqliteFile {
     * leaves spill past X = U-35, index pages past X = ((U-12)*64/255)
     * - 23; both share M = ((U-12)*32/255)-23, K = M+((P-M)%(U-4))).
     */
-  private def payload(pf: PageFile, page: Array[Byte], cellOff: Int,
+  private[sources] def payload(pf: PageFile, page: Array[Byte], cellOff: Int,
                       p: Long, afterVarints: Int,
                       index: Boolean = false): Array[Byte] = {
     val u = pf.h.usable
