@@ -282,6 +282,46 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // B75 (round 14): Holt double-exponential smoothing (linear
+    // trend) — the forecasting rung above q6's plain OLS line and the
+    // level-only q_exp_decay_avg. Recurrence (the part no closed form
+    // removes) is a SINGLE ordered fold over the per-type daily
+    // series: the raw table collapses to #days exact-cents rows per
+    // type in one map-side-combined shuffle (calendar-bounded, the
+    // Series discipline), then aggregate() folds the sorted array
+    // with all-integer state — α=1/4, β=1/8 dyadic, every division an
+    // explicit FLOOR div ((a − pmod(a,n)) div n, exact on both
+    // engines regardless of trunc-vs-floor `div` semantics, the sign
+    // trap the trend term would otherwise hit). Init l₁=y₁,
+    // b₁=y₂−y₁; forecast_7 = l_n + 7·b_n. The oracle replays the
+    // fold as a recursive CTE over row-numbered days. Observed days
+    // only (gaps fold as adjacent observations — documented).
+    "q_holt_linear" -> Q { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .agg(sum((col("value").cast(d2) * 100).cast(LongType)).as("cents"))
+      val ser = daily.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("cents"))))
+          .as("arr"))
+        .where(size(col("arr")) >= 2)
+      def fd(a: String, n: Int) = s"((($a) - pmod($a, $n)) div $n)"
+      val lp = fd("x.cents + 3 * acc.l + 3 * acc.b", 4)
+      val bp = fd(s"$lp - acc.l + 7 * acc.b", 8)
+      ser.select(col("event_type"),
+          size(col("arr")).cast(LongType).as("n_days"),
+          expr(
+            s"""aggregate(slice(arr, 2, size(arr) - 1),
+               | named_struct(
+               |  'l', CAST(arr[0].cents AS BIGINT),
+               |  'b', CAST(arr[1].cents - arr[0].cents AS BIGINT)),
+               | (acc, x) -> named_struct('l', $lp, 'b', $bp),
+               | acc -> acc)""".stripMargin).as("st"))
+        .select(col("event_type"), col("n_days"),
+          col("st.l").as("level_c"), col("st.b").as("trend_c"),
+          (col("st.l") + lit(7L) * col("st.b")).as("forecast7_c"))
+        .orderBy("event_type")
+    },
+
     // B47 (round 12): ClickHouse largestTriangleThreeBuckets — each
     // event type's (ts, cents) series downsampled to 30 points for
     // plotting (bucket-anchor variant — see Downsample.lttb).
@@ -878,6 +918,40 @@ object AnalyticsQueries {
         .select(col("g_a").as("type_a"), col("g_b").as("type_b"),
           col("uniq_a"), col("uniq_b"), col("uniq_union"), col("overlap_est"))
         .orderBy("type_a", "type_b")
+    },
+
+    // B73 (round 14): KMV / theta sketch set algebra — click vs view
+    // audiences: distinct estimates, union, intersection AND the set
+    // DIFFERENCE (click-only users), the operation the HLL family
+    // cannot express on sketch state. One (set, h40) distinct shuffle
+    // + one bounded k-minima aggregation (≤256 longs of state per
+    // set); all estimators are integer divides, replayed bit-exactly
+    // by the DuckDB oracle's XXH64 kernel + LIMIT-k minima.
+    "q_kmv_sketch" -> Q { (s, d) =>
+      graft.functions.KmvSketch.setAlgebra(Tables.events(s, d),
+        col("event_type"), col("user_id"), "click", "view", 256)
+    },
+
+    // B74 (round 14): deterministic integer PageRank over the
+    // event-type transition graph — which journey state holds the
+    // steady-state mass. Edge derivation = one lag-window pass + one
+    // (src,dst) count shuffle; 12 power-iteration supersteps run on
+    // the bounded edge relation with per-superstep localCheckpoint
+    // (the Pregel lineage discipline). All-integer fixed point: the
+    // DuckDB recursive CTE replays every division bit-for-bit.
+    "q_pagerank" -> Q { (s, d) =>
+      import graft.operators.PageRank
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val edges = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"))
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .where(col("src").isNotNull)
+        .select(col("src"), col("event_type").as("dst"), lit(1L).as("w"))
+      PageRank.ranks(edges)
+        .select(col("node").as("event_type"), col("rank_ppb"))
+        .orderBy("event_type")
     },
 
     // B14 (oracle, round 9): weekly cohort-retention matrix — the
@@ -1790,6 +1864,41 @@ object AnalyticsQueries {
         | CAST(CAST(sum(wt) AS BIGINT) AS DOUBLE) AS decayed_avg
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Holt replay: row-numbered daily series, the same integer floor
+    // divisions ((a − pmod(a,n)) // n with pmod spelled as the
+    // nonneg ((a%n)+n)%n), recursion t = 1..n
+    "q_holt_linear" -> {
+      def fd(a: String, n: Int) =
+        s"((($a) - ((($a) % $n + $n) % $n)) // $n)"
+      val lp = fd("i.cents + 3 * h.l + 3 * h.b", 4)
+      val bp = fd(s"$lp - h.l + 7 * h.b", 8)
+      s"""WITH RECURSIVE daily AS (
+         | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |    AS BIGINT) AS cents
+         | FROM events GROUP BY 1, 2
+         |), idx AS (
+         | SELECT event_type, cents,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS n
+         | FROM daily
+         |), h AS (
+         | SELECT a.event_type, 1 AS t, a.n,
+         |  a.cents AS l, b.cents - a.cents AS b
+         | FROM (SELECT * FROM idx WHERE rn = 1 AND n >= 2) a
+         | JOIN (SELECT * FROM idx WHERE rn = 2) b USING (event_type)
+         | UNION ALL
+         | SELECT h.event_type, h.t + 1, h.n, $lp AS l, $bp AS b
+         | FROM h JOIN idx i
+         |  ON i.event_type = h.event_type AND i.rn = h.t + 1
+         | WHERE h.t < h.n
+         |)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         | CAST(l AS BIGINT) AS level_c, CAST(b AS BIGINT) AS trend_c,
+         | CAST(l + 7 * b AS BIGINT) AS forecast7_c
+         |FROM h WHERE t = n ORDER BY event_type""".stripMargin
+    },
+
     // pointInPolygon replay: same unrolled integer edge tests
     "q_point_in_polygon" -> {
       import graft.operators.GeoHash
@@ -2193,6 +2302,12 @@ object AnalyticsQueries {
          |FROM (${graft.functions.HllPortable
                .pairwiseOverlapSql("events", "event_type", "user_id")})
          |ORDER BY type_a, type_b""".stripMargin,
+
+    "q_kmv_sketch" -> graft.functions.KmvSketch.oracleSql(
+      "events", "event_type", "user_id", "click", "view", 256),
+
+    "q_pagerank" ->
+      graft.operators.PageRank.transitionOracleSql("events"),
 
     "dedup_url" ->
       """WITH u0 AS (

@@ -70,7 +70,11 @@ object Bench {
     "q_attribution", "q_profile", "migrate_incremental",
     "q_multi_linreg", "q_window_suite", "q_corr_matrix",
     "q_stl_decompose", "q_period_detect", "q_info_value",
-    "q_group_concat", "q_ttl_expire", "text_dsir")
+    "q_group_concat", "q_ttl_expire", "text_dsir",
+    // round-14 continuation: theta-sketch algebra, integer PageRank,
+    // Holt forecasting, the multi-needle and ngram-distance matchers
+    "q_kmv_sketch", "q_pagerank", "q_holt_linear",
+    "text_multisearch", "text_ngram_sim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

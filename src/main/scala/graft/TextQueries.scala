@@ -27,7 +27,76 @@ object TextQueries {
     bpeTrainedTables.getOrElseUpdate(d,
       graft.functions.Bpe.train(Tables.documents(s, d), "text", 48))
 
+  /** Fixed needle list for C47 `text_multisearch` (CH
+    * multiSearchFirstIndex / multiSearchAny) — list ORDER is part of
+    * the contract (ties on position resolve to the earlier needle).
+    */
+  private val MultiNeedles = Seq("spark", "hash", "window", "merge")
+
+  /** Fixed query string for C48 `text_ngram_sim` (CH ngramDistance). */
+  private val NgramQuery = "hash join table scan"
+
+  /** Distinct 3-grams of [[NgramQuery]], computed once at build time
+    * and inlined as a literal into BOTH engines (the trained-model-
+    * literal precedent).
+    */
+  private val NgramQuerySet: Seq[String] =
+    NgramQuery.toLowerCase.sliding(3).toSeq.distinct
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C47 (round 14): ClickHouse multiSearchFirstIndex /
+    // multiSearchAny / multiSearchFirstPosition — one pass over each
+    // document probing a fixed needle list: how many needles occur,
+    // which needle hits FIRST by position (ties → earlier list
+    // index), and where. Pure codegen'd string ops (locate), no
+    // shuffle, embarrassingly parallel at any scale; the oracle
+    // replays with instr() and the same in-order tie rule.
+    "text_multisearch" -> Q { (s, d) =>
+      val t = lower(col("text"))
+      val pos = MultiNeedles.zipWithIndex.map { case (p, i) =>
+        struct(locate(p, t).cast("long").as("pos"),
+          lit(i + 1L).as("idx")).as(s"_p$i")
+      }
+      // array_min over (pos, idx) structs of the HITS: smallest
+      // position wins, earlier needle on ties — a total order
+      val hits = filter(array(pos: _*), e => e.getField("pos") > 0L)
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(filter(array(MultiNeedles.map(p =>
+            locate(p, t).cast("long")): _*), x => x > 0L)).cast("long")
+            .as("n_match"),
+          coalesce(array_min(hits).getField("idx"), lit(0L))
+            .as("first_idx"),
+          coalesce(array_min(hits).getField("pos"), lit(0L))
+            .as("first_pos"))
+        .orderBy("doc_id")
+    },
+
+    // C48 (round 14): ClickHouse ngramDistance — 3-gram Jaccard
+    // similarity of every document against a fixed query, kept in
+    // EXACT integers: intersection count, union count, and the
+    // similarity as parts-per-million via one integer division (the
+    // float ratio is the caller's one divide away; the gate hashes
+    // integers). Per-row array work only — no shuffle; the query's
+    // gram set is a build-time literal on both engines.
+    "text_ngram_sim" -> Q { (s, d) =>
+      val t = lower(col("text"))
+      val grams = when(length(t) >= 3,
+        array_distinct(transform(sequence(lit(1), length(t) - 2),
+          i => t.substr(i, lit(3)))))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), grams.as("grams"))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          size(array_intersect(col("grams"), typedlit(NgramQuerySet)))
+            .cast("long").as("inter"))
+        .withColumn("uni",
+          col("n_grams") + lit(NgramQuerySet.size.toLong) - col("inter"))
+        .withColumn("sim_ppm", expr("(inter * 1000000) div uni"))
+        .orderBy("doc_id")
+    },
 
     // C30b (round 12): BPE TRAINING on the corpus itself — the
     // distributed word-frequency aggregate feeds the classic driver-
@@ -635,10 +704,66 @@ object TextQueries {
        |FROM docw JOIN fin USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)).getOrElse(Map.empty)
 
+  /** multiSearch replay: per-needle instr positions, hit count, and
+    * the first-by-position (ties → earlier needle, via the in-order
+    * CASE chain) — generated from the SAME [[MultiNeedles]] list.
+    */
+  private val multiSearchSql: String = {
+    val ps = MultiNeedles.zipWithIndex
+      .map { case (p, i) => s"instr(lower(text), '$p') AS p${i + 1}" }
+      .mkString(", ")
+    val nMatch = MultiNeedles.indices
+      .map(i => s"CASE WHEN p${i + 1} > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val fpos = MultiNeedles.indices
+      .map(i => s"CASE WHEN p${i + 1} > 0 THEN p${i + 1} " +
+        s"ELSE 9223372036854775807 END")
+      .mkString("least(", ", ", ")")
+    val fidx = MultiNeedles.indices
+      .map(i => s"WHEN p${i + 1} = fp THEN ${i + 1}")
+      .mkString(" ")
+    s"""WITH m AS (SELECT doc_id, $ps FROM documents),
+       |f AS (SELECT *, $nMatch AS n_match, $fpos AS fp
+       |       FROM m)
+       |SELECT doc_id, CAST(n_match AS BIGINT) AS n_match,
+       | CAST(CASE WHEN fp = 9223372036854775807 THEN 0 $fidx END
+       |   AS BIGINT) AS first_idx,
+       | CAST(CASE WHEN fp = 9223372036854775807 THEN 0 ELSE fp END
+       |   AS BIGINT) AS first_pos
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** ngramDistance replay: the same 3-gram decomposition via a range
+    * list-comprehension, the query gram set inlined from
+    * [[NgramQuerySet]], sizes and one integer division.
+    */
+  private val ngramSimSql: String = {
+    val qset = NgramQuerySet.map(g => s"'$g'").mkString("[", ", ", "]")
+    s"""WITH g AS (
+       | SELECT doc_id,
+       |  CASE WHEN length(lower(text)) >= 3 THEN list_distinct(
+       |    list_transform(range(1, length(lower(text)) - 1),
+       |      i -> lower(text)[i:i+2]))
+       |   ELSE [] END AS grams
+       | FROM documents),
+       |c AS (SELECT doc_id,
+       |  CAST(len(grams) AS BIGINT) AS n_grams,
+       |  CAST(len(list_filter(grams, x -> list_contains($qset, x)))
+       |    AS BIGINT) AS inter
+       | FROM g)
+       |SELECT doc_id, n_grams, inter,
+       | CAST(n_grams + ${NgramQuerySet.size} - inter AS BIGINT) AS uni,
+       | CAST((inter * 1000000) //
+       |   (n_grams + ${NgramQuerySet.size} - inter) AS BIGINT) AS sim_ppm
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   private val staticOracles: Map[String, String] = Map(
     "text_bpe_tokens" -> bpeTokensSql,
     "pack_sequences_bpe" -> bpePackSql,
     "text_pii_scrub" -> piiScrubSql,
+    "text_multisearch" -> multiSearchSql,
+    "text_ngram_sim" -> ngramSimSql,
 
     "text_top_terms" ->
       """WITH toks AS (
