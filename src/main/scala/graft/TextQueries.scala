@@ -1208,45 +1208,8 @@ object TextQueries {
     // C45: the oracle replays BM25 with the identical two IEEE ops per
     // term (idf-double × (int-num / int-den)) and the same fixed-order
     // coalesce-chain total.
-    "text_bm25" -> {
-      val phrases = Seq("hash join", "window merge", "scan filter")
-      val inList = phrases.map(p => s"'$p'").mkString(", ")
-      val pivots = phrases.zipWithIndex.map { case (p, i) =>
-        s"sum(CASE WHEN gram = '$p' THEN score END) AS s${i + 1}"
-      }.mkString(",\n         | ")
-      val total = phrases.indices
-        .map(i => s"coalesce(s${i + 1}, 0.0)").mkString(" + ")
-      s"""WITH base AS (
-         | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
-         | FROM documents),
-         |b2 AS (
-         | SELECT doc_id, CAST(len(tk) - 1 AS BIGINT) AS dl, tk
-         | FROM base WHERE len(tk) >= 2),
-         |st AS (
-         | SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(dl) AS BIGINT) AS t_grams FROM b2),
-         |g AS (
-         | SELECT doc_id, dl, tk[i] || ' ' || tk[i + 1] AS gram
-         | FROM b2, unnest(range(1, len(tk))) AS u(i)),
-         |tf AS (
-         | SELECT doc_id, dl, gram, CAST(count(*) AS BIGINT) AS tf
-         | FROM g WHERE gram IN ($inList) GROUP BY 1, 2, 3),
-         |dfq AS (
-         | SELECT gram, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |sc AS (
-         | SELECT tf.doc_id, tf.dl, tf.gram,
-         |  CAST(length(bin(n_docs // df)) - 1 AS DOUBLE) *
-         |   (CAST(8 * tf * t_grams AS DOUBLE) /
-         |    CAST(4 * tf * t_grams + t_grams + 3 * dl * n_docs AS DOUBLE))
-         |  AS score
-         | FROM tf JOIN dfq USING (gram) CROSS JOIN st),
-         |pv AS (
-         | SELECT doc_id, dl,
-         | $pivots
-         | FROM sc GROUP BY 1, 2)
-         |SELECT doc_id, dl, s1, s2, s3, $total AS bm25
-         |FROM pv ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
-    },
+    "text_bm25" -> graft.operators.Bm25.rankSql(
+      Seq("hash join", "window merge", "scan filter"), 20),
 
     // C46: the oracle replays DSIR end to end — same md5 feature
     // buckets (positional hex decode, seed 7, mod 4096), same dyadic

@@ -388,8 +388,85 @@ object VectorQueries {
         sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)).as("l2_norm"),
         aggregate(v, lit(0.0), (a, x) => a + x).as("comp_sum"))
         .orderBy("vec_id")
+    },
+
+    // C49 (round 14): HYBRID retrieval — reciprocal-rank fusion
+    // (Cormack et al. 2009) of a lexical BM25 ranking over documents
+    // and a vector cosine ranking over embeddings, joined on the
+    // fixture's parallel key (vec_id ≡ doc_id; at sf0.1 only a prefix
+    // of docs has embeddings — the realistic hybrid case, which the
+    // FULL OUTER fusion is the answer to). RRF contribution is the
+    // INTEGER 10⁶ div (60 + rank) — no float sum ordering to defend;
+    // ranks come from the two proven double-scoring replays (BM25's
+    // fixed-order total, cosine's left-to-right fold). Each list is
+    // top-50, bounded — the fusion runs on ≤100 rows however big the
+    // corpus; the heavy work is the two independently-scalable
+    // retrievals themselves.
+    "ann_hybrid_rrf" -> Q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.operators.Bm25.rank(Tables.documents(s, d),
+          "doc_id", "text", RrfPhrases, 50)
+        .select(col("doc_id"), row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long").as("rank_lex")) // 50-row bounded window
+      val emb = Tables.embeddings(s, d)
+      val vec = Similarity.bruteForceTopKWindow(emb,
+          emb.filter(col("vec_id") === 0), 50)
+        .select(col("vec_id").as("doc_id"), col("rk").as("rank_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          expr("coalesce(1000000 div (60 + rank_lex), 0) + " +
+            "coalesce(1000000 div (60 + rank_vec), 0)"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"),
+          coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+          coalesce(col("rank_vec"), lit(0L)).as("rank_vec"),
+          col("rrf"))
     }
   )
+
+  /** The fixed query phrases for C49's lexical side (text_bm25's
+    * phrase list — the fusion reuses the proven scoring replay).
+    */
+  private[graft] val RrfPhrases =
+    Seq("hash join", "window merge", "scan filter")
+
+  /** C49 oracle: the BM25 rank subquery ([[graft.operators.Bm25
+    * .rankSql]]), the ann_bruteforce cosine stack for probe vec_id=0,
+    * row-number ranks, FULL OUTER fusion, integer RRF.
+    */
+  private def hybridRrfSql: String =
+    s"""WITH lexq AS (${graft.operators.Bm25.rankSql(RrfPhrases, 50)}),
+       |lexr AS (
+       | SELECT doc_id,
+       |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+       | FROM lexq),
+       |p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv
+       |      FROM embeddings WHERE vec_id = 0),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+       |      FROM embeddings WHERE vec_id <> 0),
+       |scored AS (
+       | SELECT vec_id,
+       |  list_inner_product(pv, cv) /
+       |   (sqrt(list_inner_product(pv, pv)) *
+       |    sqrt(list_inner_product(cv, cv))) AS cos
+       | FROM c, p),
+       |vecr AS (
+       | SELECT vec_id AS doc_id, rk AS rank_vec FROM (
+       |  SELECT vec_id, cos,
+       |   row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored) WHERE rk <= 50),
+       |fused AS (
+       | SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |  l.rank_lex, v.rank_vec,
+       |  coalesce(1000000 // (60 + l.rank_lex), 0) +
+       |  coalesce(1000000 // (60 + v.rank_vec), 0) AS rrf
+       | FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+       |SELECT doc_id, CAST(coalesce(rank_lex, 0) AS BIGINT) AS rank_lex,
+       | CAST(coalesce(rank_vec, 0) AS BIGINT) AS rank_vec,
+       | CAST(rrf AS BIGINT) AS rrf
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
   /** IVF oracle, built when (a) a SparkSession is live and (b) the gate
     * dir is known (Verify sets graft.oracle.sfDir) — then the model for
@@ -1025,6 +1102,7 @@ object VectorQueries {
 
   def oracles: Map[String, String] =
     ivfOracle ++ pqOracle ++ sqOracle ++ opqOracle ++ Map(
+    "ann_hybrid_rrf" -> hybridRrfSql,
     "ann_lsh" ->
       s"""WITH dv AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings

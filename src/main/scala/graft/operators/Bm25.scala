@@ -80,4 +80,49 @@ object Bm25 {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }
+
+  /** The DuckDB replay of [[rank]] over the `documents` table —
+    * shared by the text_bm25 oracle (k=20) and the hybrid-retrieval
+    * fusion oracle (k=50 subquery). Same bigram stream, same integer
+    * rational per (doc, gram), same fixed-order coalesce total.
+    */
+  def rankSql(phrases: Seq[String], k: Int): String = {
+    val inList = phrases.map(p => s"'$p'").mkString(", ")
+    val pivots = phrases.zipWithIndex.map { case (p, i) =>
+      s"sum(CASE WHEN gram = '$p' THEN score END) AS s${i + 1}"
+    }.mkString(",\n       | ")
+    val total = phrases.indices
+      .map(i => s"coalesce(s${i + 1}, 0.0)").mkString(" + ")
+    s"""WITH base AS (
+       | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       | FROM documents),
+       |b2 AS (
+       | SELECT doc_id, CAST(len(tk) - 1 AS BIGINT) AS dl, tk
+       | FROM base WHERE len(tk) >= 2),
+       |st AS (
+       | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(dl) AS BIGINT) AS t_grams FROM b2),
+       |g AS (
+       | SELECT doc_id, dl, tk[i] || ' ' || tk[i + 1] AS gram
+       | FROM b2, unnest(range(1, len(tk))) AS u(i)),
+       |tf AS (
+       | SELECT doc_id, dl, gram, CAST(count(*) AS BIGINT) AS tf
+       | FROM g WHERE gram IN ($inList) GROUP BY 1, 2, 3),
+       |dfq AS (
+       | SELECT gram, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       | SELECT tf.doc_id, tf.dl, tf.gram,
+       |  CAST(length(bin(n_docs // df)) - 1 AS DOUBLE) *
+       |   (CAST(8 * tf * t_grams AS DOUBLE) /
+       |    CAST(4 * tf * t_grams + t_grams + 3 * dl * n_docs AS DOUBLE))
+       |  AS score
+       | FROM tf JOIN dfq USING (gram) CROSS JOIN st),
+       |pv AS (
+       | SELECT doc_id, dl,
+       | $pivots
+       | FROM sc GROUP BY 1, 2)
+       |SELECT doc_id, dl, ${phrases.indices.map(i => s"s${i + 1}")
+          .mkString(", ")}, $total AS bm25
+       |FROM pv ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+  }
 }

@@ -61,6 +61,18 @@ class KmvSketchSpec extends SparkFunSuite {
     assert(df.head().getSeq[Long](0) == Seq(1L, 3L, 5L))
   }
 
+  test("plan: one source scan feeds both sketch sides (checkpointed)") {
+    val df = (0L until 100L).map(v => (if (v % 2 == 0) "a" else "b", v))
+      .toDF("s", "v")
+    val out = graft.functions.KmvSketch.setAlgebra(df, col("s"), col("v"),
+      "a", "b", 16)
+    val plan = out.queryExecution.executedPlan.toString
+    // the sketch relation is checkpointed: downstream reads scan the
+    // materialized RDD, not the aggregation lineage twice
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"sketch agg re-derived per side:\n$plan")
+  }
+
   test("determinism: two runs produce identical rows") {
     val rows = (0L until 5000L).map(v => (if (v % 3 == 0) "a" else "b", v))
     val r1 = algebra(rows, 128)
