@@ -954,6 +954,92 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // B76 (round 14): item co-occurrence with lift — the
+    // collaborative-filtering primitive ("users who clicked X also
+    // clicked Y") over the props.k item ids. Scale shape: one
+    // (user, item) distinct shuffle; heavy users are CAPPED at 256
+    // items BEFORE the self-join (a user's pair fan-out is quadratic
+    // in their item count and near-uniform co-clicks carry no signal
+    // — the standard CF downsampling, loud in the operator contract);
+    // the pair aggregation is bounded by distinct item pairs. Lift is
+    // integer ppm with early division: ((co·10⁶) div cnt_a) stays
+    // ≤ 10⁶ because co ≤ cnt_a, so the ·n_users step is safe while
+    // n_users < 2⁴³ (envelope documented). Top-3 co-items per item by
+    // (co desc, item_b) — a bounded window over the pair relation.
+    "q_item_cooccur" -> Q { (s, d) =>
+      val pres = Tables.events(s, d)
+        .where(col("event_type") === "click")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+        .where(col("item").isNotNull)
+        .distinct()
+      val capped = pres
+        .withColumn("_n", count(lit(1))
+          .over(Window.partitionBy(col("user_id"))))
+        .where(col("_n") <= 256)
+        .drop("_n")
+        .localCheckpoint(true) // 3 readers: both join sides + counts
+      val nUsers1 = capped.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users")).localCheckpoint(true)
+      val cnt = capped.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      val a = capped.select(col("user_id"), col("item").as("item_a"))
+      val b = capped.select(col("user_id"), col("item").as("item_b"))
+      val co = a.join(b, Seq("user_id"))
+        .where(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("co"))
+      val w = Window.partitionBy(col("item_a"))
+        .orderBy(col("co").desc, col("item_b"))
+      co.join(cnt.select(col("item").as("item_a"), col("cnt").as("cnt_a")),
+          "item_a")
+        .join(cnt.select(col("item").as("item_b"), col("cnt").as("cnt_b")),
+          "item_b")
+        .crossJoin(nUsers1)
+        .withColumn("lift_ppm",
+          expr("((co * 1000000) div cnt_a) * n_users div cnt_b"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .where(col("rk") <= 3)
+        .select(col("item_a"), col("item_b"), col("co"), col("cnt_a"),
+          col("cnt_b"), col("lift_ppm"), col("rk"))
+        .orderBy("item_a", "rk")
+    },
+
+    // B77 (round 14): A/B-test minimum sample size per variant — the
+    // ClickHouse minSampleSizeConversion helper. Baseline conversion
+    // per day = purchasers among viewers (exact integer counts); the
+    // required n is the textbook two-proportion formula as ONE fixed
+    // IEEE tree on z-constants inlined from Scala doubles (shortest
+    // round-trip literals — the PipQuad/hyperplane transport rule),
+    // with mde = 1/64 (exactly representable). No shuffle beyond the
+    // one per-day user rollup.
+    "q_ab_sample_size" -> Q { (s, d) =>
+      val za = 1.9599639845400545 // z_{1-α/2}, α = 0.05
+      val zb = 0.8416212335729143 // z_{power},  power = 0.8
+      val mde = 0.015625          // 1/64, exact in binary
+      val byUser = Tables.events(s, d)
+        .where(col("event_type").isin("view", "purchase"))
+        .groupBy(expr(s"ts_us div $dayUs").as("day"), col("user_id"))
+        .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("viewed"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purchased"))
+      byUser.where(col("viewed") === 1L)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("viewers"),
+          sum(col("purchased")).as("converters"))
+        .withColumn("p1",
+          col("converters").cast("double") / col("viewers").cast("double"))
+        .withColumn("p2", col("p1") + lit(mde))
+        .withColumn("n_required",
+          ceil((lit((za + zb) * (za + zb)) *
+            (col("p1") * (lit(1.0) - col("p1")) +
+              col("p2") * (lit(1.0) - col("p2")))) /
+            lit(mde * mde)).cast(LongType))
+        .select(col("day"), col("viewers"), col("converters"),
+          col("p1"), col("n_required"))
+        .orderBy("day")
+    },
+
     // B14 (oracle, round 9): weekly cohort-retention matrix — the
     // classic product-analytics grid (cohort week × weeks-since),
     // complementing q_retention's CH retention() flags. Two shuffles:
@@ -2308,6 +2394,70 @@ object AnalyticsQueries {
 
     "q_pagerank" ->
       graft.operators.PageRank.transitionOracleSql("events"),
+
+    // item co-occurrence replay: same distinct presence, same ≤256
+    // per-user cap, same pair join, same early-divide integer lift
+    "q_item_cooccur" ->
+      """WITH pres AS (
+        | SELECT DISTINCT user_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        | FROM events WHERE event_type = 'click'
+        |  AND json_extract(props, '$.k') IS NOT NULL),
+        |capped AS (
+        | SELECT user_id, item FROM (
+        |  SELECT user_id, item,
+        |   count(*) OVER (PARTITION BY user_id) AS _n FROM pres)
+        | WHERE _n <= 256),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |       FROM capped),
+        |cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM capped GROUP BY 1),
+        |co AS (
+        | SELECT a.item AS item_a, b.item AS item_b,
+        |  CAST(count(*) AS BIGINT) AS co
+        | FROM capped a JOIN capped b
+        |  ON a.user_id = b.user_id AND a.item < b.item
+        | GROUP BY 1, 2),
+        |lifted AS (
+        | SELECT item_a, item_b, co, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  ((co * 1000000) // ca.cnt) * n_users // cb.cnt AS lift_ppm,
+        |  row_number() OVER (PARTITION BY item_a
+        |    ORDER BY co DESC, item_b) AS rk
+        | FROM co
+        | JOIN cnt ca ON ca.item = co.item_a
+        | JOIN cnt cb ON cb.item = co.item_b
+        | CROSS JOIN nu)
+        |SELECT item_a, item_b, co, cnt_a, cnt_b,
+        | CAST(lift_ppm AS BIGINT) AS lift_ppm, CAST(rk AS BIGINT) AS rk
+        |FROM lifted WHERE rk <= 3 ORDER BY item_a, rk""".stripMargin,
+
+    // A/B sample-size replay: same exact counts, same z/mde literals
+    // (Scala shortest-round-trip doubles), same one IEEE tree
+    "q_ab_sample_size" -> {
+      val za = 1.9599639845400545
+      val zb = 0.8416212335729143
+      val mde = 0.015625
+      s"""WITH bu AS (
+         | SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+         |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+         |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS purchased
+         | FROM events WHERE event_type IN ('view', 'purchase')
+         | GROUP BY 1, 2),
+         |agg AS (
+         | SELECT day, CAST(count(*) AS BIGINT) AS viewers,
+         |  CAST(sum(purchased) AS BIGINT) AS converters
+         | FROM bu WHERE viewed = 1 GROUP BY 1),
+         |f AS (
+         | SELECT day, viewers, converters,
+         |  CAST(converters AS DOUBLE) / CAST(viewers AS DOUBLE) AS p1
+         | FROM agg)
+         |SELECT day, viewers, converters, p1,
+         | CAST(ceil((${(za + zb) * (za + zb)} *
+         |   (p1 * (1.0 - p1) + (p1 + $mde) * (1.0 - (p1 + $mde)))) /
+         |   ${mde * mde}) AS BIGINT) AS n_required
+         |FROM f ORDER BY day""".stripMargin
+    },
 
     "dedup_url" ->
       """WITH u0 AS (

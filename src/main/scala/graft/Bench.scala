@@ -74,7 +74,8 @@ object Bench {
     // round-14 continuation: theta-sketch algebra, integer PageRank,
     // Holt forecasting, the multi-needle and ngram-distance matchers
     "q_kmv_sketch", "q_pagerank", "q_holt_linear",
-    "text_multisearch", "text_ngram_sim", "ann_hybrid_rrf")
+    "text_multisearch", "text_ngram_sim", "ann_hybrid_rrf",
+    "q_item_cooccur", "q_ab_sample_size", "q_dq_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -277,10 +277,105 @@ object RelationalQueries {
             .as("ship_months"),
           countDistinct(col("l_linestatus")).as("n_status"))
         .orderBy("l_returnflag")
+    },
+
+    // B78 (round 14): data-quality audit — the deequ/dbt-test niche
+    // as one gate: referential integrity (anti joins — never
+    // join+distinct), domain ranges, key uniqueness, null checks, and
+    // the order-total CONSISTENCY rule (o_totalprice vs the lineitem
+    // roll-up Σ ext·(1−disc)·(1+tax), which this fixture violates —
+    // an audit that can't fire proves nothing). All decimal
+    // arithmetic at widths where BOTH engines keep exact products:
+    // (12,2)·(4,2)·(4,2) → scale-6 exact, far from Spark's 38-digit
+    // rounding cliff (the envelope discipline). Each rule is one
+    // bounded 1-row aggregate; the union is 6 rows.
+    "q_dq_audit" -> Q { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val cust = Tables.customer(s, d)
+      def rule(id: Long, name: String, viol: DataFrame,
+               checked: DataFrame): DataFrame =
+        viol.agg(count(lit(1)).as("violations"))
+          .crossJoin(checked.agg(count(lit(1)).as("checked")))
+          .select(lit(id).as("rule_id"), lit(name).as("rule"),
+            col("violations"), col("checked"))
+      val r1 = rule(1L, "ref_orders_customer",
+        orders.join(cust, orders("o_custkey") === cust("c_custkey"),
+          "left_anti"), orders)
+      val r2 = rule(2L, "ref_lineitem_orders",
+        li.join(orders, li("l_orderkey") === orders("o_orderkey"),
+          "left_anti"), li)
+      val r3 = rule(3L, "range_quantity",
+        li.where(col("l_quantity") <= 0 || col("l_quantity") > 50), li)
+      val r4 = rule(4L, "unique_lineitem_key",
+        li.groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(count(lit(1)).as("n")).where(col("n") > 1), li)
+      val r5 = rule(5L, "null_custkey",
+        orders.where(col("o_custkey").isNull), orders)
+      val sums = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(BigDecimal(1).setScale(2)) -
+            col("l_discount").cast(DecimalType(4, 2))) *
+          (lit(BigDecimal(1).setScale(2)) +
+            col("l_tax").cast(DecimalType(4, 2)))).as("t"))
+      val r6 = rule(6L, "consistency_totalprice",
+        orders.join(sums, orders("o_orderkey") === sums("l_orderkey"))
+          .where(abs(col("o_totalprice").cast(DecimalType(12, 2)) -
+            col("t")) > lit(BigDecimal("0.01"))), orders)
+      r1.union(r2).union(r3).union(r4).union(r5).union(r6)
+        .orderBy("rule_id")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dq_audit" ->
+      """WITH r1 AS (
+        | SELECT 1 AS rule_id, 'ref_orders_customer' AS rule,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |   AS violations,
+        |  (SELECT count(*) FROM orders) AS checked),
+        |r2 AS (
+        | SELECT 2, 'ref_lineitem_orders',
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |  (SELECT count(*) FROM lineitem)),
+        |r3 AS (
+        | SELECT 3, 'range_quantity',
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_quantity <= 0 OR l_quantity > 50),
+        |  (SELECT count(*) FROM lineitem)),
+        |r4 AS (
+        | SELECT 4, 'unique_lineitem_key',
+        |  (SELECT count(*) FROM (
+        |    SELECT l_orderkey, l_linenumber FROM lineitem
+        |    GROUP BY 1, 2 HAVING count(*) > 1)),
+        |  (SELECT count(*) FROM lineitem)),
+        |r5 AS (
+        | SELECT 5, 'null_custkey',
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+        |  (SELECT count(*) FROM orders)),
+        |sums AS (
+        | SELECT l_orderkey,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+        |      (CAST(1.00 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS t
+        | FROM lineitem GROUP BY 1),
+        |r6 AS (
+        | SELECT 6, 'consistency_totalprice',
+        |  (SELECT count(*) FROM orders o JOIN sums s
+        |    ON o.o_orderkey = s.l_orderkey
+        |   WHERE abs(CAST(o.o_totalprice AS DECIMAL(12,2)) - s.t)
+        |     > CAST(0.01 AS DECIMAL(4,2))),
+        |  (SELECT count(*) FROM orders)),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        | UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+        | UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6)
+        |SELECT CAST(rule_id AS BIGINT) AS rule_id, rule,
+        | CAST(violations AS BIGINT) AS violations,
+        | CAST(checked AS BIGINT) AS checked
+        |FROM u ORDER BY rule_id""".stripMargin,
+
     "q_semi_anti" ->
       """WITH nations AS (SELECT DISTINCT c_nationkey FROM customer),
         |w AS (
