@@ -1040,6 +1040,79 @@ object AnalyticsQueries {
         .orderBy("day")
     },
 
+    // B79 (round 14): cohort LTV — the revenue companion to the
+    // retention matrix: cumulative purchase revenue per (cohort week,
+    // weeks-since) and the per-user LTV in exact cents. Same two
+    // shuffles as q_retention_cohort (user-grain min-week, cohort
+    // grid agg) + one calendar-bounded running-sum window per cohort;
+    // the per-user divide is integer cents (envelope: cum_rev < 2⁶³).
+    "q_cohort_ltv" -> Q { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_us DIV 604800000000").as("w"),
+          when(col("event_type") === "purchase",
+            (col("value").cast(d2) * 100).cast(LongType))
+            .otherwise(0L).as("cents"))
+      val coh = ev.groupBy("user_id").agg(min("w").as("cw"))
+        .localCheckpoint(true) // read by the grid AND the size agg
+      val sizes = coh.groupBy(col("cw")).agg(count(lit(1)).as("cohort_users"))
+      val grid = ev.join(coh, "user_id")
+        .groupBy(col("cw").as("cohort_week"),
+          (col("w") - col("cw")).as("offset_weeks"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val wi = Window.partitionBy(col("cohort_week"))
+        .orderBy(col("offset_weeks"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wi))
+        .join(sizes.withColumnRenamed("cw", "cohort_week"), "cohort_week")
+        .withColumn("ltv_cents_per_user",
+          expr("cum_rev_cents div cohort_users"))
+        .select(col("cohort_week"), col("offset_weeks"),
+          col("cohort_users"), col("rev_cents"), col("cum_rev_cents"),
+          col("ltv_cents_per_user"))
+        .orderBy("cohort_week", "offset_weeks")
+    },
+
+    // B80 (round 14): Benford first-digit audit — does a value column
+    // follow the log-10 first-digit law (the classic fraud /
+    // synthetic-data tell)? Counts are exact integers from ONE
+    // bounded agg; the expected share p_d = log10(1+1/d) is a Scala
+    // double literal per digit (shortest round-trip transport — no
+    // runtime libm log anywhere); expected count and the χ²
+    // contribution are one fixed IEEE tree per digit row. This
+    // fixture's totalprice is uniform-ish, so the audit FIRES —
+    // contributions far above the χ²(8) 5% critical value.
+    "q_benford" -> Q { (s, d) =>
+      val digitP: Seq[Double] =
+        (1 to 9).map(dd => math.log10(1.0 + 1.0 / dd))
+      val first = Tables.orders(s, d)
+        .select((col("o_totalprice").cast(d2) * 100).cast(LongType)
+          .as("cents"))
+        .where(col("cents") > 0)
+        .select(substring(col("cents").cast(StringType), 1, 1)
+          .cast(LongType).as("digit"))
+      val counts = first.groupBy(col("digit"))
+        .agg(count(lit(1)).as("obs"))
+      val n1 = first.agg(count(lit(1)).as("n"))
+      // CAST the literal: a bare decimal literal parses as DECIMAL in
+      // Spark SQL (and DuckDB), sending the multiply through decimal
+      // rounding instead of one IEEE op — the cast restores the
+      // original double bit-for-bit on both engines
+      val pExpr = (1 to 9).map(dd =>
+        s"WHEN digit = $dd THEN CAST(${digitP(dd - 1)} AS DOUBLE)")
+        .mkString(" ")
+      counts.crossJoin(n1) // 9 rows × 1 row
+        .withColumn("p", expr(s"CASE $pExpr END"))
+        .withColumn("expected", col("n").cast("double") * col("p"))
+        .withColumn("chi2_contrib",
+          (col("obs").cast("double") - col("expected")) *
+            (col("obs").cast("double") - col("expected")) /
+            col("expected"))
+        .select(col("digit"), col("obs"), col("expected"),
+          col("chi2_contrib"))
+        .orderBy("digit")
+    },
+
     // B14 (oracle, round 9): weekly cohort-retention matrix — the
     // classic product-analytics grid (cohort week × weeks-since),
     // complementing q_retention's CH retention() flags. Two shuffles:
@@ -2431,12 +2504,75 @@ object AnalyticsQueries {
         | CAST(lift_ppm AS BIGINT) AS lift_ppm, CAST(rk AS BIGINT) AS rk
         |FROM lifted WHERE rk <= 3 ORDER BY item_a, rk""".stripMargin,
 
+    // cohort-LTV replay: same min-week cohorts, same grid, same
+    // running-sum frame, same integer per-user divide
+    "q_cohort_ltv" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) // 604800000000 AS w,
+        |  CASE WHEN event_type = 'purchase'
+        |   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   ELSE 0 END AS cents
+        | FROM events),
+        |coh AS (SELECT user_id, min(w) AS cw FROM ev GROUP BY 1),
+        |sizes AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_users
+        |          FROM coh GROUP BY 1),
+        |grid AS (
+        | SELECT coh.cw AS cohort_week, ev.w - coh.cw AS offset_weeks,
+        |  CAST(sum(cents) AS BIGINT) AS rev_cents
+        | FROM ev JOIN coh USING (user_id) GROUP BY 1, 2),
+        |cum AS (
+        | SELECT cohort_week, offset_weeks, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+        |    ORDER BY offset_weeks
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+        | FROM grid)
+        |SELECT cohort_week, offset_weeks, cohort_users, rev_cents,
+        | cum_rev_cents,
+        | CAST(cum_rev_cents // cohort_users AS BIGINT)
+        |  AS ltv_cents_per_user
+        |FROM cum JOIN sizes ON sizes.cw = cum.cohort_week
+        |ORDER BY cohort_week, offset_weeks""".stripMargin,
+
+    // Benford replay: same first-digit extraction, same Scala double
+    // p_d literals, same fixed IEEE (obs−exp)²/exp tree
+    "q_benford" -> {
+      // E-notation, NOT a CAST: DuckDB types a bare decimal literal
+      // as DECIMAL and its DECIMAL→DOUBLE cast is NOT correctly
+      // rounded at 17 significant digits (measured: ...93 literal →
+      // the ...92 double), while `<digits>e0` parses straight to the
+      // correctly-rounded double — the only transport that preserves
+      // the Scala value bit-for-bit
+      val pCase = (1 to 9).map(dd =>
+        s"WHEN digit = $dd THEN ${math.log10(1.0 + 1.0 / dd)}e0")
+        .mkString(" ")
+      s"""WITH f AS (
+         | SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+         |  AS digit
+         | FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |        AS BIGINT) AS cents FROM orders)
+         | WHERE cents > 0),
+         |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs
+         |      FROM f GROUP BY 1),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)
+         |SELECT digit, obs,
+         | CAST(n AS DOUBLE) * (CASE $pCase END) AS expected,
+         | (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * (CASE $pCase END)) *
+         | (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * (CASE $pCase END)) /
+         | (CAST(n AS DOUBLE) * (CASE $pCase END)) AS chi2_contrib
+         |FROM c CROSS JOIN n1 ORDER BY digit""".stripMargin
+    },
+
     // A/B sample-size replay: same exact counts, same z/mde literals
     // (Scala shortest-round-trip doubles), same one IEEE tree
     "q_ab_sample_size" -> {
       val za = 1.9599639845400545
       val zb = 0.8416212335729143
       val mde = 0.015625
+      // double literal transport: E-notation parses straight to
+      // DOUBLE; a repr that already carries an exponent is one
+      def e0(v: Double): String =
+        if (v.toString.exists(c => c == 'E' || c == 'e')) v.toString
+        else s"${v}e0"
       s"""WITH bu AS (
          | SELECT epoch_us(ts) // 86400000000 AS day, user_id,
          |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
@@ -2453,9 +2589,10 @@ object AnalyticsQueries {
          |  CAST(converters AS DOUBLE) / CAST(viewers AS DOUBLE) AS p1
          | FROM agg)
          |SELECT day, viewers, converters, p1,
-         | CAST(ceil((${(za + zb) * (za + zb)} *
-         |   (p1 * (1.0 - p1) + (p1 + $mde) * (1.0 - (p1 + $mde)))) /
-         |   ${mde * mde}) AS BIGINT) AS n_required
+         | CAST(ceil((${e0((za + zb) * (za + zb))} *
+         |   (p1 * (1.0e0 - p1) + (p1 + ${e0(mde)}) *
+         |    (1.0e0 - (p1 + ${e0(mde)})))) /
+         |   ${e0(mde * mde)}) AS BIGINT) AS n_required
          |FROM f ORDER BY day""".stripMargin
     },
 
