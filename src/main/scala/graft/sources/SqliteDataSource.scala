@@ -81,22 +81,28 @@ private[sources] final class SqliteTable(path: String,
     new SqliteScanBuilder(path, tdef, maxPartitions)
 }
 
-/** The pushed point-probe a scan serves instead of a full walk:
-  * either a rowid(-alias) equality (bounded table-tree descent, no
-  * index needed) or a secondary-index equality (index probe + bounded
-  * per-rowid fetches).
+/** The pushed probe a scan serves instead of a full walk: a
+  * rowid(-alias) equality or RANGE (bounded table-tree descent, no
+  * index needed), or a secondary-index equality or RANGE on the
+  * leading indexed column (index walk + bounded per-rowid fetches).
   */
 private[sources] sealed trait SqlitePushedProbe extends Serializable
 private[sources] final case class RowidEq(rowid: Long) extends SqlitePushedProbe
 private[sources] final case class IndexEq(idx: SqliteIndex.IndexDef,
                                           value: Any) extends SqlitePushedProbe
+private[sources] final case class RowidRange(minEx: Long, maxInc: Long)
+    extends SqlitePushedProbe
+private[sources] final case class IndexRange(idx: SqliteIndex.IndexDef,
+                                             range: SqliteIndex.KeyRange)
+    extends SqlitePushedProbe
 
 private[sources] final class SqliteScanBuilder(path: String,
                                                tdef: SqliteFile.TableDef,
                                                maxPartitions: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-  import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+  import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+    GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 
   private var required: StructType = SqliteFile.schemaOf(tdef)
   private var accepted: Array[Filter] = Array.empty
@@ -105,16 +111,20 @@ private[sources] final class SqliteScanBuilder(path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept ONE equality the file can serve as a point probe: on the
-    * rowid alias (O(depth) bounded descent — sqlite's own fastest
-    * path) or on the leading column of a supported CREATE INDEX
-    * (O(log n + matches) index probe). Everything else stays with
-    * Spark. The probe is EXACT (same rows sqlite's WHERE returns), so
-    * the accepted filter is NOT re-evaluated post-scan.
+  /** Accept the comparison conjunction on ONE attribute the file can
+    * serve: on the rowid alias (bounded table-tree descent — sqlite's
+    * own fastest path; the rowid alias wins when both qualify), or on
+    * the leading column of a supported CREATE INDEX (O(log n +
+    * matches) index walk). `=`, `>`, `>=`, `<`, `<=` and their
+    * conjunctions (BETWEEN) all fold into one interval; other
+    * attributes' filters stay with Spark. The probe is EXACT (same
+    * rows sqlite's WHERE returns — the walk applies the bounds with
+    * their exact inclusivity), so accepted filters are NOT
+    * re-evaluated post-scan.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def normalize(v: Any): Option[Any] = v match {
-      case null => None // IS NULL never matches via equality
+      case null => None // comparisons never match NULL
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
       case s: Short => Some(s.toLong)
@@ -124,37 +134,117 @@ private[sources] final class SqliteScanBuilder(path: String,
       case s: String => Some(s)
       case _ => None
     }
+    // (attr, filter, normalized value) for every comparison we could
+    // serve; anything else never joins a probe
+    val cmps: Seq[(String, Filter, Any)] = filters.toSeq.flatMap {
+      case f @ EqualTo(a, raw) => normalize(raw).map((a, f, _))
+      case f @ GreaterThan(a, raw) => normalize(raw).map((a, f, _))
+      case f @ GreaterThanOrEqual(a, raw) => normalize(raw).map((a, f, _))
+      case f @ LessThan(a, raw) => normalize(raw).map((a, f, _))
+      case f @ LessThanOrEqual(a, raw) => normalize(raw).map((a, f, _))
+      case _ => None
+    }
     lazy val indexes =
       if (tdef.withoutRowid) Nil
       else SqliteIndex.listIndexes(path)
         .filter(i => i.supported && i.table == tdef.name)
-    def probeFor(f: Filter): Option[SqlitePushedProbe] = f match {
-      case EqualTo(attr, raw) =>
-        normalize(raw).flatMap { v =>
-          val col = tdef.columns.find(_.name == attr)
-          if (col.exists(_.rowidAlias)) v match {
-            case l: Long => Some(RowidEq(l))
-            case _ => None
-          } else indexes.find(_.cols.headOption.contains(attr))
-            .map(IndexEq(_, v))
+
+    val rowidAttr = tdef.columns.find(_.rowidAlias).map(_.name)
+
+    /** Fold one attribute's comparisons into a rowid interval
+      * (minEx, maxInc]; Long values only. None when any value is
+      * non-integral or a bound underflows.
+      */
+    def foldRowid(fs: Seq[(Filter, Any)]): Option[SqlitePushedProbe] = {
+      var minEx = Long.MinValue
+      var maxInc = Long.MaxValue
+      for ((f, v) <- fs) v match {
+        case l: Long => f match {
+          case _: EqualTo =>
+            if (l == Long.MinValue) return None // (MinValue−1) underflows
+            minEx = math.max(minEx, l - 1)
+            maxInc = math.min(maxInc, l)
+          case _: GreaterThan => minEx = math.max(minEx, l)
+          case _: GreaterThanOrEqual =>
+            if (l != Long.MinValue) minEx = math.max(minEx, l - 1)
+          case _: LessThan =>
+            if (l == Long.MinValue) return None // vacuous-empty: skip
+            maxInc = math.min(maxInc, l - 1)
+          case _: LessThanOrEqual => maxInc = math.min(maxInc, l)
+          case _ => return None
         }
-      case _ => None
-    }
-    val chosen = filters.iterator
-      .map(f => f -> probeFor(f)).collectFirst {
-        case (f, Some(p)) => (f, p)
+        case _ => return None // non-integral rowid compare: leave to Spark
       }
+      val isEq = fs.exists(_._1.isInstanceOf[EqualTo])
+      if (isEq && maxInc == minEx + 1) Some(RowidEq(maxInc))
+      else Some(RowidRange(minEx, maxInc))
+    }
+
+    import SqliteIndex.{KeyRange, cmpKey}
+    /** Fold one attribute's comparisons into a KeyRange. */
+    def foldIndex(idx: SqliteIndex.IndexDef,
+                  fs: Seq[(Filter, Any)]): Option[SqlitePushedProbe] = {
+      var lo: Option[(Any, Boolean)] = None // (value, inclusive)
+      var hi: Option[(Any, Boolean)] = None
+      def tighterLo(v: Any, inc: Boolean): Unit = lo = lo match {
+        case None => Some((v, inc))
+        case Some((pv, pinc)) =>
+          val c = cmpKey(v, pv)
+          if (c > 0) Some((v, inc))
+          else if (c == 0) Some((v, inc && pinc)) // exclusive is stricter
+          else lo
+      }
+      def tighterHi(v: Any, inc: Boolean): Unit = hi = hi match {
+        case None => Some((v, inc))
+        case Some((pv, pinc)) =>
+          val c = cmpKey(v, pv)
+          if (c < 0) Some((v, inc))
+          else if (c == 0) Some((v, inc && pinc))
+          else hi
+      }
+      for ((f, v) <- fs) f match {
+        case _: EqualTo => tighterLo(v, inc = true); tighterHi(v, inc = true)
+        case _: GreaterThan => tighterLo(v, inc = false)
+        case _: GreaterThanOrEqual => tighterLo(v, inc = true)
+        case _: LessThan => tighterHi(v, inc = false)
+        case _: LessThanOrEqual => tighterHi(v, inc = true)
+        case _ => return None
+      }
+      (lo, hi) match {
+        case (Some((v, true)), Some((w, true))) if cmpKey(v, w) == 0 =>
+          Some(IndexEq(idx, v)) // point probe, pinned description
+        case _ =>
+          Some(IndexRange(idx, KeyRange(lo.map(_._1),
+            lo.forall(_._2), hi.map(_._1), hi.forall(_._2))))
+      }
+    }
+
+    val byAttr = cmps.groupBy(_._1)
+    // rowid alias wins when both qualify (no index pages at all)
+    val chosen: Option[(String, SqlitePushedProbe)] =
+      rowidAttr.filter(byAttr.contains).flatMap(a =>
+          foldRowid(byAttr(a).map(t => (t._2, t._3))).map(a -> _))
+        .orElse {
+          byAttr.keys.toSeq.sorted.iterator.flatMap { a =>
+            indexes.find(_.cols.headOption.contains(a))
+              .flatMap(foldIndex(_, byAttr(a).map(t => (t._2, t._3))))
+              .map(a -> _)
+          }.nextOption()
+        }
+
     chosen match {
-      case Some((f @ EqualTo(attr, _), p)) =>
-        // the equality implies IsNotNull(attr): swallow that guard too
-        // so the probe leaves no redundant post-scan Filter
+      case Some((attr, p)) =>
+        // every comparison on attr implies IsNotNull(attr): swallow
+        // the guard too so the probe leaves no redundant post-scan
+        // Filter
+        val folded = byAttr(attr).map(_._2).toSet
         val implied: Filter => Boolean = {
           case IsNotNull(a) => a == attr
-          case g => g eq f
+          case g => folded.contains(g)
         }
         accepted = filters.filter(implied); probe = Some(p)
         filters.filterNot(implied)
-      case _ =>
+      case None =>
         accepted = Array.empty; probe = None
         filters
     }
@@ -177,12 +267,12 @@ private[sources] final case class SqliteSubtrees(
     minEx: Long = Long.MinValue, maxInc: Long = Long.MaxValue)
     extends InputPartition
 
-/** An index-equality probe as one task: the index walk + bounded
-  * per-rowid table fetches both run executor-side against the
+/** An index probe (point or range) as one task: the index walk +
+  * bounded per-rowid table fetches both run executor-side against the
   * plan-time header snapshot.
   */
 private[sources] final case class SqliteIndexProbePartition(
-    idx: SqliteIndex.IndexDef, value: Any, tableRoot: Int,
+    idx: SqliteIndex.IndexDef, range: SqliteIndex.KeyRange, tableRoot: Int,
     h: SqliteFile.Header) extends InputPartition
 
 private[sources] final class SqliteScan(path: String,
@@ -197,12 +287,16 @@ private[sources] final class SqliteScan(path: String,
     val p = probe.map {
       case RowidEq(r) => s" probe=rowid:$r"
       case IndexEq(i, v) => s" probe=${i.name}:$v"
+      case RowidRange(lo, hi) => s" probe=rowid:($lo,$hi]"
+      case IndexRange(i, r) => s" probe=${i.name}:$r"
     }.getOrElse("")
     s"sqlite ${tdef.name} cols=[${required.fieldNames.mkString(",")}]$p"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val h = SqliteFile.header(path)
+    def point(v: Any) =
+      SqliteIndex.KeyRange(Some(v), loInc = true, Some(v), hiInc = true)
     probe match {
       case Some(RowidEq(r)) =>
         // one task, roots pruned to the subtrees whose rowid interval
@@ -212,8 +306,20 @@ private[sources] final class SqliteScan(path: String,
           .map(_._1)
         if (roots.isEmpty) Array.empty
         else Array(SqliteSubtrees(roots, h, r - 1, r))
+      case Some(RowidRange(minEx, maxInc)) =>
+        // prune to overlapping subtrees, then KEEP the full-scan
+        // parallelism: a wide range is a partial scan, not a point read
+        val roots = SqliteFile.subtreeRanges(path, tdef)
+          .filter { case (_, lo, hi) => hi > minEx && lo <= maxInc }
+          .map(_._1)
+        if (roots.isEmpty) Array.empty
+        else roots.grouped(
+            math.max(1, (roots.size + maxPartitions - 1) / maxPartitions))
+          .map(SqliteSubtrees(_, h, minEx, maxInc)).toArray
       case Some(IndexEq(idx, v)) =>
-        Array(SqliteIndexProbePartition(idx, v, tdef.rootPage, h))
+        Array(SqliteIndexProbePartition(idx, point(v), tdef.rootPage, h))
+      case Some(IndexRange(idx, r)) =>
+        Array(SqliteIndexProbePartition(idx, r, tdef.rootPage, h))
       case None =>
         val roots = SqliteFile.subtreeRoots(path, tdef)
         roots.grouped(
@@ -331,7 +437,7 @@ private[sources] final class SqliteReaderFactory(path: String,
           new SqliteFile.TableWalk(path, part.h, r, part.minEx, part.maxInc))
       case probe: SqliteIndexProbePartition =>
         val (rowids, _) =
-          SqliteIndex.indexRowids(path, probe.h, probe.idx, probe.value)
+          SqliteIndex.rangeRowids(path, probe.h, probe.idx, probe.range)
         rowids.sorted.iterator.map(rid =>
           new SqliteFile.TableWalk(path, probe.h, probe.tableRoot,
             rid - 1, rid))

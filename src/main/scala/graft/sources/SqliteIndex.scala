@@ -2,11 +2,13 @@ package graft.sources
 
 import SqliteFile._
 
-/** Secondary-index point lookups over a SQLite database file — the
-  * access path sqlite itself takes for `WHERE col = ?` when a
-  * `CREATE INDEX` covers the column, re-implemented from the public
-  * file-format doc (fileformat2 §1.6/§2.3) with zero drivers, like
-  * the rest of the [[SqliteFile]] reader.
+/** Secondary-index point AND range lookups over a SQLite database
+  * file — the access path sqlite itself takes for `WHERE col = ?` /
+  * `col BETWEEN ? AND ?` when a `CREATE INDEX` covers the column,
+  * re-implemented from the public file-format doc (fileformat2
+  * §1.6/§2.3) with zero drivers, like the rest of the [[SqliteFile]]
+  * reader. Equality is the degenerate closed range; the walk is
+  * [[rangeRowids]] either way.
   *
   * Shape: an index b-tree's cells are records `(indexed cols...,
   * rowid)` in key order; interior cells carry BOTH a child pointer
@@ -211,20 +213,49 @@ object SqliteIndex {
     }
   }
 
-  /** Rowids whose leading indexed column equals `value`, plus the
-    * pages-touched receipt. O(depth + matches) pages: children are
-    * descended only when their key interval can contain the target.
+  /** A one-sided-or-closed interval over the leading indexed column —
+    * the range a `WHERE col > lo AND col <= hi` conjunction pushes
+    * down. `None` = unbounded on that side. Bounds are keys in the
+    * [[cmpKey]] order (NULL keys sort below every bound, so an index
+    * range never returns NULL-keyed entries — matching SQL comparison
+    * semantics, where `col > x` is never true for NULL).
     */
-  def indexRowids(path: String, idx: IndexDef, value: Any): (Seq[Long], Int) =
-    indexRowids(path, header(path), idx, value)
+  final case class KeyRange(lo: Option[Any], loInc: Boolean,
+                            hi: Option[Any], hiInc: Boolean)
+      extends Serializable {
+    def contains(key: Any): Boolean = {
+      if (key == null) return false // SQL comparisons never match NULL
+      val okLo = lo.forall { l =>
+        val c = cmpKey(key, l); c > 0 || (loInc && c == 0)
+      }
+      val okHi = hi.forall { h =>
+        val c = cmpKey(key, h); c < 0 || (hiInc && c == 0)
+      }
+      okLo && okHi
+    }
+    /** key is strictly past the upper bound (sorted-order early stop). */
+    def pastHi(key: Any): Boolean =
+      key != null && hi.exists { h =>
+        val c = cmpKey(key, h); c > 0 || (!hiInc && c == 0)
+      }
+    override def toString: String =
+      s"${if (loInc) "[" else "("}${lo.getOrElse("-inf")}, " +
+        s"${hi.getOrElse("+inf")}${if (hiInc) "]" else ")"}"
+  }
 
-  /** As above with a caller-snapshotted header — the DSv2 scan passes
-    * the plan-time header so every task of one batch sees the same
-    * committed WAL/journal overlay (the SqliteSubtrees discipline).
+  /** Rowids whose leading indexed column falls in `range`, plus the
+    * pages-touched receipt. O(log n + matches) pages: children are
+    * descended only when their key interval can intersect the range
+    * (descent margins are INCLUSIVE regardless of bound openness —
+    * duplicate leading keys can span children, and one extra edge
+    * subtree is cheaper than a wrong skip); entry membership is exact.
     */
-  def indexRowids(path: String, h: Header, idx: IndexDef,
-                  value: Any): (Seq[Long], Int) = {
-    checkProbe(path, h, idx, value)
+  def rangeRowids(path: String, h: Header, idx: IndexDef,
+                  range: KeyRange): (Seq[Long], Int) = {
+    (range.lo.toSeq ++ range.hi.toSeq)
+      .foreach(v => checkProbe(path, h, idx, v))
+    require(range.lo.nonEmpty || range.hi.nonEmpty,
+      "unbounded range probe: scan the table instead")
     val pf = new PageFile(path, h)
     val cs = charsetOf(h.encoding)
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -237,38 +268,52 @@ object SqliteIndex {
           "- WITHOUT ROWID table indexes are not supported")
     }
 
+    // Closed-margin descent tests. A child between boundary records
+    // prev and cur may contain leading keys anywhere in
+    // [prevHead, curHead] INCLUSIVE (duplicate heads span children —
+    // the full index key is (head..., rowid), so comparing heads only
+    // makes both edges closed). Descend iff that closed interval
+    // intersects the CLOSED hull [lo, hi] — at most one extra edge
+    // subtree versus exact openness, never a wrong skip. NULL heads
+    // rank below everything in cmpKey, so they fall out naturally.
+    def headBelowLo(key: Any): Boolean =
+      range.lo.exists(l => cmpKey(key, l) < 0)
+    def headAboveHi(key: Any): Boolean =
+      range.hi.exists(h => cmpKey(key, h) > 0)
+
     def visit(pageNo: Int): Unit = {
       val pg = pf.page(pageNo)
       val off = if (pageNo == 1) 100 else 0
       val tpe = pg(off) & 0xff
       val k = be(pg, off + 3, 2).toInt
       tpe match {
-        case 0x0a => // leaf index
+        case 0x0a => // leaf index: sorted cells, early stop above hi
           var i = 0
-          while (i < k) {
+          var stop = false
+          while (i < k && !stop) {
             val c = be(pg, off + 8 + 2 * i, 2).toInt
             val (p, n1) = varint(pg, c)
             val rec = record(payload(pf, pg, c, p, c + n1, index = true), cs)
-            if (cmpKey(rec.head, value) == 0) out += rowidOf(rec)
+            if (range.contains(rec.head)) out += rowidOf(rec)
+            if (headAboveHi(rec.head)) stop = true
             i += 1
           }
-        case 0x02 => // interior index: cells carry records AND children
-          var prevCmp = -1 // key before cell 0 is conceptually -inf
+        case 0x02 => // interior index: records AND children
+          var prevAboveHi = false // -inf before cell 0 is never above
           var i = 0
-          while (i < k) {
+          while (i < k && !prevAboveHi) {
             val c = be(pg, off + 12 + 2 * i, 2).toInt
             val child = be(pg, c, 4).toInt
             val (p, n1) = varint(pg, c + 4)
             val rec = record(payload(pf, pg, c, p, c + 4 + n1, index = true), cs)
-            val cmp = cmpKey(rec.head, value)
-            // child i holds keys in (prev cell, this cell): overlaps
-            // the target iff prev < target and this cell >= target
-            if (prevCmp <= 0 && cmp >= 0) visit(child)
-            if (cmp == 0) out += rowidOf(rec)
-            prevCmp = cmp
+            val key = rec.head
+            if (!headBelowLo(key)) visit(child) // child max >= lo hull
+            if (range.contains(key)) out += rowidOf(rec)
+            prevAboveHi = headAboveHi(key)
             i += 1
           }
-          if (prevCmp <= 0) visit(be(pg, off + 8, 4).toInt) // rightmost
+          // rightmost child covers (lastKey, +inf)
+          if (!prevAboveHi) visit(be(pg, off + 8, 4).toInt)
         case other => throw new IllegalStateException(
           s"page $pageNo: expected an index b-tree page, got type $other " +
             "- the sqlite_master rootpage does not point at an index")
@@ -280,6 +325,26 @@ object SqliteIndex {
       (out.toSeq, pf.reads)
     } finally pf.close()
   }
+
+  /** Rowids whose leading indexed column equals `value`, plus the
+    * pages-touched receipt. O(depth + matches) pages: children are
+    * descended only when their key interval can contain the target.
+    */
+  def indexRowids(path: String, idx: IndexDef, value: Any): (Seq[Long], Int) =
+    indexRowids(path, header(path), idx, value)
+
+  /** As above with a caller-snapshotted header — the DSv2 scan passes
+    * the plan-time header so every task of one batch sees the same
+    * committed WAL/journal overlay (the SqliteSubtrees discipline).
+    * Equality is the degenerate closed range [v, v]: the range walk's
+    * descent decisions are IDENTICAL to the original point walk
+    * (closed hull ≡ prev ≤ v ∧ cur ≥ v), so the spec-pinned
+    * pages-touched receipts are unchanged.
+    */
+  def indexRowids(path: String, h: Header, idx: IndexDef,
+                  value: Any): (Seq[Long], Int) =
+    rangeRowids(path, h, idx,
+      KeyRange(Some(value), loInc = true, Some(value), hiInc = true))
 
   /** Equality point lookup: index probe + per-rowid bounded table
     * fetch. Returns (rows as raw (rowid, record values), index pages,
