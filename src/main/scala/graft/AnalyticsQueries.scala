@@ -1113,6 +1113,113 @@ object AnalyticsQueries {
         .orderBy("digit")
     },
 
+    // B81 (round 14): Gini coefficient — revenue concentration across
+    // users ("do 10% of users drive 90% of spend"), the inequality
+    // metric that also reads on training-data source concentration.
+    // Exact rank formula: G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) with
+    // ranks from one (cents, user) total order — numerator and
+    // denominator are exact BIGINTs (envelope: n·maxSpend < 2⁶³, i.e.
+    // ~10⁹ users at $10k — past that pre-scale to dollars), the
+    // quotient is the ONE IEEE divide. Ties don't disturb Σi·xᵢ
+    // (equal x under permuted ranks), the tie order is total anyway.
+    "q_gini" -> Q { (s, d) =>
+      val perUser = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum((col("value").cast(d2) * 100).cast(LongType)).as("x"))
+      val ranked = perUser.select(col("x"),
+        row_number().over(Window.orderBy(col("x"), col("user_id")))
+          .cast(LongType).as("i")) // user-grain bounded relation
+      ranked.agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("total_cents"),
+          sum(col("i") * col("x")).as("_ix"))
+        .select(col("n_users"), col("total_cents"),
+          ((lit(2L) * col("_ix") - (col("n_users") + 1L) *
+            col("total_cents")).cast("double") /
+            (col("n_users") * col("total_cents")).cast("double"))
+            .as("gini"))
+    },
+
+    // B82 (round 14): CUPED variance reduction (Deng et al. 2013) —
+    // the experiment-analytics workhorse: use each user's PRE-period
+    // spend as the covariate, report θ = cov(x,y)/var(x) and the
+    // variance reduction 1−ρ² the adjustment buys. The pre/post
+    // split is the data's own midpoint day ((min+max+1) div 2 — an
+    // exact integer both engines derive identically). All moments are
+    // exact integer sums in ONE user-grain shuffle; each moment is
+    // double-CAST before any product (the covar overflow-envelope
+    // lesson); θ, the variances and ρ² are fixed IEEE trees.
+    "q_cuped" -> Q { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $dayUs").as("day"),
+          when(col("event_type") === "purchase",
+            (col("value").cast(d2) * 100).cast(LongType))
+            .otherwise(0L).as("cents"))
+      val mid1 = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+        .localCheckpoint(true)
+      val xy = ev.crossJoin(mid1)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("mid"), col("cents"))
+          .otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("mid"), col("cents"))
+            .otherwise(0L)).as("y"))
+      val m = xy.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      def dd(c: String) = col(c).cast("double")
+      m.select(col("n").as("n_users"),
+          (dd("n") * dd("sxy") - dd("sx") * dd("sy")).as("_cov_n2"),
+          (dd("n") * dd("sxx") - dd("sx") * dd("sx")).as("_varx_n2"),
+          (dd("n") * dd("syy") - dd("sy") * dd("sy")).as("_vary_n2"))
+        .select(col("n_users"),
+          (col("_cov_n2") / col("_varx_n2")).as("theta"),
+          ((col("_cov_n2") * col("_cov_n2")) /
+            (col("_varx_n2") * col("_vary_n2"))).as("rho2"))
+        .withColumn("var_reduction", lit(1.0) - col("rho2"))
+    },
+
+    // B83 (round 14): difference-in-differences — the quasi-
+    // experimental estimate over a deterministic user-id assignment
+    // (user_id % 2 — the hash-bucket split real experiments use;
+    // "ever clicked" would make everyone treated on this fixture);
+    // pre/post at the same midpoint day; DiD = (ȳ_t,post − ȳ_t,pre) −
+    // (ȳ_c,post − ȳ_c,pre). Four exact sums in one user-grain shuffle
+    // + one bounded 2×2 agg; each mean is one IEEE divide, the
+    // estimate one fixed tree over them.
+    "q_did" -> Q { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $dayUs").as("day"),
+          when(col("event_type") === "purchase",
+            (col("value").cast(d2) * 100).cast(LongType))
+            .otherwise(0L).as("cents"))
+      val mid1 = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+        .localCheckpoint(true)
+      val perUser = ev.crossJoin(mid1)
+        .groupBy(col("user_id"))
+        .agg(max(pmod(col("user_id"), lit(2L))).as("treated"),
+          sum(when(col("day") < col("mid"), col("cents"))
+            .otherwise(0L)).as("pre"),
+          sum(when(col("day") >= col("mid"), col("cents"))
+            .otherwise(0L)).as("post"))
+      val g = perUser.groupBy(col("treated"))
+        .agg(count(lit(1)).as("n"), sum(col("pre")).as("sp"),
+          sum(col("post")).as("so"))
+        .select(col("treated"),
+          (col("sp").cast("double") / col("n").cast("double")).as("m_pre"),
+          (col("so").cast("double") / col("n").cast("double")).as("m_post"))
+        .localCheckpoint(true) // both arm filters read this 2-row frame
+      val t = g.where(col("treated") === 1L)
+        .select(col("m_pre").as("t_pre"), col("m_post").as("t_post"))
+      val c = g.where(col("treated") === 0L)
+        .select(col("m_pre").as("c_pre"), col("m_post").as("c_post"))
+      t.crossJoin(c) // two 1-row bounded frames
+        .select(col("t_pre"), col("t_post"), col("c_pre"), col("c_post"),
+          ((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+            .as("did_cents"))
+    },
+
     // B14 (oracle, round 9): weekly cohort-retention matrix — the
     // classic product-analytics grid (cohort week × weeks-since),
     // complementing q_retention's CH retention() flags. Two shuffles:
@@ -2503,6 +2610,93 @@ object AnalyticsQueries {
         |SELECT item_a, item_b, co, cnt_a, cnt_b,
         | CAST(lift_ppm AS BIGINT) AS lift_ppm, CAST(rk AS BIGINT) AS rk
         |FROM lifted WHERE rk <= 3 ORDER BY item_a, rk""".stripMargin,
+
+    // Gini replay: same rank order, same exact integer numerator/
+    // denominator, one divide
+    "q_gini" ->
+      """WITH pu AS (
+        | SELECT user_id,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS x
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT x,
+        |  CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+        | FROM pu),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(x) AS BIGINT) AS total_cents,
+        |  CAST(sum(i * x) AS BIGINT) AS ix FROM r)
+        |SELECT n_users, total_cents,
+        | CAST(2 * ix - (n_users + 1) * total_cents AS DOUBLE) /
+        | CAST(n_users * total_cents AS DOUBLE) AS gini
+        |FROM a""".stripMargin,
+
+    // CUPED replay: same midpoint split, same exact moments, each
+    // moment double-cast before any product, same fixed trees
+    "q_cuped" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |  CASE WHEN event_type = 'purchase'
+        |   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   ELSE 0 END AS cents
+        | FROM events),
+        |m1 AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+        |xy AS (
+        | SELECT user_id,
+        |  CAST(sum(CASE WHEN day < mid THEN cents ELSE 0 END) AS BIGINT)
+        |   AS x,
+        |  CAST(sum(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT)
+        |   AS y
+        | FROM ev CROSS JOIN m1 GROUP BY 1),
+        |m AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(y * y) AS BIGINT) AS syy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy
+        | FROM xy),
+        |t AS (
+        | SELECT n AS n_users,
+        |  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n2,
+        |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n2,
+        |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n2
+        | FROM m)
+        |SELECT n_users, cov_n2 / varx_n2 AS theta,
+        | (cov_n2 * cov_n2) / (varx_n2 * vary_n2) AS rho2,
+        | 1.0e0 - (cov_n2 * cov_n2) / (varx_n2 * vary_n2)
+        |  AS var_reduction
+        |FROM t""".stripMargin,
+
+    // DiD replay: same treated flag, same midpoint, same four means,
+    // same one-tree estimate
+    "q_did" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+        |  CASE WHEN event_type = 'purchase'
+        |   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   ELSE 0 END AS cents
+        | FROM events),
+        |m1 AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+        |pu AS (
+        | SELECT user_id,
+        |  max(((user_id % 2) + 2) % 2) AS treated,
+        |  CAST(sum(CASE WHEN day < mid THEN cents ELSE 0 END) AS BIGINT)
+        |   AS pre,
+        |  CAST(sum(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT)
+        |   AS post
+        | FROM ev CROSS JOIN m1 GROUP BY 1),
+        |g AS (
+        | SELECT treated,
+        |  CAST(sum(pre) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_pre,
+        |  CAST(sum(post) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_post
+        | FROM pu GROUP BY 1)
+        |SELECT t.m_pre AS t_pre, t.m_post AS t_post,
+        | c.m_pre AS c_pre, c.m_post AS c_post,
+        | (t.m_post - t.m_pre) - (c.m_post - c.m_pre) AS did_cents
+        |FROM (SELECT * FROM g WHERE treated = 1) t,
+        |     (SELECT * FROM g WHERE treated = 0) c""".stripMargin,
 
     // cohort-LTV replay: same min-week cohorts, same grid, same
     // running-sum frame, same integer per-user divide

@@ -95,6 +95,11 @@ private[sources] final case class RowidRange(minEx: Long, maxInc: Long)
 private[sources] final case class IndexRange(idx: SqliteIndex.IndexDef,
                                              range: SqliteIndex.KeyRange)
     extends SqlitePushedProbe
+private[sources] final case class RowidIn(rowids: Seq[Long])
+    extends SqlitePushedProbe
+private[sources] final case class IndexIn(idx: SqliteIndex.IndexDef,
+                                          values: Seq[Any])
+    extends SqlitePushedProbe
 
 private[sources] final class SqliteScanBuilder(path: String,
                                                tdef: SqliteFile.TableDef,
@@ -220,27 +225,67 @@ private[sources] final class SqliteScanBuilder(path: String,
     }
 
     val byAttr = cmps.groupBy(_._1)
-    // rowid alias wins when both qualify (no index pages at all)
-    val chosen: Option[(String, SqlitePushedProbe)] =
-      rowidAttr.filter(byAttr.contains).flatMap(a =>
-          foldRowid(byAttr(a).map(t => (t._2, t._3))).map(a -> _))
-        .orElse {
-          byAttr.keys.toSeq.sorted.iterator.flatMap { a =>
-            indexes.find(_.cols.headOption.contains(a))
-              .flatMap(foldIndex(_, byAttr(a).map(t => (t._2, t._3))))
-              .map(a -> _)
-          }.nextOption()
-        }
+
+    // IN-lists: each value is one O(depth)-page point probe, so push
+    // only SMALL lists (past ~256 probes a scan wins); NULLs in the
+    // list never match (SQL IN is an = disjunction), dropping them is
+    // exact for filter semantics. An attribute carrying BOTH an IN
+    // and comparisons keeps the comparisons (tighter per page); its
+    // IN stays with Spark.
+    val MaxInList = 256
+    val ins: Seq[(String, Filter, Seq[Any])] = filters.toSeq.flatMap {
+      case f @ org.apache.spark.sql.sources.In(a, raw)
+          if !byAttr.contains(a) =>
+        val vs = raw.toSeq.flatMap(normalize)
+        if (vs.nonEmpty && vs.size <= MaxInList) Some((a, f, vs)) else None
+      case _ => None
+    }
+    def inRowid(vs: Seq[Any]): Option[SqlitePushedProbe] = {
+      val ls = vs.collect { case l: Long => l }
+      if (ls.size == vs.size) Some(RowidIn(ls.distinct.sorted)) else None
+    }
+
+    // rowid alias wins when both qualify (no index pages at all);
+    // comparison folds beat IN-lists (one interval beats k probes)
+    val chosen: Option[(String, Either[Filter, Set[Filter]], SqlitePushedProbe)] = {
+      def cmpChoice: Option[(String, Either[Filter, Set[Filter]], SqlitePushedProbe)] =
+        rowidAttr.filter(byAttr.contains).flatMap(a =>
+            foldRowid(byAttr(a).map(t => (t._2, t._3)))
+              .map(p => (a, Right(byAttr(a).map(_._2).toSet), p)))
+          .orElse {
+            byAttr.keys.toSeq.sorted.iterator.flatMap { a =>
+              indexes.find(_.cols.headOption.contains(a))
+                .flatMap(foldIndex(_, byAttr(a).map(t => (t._2, t._3))))
+                .map(p => (a, Right(byAttr(a).map(_._2).toSet), p))
+            }.nextOption()
+          }
+      def inChoice: Option[(String, Either[Filter, Set[Filter]], SqlitePushedProbe)] =
+        rowidAttr.flatMap(ra => ins.collectFirst {
+            case (a, f, vs) if a == ra => (a, f, vs)
+          }).flatMap { case (a, f, vs) =>
+            inRowid(vs).map(p => (a, Left(f), p))
+          }
+          .orElse {
+            ins.iterator.flatMap { case (a, f, vs) =>
+              indexes.find(_.cols.headOption.contains(a))
+                .map(i => (a, Left(f), IndexIn(i, vs.distinct)))
+            }.nextOption()
+          }
+      cmpChoice.orElse(inChoice)
+    }
 
     chosen match {
-      case Some((attr, p)) =>
-        // every comparison on attr implies IsNotNull(attr): swallow
-        // the guard too so the probe leaves no redundant post-scan
-        // Filter
-        val folded = byAttr(attr).map(_._2).toSet
+      case Some((attr, folded, p)) =>
+        // every pushed comparison/IN on attr implies IsNotNull(attr):
+        // swallow the guard too so the probe leaves no redundant
+        // post-scan Filter
+        val inSet: Filter => Boolean = folded match {
+          case Left(f) => _ eq f
+          case Right(set) => set.contains
+        }
         val implied: Filter => Boolean = {
           case IsNotNull(a) => a == attr
-          case g => folded.contains(g)
+          case g => inSet(g)
         }
         accepted = filters.filter(implied); probe = Some(p)
         filters.filterNot(implied)
@@ -275,6 +320,16 @@ private[sources] final case class SqliteIndexProbePartition(
     idx: SqliteIndex.IndexDef, range: SqliteIndex.KeyRange, tableRoot: Int,
     h: SqliteFile.Header) extends InputPartition
 
+/** An IN-list as one task: a sorted set of rowid point walks (rowid
+  * alias IN), or one index point probe per value (indexed column IN).
+  */
+private[sources] final case class SqliteRowidSetPartition(
+    rowids: Seq[Long], tableRoot: Int, h: SqliteFile.Header)
+    extends InputPartition
+private[sources] final case class SqliteIndexInPartition(
+    idx: SqliteIndex.IndexDef, values: Seq[Any], tableRoot: Int,
+    h: SqliteFile.Header) extends InputPartition
+
 private[sources] final class SqliteScan(path: String,
                                         tdef: SqliteFile.TableDef,
                                         required: StructType,
@@ -289,6 +344,8 @@ private[sources] final class SqliteScan(path: String,
       case IndexEq(i, v) => s" probe=${i.name}:$v"
       case RowidRange(lo, hi) => s" probe=rowid:($lo,$hi]"
       case IndexRange(i, r) => s" probe=${i.name}:$r"
+      case RowidIn(rs) => s" probe=rowid:in[${rs.size}]"
+      case IndexIn(i, vs) => s" probe=${i.name}:in[${vs.size}]"
     }.getOrElse("")
     s"sqlite ${tdef.name} cols=[${required.fieldNames.mkString(",")}]$p"
   }
@@ -320,6 +377,15 @@ private[sources] final class SqliteScan(path: String,
         Array(SqliteIndexProbePartition(idx, point(v), tdef.rootPage, h))
       case Some(IndexRange(idx, r)) =>
         Array(SqliteIndexProbePartition(idx, r, tdef.rootPage, h))
+      case Some(RowidIn(rs)) =>
+        // prune to rowids any subtree can hold, one task (point walks)
+        val ranges = SqliteFile.subtreeRanges(path, tdef)
+        val live = rs.filter(r =>
+          ranges.exists { case (_, lo, hi) => hi > r - 1 && lo <= r })
+        if (live.isEmpty) Array.empty
+        else Array(SqliteRowidSetPartition(live, tdef.rootPage, h))
+      case Some(IndexIn(idx, vs)) =>
+        Array(SqliteIndexInPartition(idx, vs, tdef.rootPage, h))
       case None =>
         val roots = SqliteFile.subtreeRoots(path, tdef)
         roots.grouped(
@@ -440,6 +506,18 @@ private[sources] final class SqliteReaderFactory(path: String,
           SqliteIndex.rangeRowids(path, probe.h, probe.idx, probe.range)
         rowids.sorted.iterator.map(rid =>
           new SqliteFile.TableWalk(path, probe.h, probe.tableRoot,
+            rid - 1, rid))
+      case set: SqliteRowidSetPartition =>
+        set.rowids.iterator.map(rid =>
+          new SqliteFile.TableWalk(path, set.h, set.tableRoot,
+            rid - 1, rid))
+      case in: SqliteIndexInPartition =>
+        in.values.flatMap { v =>
+          SqliteIndex.rangeRowids(path, in.h, in.idx,
+            SqliteIndex.KeyRange(Some(v), loInc = true,
+              Some(v), hiInc = true))._1
+        }.distinct.sorted.iterator.map(rid =>
+          new SqliteFile.TableWalk(path, in.h, in.tableRoot,
             rid - 1, rid))
       case other => throw new IllegalStateException(
         s"unknown sqlite partition ${other.getClass.getName}")

@@ -89,6 +89,33 @@ class SqliteIndexRangeSpec extends SparkFunSuite {
       scanIds("id <= 2000 AND k > 90"))
   }
 
+  test("DSv2: IN-lists push as point-probe sets (rowid and indexed)") {
+    val qr = dsv2.filter("id IN (5, 777, 2001, 99999)")
+    val pr = qr.queryExecution.executedPlan.toString
+    assert(pr.contains("probe=rowid:in[4]"), s"rowid IN not pushed:\n$pr")
+    assert(qr.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(5L, 777L, 2001L))
+    val qi = dsv2.filter("k IN (3, 97)")
+    val pi = qi.queryExecution.executedPlan.toString
+    assert(pi.contains("probe=ix_k:in[2]"), s"index IN not pushed:\n$pi")
+    assert(qi.collect().map(_.getLong(0)).sorted.toSeq ==
+      scanIds("k IN (3, 97)"))
+    // no redundant post-scan Filter for the fully-served IN
+    assert(!pi.replace("RuntimeFilters:", "").contains("Filter"), pi)
+  }
+
+  test("DSv2: comparisons beat IN on the same attribute; a NULL in " +
+      "the list is dropped exactly (IN never matches NULL)") {
+    val q = dsv2.filter("k IN (3, 97) AND k >= 90")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("probe=ix_k:[90, +inf"),
+      s"comparison fold not preferred over IN:\n$plan")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      scanIds("k IN (3, 97) AND k >= 90"))
+    val qn = dsv2.filter("k IN (42)") // single-value IN → EqualTo in DSv1
+    assert(qn.collect().length == 42)
+  }
+
   test("DSv2: strict and mixed-openness conjunctions stay exact " +
       "(openness is honored, not rounded to closed)") {
     for (pred <- Seq("k > 10 AND k < 12", "k > 95", "k < 1",
