@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -319,6 +319,59 @@ object AnalyticsQueries {
         .select(col("event_type"), col("n_days"),
           col("st.l").as("level_c"), col("st.b").as("trend_c"),
           (col("st.l") + lit(7L) * col("st.b")).as("forecast7_c"))
+        .orderBy("event_type")
+    },
+
+    // B85 (round 14): Holt-Winters ADDITIVE seasonal smoothing —
+    // the triple-smoothing completion of the family (EMA →
+    // q_exp_decay_avg, Holt → q_holt_linear, Holt-Winters here):
+    // level + trend + a period-7 seasonal queue, all-dyadic α=1/4,
+    // β=1/8, γ=1/4, every division the explicit floor div. Init is
+    // the textbook two-period form (l₀ = mean of week 1, b₀ = mean
+    // day-over-week-ago difference, s = week-1 deviations; requires
+    // n ≥ 14 — enforced); the seasonal state rides the fold as a
+    // 7-long rolling queue (consume head, append fresh). Forecasts:
+    // h=1 uses the queue head (phase n+1−7), h=7 the tail (same
+    // phase as day n). One calendar-bounded ordered fold per type,
+    // the q_holt_linear shape; the oracle's recursive CTE carries
+    // the queue as a LIST column.
+    "q_holt_winters" -> Q { (s, d) =>
+      val p = 7
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .agg(sum((col("value").cast(d2) * 100).cast(LongType)).as("cents"))
+      val ser = daily.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("cents"))))
+          .as("arr"))
+        .where(size(col("arr")) >= 2 * p)
+      def fd(a: String, n: Int) = s"((($a) - pmod($a, $n)) div $n)"
+      def sumSlice(from: Int) =
+        s"aggregate(slice(arr, $from, $p), CAST(0 AS BIGINT), " +
+          "(a, e) -> a + e.cents)"
+      val l0 = fd(sumSlice(1), p)
+      val b0 = fd(s"${sumSlice(p + 1)} - ${sumSlice(1)}", p * p)
+      val lp = fd("x.cents - acc.s[0] + 3 * acc.l + 3 * acc.b", 4)
+      val bp = fd(s"$lp - acc.l + 7 * acc.b", 8)
+      val sp = fd(s"x.cents - $lp + 3 * acc.s[0]", 4)
+      ser.select(col("event_type"),
+          size(col("arr")).cast(LongType).as("n_days"),
+          expr(
+            s"""aggregate(slice(arr, ${p + 1}, size(arr) - $p),
+               | named_struct(
+               |  'l', CAST($l0 AS BIGINT),
+               |  'b', CAST($b0 AS BIGINT),
+               |  's', transform(slice(arr, 1, $p),
+               |        e -> CAST(e.cents - $l0 AS BIGINT))),
+               | (acc, x) -> named_struct(
+               |  'l', $lp, 'b', $bp,
+               |  's', concat(slice(acc.s, 2, ${p - 1}), array($sp))),
+               | acc -> acc)""".stripMargin).as("st"))
+        .select(col("event_type"), col("n_days"),
+          col("st.l").as("level_c"), col("st.b").as("trend_c"),
+          (col("st.l") + col("st.b") + element_at(col("st.s"), 1))
+            .as("forecast1_c"),
+          (col("st.l") + lit(7L) * col("st.b") +
+            element_at(col("st.s"), p)).as("forecast7_c"))
         .orderBy("event_type")
     },
 
@@ -1218,6 +1271,43 @@ object AnalyticsQueries {
         .select(col("t_pre"), col("t_post"), col("c_pre"), col("c_post"),
           ((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
             .as("did_cents"))
+    },
+
+    // B84 (round 14): RFM segmentation — the classic marketing
+    // triple: per-user Recency (days since last purchase), Frequency
+    // (purchase count), Monetary (total cents), each cut into
+    // quartiles by ntile over a TOTAL order (metric, user_id — no
+    // float ties), segment = concatenated quartile digits, output =
+    // segment sizes + per-segment exact averages. One user-grain
+    // shuffle; the three ntile windows run on the bounded user-grain
+    // relation (the q_gini global-window note applies: user-grain,
+    // not raw rows).
+    "q_rfm" -> Q { (s, d) =>
+      val pu = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(expr(s"ts_us div $dayUs")).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum((col("value").cast(d2) * 100).cast(LongType)).as("cents"))
+      val ref1 = pu.agg(max(col("last_day")).as("ref_day"))
+        .localCheckpoint(true)
+      def q(metric: Column, asc: Boolean) = ntile(4).over(
+        if (asc) Window.orderBy(metric.asc, col("user_id"))
+        else Window.orderBy(metric.desc, col("user_id")))
+      val scored = pu.crossJoin(ref1)
+        .withColumn("recency_days", col("ref_day") - col("last_day"))
+        // recency: LOWER days = better = quartile 1 → ascending;
+        // frequency/monetary: HIGHER = quartile 1 → descending
+        .withColumn("rq", q(col("recency_days"), asc = true)
+          .cast(LongType))
+        .withColumn("fq", q(col("freq"), asc = false).cast(LongType))
+        .withColumn("mq", q(col("cents"), asc = false).cast(LongType))
+      scored.groupBy(concat(col("rq"), col("fq"), col("mq"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cents")).as("cents"),
+          sum(col("freq")).as("purchases"))
+        .orderBy("segment")
     },
 
     // B14 (oracle, round 9): weekly cohort-retention matrix — the
@@ -2165,6 +2255,58 @@ object AnalyticsQueries {
          |FROM h WHERE t = n ORDER BY event_type""".stripMargin
     },
 
+    // Holt-Winters replay: same init sums, same queue-in-a-LIST
+    // recursion, same floor divisions
+    "q_holt_winters" -> {
+      def fd(a: String, n: Int) =
+        s"((($a) - ((($a) % $n + $n) % $n)) // $n)"
+      val lp = fd("i.cents - h.s[1] + 3 * h.l + 3 * h.b", 4)
+      val bp = fd(s"$lp - h.l + 7 * h.b", 8)
+      val sp = fd(s"i.cents - $lp + 3 * h.s[1]", 4)
+      val l0 = fd("sum1", 7)
+      val b0 = fd("sum2 - sum1", 49)
+      s"""WITH RECURSIVE daily AS (
+         | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |    AS BIGINT) AS cents
+         | FROM events GROUP BY 1, 2
+         |), idx AS (
+         | SELECT event_type, cents,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS n
+         | FROM daily
+         |), sums AS (
+         | SELECT event_type, max(n) AS n,
+         |  CAST(sum(CASE WHEN rn <= 7 THEN cents ELSE 0 END) AS BIGINT)
+         |   AS sum1,
+         |  CAST(sum(CASE WHEN rn BETWEEN 8 AND 14 THEN cents ELSE 0 END)
+         |   AS BIGINT) AS sum2
+         | FROM idx WHERE n >= 14 GROUP BY event_type
+         |), init AS (
+         | SELECT event_type, n, $l0 AS l0, $b0 AS b0 FROM sums
+         |), s0 AS (
+         | SELECT i.event_type,
+         |  list(i.cents - init.l0 ORDER BY i.rn) AS s
+         | FROM idx i JOIN init USING (event_type)
+         | WHERE i.rn <= 7 GROUP BY i.event_type
+         |), h AS (
+         | SELECT init.event_type, 7 AS t, init.n,
+         |  init.l0 AS l, init.b0 AS b, s0.s AS s
+         | FROM init JOIN s0 USING (event_type)
+         | UNION ALL
+         | SELECT h.event_type, h.t + 1, h.n,
+         |  $lp AS l, $bp AS b, list_append(h.s[2:], $sp) AS s
+         | FROM h JOIN idx i
+         |  ON i.event_type = h.event_type AND i.rn = h.t + 1
+         | WHERE h.t < h.n
+         |)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         | CAST(l AS BIGINT) AS level_c, CAST(b AS BIGINT) AS trend_c,
+         | CAST(l + b + s[1] AS BIGINT) AS forecast1_c,
+         | CAST(l + 7 * b + s[7] AS BIGINT) AS forecast7_c
+         |FROM h WHERE t = n ORDER BY event_type""".stripMargin
+    },
+
     // pointInPolygon replay: same unrolled integer edge tests
     "q_point_in_polygon" -> {
       import graft.operators.GeoHash
@@ -2610,6 +2752,34 @@ object AnalyticsQueries {
         |SELECT item_a, item_b, co, cnt_a, cnt_b,
         | CAST(lift_ppm AS BIGINT) AS lift_ppm, CAST(rk AS BIGINT) AS rk
         |FROM lifted WHERE rk <= 3 ORDER BY item_a, rk""".stripMargin,
+
+    // RFM replay: same user-grain triple, same total-order ntiles,
+    // same segment digits
+    "q_rfm" ->
+      """WITH pu AS (
+        | SELECT user_id,
+        |  max(epoch_us(ts) // 86400000000) AS last_day,
+        |  CAST(count(*) AS BIGINT) AS freq,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r1 AS (SELECT max(last_day) AS ref_day FROM pu),
+        |sc AS (
+        | SELECT user_id, freq, cents,
+        |  ref_day - last_day AS recency_days,
+        |  CAST(ntile(4) OVER (ORDER BY ref_day - last_day ASC, user_id)
+        |   AS BIGINT) AS rq,
+        |  CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT)
+        |   AS fq,
+        |  CAST(ntile(4) OVER (ORDER BY cents DESC, user_id) AS BIGINT)
+        |   AS mq
+        | FROM pu CROSS JOIN r1)
+        |SELECT CAST(rq AS VARCHAR) || CAST(fq AS VARCHAR) ||
+        |  CAST(mq AS VARCHAR) AS segment,
+        | CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(cents) AS BIGINT) AS cents,
+        | CAST(sum(freq) AS BIGINT) AS purchases
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Gini replay: same rank order, same exact integer numerator/
     // denominator, one divide

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.functions.{Fnv1a64, TextFunctions => T}
 
 /** SURVEY.md §2 C8-C11 — text analysis over the documents table. All
@@ -96,6 +96,48 @@ object TextQueries {
           col("n_grams") + lit(NgramQuerySet.size.toLong) - col("inter"))
         .withColumn("sim_ppm", expr("(inter * 1000000) div uni"))
         .orderBy("doc_id")
+    },
+
+    // C51 (round 14): PMI collocations — which word PAIRS co-occur
+    // far above chance (the classic collocation-extraction /
+    // multi-word-expression mining pass an NLP pipeline runs before
+    // tokenizer training). PMI = log p(xy)/(p(x)p(y)) rides libm, so
+    // the score ships QUANTIZED to the floor-log2 integer proxy
+    // (§11): pmi_q = ⌊log2(c_xy·N)⌋ − ⌊log2(c_x·c_y)⌋ via
+    // length(bin(·))−1 — exact BIGINTs end to end (envelope:
+    // c_xy·N < 2⁶³, i.e. ~3·10⁹ grams — past that pre-scale counts).
+    // Two map-side-combined count shuffles (unigrams, bigrams), the
+    // unigram relation broadcast back twice, top-20 by
+    // (pmi_q, c_xy, gram) total order via TakeOrdered. Min support
+    // c_xy ≥ 4 keeps one-off juxtapositions out (standard practice).
+    "text_pmi" -> Q { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("tk"))
+        .where(size(col("tk")) >= 1 && element_at(col("tk"), 1) =!= "")
+      val uni = toks.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bi = toks.where(size(col("tk")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+            | i -> struct(tk[i - 1] AS w1, tk[i] AS w2))""".stripMargin))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+        .where(col("c_xy") >= 4)
+      val n1 = bi.agg(sum(col("c_xy")).as("n")).localCheckpoint(true)
+      bi.join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))),
+          "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))),
+          "w2")
+        .crossJoin(n1)
+        .select(concat(col("w1"), lit(" "), col("w2")).as("gram"),
+          col("c_xy"), col("c_x"), col("c_y"),
+          ((length(bin(col("c_xy") * col("n"))) - 1) -
+            (length(bin(col("c_x") * col("c_y"))) - 1)).cast(LongType)
+            .as("pmi_q"))
+        .orderBy(col("pmi_q").desc, col("c_xy").desc, col("gram"))
+        .limit(20)
     },
 
     // C30b (round 12): BPE TRAINING on the corpus itself — the
@@ -764,6 +806,34 @@ object TextQueries {
     "text_pii_scrub" -> piiScrubSql,
     "text_multisearch" -> multiSearchSql,
     "text_ngram_sim" -> ngramSimSql,
+
+    // PMI replay: same tokenization, same counts, same floor-log2
+    // quantization, same (pmi_q, c_xy, gram) top-20
+    "text_pmi" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        | FROM documents
+        | WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 1
+        |  AND regexp_split_to_array(lower(trim(text)), '\s+')[1] <> ''),
+        |uni AS (
+        | SELECT w, CAST(count(*) AS BIGINT) AS c
+        | FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+        |bi AS (
+        | SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM (
+        |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(tk))) AS u(i)
+        |  WHERE len(tk) >= 2)
+        | GROUP BY 1, 2 HAVING count(*) >= 4),
+        |n1 AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM bi)
+        |SELECT w1 || ' ' || w2 AS gram, c_xy, ux.c AS c_x, uy.c AS c_y,
+        | CAST((length(bin(c_xy * n)) - 1) -
+        |      (length(bin(ux.c * uy.c)) - 1) AS BIGINT) AS pmi_q
+        |FROM bi
+        |JOIN uni ux ON ux.w = bi.w1
+        |JOIN uni uy ON uy.w = bi.w2
+        |CROSS JOIN n1
+        |ORDER BY pmi_q DESC, c_xy DESC, gram LIMIT 20""".stripMargin,
 
     "text_top_terms" ->
       """WITH toks AS (
