@@ -1310,6 +1310,34 @@ object AnalyticsQueries {
         .orderBy("segment")
     },
 
+    // B86 (round 14): CUSUM change-point detection — where did each
+    // series' level shift? dev_t = y_t − ⌊mean⌋ (floor mean keeps
+    // everything exact BIGINT), cusum_t = running Σdev, the change
+    // point = argmax |cusum| with earliest-day tie-break — all exact
+    // integers, zero libm. One calendar-bounded daily agg + one
+    // per-type frame + one argmax window (the Series scale shape:
+    // windows partition BY TYPE over the bounded daily relation).
+    "q_cusum" -> Q { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .agg(sum((col("value").cast(d2) * 100).cast(LongType)).as("cents"))
+      val m = daily.groupBy("event_type")
+        .agg(expr("sum(cents) div count(1)").as("mean_f"),
+          count(lit(1)).as("n_days"))
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPick = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("cusum")).desc, col("day"))
+      daily.join(broadcast(m), "event_type")
+        .withColumn("cusum", sum(col("cents") - col("mean_f")).over(wRun))
+        .withColumn("rk", row_number().over(wPick))
+        .where(col("rk") === 1)
+        .select(col("event_type"), col("n_days"),
+          col("day").as("change_day"),
+          abs(col("cusum")).as("max_abs_cusum"))
+        .orderBy("event_type")
+    },
+
     // B14 (oracle, round 9): weekly cohort-retention matrix — the
     // classic product-analytics grid (cohort week × weeks-since),
     // complementing q_retention's CH retention() flags. Two shuffles:
@@ -2752,6 +2780,31 @@ object AnalyticsQueries {
         |SELECT item_a, item_b, co, cnt_a, cnt_b,
         | CAST(lift_ppm AS BIGINT) AS lift_ppm, CAST(rk AS BIGINT) AS rk
         |FROM lifted WHERE rk <= 3 ORDER BY item_a, rk""".stripMargin,
+
+    // CUSUM replay: same floor mean, same running frame, same argmax
+    "q_cusum" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        |m AS (
+        | SELECT event_type, CAST(sum(cents) // count(*) AS BIGINT)
+        |   AS mean_f,
+        |  CAST(count(*) AS BIGINT) AS n_days
+        | FROM daily GROUP BY 1),
+        |c AS (
+        | SELECT d.event_type, m.n_days, d.day,
+        |  CAST(sum(d.cents - m.mean_f) OVER (PARTITION BY d.event_type
+        |    ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+        | FROM daily d JOIN m USING (event_type)),
+        |p AS (
+        | SELECT event_type, n_days, day, abs(cusum) AS max_abs_cusum,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cusum) DESC, day) AS rk
+        | FROM c)
+        |SELECT event_type, n_days, day AS change_day, max_abs_cusum
+        |FROM p WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     // RFM replay: same user-grain triple, same total-order ntiles,
     // same segment digits

@@ -77,7 +77,7 @@ object Bench {
     "text_multisearch", "text_ngram_sim", "ann_hybrid_rrf",
     "q_item_cooccur", "q_ab_sample_size", "q_dq_audit",
     "q_cohort_ltv", "q_benford", "q_gini", "q_cuped", "q_did",
-    "q_rfm", "text_pmi", "q_holt_winters")
+    "q_rfm", "text_pmi", "q_holt_winters", "q_cusum", "text_soundex")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

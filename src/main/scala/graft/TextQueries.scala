@@ -43,7 +43,60 @@ object TextQueries {
   private val NgramQuerySet: Seq[String] =
     NgramQuery.toLowerCase.sliding(3).toSeq.distinct
 
+  /** American Soundex as ONE expression string valid in BOTH engines
+    * (C52) — upper/translate/replace/substring/rpad/concat behave
+    * identically in Spark SQL and DuckDB, so a single generator keeps
+    * the two sides in lockstep by construction. The classic rules,
+    * expression-only:
+    *  - H/W dropped from position 2 on BEFORE digit mapping (so
+    *    consonants separated by h/w collapse as one code);
+    *  - letters → digits incl. the first (vowels+Y → 0);
+    *  - adjacent duplicate digits collapsed (runs handled by 5 rounds
+    *    of pair-replaces per digit — RE2 has no backreferences, so
+    *    the regexp '(\\d)\\1+' trick is NOT portable; chained
+    *    replace() is);
+    *  - drop the FIRST digit (the first letter's run — this is what
+    *    makes 'Ashcraft' → A261, not A613), then strip the 0s
+    *    (vowels acted as separators during collapsing), take 3,
+    *    right-pad with 0.
+    * Pinned against the textbook vectors in RfmPmiHwSpec's sibling.
+    */
+  private[graft] def soundexExprSql(c: String): String = {
+    val up = s"upper($c)"
+    val noHW =
+      s"concat(substring($up, 1, 1), " +
+        s"replace(replace(substring($up, 2), 'H', ''), 'W', ''))"
+    val digits = s"translate($noHW, " +
+      "'AEIOUYBFPVCGJKQSXZDTLMNR', '000000111122222222334556')"
+    var x = digits
+    for (_ <- 1 to 5; dd <- '0' to '6')
+      x = s"replace($x, '$dd$dd', '$dd')"
+    s"concat(substring($up, 1, 1), " +
+      s"rpad(substring(replace(substring($x, 2), '0', ''), 1, 3), 3, '0'))"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C52 (round 14): Soundex phonetic bucketing — group the corpus
+    // vocabulary by American Soundex code (the classic phonetic
+    // blocking key for name/entity matching; as a DEDUP BLOCKING key
+    // it's the textbook cheap candidate generator). One token-count
+    // shuffle builds the vocabulary, the code is a pure expression
+    // ([[soundexExprSql]] — identical string on both engines), one
+    // bounded code-grain agg; top-20 codes by (n_words, code).
+    "text_soundex" -> Q { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("occ"))
+      words
+        .withColumn("code", expr(soundexExprSql("w")))
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("n_words"), sum(col("occ")).as("occurrences"),
+          min(col("w")).as("example"))
+        .orderBy(col("n_words").desc, col("code"))
+        .limit(20)
+    },
 
     // C47 (round 14): ClickHouse multiSearchFirstIndex /
     // multiSearchAny / multiSearchFirstPosition — one pass over each
@@ -806,6 +859,23 @@ object TextQueries {
     "text_pii_scrub" -> piiScrubSql,
     "text_multisearch" -> multiSearchSql,
     "text_ngram_sim" -> ngramSimSql,
+
+    // Soundex replay: the SAME generated expression string (both
+    // engines evaluate the identical upper/translate/replace chain)
+    "text_soundex" -> {
+      s"""WITH words AS (
+         | SELECT w, CAST(count(*) AS BIGINT) AS occ FROM (
+         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+         |   AS w
+         |  FROM documents)
+         | WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+         |coded AS (
+         | SELECT ${soundexExprSql("w")} AS code, w, occ FROM words)
+         |SELECT code, CAST(count(*) AS BIGINT) AS n_words,
+         | CAST(sum(occ) AS BIGINT) AS occurrences, min(w) AS example
+         |FROM coded GROUP BY 1
+         |ORDER BY n_words DESC, code LIMIT 20""".stripMargin
+    },
 
     // PMI replay: same tokenization, same counts, same floor-log2
     // quantization, same (pmi_q, c_xy, gram) top-20
