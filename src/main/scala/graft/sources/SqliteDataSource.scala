@@ -245,6 +245,22 @@ private[sources] final class SqliteScanBuilder(path: String,
       if (ls.size == vs.size) Some(RowidIn(ls.distinct.sorted)) else None
     }
 
+    // LIKE 'p%' on an indexed TEXT column ⟺ key ∈ [p, succ(p)) in
+    // memcmp order, where succ(p) increments p's last byte — valid
+    // while that byte < 0x7f (pure-ASCII prefixes; a multibyte or
+    // 0x7f tail would need byte-level carry, left to Spark). Exact:
+    // Spark's startsWith on UTF8String is the same byte-prefix test.
+    val prefixes: Seq[(String, Filter, SqliteIndex.KeyRange)] =
+      filters.toSeq.flatMap {
+        case f @ org.apache.spark.sql.sources.StringStartsWith(a, p)
+            if p != null && p.nonEmpty && !byAttr.contains(a) &&
+              p.last < 0x7f && p.forall(_ < 0x80) =>
+          val hi = p.substring(0, p.length - 1) + (p.last + 1).toChar
+          Some((a, f: Filter, SqliteIndex.KeyRange(
+            Some(p), loInc = true, Some(hi), hiInc = false)))
+        case _ => None
+      }
+
     // rowid alias wins when both qualify (no index pages at all);
     // comparison folds beat IN-lists (one interval beats k probes)
     val chosen: Option[(String, Either[Filter, Set[Filter]], SqlitePushedProbe)] = {
@@ -271,7 +287,13 @@ private[sources] final class SqliteScanBuilder(path: String,
                 .map(i => (a, Left(f), IndexIn(i, vs.distinct)))
             }.nextOption()
           }
-      cmpChoice.orElse(inChoice)
+      def prefixChoice: Option[(String, Either[Filter, Set[Filter]], SqlitePushedProbe)] =
+        prefixes.iterator.flatMap { case (a, f, r) =>
+          indexes.find(_.cols.headOption.contains(a))
+            .map(i => (a, Left(f): Either[Filter, Set[Filter]],
+              IndexRange(i, r): SqlitePushedProbe))
+        }.nextOption()
+      cmpChoice.orElse(inChoice).orElse(prefixChoice)
     }
 
     chosen match {

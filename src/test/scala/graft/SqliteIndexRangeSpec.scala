@@ -116,6 +116,25 @@ class SqliteIndexRangeSpec extends SparkFunSuite {
     assert(qn.collect().length == 42)
   }
 
+  test("DSv2: LIKE-prefix on an indexed TEXT column pushes as a " +
+      "half-open range; non-ASCII-safe prefixes stay with Spark") {
+    val q = dsv2.filter("s LIKE 'name-0012%'")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("probe=ix_s:[name-0012, name-0013)"),
+      s"prefix not pushed as a range:\n$plan")
+    assert(!plan.replace("RuntimeFilters:", "").contains("Filter"),
+      s"fully-served prefix still re-filtered:\n$plan")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      scanIds("s LIKE 'name-0012%'"))
+    // a non-ASCII prefix (multibyte tail — the byte successor would
+    // need a carry) is NOT pushed; Spark's residual filter still
+    // answers it correctly over the full scan
+    val risky = dsv2.filter("s LIKE 'na\u00ef%'")
+    assert(!risky.queryExecution.executedPlan.toString.contains("probe="))
+    assert(risky.collect().map(_.getLong(0)).sorted.toSeq ==
+      scanIds("s LIKE 'na\u00ef%'"))
+  }
+
   test("DSv2: strict and mixed-openness conjunctions stay exact " +
       "(openness is honored, not rounded to closed)") {
     for (pred <- Seq("k > 10 AND k < 12", "k > 95", "k < 1",
