@@ -44,7 +44,10 @@ object Bench {
     // edit-distance verifier join the set
     "multimodal_meta", "multimodal_av_meta", "text_nb_classify",
     "dedup_fuzzy", "text_bm25", "dedup_fuzzy_cluster",
-    "multimodal_export_manifest")
+    "multimodal_export_manifest",
+    // round-14 continuation: PCA projection (ann_hybrid_rrf is
+    // tracked in the analytics section)
+    "vec_pca_project")
 
   /** The round-12 ClickHouse-analytics widening — tracked as its own
     * section (same reasoning as `pipeline`: new ops get wall-clock

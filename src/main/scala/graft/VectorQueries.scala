@@ -390,6 +390,20 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // C53 (round 14): PCA top-direction projection — exact integer
+    // moments in one 64-key shuffle, driver power iteration (fixed 64
+    // rounds, deterministic sign rule), the learned direction
+    // transported as E-notation literals into BOTH engines, and the
+    // projection the shared left-associative unrolled dot — the
+    // trained-model-literal pattern (see operators/Pca.scala).
+    "vec_pca_project" -> Q { (s, d) =>
+      val w = pcaModel(s, d)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr(graft.operators.Pca.projSql("embedding", w, 0)).as("proj"))
+        .orderBy("vec_id")
+    },
+
     // C49 (round 14): HYBRID retrieval — reciprocal-rank fusion
     // (Cormack et al. 2009) of a lexical BM25 ranking over documents
     // and a vector cosine ranking over embeddings, joined on the
@@ -1100,8 +1114,31 @@ object VectorQueries {
            |)$rankTail""".stripMargin)
   }).getOrElse(Map.empty)
 
+  /** One trained direction per data dir, memoized — gate and oracle
+    * see the identical weights (training is deterministic anyway).
+    */
+  private val pcaModels =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+  private[graft] def pcaModel(s: SparkSession, d: String): Array[Double] =
+    pcaModels.getOrElseUpdate(d,
+      graft.operators.Pca.topDirection(Tables.embeddings(s, d), dim = 64))
+
+  private def pcaOracle: Map[String, String] = (for {
+    s <- SparkSession.getActiveSession
+    d <- sys.props.get("graft.oracle.sfDir")
+  } yield {
+    val w = pcaModel(s, d)
+    Map("vec_pca_project" ->
+      s"""WITH e AS (
+         | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv
+         | FROM embeddings)
+         |SELECT vec_id, label,
+         | ${graft.operators.Pca.projSql("dv", w, 1)} AS proj
+         |FROM e ORDER BY vec_id""".stripMargin)
+  }).getOrElse(Map.empty)
+
   def oracles: Map[String, String] =
-    ivfOracle ++ pqOracle ++ sqOracle ++ opqOracle ++ Map(
+    ivfOracle ++ pqOracle ++ sqOracle ++ opqOracle ++ pcaOracle ++ Map(
     "ann_hybrid_rrf" -> hybridRrfSql,
     "ann_lsh" ->
       s"""WITH dv AS (
