@@ -1216,11 +1216,19 @@ object AnalyticsQueries {
           .otherwise(0L)).as("x"),
           sum(when(col("day") >= col("mid"), col("cents"))
             .otherwise(0L)).as("y"))
+      // Squared moments in DECIMAL(38,0) (HUGEINT in the oracle) —
+      // per-user cents near 3e9 square past 2^63, where BIGINT wraps
+      // silently in non-ANSI Spark while DuckDB raises (round-15
+      // ADVICE fix). Exact integers on both engines, THEN one double
+      // cast each — summation order stays irrelevant, hashes stay
+      // deterministic (a double-sum would not be).
+      val xw = col("x").cast("decimal(38,0)")
+      val yw = col("y").cast("decimal(38,0)")
       val m = xy.agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(xw * xw).as("sxx"),
+        sum(yw * yw).as("syy"),
+        sum(xw * yw).as("sxy"))
       def dd(c: String) = col(c).cast("double")
       m.select(col("n").as("n_users"),
           (dd("n") * dd("sxy") - dd("sx") * dd("sy")).as("_cov_n2"),
@@ -2873,9 +2881,9 @@ object AnalyticsQueries {
         |m AS (
         | SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |  CAST(sum(x * x) AS BIGINT) AS sxx,
-        |  CAST(sum(y * y) AS BIGINT) AS syy,
-        |  CAST(sum(x * y) AS BIGINT) AS sxy
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(y AS HUGEINT) * y) AS syy,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy
         | FROM xy),
         |t AS (
         | SELECT n AS n_users,

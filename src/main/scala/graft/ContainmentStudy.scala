@@ -30,7 +30,6 @@ object ContainmentStudy {
 
     val docs = Tables.documents(spark, sfDir)
     variants.foreach { v =>
-      val t0 = System.nanoTime()
       val out =
         if (v.startsWith("q:"))
           SparkEntry.queries(v.drop(2).takeWhile(_ != '#'))(spark, sfDir)
@@ -40,8 +39,17 @@ object ContainmentStudy {
           graft.operators.Dedup.minhashClusters(docs, "doc_id", "text", 0.5)
         else
           graft.operators.Dedup.containmentPairs(docs, "doc_id", "text", 0.9)
-      val n = out.count()
+      // Materialize EVERY column through the noop sink (Bench.runOnce
+      // discipline): a bare count() lets Catalyst prune the Project
+      // expressions and EliminateSorts drop the orderBy — for
+      // projection-shaped queries the old harness timed a bare scan
+      // (the round-14 verdict's invalid-receipt finding; measured 50×
+      // contradiction on text_ngram_sim: 0.22 s counted vs 11 s
+      // written). Rows counted OUTSIDE the timed window.
+      val t0 = System.nanoTime()
+      out.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
+      val n = out.count()
       println(f"""{"variant":"$v","sf":"$sfDir","pairs":$n,"sec":$secs%.2f}""")
     }
     spark.stop()

@@ -131,20 +131,20 @@ object TextQueries {
     // EXACT integers: intersection count, union count, and the
     // similarity as parts-per-million via one integer division (the
     // float ratio is the caller's one divide away; the gate hashes
-    // integers). Per-row array work only — no shuffle; the query's
-    // gram set is a build-time literal on both engines.
+    // integers). Per-row work only — no shuffle; the query's gram set
+    // is a build-time literal on both engines. Round 15: both counts
+    // come from ONE codegen'd pass ([[graft.functions.NgramSim]]) —
+    // the declarative HOF tree re-lowercased the document per trigram
+    // AND ran interpreted (the round-14 weak flag, 11 s at sf0.1);
+    // the kernel is the MinHash128 fused-pass precedent.
     "text_ngram_sim" -> Q { (s, d) =>
-      val t = lower(col("text"))
-      val grams = when(length(t) >= 3,
-        array_distinct(transform(sequence(lit(1), length(t) - 2),
-          i => t.substr(i, lit(3)))))
-        .otherwise(array().cast("array<string>"))
       Tables.documents(s, d)
-        .select(col("doc_id"), grams.as("grams"))
         .select(col("doc_id"),
-          size(col("grams")).cast("long").as("n_grams"),
-          size(array_intersect(col("grams"), typedlit(NgramQuerySet)))
-            .cast("long").as("inter"))
+          graft.functions.NgramSim.counts(col("text"), NgramQuerySet)
+            .as("nc"))
+        .select(col("doc_id"),
+          element_at(col("nc"), 1).as("n_grams"),
+          element_at(col("nc"), 2).as("inter"))
         .withColumn("uni",
           col("n_grams") + lit(NgramQuerySet.size.toLong) - col("inter"))
         .withColumn("sim_ppm", expr("(inter * 1000000) div uni"))
@@ -805,7 +805,8 @@ object TextQueries {
     */
   private val multiSearchSql: String = {
     val ps = MultiNeedles.zipWithIndex
-      .map { case (p, i) => s"instr(lower(text), '$p') AS p${i + 1}" }
+      .map { case (p, i) =>
+        s"instr(lower(text), ${graft.SqlLit.str(p)}) AS p${i + 1}" }
       .mkString(", ")
     val nMatch = MultiNeedles.indices
       .map(i => s"CASE WHEN p${i + 1} > 0 THEN 1 ELSE 0 END")
@@ -833,7 +834,7 @@ object TextQueries {
     * [[NgramQuerySet]], sizes and one integer division.
     */
   private val ngramSimSql: String = {
-    val qset = NgramQuerySet.map(g => s"'$g'").mkString("[", ", ", "]")
+    val qset = NgramQuerySet.map(graft.SqlLit.str).mkString("[", ", ", "]")
     s"""WITH g AS (
        | SELECT doc_id,
        |  CASE WHEN length(lower(text)) >= 3 THEN list_distinct(

@@ -60,7 +60,17 @@ object KmvSketch {
   class KMinAgg(k: Int) extends Aggregator[java.lang.Long, Buf, Seq[Long]] {
     override def zero: Buf = Buf(Nil)
     override def reduce(b: Buf, v: java.lang.Long): Buf = {
-      if (v != null) b.mins = trim(v.longValue :: b.mins, k)
+      if (v != null) {
+        val x = v.longValue
+        val m = b.mins
+        // O(k) membership guard (round-15): re-sort/trim ONLY when x
+        // genuinely enters the k-minima — a full buffer whose max the
+        // input can't beat, or a duplicate, leaves state untouched.
+        // Without this every row paid distinct+sort+take at k=256.
+        val full = m.lengthCompare(k) >= 0
+        if (!(full && x >= m.last) && !m.contains(x))
+          b.mins = trim(x :: m, k)
+      }
       b
     }
     override def merge(a: Buf, b: Buf): Buf = {
@@ -160,22 +170,23 @@ object KmvSketch {
   def oracleSql(table: String, setCol: String, valueCol: String,
                 labelA: String, labelB: String, k: Int): String = {
     val kernel = graft.DedupOracles.xxh64LongCtes("base", "s", "uv")
+    val (la, lb) = (graft.SqlLit.str(labelA), graft.SqlLit.str(labelB))
     s"""WITH base AS (
        | SELECT DISTINCT $setCol AS s, $valueCol AS uv FROM $table
-       | WHERE $setCol IN ('$labelA', '$labelB') AND $valueCol IS NOT NULL
+       | WHERE $setCol IN ($la, $lb) AND $valueCol IS NOT NULL
        |), $kernel,
        |h40 AS (SELECT DISTINCT s, CAST(hu // 16777216 AS BIGINT) AS h
        |        FROM xh),
-       |ka AS (SELECT h FROM h40 WHERE s = '$labelA' ORDER BY h LIMIT $k),
-       |kb AS (SELECT h FROM h40 WHERE s = '$labelB' ORDER BY h LIMIT $k),
+       |ka AS (SELECT h FROM h40 WHERE s = $la ORDER BY h LIMIT $k),
+       |kb AS (SELECT h FROM h40 WHERE s = $lb ORDER BY h LIMIT $k),
        |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
        |       ORDER BY h LIMIT $k),
        |ca AS (SELECT count(*) AS n, max(h) AS mx FROM ka),
        |cb AS (SELECT count(*) AS n, max(h) AS mx FROM kb),
        |cu AS (SELECT count(*) AS n, max(h) AS mx FROM ku),
        |ex AS (SELECT
-       |  (SELECT count(*) FROM h40 WHERE s = '$labelA') AS exact_a,
-       |  (SELECT count(*) FROM h40 WHERE s = '$labelB') AS exact_b),
+       |  (SELECT count(*) FROM h40 WHERE s = $la) AS exact_a,
+       |  (SELECT count(*) FROM h40 WHERE s = $lb) AS exact_b),
        |th AS (SELECT least(
        |         CASE WHEN ca.n = $k THEN ca.mx ELSE ${Space} END,
        |         CASE WHEN cb.n = $k THEN cb.mx ELSE ${Space} END) AS theta

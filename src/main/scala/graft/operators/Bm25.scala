@@ -87,9 +87,10 @@ object Bm25 {
     * rational per (doc, gram), same fixed-order coalesce total.
     */
   def rankSql(phrases: Seq[String], k: Int): String = {
-    val inList = phrases.map(p => s"'$p'").mkString(", ")
+    val inList = graft.SqlLit.list(phrases)
     val pivots = phrases.zipWithIndex.map { case (p, i) =>
-      s"sum(CASE WHEN gram = '$p' THEN score END) AS s${i + 1}"
+      s"sum(CASE WHEN gram = ${graft.SqlLit.str(p)} THEN score END)" +
+        s" AS s${i + 1}"
     }.mkString(",\n       | ")
     val total = phrases.indices
       .map(i => s"coalesce(s${i + 1}, 0.0)").mkString(" + ")

@@ -72,7 +72,11 @@ object PageRank {
       .localCheckpoint(true)
     // N as a 1-row bounded relation (the 1-row crossJoin composition)
     val n1 = nodes.agg(count(lit(1)).as("n")).localCheckpoint(true)
-    val teleport = expr(s"(${15L * Scale / 100}L div n)") // per-node base
+    // Per-node teleport mass derives from the SAME damping parameter
+    // as the contribution term — (1-d)·Scale — so teleport + damped
+    // mass sums to 1 for ANY damping100, not just the default 85
+    // (round-15 fix: was a hardcoded 15).
+    val teleport = expr(s"(${(100L - damping100) * Scale / 100}L div n)")
     var r = nodes.crossJoin(n1)
       .select(col("node"), expr(s"${Scale}L div n").as("r"))
       .localCheckpoint(true)
@@ -117,7 +121,7 @@ object PageRank {
        | FROM nodes
        | UNION ALL
        | SELECT iter + 1, dst AS node,
-       |  ${15L * Scale / 100} // (SELECT n FROM nn)
+       |  ${(100L - damping100) * Scale / 100} // (SELECT n FROM nn)
        |   + ($damping100 * csum) // 100 AS r
        | FROM (SELECT iter, dst, sum((r * p30) // $P30) AS csum
        |       FROM pr JOIN eaug ON pr.node = eaug.src

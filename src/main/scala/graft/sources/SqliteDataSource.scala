@@ -236,8 +236,17 @@ private[sources] final class SqliteScanBuilder(path: String,
     val ins: Seq[(String, Filter, Seq[Any])] = filters.toSeq.flatMap {
       case f @ org.apache.spark.sql.sources.In(a, raw)
           if !byAttr.contains(a) =>
-        val vs = raw.toSeq.flatMap(normalize)
-        if (vs.nonEmpty && vs.size <= MaxInList) Some((a, f, vs)) else None
+        // Push ONLY when every non-null value normalizes: the filter
+        // is marked fully-accepted (never re-evaluated post-scan), so
+        // a silently dropped unsupported value (e.g. a decimal mixed
+        // into a long list) would silently drop matching rows. Nulls
+        // never match IN (= disjunction), skipping them stays exact.
+        // (round-15 ADVICE fix)
+        val nonNull = raw.toSeq.filter(_ != null)
+        val vs = nonNull.flatMap(normalize)
+        if (vs.nonEmpty && vs.size == nonNull.size && vs.size <= MaxInList)
+          Some((a, f, vs))
+        else None
       case _ => None
     }
     def inRowid(vs: Seq[Any]): Option[SqlitePushedProbe] = {
