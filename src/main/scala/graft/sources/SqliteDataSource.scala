@@ -42,14 +42,24 @@ final class SqliteDataSource extends TableProvider
 
   override def supportsExternalMetadata(): Boolean = false
 
-  private def resolve(options: CaseInsensitiveStringMap): (String, SqliteFile.TableDef) = {
-    val path = Option(options.get("path")).getOrElse(
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "sqlite source requires .option(\"path\", \"/file.db\")"))
+
+  /** `tables` (plural) selects the catalog-CDC envelope surface
+    * (round 15); `table` the typed single-table surface.
+    */
+  private def catalogSpec(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("tables"))
+
+  private def resolve(options: CaseInsensitiveStringMap): (String, SqliteFile.TableDef) = {
+    val path = pathOf(options)
     val table = Option(options.get("table"))
       .orElse(Option(options.get("dbtable"))).getOrElse(
         throw new IllegalArgumentException(
-          "sqlite source requires .option(\"table\", \"name\")"))
+          "sqlite source requires .option(\"table\", \"name\") - or " +
+            ".option(\"tables\", \"*\") for the catalog-CDC envelope"))
     val t = SqliteFile.listTables(path).find(_.name == table).getOrElse(
       throw new IllegalArgumentException(
         s"table '$table' not found in $path"))
@@ -57,14 +67,27 @@ final class SqliteDataSource extends TableProvider
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SqliteFile.schemaOf(resolve(options)._2)
+    catalogSpec(options) match {
+      case Some(spec) =>
+        // validate the selection eagerly so a bad name fails at plan
+        // time, not at first batch
+        SqliteCatalogCdc.select(pathOf(options), spec)
+        SqliteCatalogCdc.Envelope
+      case None => SqliteFile.schemaOf(resolve(options)._2)
+    }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val (path, t) = resolve(opts)
-    new SqliteTable(path, t,
-      Option(opts.get("maxpartitions")).map(_.toInt).getOrElse(32))
+    val maxParts =
+      Option(opts.get("maxpartitions")).map(_.toInt).getOrElse(32)
+    catalogSpec(opts) match {
+      case Some(spec) =>
+        new SqliteCatalogTable(pathOf(opts), spec, maxParts)
+      case None =>
+        val (path, t) = resolve(opts)
+        new SqliteTable(path, t, maxParts)
+    }
   }
 }
 
@@ -100,6 +123,13 @@ private[sources] final case class RowidIn(rowids: Seq[Long])
 private[sources] final case class IndexIn(idx: SqliteIndex.IndexDef,
                                           values: Seq[Any])
     extends SqlitePushedProbe
+/** Composite descent (round 15): leading columns pinned by equality,
+  * the next column ranged — `a = ? AND b BETWEEN ? AND ?` on
+  * `CREATE INDEX ...(a, b)` binds BOTH columns into the walk.
+  */
+private[sources] final case class IndexCompositeRange(
+    idx: SqliteIndex.IndexDef, eqPrefix: Seq[Any],
+    range: SqliteIndex.KeyRange) extends SqlitePushedProbe
 
 private[sources] final class SqliteScanBuilder(path: String,
                                                tdef: SqliteFile.TableDef,
@@ -186,9 +216,12 @@ private[sources] final class SqliteScanBuilder(path: String,
     }
 
     import SqliteIndex.{KeyRange, cmpKey}
-    /** Fold one attribute's comparisons into a KeyRange. */
-    def foldIndex(idx: SqliteIndex.IndexDef,
-                  fs: Seq[(Filter, Any)]): Option[SqlitePushedProbe] = {
+    /** Fold one attribute's comparisons into a KeyRange (BINARY
+      * collation order — callers must not use this for NOCASE
+      * columns, whose fold order differs from Spark's comparison
+      * semantics on inequality bounds).
+      */
+    def foldKeyRange(fs: Seq[(Filter, Any)]): Option[KeyRange] = {
       var lo: Option[(Any, Boolean)] = None // (value, inclusive)
       var hi: Option[(Any, Boolean)] = None
       def tighterLo(v: Any, inc: Boolean): Unit = lo = lo match {
@@ -215,14 +248,19 @@ private[sources] final class SqliteScanBuilder(path: String,
         case _: LessThanOrEqual => tighterHi(v, inc = true)
         case _ => return None
       }
-      (lo, hi) match {
-        case (Some((v, true)), Some((w, true))) if cmpKey(v, w) == 0 =>
-          Some(IndexEq(idx, v)) // point probe, pinned description
-        case _ =>
-          Some(IndexRange(idx, KeyRange(lo.map(_._1),
-            lo.forall(_._2), hi.map(_._1), hi.forall(_._2))))
-      }
+      Some(KeyRange(lo.map(_._1), lo.forall(_._2),
+        hi.map(_._1), hi.forall(_._2)))
     }
+
+    def foldIndex(idx: SqliteIndex.IndexDef,
+                  fs: Seq[(Filter, Any)]): Option[SqlitePushedProbe] =
+      foldKeyRange(fs).map { r =>
+        (r.lo, r.hi) match {
+          case (Some(v), Some(w)) if r.loInc && r.hiInc && cmpKey(v, w) == 0 =>
+            IndexEq(idx, v) // point probe, pinned description
+          case _ => IndexRange(idx, r)
+        }
+      }
 
     val byAttr = cmps.groupBy(_._1)
 
@@ -259,64 +297,160 @@ private[sources] final class SqliteScanBuilder(path: String,
     // while that byte < 0x7f (pure-ASCII prefixes; a multibyte or
     // 0x7f tail would need byte-level carry, left to Spark). Exact:
     // Spark's startsWith on UTF8String is the same byte-prefix test.
-    val prefixes: Seq[(String, Filter, SqliteIndex.KeyRange)] =
+    val prefixes: Seq[(String, Filter, String)] =
       filters.toSeq.flatMap {
         case f @ org.apache.spark.sql.sources.StringStartsWith(a, p)
             if p != null && p.nonEmpty && !byAttr.contains(a) &&
               p.last < 0x7f && p.forall(_ < 0x80) =>
-          val hi = p.substring(0, p.length - 1) + (p.last + 1).toChar
-          Some((a, f: Filter, SqliteIndex.KeyRange(
-            Some(p), loInc = true, Some(hi), hiInc = false)))
+          Some((a, f: Filter, p))
         case _ => None
       }
 
+    /** A selected probe: which attrs it covers (IsNotNull implication),
+      * which filters it serves EXACTLY (swallowed — never re-checked
+      * post-scan), and the probe itself. A NOCASE-index candidate
+      * probe swallows NOTHING: its fetch is a fold-equal SUPERSET of
+      * the binary-semantics Spark filter, which Spark re-evaluates
+      * post-scan (sqlite's own planner likewise refuses a NOCASE index
+      * for a BINARY comparison — this source instead serves the
+      * candidate rows and keeps the filter).
+      */
+    case class Choice(attrs: Set[String], swallowed: Set[Filter],
+                      p: SqlitePushedProbe)
+
+    def binaryLeading(a: String): Option[SqliteIndex.IndexDef] =
+      indexes.find(i =>
+        i.specs.headOption.exists(s => s.name == a && !s.nocase))
+    def nocaseLeading(a: String): Option[SqliteIndex.IndexDef] =
+      indexes.find(i =>
+        i.specs.headOption.exists(s => s.name == a && s.nocase))
+
     // rowid alias wins when both qualify (no index pages at all);
-    // comparison folds beat IN-lists (one interval beats k probes)
-    val chosen: Option[(String, Either[Filter, Set[Filter]], SqlitePushedProbe)] = {
-      def cmpChoice: Option[(String, Either[Filter, Set[Filter]], SqlitePushedProbe)] =
+    // a composite bind beats a single-column fold (tighter descent);
+    // comparison folds beat IN-lists (one interval beats k probes);
+    // exact probes beat NOCASE candidate probes.
+    val chosen: Option[Choice] = {
+      def rowidCmpChoice: Option[Choice] =
         rowidAttr.filter(byAttr.contains).flatMap(a =>
-            foldRowid(byAttr(a).map(t => (t._2, t._3)))
-              .map(p => (a, Right(byAttr(a).map(_._2).toSet), p)))
-          .orElse {
-            byAttr.keys.toSeq.sorted.iterator.flatMap { a =>
-              indexes.find(_.cols.headOption.contains(a))
-                .flatMap(foldIndex(_, byAttr(a).map(t => (t._2, t._3))))
-                .map(p => (a, Right(byAttr(a).map(_._2).toSet), p))
-            }.nextOption()
+          foldRowid(byAttr(a).map(t => (t._2, t._3)))
+            .map(p => Choice(Set(a), byAttr(a).map(_._2).toSet, p)))
+
+      // `a = ? [AND b = ? ...] AND z <cmp> ?` on CREATE INDEX (a,..,z):
+      // the longest single-EqualTo prefix of the index's columns, plus
+      // an optional range on the next column. BINARY collations only
+      // (a NOCASE column's fold order breaks inequality semantics);
+      // DESC columns are fine — the walk runs in index order.
+      def compositeChoice: Option[Choice] =
+        indexes.iterator.flatMap { ix =>
+          val eqCols = ix.specs.map(_.name).takeWhile { n =>
+            byAttr.get(n).exists(fs =>
+              fs.forall(_._2.isInstanceOf[EqualTo]) &&
+                fs.map(_._3).distinct.size == 1)
           }
-      def inChoice: Option[(String, Either[Filter, Set[Filter]], SqlitePushedProbe)] =
+          val k = eqCols.length
+          if (k == 0 || ix.specs.take(k + 1).exists(_.nocase)) None
+          else {
+            val eqVals = eqCols.map(n => byAttr(n).head._3)
+            val rangedCol = ix.specs.lift(k).map(_.name)
+              .filter(byAttr.contains)
+            rangedCol match {
+              case Some(n) =>
+                foldKeyRange(byAttr(n).map(t => (t._2, t._3))).map { r =>
+                  val cols = eqCols :+ n
+                  Choice(cols.toSet,
+                    cols.flatMap(c => byAttr(c).map(_._2)).toSet,
+                    IndexCompositeRange(ix, eqVals, r))
+                }
+              case None if k >= 2 =>
+                // pure multi-column equality: the last eq column is
+                // the degenerate closed range
+                Some(Choice(eqCols.toSet,
+                  eqCols.flatMap(c => byAttr(c).map(_._2)).toSet,
+                  IndexCompositeRange(ix, eqVals.init,
+                    SqliteIndex.KeyRange(Some(eqVals.last), loInc = true,
+                      Some(eqVals.last), hiInc = true))))
+              case None => None // single-col: cmpChoice's job
+            }
+          }
+        }.nextOption()
+
+      def cmpChoice: Option[Choice] =
+        byAttr.keys.toSeq.sorted.iterator.flatMap { a =>
+          binaryLeading(a)
+            .flatMap(foldIndex(_, byAttr(a).map(t => (t._2, t._3))))
+            .map(p => Choice(Set(a), byAttr(a).map(_._2).toSet, p))
+        }.nextOption()
+
+      def inChoice: Option[Choice] =
         rowidAttr.flatMap(ra => ins.collectFirst {
             case (a, f, vs) if a == ra => (a, f, vs)
           }).flatMap { case (a, f, vs) =>
-            inRowid(vs).map(p => (a, Left(f), p))
+            inRowid(vs).map(p => Choice(Set(a), Set(f), p))
           }
           .orElse {
             ins.iterator.flatMap { case (a, f, vs) =>
-              indexes.find(_.cols.headOption.contains(a))
-                .map(i => (a, Left(f), IndexIn(i, vs.distinct)))
+              binaryLeading(a)
+                .map(i => Choice(Set(a), Set(f), IndexIn(i, vs.distinct)))
             }.nextOption()
           }
-      def prefixChoice: Option[(String, Either[Filter, Set[Filter]], SqlitePushedProbe)] =
-        prefixes.iterator.flatMap { case (a, f, r) =>
-          indexes.find(_.cols.headOption.contains(a))
-            .map(i => (a, Left(f): Either[Filter, Set[Filter]],
-              IndexRange(i, r): SqlitePushedProbe))
+
+      def prefixChoice: Option[Choice] =
+        prefixes.iterator.flatMap { case (a, f, p) =>
+          binaryLeading(a).map { i =>
+            val hi = p.substring(0, p.length - 1) + (p.last + 1).toChar
+            Choice(Set(a), Set(f), IndexRange(i, SqliteIndex.KeyRange(
+              Some(p), loInc = true, Some(hi), hiInc = false)))
+          }
         }.nextOption()
-      cmpChoice.orElse(inChoice).orElse(prefixChoice)
+
+      // NOCASE candidate probes (swallow nothing; see Choice doc).
+      // Safe SUPERSET shapes only: binary x = v implies fold(x) =
+      // fold(v) (likewise IN and startsWith); inequality bounds do
+      // NOT survive the fold and stay with a table scan.
+      def nocaseEqChoice: Option[Choice] =
+        byAttr.keys.toSeq.sorted.iterator.flatMap { a =>
+          val fs = byAttr(a)
+          val eqVals = fs.collect { case (_, _: EqualTo, v) => v }.distinct
+          if (eqVals.size == 1 && fs.forall(_._2.isInstanceOf[EqualTo]))
+            nocaseLeading(a).map(ix =>
+              Choice(Set.empty, Set.empty, IndexEq(ix, eqVals.head)))
+          else None
+        }.nextOption()
+
+      def nocaseInChoice: Option[Choice] =
+        ins.iterator.flatMap { case (a, _, vs) =>
+          nocaseLeading(a).map(ix =>
+            Choice(Set.empty, Set.empty, IndexIn(ix, vs.distinct)))
+        }.nextOption()
+
+      def nocasePrefixChoice: Option[Choice] =
+        prefixes.iterator.flatMap { case (a, _, p) =>
+          nocaseLeading(a).map { ix =>
+            // fold-space prefix range: binary startsWith(p) implies
+            // fold-startsWith(fold(p)); succ computed AFTER folding
+            // (A-Z fold to 0x61-0x7a, still below the 0x7f carry)
+            val fp = SqliteIndex.foldAscii(p)
+            val hi = fp.substring(0, fp.length - 1) + (fp.last + 1).toChar
+            Choice(Set.empty, Set.empty, IndexRange(ix,
+              SqliteIndex.KeyRange(Some(fp), loInc = true,
+                Some(hi), hiInc = false)))
+          }
+        }.nextOption()
+
+      rowidCmpChoice.orElse(compositeChoice).orElse(cmpChoice)
+        .orElse(inChoice).orElse(prefixChoice)
+        .orElse(nocaseEqChoice).orElse(nocaseInChoice)
+        .orElse(nocasePrefixChoice)
     }
 
     chosen match {
-      case Some((attr, folded, p)) =>
-        // every pushed comparison/IN on attr implies IsNotNull(attr):
-        // swallow the guard too so the probe leaves no redundant
-        // post-scan Filter
-        val inSet: Filter => Boolean = folded match {
-          case Left(f) => _ eq f
-          case Right(set) => set.contains
-        }
+      case Some(Choice(attrs, swallowed, p)) =>
+        // every pushed comparison/IN on a covered attr implies
+        // IsNotNull(attr): swallow the guard too so the probe leaves
+        // no redundant post-scan Filter
         val implied: Filter => Boolean = {
-          case IsNotNull(a) => a == attr
-          case g => inSet(g)
+          case IsNotNull(a) => attrs.contains(a)
+          case g => swallowed.contains(g)
         }
         accepted = filters.filter(implied); probe = Some(p)
         filters.filterNot(implied)
@@ -343,13 +477,13 @@ private[sources] final case class SqliteSubtrees(
     minEx: Long = Long.MinValue, maxInc: Long = Long.MaxValue)
     extends InputPartition
 
-/** An index probe (point or range) as one task: the index walk +
-  * bounded per-rowid table fetches both run executor-side against the
-  * plan-time header snapshot.
+/** An index probe (point, range, or composite eq-prefix+range) as one
+  * task: the index walk + bounded per-rowid table fetches both run
+  * executor-side against the plan-time header snapshot.
   */
 private[sources] final case class SqliteIndexProbePartition(
     idx: SqliteIndex.IndexDef, range: SqliteIndex.KeyRange, tableRoot: Int,
-    h: SqliteFile.Header) extends InputPartition
+    h: SqliteFile.Header, eqPrefix: Seq[Any] = Nil) extends InputPartition
 
 /** An IN-list as one task: a sorted set of rowid point walks (rowid
   * alias IN), or one index point probe per value (indexed column IN).
@@ -377,6 +511,8 @@ private[sources] final class SqliteScan(path: String,
       case IndexRange(i, r) => s" probe=${i.name}:$r"
       case RowidIn(rs) => s" probe=rowid:in[${rs.size}]"
       case IndexIn(i, vs) => s" probe=${i.name}:in[${vs.size}]"
+      case IndexCompositeRange(i, eq, r) =>
+        s" probe=${i.name}:[${eq.mkString(",")}]+$r"
     }.getOrElse("")
     s"sqlite ${tdef.name} cols=[${required.fieldNames.mkString(",")}]$p"
   }
@@ -417,6 +553,8 @@ private[sources] final class SqliteScan(path: String,
         else Array(SqliteRowidSetPartition(live, tdef.rootPage, h))
       case Some(IndexIn(idx, vs)) =>
         Array(SqliteIndexInPartition(idx, vs, tdef.rootPage, h))
+      case Some(IndexCompositeRange(idx, eq, r)) =>
+        Array(SqliteIndexProbePartition(idx, r, tdef.rootPage, h, eq))
       case None =>
         val roots = SqliteFile.subtreeRoots(path, tdef)
         roots.grouped(
@@ -488,6 +626,30 @@ private[sources] final class SqliteCdcStream(path: String,
         "source table shrank or was replaced; append-only capture is " +
         "violated, restart from a fresh checkpoint")
     if (hi == lo) return Array.empty
+    // Schema-drift guard (round 15): re-resolve the table each batch
+    // and require every ORIGINAL column to still sit at its original
+    // record position under its original name. ALTER TABLE ADD COLUMN
+    // passes (sqlite appends; pre-existing rows read the new column as
+    // NULL via the short-record rule, and this stream's pinned output
+    // schema simply keeps not projecting it until a restart picks it
+    // up) — but a DROP/RENAME would silently shift positions and
+    // decode garbage, so it refuses loudly instead.
+    val live = SqliteFile.listTables(path).find(_.name == tdef.name)
+      .getOrElse(throw new IllegalStateException(
+        s"${tdef.name}: table vanished from the catalog mid-stream"))
+    val origPos = tdef.recordIndex
+    val livePos = live.recordIndex
+    tdef.columns.zipWithIndex.foreach { case (c, i) =>
+      val ok = live.columns.zipWithIndex.exists { case (lc, j) =>
+        lc.name == c.name && livePos(j) == origPos(i) &&
+          lc.rowidAlias == c.rowidAlias
+      }
+      require(ok, s"${tdef.name}: schema drift mid-stream - column " +
+        s"'${c.name}' no longer at record position ${origPos(i)} " +
+        "(DROP/RENAME COLUMN shifts record positions; ADD COLUMN is " +
+        "the supported evolution - restart the stream to project new " +
+        "columns)")
+    }
     // snapshot the header ONCE per batch: all tasks see the same
     // committed WAL/journal overlay even if the writer keeps going
     val h = SqliteFile.header(path)
@@ -533,8 +695,8 @@ private[sources] final class SqliteReaderFactory(path: String,
         part.roots.iterator.map(r =>
           new SqliteFile.TableWalk(path, part.h, r, part.minEx, part.maxInc))
       case probe: SqliteIndexProbePartition =>
-        val (rowids, _) =
-          SqliteIndex.rangeRowids(path, probe.h, probe.idx, probe.range)
+        val (rowids, _) = SqliteIndex.compositeRangeRowids(
+          path, probe.h, probe.idx, probe.eqPrefix, probe.range)
         rowids.sorted.iterator.map(rid =>
           new SqliteFile.TableWalk(path, probe.h, probe.tableRoot,
             rid - 1, rid))

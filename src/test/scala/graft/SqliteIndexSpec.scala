@@ -27,8 +27,13 @@ class SqliteIndexSpec extends SparkFunSuite {
     assert(byName("ix_u").supported && byName("ix_u").unique)
     assert(byName("ix_expr").refusal.exists(_.contains("expression")))
     assert(byName("ix_part").refusal.exists(_.contains("partial")))
-    assert(byName("ix_desc").refusal.exists(_.contains("DESC")))
-    assert(byName("ix_coll").refusal.exists(_.contains("COLLATE")))
+    // round 15: DESC and COLLATE NOCASE indexes are now SUPPORTED
+    // (the walk runs in index order; NOCASE folds ASCII before memcmp)
+    assert(byName("ix_desc").supported &&
+      byName("ix_desc").specs == Seq(SqliteIndex.ColSpec("k", desc = true)))
+    assert(byName("ix_coll").supported &&
+      byName("ix_coll").specs ==
+        Seq(SqliteIndex.ColSpec("s", nocase = true)))
     assert(byName("sqlite_autoindex_t_1").refusal
       .exists(_.contains("autoindex")))
   }
@@ -139,10 +144,15 @@ class SqliteIndexSpec extends SparkFunSuite {
       .contains("expression"))
     assert(msg(SqliteIndex.indexRowids(db, idx("ix_part"), 1L))
       .contains("partial"))
-    assert(msg(SqliteIndex.indexRowids(db, idx("ix_desc"), 1L))
-      .contains("DESC"))
-    assert(msg(SqliteIndex.indexRowids(db, idx("ix_coll"), 1L))
-      .contains("COLLATE"))
+    // round 15: ix_desc / ix_coll probe instead of refusing — the
+    // DESC walk returns the same rowids as the ASC index on the same
+    // column, and the NOCASE probe fold-matches regardless of probe
+    // case (fixture values are lowercase; the UPPER probe only
+    // matches through the fold)
+    assert(SqliteIndex.indexRowids(db, idx("ix_desc"), 42L)._1.sorted ==
+      SqliteIndex.indexRowids(db, idx("ix_k"), 42L)._1.sorted)
+    assert(SqliteIndex.indexRowids(db, idx("ix_coll"), "NAME-00123")._1.sorted ==
+      SqliteIndex.indexRowids(db, idx("ix_s"), "name-00123")._1.sorted)
     assert(msg(SqliteIndex.indexRowids(db, idx("ix_k"), null))
       .contains("NULL probe"))
     assert(msg(SqliteIndex.indexRowids(db, idx("ix_k"), true))
