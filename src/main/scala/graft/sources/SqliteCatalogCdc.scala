@@ -1,0 +1,262 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamOffset}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalog-wide rowid-watermark CDC (round 15): tail EVERY rowid
+  * table of a SQLite database in one stream —
+  *
+  * {{{
+  *   spark.readStream.format("sqlite")
+  *     .option("path", "/data/app.db")
+  *     .option("tables", "*")           // or "orders,events,users"
+  *     .load()                          // tbl STRING, rowid BIGINT, json STRING
+  * }}}
+  *
+  * The single-table stream ([[SqliteCdcStream]]) pins the TABLE's
+  * typed schema; a catalog stream cannot (different tables, and a
+  * Structured Streaming query's schema is fixed for its lifetime), so
+  * rows ship in the debezium-style ENVELOPE `(tbl, rowid, json)` with
+  * the payload as one deterministic JSON object — columns in declared
+  * order, integers bare, REALs via Java's shortest-round-trip
+  * `Double.toString`, TEXT JSON-escaped, BLOBs lowercase hex under
+  * `"$hex"`. The envelope is schema-evolution-PROOF by construction:
+  * each micro-batch re-resolves every table from sqlite_master, so an
+  * ALTER TABLE ADD COLUMN between batches simply starts contributing
+  * a new JSON key (pre-existing rows read it as NULL via the
+  * short-record rule) — no restart, no drift refusal needed.
+  *
+  * Offsets are a JSON map `{table -> max rowid}` (keys sorted). A
+  * table CREATED mid-stream under `tables=*` enters the map at its
+  * next batch and backfills from rowid 0; a table DROPPED mid-stream
+  * refuses loudly (its watermark cannot be honored). Per-table
+  * watermarks never regress (same shrunk/replaced-table law as the
+  * single-table stream).
+  *
+  * Scope: rowid tables. `tables=*` selects every rowid table
+  * (WITHOUT ROWID tables have no file-level monotonic key and are
+  * not selected); naming one explicitly refuses loudly.
+  */
+object SqliteCatalogCdc {
+
+  val Envelope: StructType = StructType(Seq(
+    StructField("tbl", StringType, nullable = false),
+    StructField("rowid", LongType, nullable = false),
+    StructField("json", StringType, nullable = false)))
+
+  /** The tables a spec selects right now: every rowid table for "*",
+    * else the named list (refusing WITHOUT ROWID / missing names).
+    */
+  def select(path: String, spec: String): Seq[SqliteFile.TableDef] = {
+    val all = SqliteFile.listTables(path)
+    if (spec.trim == "*") all.filterNot(_.withoutRowid).sortBy(_.name)
+    else spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { n =>
+      val t = all.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"table '$n' not found in $path"))
+      require(!t.withoutRowid,
+        s"$n is WITHOUT ROWID - rowid-watermark CDC needs a rowid " +
+          "table; select it out of the list")
+      t
+    }.sortBy(_.name)
+  }
+
+  /** Deterministic JSON of one record under `table`'s CURRENT
+    * declared columns. Missing trailing values (pre-ALTER rows) are
+    * null; the rowid alias column carries the rowid.
+    */
+  def recordJson(table: SqliteFile.TableDef, rowid: Long,
+                 vals: IndexedSeq[Any]): String = {
+    val recIdx = table.recordIndex
+    val sb = new StringBuilder(64)
+    sb.append('{')
+    var first = true
+    table.columns.zipWithIndex.foreach { case (c, i) =>
+      if (!first) sb.append(',')
+      first = false
+      jsonStr(sb, c.name)
+      sb.append(':')
+      val raw =
+        if (c.rowidAlias) rowid
+        else if (recIdx(i) < vals.size)
+          SqliteFile.coerceValue(vals(recIdx(i)), c, table.name)
+        else null
+      raw match {
+        case null => sb.append("null")
+        case l: Long => sb.append(l)
+        case d: Double => sb.append(java.lang.Double.toString(d))
+        case s: String => jsonStr(sb, s)
+        case b: Array[Byte] =>
+          sb.append("{\"$hex\":\"")
+          b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+          sb.append("\"}")
+        case other => jsonStr(sb, other.toString)
+      }
+    }
+    sb.append('}')
+    sb.toString
+  }
+
+  private[sources] def jsonStr(sb: StringBuilder, s: String): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+  }
+}
+
+private[sources] final class SqliteCatalogTable(path: String, spec: String,
+                                                maxPartitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"sqlite-cdc:`$path`.[$spec]"
+  override def schema(): StructType = SqliteCatalogCdc.Envelope
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new SqliteCatalogScan(path, spec, maxPartitions)
+}
+
+private[sources] final class SqliteCatalogScan(path: String, spec: String,
+                                               maxPartitions: Int)
+    extends Scan {
+  override def readSchema(): StructType = SqliteCatalogCdc.Envelope
+  override def description(): String = s"sqlite-catalog-cdc [$spec]"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SqliteCatalogCdcStream(path, spec, maxPartitions)
+}
+
+/** One table's slice of a catalog micro-batch: subtree roots bounded
+  * to `(minEx, maxInc]`, decoded under the batch's re-resolved
+  * TableDef, against the batch's shared header snapshot.
+  */
+private[sources] final case class SqliteCatalogSlice(
+    table: SqliteFile.TableDef, roots: Seq[Int], h: SqliteFile.Header,
+    minEx: Long, maxInc: Long) extends InputPartition
+
+private[sources] final class SqliteCatalogCdcStream(path: String,
+                                                    spec: String,
+                                                    maxPartitions: Int)
+    extends MicroBatchStream {
+
+  private case class MapOffset(marks: Map[String, Long]) extends StreamOffset {
+    override def json(): String = {
+      val sb = new StringBuilder
+      sb.append('{')
+      var first = true
+      marks.toSeq.sortBy(_._1).foreach { case (t, r) =>
+        if (!first) sb.append(',')
+        first = false
+        SqliteCatalogCdc.jsonStr(sb, t)
+        sb.append(':').append(r)
+      }
+      sb.append('}')
+      sb.toString
+    }
+  }
+
+  override def initialOffset(): StreamOffset = MapOffset(Map.empty)
+
+  override def latestOffset(): StreamOffset =
+    MapOffset(SqliteCatalogCdc.select(path, spec).map(t =>
+      t.name -> SqliteFile.maxRowid(path, t).getOrElse(Long.MinValue)).toMap)
+
+  override def deserializeOffset(json: String): StreamOffset = {
+    // flat {"name":123,...} map — parsed with the same minimal
+    // escaping recordJson writes (table names from sqlite_master)
+    val m = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(-?\\d+)".r
+      .findAllMatchIn(json)
+      .map(g => g.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+        -> g.group(2).toLong)
+      .toMap
+    MapOffset(m)
+  }
+
+  override def planInputPartitions(start: StreamOffset,
+                                   end: StreamOffset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[MapOffset].marks
+    val hi = end.asInstanceOf[MapOffset].marks
+    // a table with a recorded watermark must still exist
+    val live = SqliteFile.listTables(path).map(t => t.name -> t).toMap
+    lo.keys.foreach { t =>
+      require(live.contains(t) || !hi.contains(t),
+        s"$t: table vanished from the catalog mid-stream - its " +
+          "watermark cannot be honored; restart from a fresh checkpoint")
+    }
+    val h = SqliteFile.header(path)
+    hi.toSeq.sortBy(_._1).flatMap { case (name, hiMark) =>
+      val loMark = lo.getOrElse(name, Long.MinValue)
+      require(hiMark >= loMark,
+        s"$name: rowid watermark regressed ($hiMark < $loMark) - " +
+          "append-only capture violated; restart from a fresh checkpoint")
+      if (hiMark == loMark) Nil
+      else {
+        val t = live.getOrElse(name, throw new IllegalStateException(
+          s"$name: present in the end offset but not the catalog"))
+        val roots = SqliteFile.subtreeRanges(path, t)
+          .filter { case (_, rLo, rHi) => rHi > loMark && rLo < hiMark }
+          .map(_._1)
+        roots.grouped(
+            math.max(1, (roots.size + maxPartitions - 1) / maxPartitions))
+          .map(SqliteCatalogSlice(t, _, h, loMark, hiMark))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SqliteCatalogReaderFactory(path)
+
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Serializable executor-side factory (the stream object itself holds
+  * driver state and must not ship).
+  */
+private[sources] final class SqliteCatalogReaderFactory(path: String)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val slice = p.asInstanceOf[SqliteCatalogSlice]
+    new PartitionReader[InternalRow] {
+      private val walks = slice.roots.iterator.map(r =>
+        new SqliteFile.TableWalk(path, slice.h, r,
+          slice.minEx, slice.maxInc))
+      private var cur: SqliteFile.TableWalk = _
+      private var row: InternalRow = _
+      private val tblU = UTF8String.fromString(slice.table.name)
+
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (!walks.hasNext) return false
+            cur = walks.next()
+          }
+          if (cur.hasNext) {
+            val (rowid, vals) = cur.next()
+            row = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](tblU, rowid,
+                UTF8String.fromString(SqliteCatalogCdc.recordJson(
+                  slice.table, rowid, vals))))
+            return true
+          }
+          cur.close(); cur = null
+        }
+        false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit =
+        if (cur != null) { cur.close(); cur = null }
+    }
+  }
+}
