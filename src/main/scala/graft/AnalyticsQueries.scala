@@ -673,6 +673,47 @@ object AnalyticsQueries {
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     },
 
+    // B20e (round 15): the ClickHouse DIALECT adapter end-to-end —
+    // literal CH query text (clause-level CH-isms included) through
+    // ChDialect.translate into spark.sql. Three gates, one per clause
+    // family; each lands on an already-audited distributed plan
+    // (LIMIT BY → one keyed window shuffle; ARRAY JOIN → explode in
+    // the scan stage; WITH TOTALS → one Expand).
+    "q_ch_dialect_limit_by" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      s.sql(graft.ChDialect.translate(
+        """SELECT user_id, event_type, ts_us, event_id FROM events
+          |ORDER BY user_id, ts_us, event_id
+          |LIMIT 2 BY user_id
+          |FORMAT TabSeparated""".stripMargin))
+    },
+
+    "q_ch_dialect_array_join" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      s.sql(graft.ChDialect.translate(
+        """SELECT doc_id, tok
+          |FROM (SELECT doc_id, splitByChar(' ', text) AS toks
+          |      FROM documents)
+          |ARRAY JOIN toks AS tok
+          |WHERE length(tok) > 3
+          |ORDER BY doc_id, tok
+          |LIMIT 500""".stripMargin))
+    },
+
+    "q_ch_dialect_totals" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      // the totals row carries NULL keys (Spark's grouping-sets
+      // convention); labeled post-adapter for a deterministic gate
+      s.sql(graft.ChDialect.translate(
+        """SELECT event_type, count(*) AS cnt, uniqExact(user_id) AS users
+          |FROM events
+          |PREWHERE value > 10
+          |GROUP BY event_type WITH TOTALS""".stripMargin))
+        .withColumn("event_type",
+          coalesce(col("event_type"), lit("__TOTALS__")))
+        .orderBy("event_type")
+    },
+
     // B20b: the CH array-HOF SQL surface END-TO-END through spark.sql —
     // splitByChar + lambda-first arrayMap + arraySum + multiIf, the
     // composition a ClickHouse user types daily. All codegen'd HOFs in
@@ -3280,6 +3321,34 @@ object AnalyticsQueries {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 100.0)
         |      AS DOUBLE) AS sum_big
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // dialect replays: the SAME semantics the CH text asks for,
+    // recomputed in plain ANSI SQL (window top-n, unnest, grouping
+    // sets) — the adapter's translation is what is under test
+    "q_ch_dialect_limit_by" ->
+      """WITH q AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        | FROM events),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY user_id, ts_us, event_id) AS rn
+        | FROM q)
+        |SELECT user_id, event_type, ts_us, event_id FROM r
+        |WHERE rn <= 2 ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_ch_dialect_array_join" ->
+      """SELECT doc_id, tok FROM (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        | FROM documents)
+        |WHERE length(tok) > 3
+        |ORDER BY doc_id, tok LIMIT 500""".stripMargin,
+
+    "q_ch_dialect_totals" ->
+      """SELECT coalesce(event_type, '__TOTALS__') AS event_type,
+        | count(*) AS cnt,
+        | count(DISTINCT user_id) AS users
+        |FROM events WHERE value > 10
+        |GROUP BY GROUPING SETS ((event_type), ())
+        |ORDER BY event_type""".stripMargin,
 
     "q_ch_sql_arrays" ->
       """SELECT doc_id,

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ChDialect (round 15): literal ClickHouse clause-isms — LIMIT BY,
+  * ARRAY JOIN, WITH TOTALS, PREWHERE, FORMAT — translated to Spark
+  * SQL and pinned against the DataFrame plans the library already
+  * serves for the same semantics.
+  */
+class ChDialectSpec extends SparkFunSuite {
+  import ChDialect.translate
+
+  private def ds = { GraftCatalog.registerTables(spark, sf); spark }
+
+  test("FORMAT suffix is stripped; literals never trigger rewrites") {
+    val t = translate("SELECT 'LIMIT 5 BY x FORMAT CSV' AS s FROM events FORMAT JSONEachRow")
+    assert(!t.contains("JSONEachRow"), t) // the clause is gone...
+    assert(t.contains("'LIMIT 5 BY x FORMAT CSV'"), t) // ...the literal is not
+    assert(ds.sql(t).count() > 0)
+  }
+
+  test("PREWHERE becomes WHERE; merges with an existing WHERE") {
+    val a = translate("SELECT count(*) AS n FROM events PREWHERE value > 10")
+    assert(a.toUpperCase.contains("WHERE") && !a.toUpperCase.contains("PREWHERE"))
+    val b = translate(
+      "SELECT count(*) AS n FROM events PREWHERE value > 10 WHERE event_type = 'click'")
+    val expect = ds.sql(
+      "SELECT count(*) AS n FROM events WHERE value > 10 AND event_type = 'click'")
+      .head.getLong(0)
+    assert(ds.sql(b).head.getLong(0) == expect)
+  }
+
+  test("LIMIT n BY keys == the row_number DataFrame plan") {
+    val t = translate(
+      """SELECT user_id, event_type, ts_us, event_id FROM events
+        |ORDER BY user_id, ts_us, event_id
+        |LIMIT 2 BY user_id""".stripMargin)
+    val got = ds.sql(t)
+    assert(got.columns.toSeq ==
+      Seq("user_id", "event_type", "ts_us", "event_id"),
+      s"__rn must not leak: ${got.columns.mkString(",")}")
+    val exp = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts_us", "event_id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")))
+      .where(col("rn") <= 2).drop("rn")
+      .orderBy("user_id", "ts_us", "event_id")
+    assert(got.collect().toSeq == exp.collect().toSeq)
+  }
+
+  test("trailing LIMIT m after LIMIT n BY keys is preserved") {
+    val t = translate(
+      """SELECT user_id, ts_us, event_id FROM events
+        |ORDER BY user_id, ts_us, event_id
+        |LIMIT 2 BY user_id LIMIT 7""".stripMargin)
+    assert(ds.sql(t).count() == 7)
+  }
+
+  test("ARRAY JOIN explodes in the scan stage; LEFT keeps empty arrays") {
+    val t = translate(
+      """SELECT doc_id, tok
+        |FROM (SELECT doc_id, splitByChar(' ', text) AS toks FROM documents)
+        |ARRAY JOIN toks AS tok
+        |WHERE length(tok) > 3 ORDER BY doc_id, tok""".stripMargin)
+    val got = ds.sql(t)
+    val exp = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+      .where(length(col("tok")) > 3).orderBy("doc_id", "tok")
+    assert(got.collect().toSeq == exp.collect().toSeq)
+    // LEFT ARRAY JOIN == explode_outer
+    val l = translate(
+      """SELECT n FROM (SELECT r_name, array() AS xs FROM region)
+        |LEFT ARRAY JOIN xs AS n""".stripMargin)
+    assert(ds.sql(l).count() == 5) // one NULL row per region
+  }
+
+  test("GROUP BY ... WITH TOTALS adds the grand-total row via " +
+      "grouping sets") {
+    val t = translate(
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY event_type WITH TOTALS""".stripMargin)
+    val rows = ds.sql(t).collect()
+    val base = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byKey = rows.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == base)
+    val totals = rows.filter(_.isNullAt(0))
+    assert(totals.length == 1 && totals.head.getLong(1) == base.values.sum)
+  }
+
+  test("untranslatable CH-isms refuse loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      translate("SELECT x FROM t ARRAY JOIN xs")
+    }
+    assert(e1.getMessage.contains("SHADOWS"))
+    val e2 = intercept[IllegalArgumentException] {
+      translate("SELECT x FROM t ARRAY JOIN a, b AS y")
+    }
+    assert(e2.getMessage.contains("zips"))
+  }
+}
