@@ -79,29 +79,32 @@ object AnnNswStudy {
         nProbe <- Seq(1, 2, 4)
         ef <- Seq(16, 32, 64)
       } yield {
-        val nswPairs = NswIndex.topK(graphs, probes, model, k = 5,
-            nProbe = nProbe, ef = ef)
-          .select("probe_id", "vec_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-        val rNsw = recallOf(nswPairs)
-        // eval cost of the walk vs the scan over the SAME cells
+        def pairsOf(scanBelow: Int) =
+          NswIndex.topK(graphs, probes, model, k = 5,
+              nProbe = nProbe, ef = ef, scanBelow = scanBelow)
+            .select("probe_id", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        val rNsw = recallOf(pairsOf(0)) // pure walk
+        val rPolicy = recallOf(pairsOf(-1)) // r15 auto walk-vs-scan
+        // eval cost of walk vs policy vs scan over the SAME cells
         val pc = probes.select(col("vec_id").cast("long").as("probe_id"),
             col("embedding").cast("array<double>").as("pv"),
             explode(IvfIndex.probeCells(col("embedding"), model, nProbe))
               .as("cell"))
           .as[(Long, Seq[Double], Int)].collect()
-        var walkEvals = 0L; var scanEvals = 0L
+        var walkEvals = 0L; var policyEvals = 0L; var scanEvals = 0L
+        val cutoff = NswIndex.autoScanBelow(ef)
         pc.foreach { case (_, pv, cell) =>
           byCell.get(cell).foreach { g =>
-            val adjB = g.adj.map(a =>
-              scala.collection.mutable.ArrayBuffer(a: _*))
-            val (_, ev) = NswIndex.layerSearch(g.vecs, adjB, pv.toArray,
-              ef, entry = 0)
-            walkEvals += ev; scanEvals += g.ids.length
+            walkEvals +=
+              NswIndex.searchCell(g.vecs, g.adj, pv.toArray, ef, 0)._2
+            policyEvals +=
+              NswIndex.searchCell(g.vecs, g.adj, pv.toArray, ef, cutoff)._2
+            scanEvals += g.ids.length
           }
         }
         val rScan = recallOf(scanPairs(nProbe))
-        f"""{"nProbe":$nProbe,"ef":$ef,"recall5_nsw":$rNsw%.4f,"recall5_scan":$rScan%.4f,"walk_evals_per_probe":${walkEvals.toDouble / want.size}%.1f,"scan_evals_per_probe":${scanEvals.toDouble / want.size}%.1f,"eval_ratio":${walkEvals.toDouble / scanEvals}%.3f}"""
+        f"""{"nProbe":$nProbe,"ef":$ef,"recall5_nsw":$rNsw%.4f,"recall5_policy":$rPolicy%.4f,"recall5_scan":$rScan%.4f,"walk_evals_per_probe":${walkEvals.toDouble / want.size}%.1f,"policy_evals_per_probe":${policyEvals.toDouble / want.size}%.1f,"scan_evals_per_probe":${scanEvals.toDouble / want.size}%.1f,"eval_ratio":${walkEvals.toDouble / scanEvals}%.3f,"policy_ratio":${policyEvals.toDouble / scanEvals}%.3f}"""
       }
       s"""{"nList":$nList,"cell_sizes":[${cellSizes.mkString(",")}],""" +
         s""""points":[${rows.mkString(",")}]}"""
@@ -109,7 +112,7 @@ object AnnNswStudy {
     val out = s"""{"sf":"$sfDir","n":$n,"m":8,"efC":64,""" +
       s""""probes":${want.size},"sections":[${sections.mkString(",")}]}"""
     println(out)
-    val p = java.nio.file.Paths.get("tools/ann_nsw_study_r14.json")
+    val p = java.nio.file.Paths.get("tools/ann_nsw_study_r15.json")
     java.nio.file.Files.write(p, (out + "\n").getBytes("UTF-8"))
     spark.stop()
   }

@@ -100,6 +100,37 @@ object NswIndex {
     (res, evals)
   }
 
+  /** Walk-vs-scan serving policy (round 15, executing the r14
+    * study's crossover instead of leaving it a JSON footnote): a cell
+    * with fewer than `scanBelow` vectors answers with an EXACT scan —
+    * same cost bound (the walk's visited-set already caps evals at
+    * cell size) but zero walk-miss, exactly where the study measured
+    * no eval advantage (eval_ratio 0.8–1.0 at ~125-vector cells vs
+    * 0.34–0.54 at ~500) — while larger cells take the beam walk.
+    * Returns (up to ef best (d, idx) by the (d, idx) total order,
+    * distance evals). Policy evals are ≤ a full scan at EVERY
+    * operating point by construction: the scan branch costs exactly
+    * |cell|, and the walk branch's BitSet caps it below |cell|.
+    */
+  private[graft] def searchCell(vecs: Array[Array[Double]],
+      adj: Array[Array[Int]], q: Array[Double], ef: Int,
+      scanBelow: Int): (Array[(Double, Int)], Int) =
+    if (vecs.length < scanBelow) {
+      val all = Array.tabulate(vecs.length)(i => (sqd(q, vecs(i)), i))
+      (all.sorted.take(ef), vecs.length)
+    } else {
+      val adjB = adj.map(a => mutable.ArrayBuffer(a: _*))
+      val (heap, evals) = layerSearch(vecs, adjB, q, ef, entry = 0)
+      (heap.toArray.sorted, evals)
+    }
+
+  /** Auto cutoff for [[searchCell]]: below ~4·ef vectors the walk's
+    * frontier touches most of the cell anyway (the r14 study's
+    * crossover; m=8, ef=32 → 128 ≈ the ~125-vector cells where
+    * eval_ratio reached 0.8–1.0).
+    */
+  def autoScanBelow(ef: Int): Int = 4 * ef
+
   /** Sequential deterministic NSW construction over one cell's
     * vectors (insert order = array order = ascending id).
     */
@@ -147,17 +178,20 @@ object NswIndex {
       }
   }
 
-  /** Approximate top-k: probes beam-search their nProbe cells' graphs;
-    * exact distances, deterministic (d, id) ranking. `graphs` should
-    * be persisted/localCheckpointed by the caller when reused across
-    * probe batches (the materialize-before-serve rule).
+  /** Approximate top-k: probes answer their nProbe cells through the
+    * [[searchCell]] policy (exact scan below the cutoff, beam walk
+    * above); exact distances, deterministic (d, id) ranking.
+    * `scanBelow` < 0 → [[autoScanBelow]]; 0 forces the pure walk.
+    * `graphs` should be persisted/localCheckpointed by the caller when
+    * reused across probe batches (the materialize-before-serve rule).
     */
   def topK(graphs: Dataset[CellGraph], probes: DataFrame,
            model: IvfIndex.Model, k: Int, nProbe: Int = 2, ef: Int = 32,
-           idCol: String = "vec_id",
-           vecCol: String = "embedding"): DataFrame = {
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           scanBelow: Int = -1): DataFrame = {
     val spark = graphs.sparkSession
     import spark.implicits._
+    val cutoff = if (scanBelow >= 0) scanBelow else autoScanBelow(ef)
     val pc = probes.select(col(idCol).cast("long").as("probe_id"),
         col(vecCol).cast("array<double>").as("pv"),
         explode(IvfIndex.probeCells(col(vecCol), model, nProbe)).as("cell"))
@@ -165,12 +199,10 @@ object NswIndex {
     val cand = graphs.joinWith(broadcast(pc), graphs("cell") === pc("cell"))
       .flatMap { case (g, (pid, pv, _)) =>
         if (g.ids.isEmpty) Iterator.empty
-        else {
-          val adjB = g.adj.map(a => mutable.ArrayBuffer(a: _*))
-          layerSearch(g.vecs, adjB, pv.toArray, ef, entry = 0)
-            ._1.toArray.map { case (d, idx) => (pid, g.ids(idx), d) }
+        else
+          searchCell(g.vecs, g.adj, pv.toArray, ef, cutoff)._1
+            .map { case (d, idx) => (pid, g.ids(idx), d) }
             .iterator
-        }
       }
       .toDF("probe_id", "vec_id", "d2")
       .where(col("vec_id") =!= col("probe_id"))

@@ -90,7 +90,7 @@ class NswIndexSpec extends SparkFunSuite {
       "force (the approximation is only in what the walk skips)") {
     val graphs = NswIndex.build(emb, model, m = 8, efC = 32)
     val nsw = NswIndex.topK(graphs, probes, model, k = 5,
-      nProbe = model.nList, ef = 4096)
+      nProbe = model.nList, ef = 4096, scanBelow = 0) // force the walk
     val exact = exactTopK(5)
     val a = nsw.select("probe_id", "rk", "vec_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
@@ -114,7 +114,8 @@ class NswIndexSpec extends SparkFunSuite {
         got.getOrElse(p, Set.empty).count(ws.contains)
       }.sum.toDouble / (want.size * 5)
     val nsw = setsOf(NswIndex.topK(graphs, probes, model, k = 5,
-      nProbe = 4, ef = 32).select("probe_id", "rk", "vec_id"), 2)
+      nProbe = 4, ef = 32, scanBelow = 0) // the WALK is under test here
+      .select("probe_id", "rk", "vec_id"), 2)
     val scan = setsOf(scanTopK(5, nProbe = 4)
       .select(col("probe_id"), col("rk"), col("vec_id")), 2)
     val (rNsw, rScan) = (recallOf(nsw), recallOf(scan))
@@ -124,8 +125,39 @@ class NswIndexSpec extends SparkFunSuite {
     assert(rNsw >= 0.6) // and the end-to-end point is genuinely useful
     // deterministic end to end
     val again = setsOf(NswIndex.topK(graphs, probes, model, k = 5,
-      nProbe = 4, ef = 32).select("probe_id", "rk", "vec_id"), 2)
+      nProbe = 4, ef = 32, scanBelow = 0)
+      .select("probe_id", "rk", "vec_id"), 2)
     assert(again == nsw)
+  }
+
+  test("serving policy (round 15): cells below the cutoff answer by " +
+      "EXACT scan — the default policy equals the full-cell scan on " +
+      "this corpus (every cell < autoScanBelow(32)), and never costs " +
+      "more evals than the scan") {
+    val graphs = NswIndex.build(emb, model, m = 8, efC = 32)
+    // every sf0.001 cell is far below 4*32=128 → policy == scan
+    val policy = NswIndex.topK(graphs, probes, model, k = 5,
+        nProbe = 4, ef = 32) // default scanBelow = auto
+      .select("probe_id", "rk", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val scan = scanTopK(5, nProbe = 4)
+      .select("probe_id", "rk", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(policy == scan,
+      "below-cutoff cells must serve exact scan results")
+    // evals bound: BOTH branches are ≤ |cell| for every (probe, cell)
+    val gs = graphs.collect()
+    val q = probes.select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    gs.filter(_.ids.nonEmpty).foreach { g =>
+      val (_, evWalk) = NswIndex.searchCell(g.vecs, g.adj, q, 32, 0)
+      val (_, evPolicy) = NswIndex.searchCell(g.vecs, g.adj, q, 32,
+        NswIndex.autoScanBelow(32))
+      assert(evWalk <= g.ids.length && evPolicy <= g.ids.length)
+      // below the cutoff the policy branch IS the scan
+      if (g.ids.length < NswIndex.autoScanBelow(32))
+        assert(evPolicy == g.ids.length)
+    }
   }
 
   test("output shape: rk dense 1..k, d2 ascending, no self matches") {
