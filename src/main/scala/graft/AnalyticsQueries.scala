@@ -700,6 +700,35 @@ object AnalyticsQueries {
           |LIMIT 500""".stripMargin))
     },
 
+    // B20h (round-15 tier 2): FROM t FINAL — the ReplacingMergeTree
+    // read idiom (the tables reference main.py migrates INTO are read
+    // with FINAL daily). The adapter turns it into the window dedup
+    // bit-identical to ReplacingMerge.latestByKeyWindow, given the CH
+    // DDL's ORDER BY/version metadata.
+    "q_ch_dialect_final" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      s.sql(graft.ChDialect.translate(
+        """SELECT event_id, ts_us, user_id, event_type, value
+          |FROM events FINAL
+          |ORDER BY user_id, event_type""".stripMargin,
+        Map("events" -> graft.ChDialect.TableMeta(
+          finalKeys = Seq("user_id", "event_type"),
+          finalOrder = Seq("ts_us", "event_id")))))
+    },
+
+    // B20i (round-15 tier 2): FROM t SAMPLE f — the deterministic
+    // keyed sample (CH SAMPLE BY), lowered to the engine-portable md5
+    // bucket so the SAME rows are kept here, in DuckDB, and in a real
+    // ClickHouse replaying the predicate.
+    "q_ch_dialect_sample" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      s.sql(graft.ChDialect.translate(
+        """SELECT doc_id, lang FROM documents SAMPLE 0.2
+          |ORDER BY doc_id""".stripMargin,
+        Map("documents" -> graft.ChDialect.TableMeta(
+          sampleKey = Some("doc_id")))))
+    },
+
     "q_ch_dialect_totals" -> Q { (s, d) =>
       GraftCatalog.registerTables(s, d)
       // the totals row carries NULL keys (Spark's grouping-sets
@@ -806,6 +835,25 @@ object AnalyticsQueries {
         .select(col("entity").as("user_id"),
           col("seq").rlike("1.*2.*3").as("matched"),
           regexp_count(col("seq"), lit("1.*?2")).cast(LongType).as("n_vc"))
+        .orderBy("user_id")
+    },
+
+    // B31b (round 15): sequenceMatch WITH TIME CONSTRAINTS — the CH
+    // `(?1)(?t<=3600)(?2)(?t<=7200)(?3)` form the code-string regex
+    // cannot express. view →(≤1h)→ click →(≤2h)→ purchase, decided by
+    // the latest-completion window chain (ONE user shuffle, K window
+    // passes sharing it, no HOF); oracle replays the same SQL.
+    "q_sequence_match_timed" -> Q { (s, d) =>
+      ChAnalytics.sequenceMatchTimed(
+        Tables.events(s, d)
+          .select("user_id", "ts_us", "event_id", "event_type"),
+        col("user_id"), col("ts_us"), col("event_id"),
+        Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        Seq(3600000000L, 7200000000L))
+        .select(col("entity").as("user_id"), col("matched"),
+          col("first_done"))
         .orderBy("user_id")
     },
 
@@ -3115,6 +3163,21 @@ object AnalyticsQueries {
         | CAST(len(regexp_extract_all(seq, '1.*?2')) AS BIGINT) AS n_vc
         |FROM agg ORDER BY user_id""".stripMargin,
 
+    // B31b: the SAME latest-completion window chain, generated from
+    // the shared builder — frame, strict precedence and BIGINT gap
+    // arithmetic identical by construction
+    "q_sequence_match_timed" -> {
+      val inner = graft.operators.ChAnalytics.sequenceMatchTimedSql(
+        "(SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type " +
+          "FROM events)",
+        "user_id", "ts_us", "event_id",
+        Seq("event_type = 'view'", "event_type = 'click'",
+          "event_type = 'purchase'"),
+        Seq(3600000000L, 7200000000L))
+      s"""SELECT entity AS user_id, matched, first_done
+         |FROM ($inner) ORDER BY user_id""".stripMargin
+    },
+
     // B69: identical code-string aggregation (ORDER BY ts_us, event_id
     // ≡ the array_sort on the unique (ts, id) struct), DuckDB's own
     // levenshtein as the independent verifier, same (dist, user) tie
@@ -3341,6 +3404,21 @@ object AnalyticsQueries {
         | FROM documents)
         |WHERE length(tok) > 3
         |ORDER BY doc_id, tok LIMIT 500""".stripMargin,
+
+    "q_ch_dialect_final" ->
+      """SELECT event_id, ts_us, user_id, event_type, value FROM (
+        | SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |  value,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_ch_dialect_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${graft.DedupQueries.md5BucketSql(
+              "CAST(doc_id AS VARCHAR)", 42L)} < 200000
+         |ORDER BY doc_id""".stripMargin,
 
     "q_ch_dialect_totals" ->
       """SELECT coalesce(event_type, '__TOTALS__') AS event_type,

@@ -80,7 +80,11 @@ object Bench {
     "text_multisearch", "text_ngram_sim", "ann_hybrid_rrf",
     "q_item_cooccur", "q_ab_sample_size", "q_dq_audit",
     "q_cohort_ltv", "q_benford", "q_gini", "q_cuped", "q_did",
-    "q_rfm", "text_pmi", "q_holt_winters", "q_cusum", "text_soundex")
+    "q_rfm", "text_pmi", "q_holt_winters", "q_cusum", "text_soundex",
+    // round 15: the CH dialect adapter gates + the timed matcher
+    "q_ch_dialect_limit_by", "q_ch_dialect_array_join",
+    "q_ch_dialect_totals", "q_ch_dialect_final", "q_ch_dialect_sample",
+    "q_sequence_match_timed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

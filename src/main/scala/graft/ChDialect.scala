@@ -36,6 +36,25 @@ package graft
   */
 object ChDialect {
 
+  /** Per-table metadata the FROM-clause rewrites need — exactly what
+    * a ClickHouse deployment declares in its DDL: `FINAL` needs the
+    * ReplacingMergeTree's ORDER BY key and version column(s);
+    * `SAMPLE` needs the SAMPLE BY key. Tables absent from the map
+    * refuse those clauses loudly rather than guessing.
+    *
+    * @param finalKeys  the dedup key (CH ORDER BY / PRIMARY KEY)
+    * @param finalOrder version columns, highest wins; compared in
+    *                   sequence DESC (ReplacingMerge.latestByKey's
+    *                   max_by order)
+    * @param sampleKey  the SAMPLE BY column; sampling is the
+    *                   engine-portable md5 bucket (Sampling
+    *                   .portableBucket, seed 42) so decisions are
+    *                   reproducible in any engine
+    */
+  final case class TableMeta(finalKeys: Seq[String] = Nil,
+                             finalOrder: Seq[String] = Nil,
+                             sampleKey: Option[String] = None)
+
   /** One lexed token: SQL word/punct, or an opaque quoted run. */
   private final case class Tok(text: String) {
     def up: String = text.toUpperCase
@@ -136,14 +155,100 @@ object ChDialect {
     ts.length
   }
 
-  def translate(sql: String): String = {
+  def translate(sql: String,
+                meta: Map[String, TableMeta] = Map.empty): String = {
     var ts = lex(sql)
     ts = stripFormat(ts)
+    ts = rewriteFromModifiers(ts, meta)
     ts = rewritePrewhere(ts)
     ts = rewriteArrayJoin(ts)
     ts = rewriteTotals(ts)
     ts = rewriteLimitBy(ts)
     emit(ts)
+  }
+
+  /** `FROM tbl FINAL` and `FROM tbl SAMPLE f` (round-15 tier 2 —
+    * the ReplacingMergeTree read idiom and the deterministic-sample
+    * idiom; reference main.py migrates INTO exactly these tables):
+    *
+    *  - FINAL → the table as a dedup subquery: row_number over the
+    *    declared key, version columns DESC, keep rn=1 — bit-identical
+    *    to ReplacingMerge.latestByKeyWindow, aliased back to the
+    *    table name so qualified references keep resolving;
+    *  - SAMPLE f (0 < f < 1) → the engine-portable md5 bucket on the
+    *    declared SAMPLE BY key (same decisions as
+    *    Sampling.portableBucket seed 42, reproducible in any engine);
+    *    CH's `SAMPLE n`-rows form refuses (it is
+    *    approximate-by-granule there — no faithful translation).
+    *
+    * Both need per-table DDL metadata; a table missing from `meta`
+    * refuses loudly.
+    */
+  private def rewriteFromModifiers(ts0: Vector[Tok],
+                                   meta: Map[String, TableMeta]): Vector[Tok] = {
+    var ts = ts0
+    var changed = true
+    while (changed) {
+      changed = false
+      var depth = 0
+      var i = 0
+      while (i < ts.length && !changed) {
+        val t = ts(i).text
+        if (t == "(") depth += 1
+        else if (t == ")") depth -= 1
+        else if (ts(i).up == "FROM" && i + 2 <= ts.length &&
+            i + 1 < ts.length && ts(i + 1).isWord) {
+          val tbl = ts(i + 1).text
+          val after = i + 2
+          val isFinal = after < ts.length && ts(after).up == "FINAL"
+          val isSample = after < ts.length && ts(after).up == "SAMPLE"
+          if (isFinal || isSample) {
+            val m = meta.getOrElse(tbl, throw new IllegalArgumentException(
+              s"${if (isFinal) "FINAL" else "SAMPLE"} on '$tbl' needs " +
+                "TableMeta (the CH DDL's ORDER BY/version or SAMPLE BY " +
+                "key) - pass it to ChDialect.translate"))
+            if (isFinal) {
+              require(m.finalKeys.nonEmpty && m.finalOrder.nonEmpty,
+                s"FINAL on '$tbl': TableMeta.finalKeys/finalOrder empty")
+              require(!(after + 1 < ts.length && ts(after + 1).up == "SAMPLE"),
+                s"FINAL SAMPLE combination on '$tbl' is not supported - " +
+                  "sample the deduplicated subquery explicitly")
+              val keys = m.finalKeys.mkString(", ")
+              val ord = m.finalOrder.map(c => s"$c DESC").mkString(", ")
+              val sub = lex(s"""( SELECT * EXCEPT ( __v_rn ) FROM (
+                |SELECT * , row_number ( ) OVER ( PARTITION BY $keys
+                |ORDER BY $ord ) AS __v_rn FROM $tbl )
+                |WHERE __v_rn = 1 ) $tbl""".stripMargin)
+              ts = ts.take(i + 1) ++ sub ++ ts.drop(after + 1)
+              changed = true
+            } else {
+              val fTok = ts.lift(after + 1).getOrElse(
+                throw new IllegalArgumentException("SAMPLE without a fraction"))
+              val f = fTok.text.toDoubleOption.getOrElse(
+                throw new IllegalArgumentException(
+                  s"SAMPLE ${fTok.text}: only the fractional form is " +
+                    "translatable"))
+              require(f > 0 && f < 1,
+                s"SAMPLE $f: CH's n-rows form is approximate-by-granule " +
+                  "and has no faithful translation - use a fraction")
+              val key = m.sampleKey.getOrElse(
+                throw new IllegalArgumentException(
+                  s"SAMPLE on '$tbl': TableMeta.sampleKey missing"))
+              val cut = (f * 1000000L).toLong
+              val sub = lex(s"""( SELECT * FROM $tbl WHERE
+                |pmod ( CAST ( conv ( substring ( md5 ( concat_ws (
+                |':' , CAST ( $key AS STRING ) , '42' ) ) , 1 , 8 ) ,
+                |16 , 10 ) AS BIGINT ) , 1000000 ) < $cut ) $tbl"""
+                .stripMargin)
+              ts = ts.take(i + 1) ++ sub ++ ts.drop(after + 2)
+              changed = true
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    ts
   }
 
   /** trailing `FORMAT <word>` at top level → dropped. */

@@ -358,6 +358,97 @@ object ChAnalytics {
         "").as("seq"))
   }
 
+  /** ClickHouse `sequenceMatch` with TIME CONSTRAINTS (round 15) —
+    * the `(?1)(?t<=X)(?2)(?t<=Y)(?3)` pattern family the plain
+    * [[sequenceAgg]]-regex form cannot express (the code string drops
+    * timestamps). Decides, per entity, whether an in-order event
+    * subsequence exists matching every condition with each adjacent
+    * gap ≤ its bound.
+    *
+    * Algorithm: one pass in (order) sequence as a CHAIN OF WINDOW
+    * FUNCTIONS over one entity partitioning — stage k's state is the
+    * LATEST timestamp at which stages 1..k completed among strictly
+    * earlier rows (`max(...) OVER (ROWS UNBOUNDED PRECEDING .. 1
+    * PRECEDING)`), and a row completes stage k when cond_k holds and
+    * `ts − state_{k−1} ≤ gap_k`. Keeping the LATEST completion is
+    * optimal for ≤-gap chains (monotone: a later stage-k completion
+    * can only relax stage k+1's constraint), so the greedy decides
+    * subsequence-EXISTENCE exactly — including the "backtracking"
+    * cases (c1@0, c1@60, c2@100, X=50 matches via the @60 anchor,
+    * which the latest-state rule picks up automatically; spec-pinned).
+    *
+    * Scale shape: ONE entity shuffle; the K window passes share the
+    * partitioning and ordering (consecutive WindowExecs, no extra
+    * exchange); per-row state is K BIGINTs. All codegen-friendly
+    * column ops — no HOF, no per-entity array materialization. The
+    * same SQL replays verbatim in DuckDB ([[sequenceMatchTimedSql]]).
+    *
+    * Output per entity: `matched` (full pattern seen), `first_done`
+    * (earliest completion timestamp of the final stage; null when
+    * unmatched).
+    *
+    * @param gaps   gap_k bounds maximum `order.head` distance between
+    *               stage k and stage k+1 completions (size =
+    *               conds.size − 1); the first condition has no gap
+    */
+  def sequenceMatchTimed(events: DataFrame, entity: Column, ts: Column,
+                         tieBreak: Column, conds: Seq[Column],
+                         gaps: Seq[Long]): DataFrame = {
+    require(conds.size >= 2 && gaps.size == conds.size - 1,
+      s"need n conds and n-1 gaps, got ${conds.size}/${gaps.size}")
+    import org.apache.spark.sql.expressions.Window
+    val baseCols = Seq(entity.as("entity"), ts.as("ts"),
+      tieBreak.as("tb")) ++ conds.zipWithIndex.map { case (c, i) =>
+        c.as(s"c${i + 1}") }
+    val base = events.select(baseCols: _*)
+    val w = Window.partitionBy("entity").orderBy(col("ts"), col("tb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // done1 = this row completes stage 1; sk = latest stage-k
+    // completion among STRICTLY earlier rows
+    var df = base.withColumn("done1",
+      when(col("c1"), col("ts")))
+    for (k <- 2 to conds.size) {
+      df = df
+        .withColumn(s"s${k - 1}", max(col(s"done${k - 1}")).over(w))
+        .withColumn(s"done$k",
+          when(col(s"c$k") &&
+            col("ts") - col(s"s${k - 1}") <= gaps(k - 2), col("ts")))
+    }
+    df.groupBy("entity")
+      .agg(max(col(s"done${conds.size}")).isNotNull.as("matched"),
+        min(col(s"done${conds.size}")).as("first_done"))
+  }
+
+  /** The identical chain as engine-portable SQL (DuckDB replay): same
+    * frame, same strict-precedence rule, same BIGINT gap arithmetic.
+    * `condSqls` are boolean SQL expressions over the `from` relation's
+    * columns; `tsSql`/`tieSql` name its order columns.
+    */
+  def sequenceMatchTimedSql(from: String, entitySql: String,
+                            tsSql: String, tieSql: String,
+                            condSqls: Seq[String],
+                            gaps: Seq[Long]): String = {
+    require(condSqls.size >= 2 && gaps.size == condSqls.size - 1)
+    val over = s"OVER (PARTITION BY entity ORDER BY ts, tb " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    val base = s"SELECT $entitySql AS entity, $tsSql AS ts, " +
+      s"$tieSql AS tb, " +
+      condSqls.zipWithIndex.map { case (c, i) => s"($c) AS c${i + 1}" }
+        .mkString(", ") + s" FROM $from"
+    val chain = (2 to condSqls.size).foldLeft(
+      s"SELECT *, CASE WHEN c1 THEN ts END AS done1 FROM ($base)") {
+      (acc, k) =>
+        s"""SELECT *, CASE WHEN c$k AND ts - s${k - 1} <= ${gaps(k - 2)}
+           | THEN ts END AS done$k FROM (
+           | SELECT *, max(done${k - 1}) $over AS s${k - 1}
+           | FROM ($acc))""".stripMargin
+    }
+    s"""SELECT entity,
+       | (max(done${condSqls.size}) IS NOT NULL) AS matched,
+       | min(done${condSqls.size}) AS first_done
+       |FROM ($chain) GROUP BY entity""".stripMargin
+  }
+
   /** ClickHouse `sumMap(keys, values)` (round 12): per group, merge
     * every row's parallel key/value arrays into one map — sum per
     * distinct key, keys ascending. Output: (grp, keys array, values

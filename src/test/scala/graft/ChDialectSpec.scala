@@ -90,6 +90,58 @@ class ChDialectSpec extends SparkFunSuite {
     assert(totals.length == 1 && totals.head.getLong(1) == base.values.sum)
   }
 
+  test("FROM t FINAL == ReplacingMerge.latestByKeyWindow, aliased so " +
+      "qualified references keep resolving") {
+    val meta = Map("events" -> ChDialect.TableMeta(
+      finalKeys = Seq("user_id", "event_type"),
+      finalOrder = Seq("ts_us", "event_id")))
+    val t = translate(
+      """SELECT events.event_id, events.user_id, event_type, value
+        |FROM events FINAL
+        |ORDER BY user_id, event_type""".stripMargin, meta)
+    val got = ds.sql(t)
+    val exp = graft.operators.ReplacingMerge.latestByKeyWindow(
+        Tables.events(spark, sf), Seq("user_id", "event_type"),
+        Seq(col("ts_us"), col("event_id")))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("user_id", "event_type")
+    assert(got.collect().toSeq == exp.collect().toSeq)
+  }
+
+  test("FROM t SAMPLE f == Sampling.deterministicSample (portable, " +
+      "seed 42) — the same rows in any engine") {
+    val meta = Map("documents" -> ChDialect.TableMeta(
+      sampleKey = Some("doc_id")))
+    val t = translate(
+      "SELECT doc_id FROM documents SAMPLE 0.2 ORDER BY doc_id", meta)
+    val got = ds.sql(t).collect().map(_.getLong(0)).toSeq
+    val exp = graft.operators.Sampling.deterministicSample(
+        Tables.documents(spark, sf).select("doc_id"),
+        col("doc_id"), 0.2, portable = true)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("FINAL/SAMPLE without TableMeta, n-rows SAMPLE, and " +
+      "FINAL SAMPLE combinations refuse loudly") {
+    val meta = Map("events" -> ChDialect.TableMeta(
+      finalKeys = Seq("user_id"), finalOrder = Seq("ts_us"),
+      sampleKey = Some("user_id")))
+    val e1 = intercept[IllegalArgumentException] {
+      translate("SELECT * FROM events FINAL")
+    }
+    assert(e1.getMessage.contains("TableMeta"))
+    val e2 = intercept[IllegalArgumentException] {
+      translate("SELECT * FROM events SAMPLE 1000", meta)
+    }
+    assert(e2.getMessage.contains("fraction") ||
+      e2.getMessage.contains("granule"))
+    val e3 = intercept[IllegalArgumentException] {
+      translate("SELECT * FROM events FINAL SAMPLE 0.1", meta)
+    }
+    assert(e3.getMessage.contains("combination"))
+  }
+
   test("untranslatable CH-isms refuse loudly") {
     val e1 = intercept[IllegalArgumentException] {
       translate("SELECT x FROM t ARRAY JOIN xs")
