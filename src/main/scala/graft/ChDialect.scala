@@ -158,13 +158,44 @@ object ChDialect {
   def translate(sql: String,
                 meta: Map[String, TableMeta] = Map.empty): String = {
     var ts = lex(sql)
+    ts = stripSettings(ts)
     ts = stripFormat(ts)
+    ts = stripGlobal(ts)
     ts = rewriteFromModifiers(ts, meta)
     ts = rewritePrewhere(ts)
     ts = rewriteArrayJoin(ts)
     ts = rewriteTotals(ts)
     ts = rewriteLimitBy(ts)
     emit(ts)
+  }
+
+  /** trailing `SETTINGS k = v [, k = v …]` → dropped (CH per-query
+    * execution knobs — max_threads, max_memory_usage — have no Spark
+    * meaning; Spark's own session confs govern). Runs before FORMAT
+    * stripping since CH accepts `… FORMAT x SETTINGS …` and
+    * `… SETTINGS … FORMAT x` both.
+    */
+  private def stripSettings(ts: Vector[Tok]): Vector[Tok] = {
+    val i = findTop(ts, Seq("SETTINGS"), 0)
+    if (i < 0) return ts
+    val end = boundary(ts, i + 1, Set("FORMAT", "UNION"))
+    ts.take(i) ++ ts.drop(end)
+  }
+
+  /** `GLOBAL IN` / `GLOBAL NOT IN` / `GLOBAL [kind] JOIN` → the
+    * GLOBAL keyword dropped: in CH it only controls WHERE the
+    * right side is shipped on a distributed cluster (broadcast to
+    * every shard vs per-shard re-read); Spark's optimizer owns that
+    * decision (broadcast vs shuffle join), so the semantics are
+    * identical with the hint removed.
+    */
+  private def stripGlobal(ts: Vector[Tok]): Vector[Tok] = {
+    val followers = Set("IN", "NOT", "JOIN", "ANY", "ALL", "LEFT",
+      "RIGHT", "INNER", "FULL", "SEMI", "ANTI", "CROSS")
+    ts.zipWithIndex.filterNot { case (t, i) =>
+      t.up == "GLOBAL" && i + 1 < ts.length && ts(i + 1).isWord &&
+        followers.contains(ts(i + 1).up)
+    }.map(_._1)
   }
 
   /** `FROM tbl FINAL` and `FROM tbl SAMPLE f` (round-15 tier 2 —

@@ -142,6 +142,27 @@ class ChDialectSpec extends SparkFunSuite {
     assert(e3.getMessage.contains("combination"))
   }
 
+  test("SETTINGS suffix strips (before or after FORMAT); GLOBAL " +
+      "join/IN hints drop; a column named global survives") {
+    val a = translate(
+      "SELECT count(*) AS n FROM events SETTINGS max_threads = 4, " +
+        "max_memory_usage = 10000000000 FORMAT JSON")
+    assert(!a.toUpperCase.contains("SETTINGS") && !a.contains("JSON"), a)
+    assert(ds.sql(a).head.getLong(0) > 0)
+    val b = translate(
+      """SELECT count(*) AS n FROM events e
+        |GLOBAL INNER JOIN (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id
+        |WHERE e.user_id GLOBAL IN (SELECT user_id FROM events
+        |  WHERE event_type = 'view')""".stripMargin)
+    assert(!b.toUpperCase.split("[^A-Z]").contains("GLOBAL"), b)
+    assert(ds.sql(b).head.getLong(0) > 0)
+    // an identifier merely NAMED global is untouched
+    val c = translate("SELECT doc_id AS global FROM documents")
+    assert(c.contains("global"), c)
+  }
+
   test("untranslatable CH-isms refuse loudly") {
     val e1 = intercept[IllegalArgumentException] {
       translate("SELECT x FROM t ARRAY JOIN xs")
