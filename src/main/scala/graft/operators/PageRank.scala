@@ -52,11 +52,25 @@ object PageRank {
 
   /** PageRank over `edges` (src: string, dst: string, w: long>0).
     * Returns (node, rank_ppb) — rank at iteration `iters`.
+    *
+    * Serving policy (round 15, the NSW walk-vs-scan precedent): the
+    * EDGE DERIVATION is always distributed (that is the 100 TB-heavy
+    * part — one map-side-combined count shuffle over raw rows), but
+    * when the derived transition graph is SMALL (≤ `smallGraphEdges`
+    * augmented edges — a bounded-model collect in the IvfIndex
+    * training-envelope discipline), the fixed-point iteration runs
+    * driver-side with the IDENTICAL integer arithmetic instead of
+    * paying `iters` Spark jobs of fixed overhead on a relation of a
+    * few rows (the gate's 5-node event-type graph spent 3.1 s on 12
+    * supersteps of pure scheduling). Same floor divisions in the same
+    * order → bit-identical ranks (spec-pinned both paths); pass
+    * `smallGraphEdges = 0` to force the distributed loop.
     */
   def ranks(edges: DataFrame, damping100: Int = 85,
-            iters: Int = 12): DataFrame = {
+            iters: Int = 12, smallGraphEdges: Long = 100000L): DataFrame = {
     require(damping100 > 0 && damping100 < 100, s"damping $damping100")
     require(iters >= 1 && iters <= 100, s"iters $iters")
+    val spark = edges.sparkSession
     val w = edges.groupBy(col("src"), col("dst"))
       .agg(sum(col("w")).as("w"))
     val ow = w.groupBy(col("src")).agg(sum(col("w")).as("outw"))
@@ -70,6 +84,30 @@ object PageRank {
       .union(nodes.select(col("node").as("src"), col("node").as("dst"),
         lit(0L).as("p30")))
       .localCheckpoint(true)
+    val nEdges = eAug.count() // bounded action on the checkpointed relation
+
+    if (nEdges <= smallGraphEdges) {
+      // ---- small-graph fast path: same ops, zero supersteps -------
+      val es = eAug.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+      val ns = es.map(_._2).distinct.sorted // every node is a dst (self-edges)
+      val n = ns.length.toLong
+      val teleport = ((100L - damping100) * Scale / 100) / n
+      var r = ns.map(_ -> Scale / n).toMap
+      for (_ <- 1 to iters) {
+        val csum = new scala.collection.mutable.HashMap[String, Long]()
+        ns.foreach(csum.put(_, 0L)) // self-edges guarantee presence
+        es.foreach { case (s0, d0, p30) =>
+          csum.put(d0, csum(d0) + (r(s0) * p30) / P30)
+        }
+        r = ns.map(nd => nd -> (teleport + damping100 * csum(nd) / 100)).toMap
+      }
+      import spark.implicits._
+      return ns.map(nd => (nd, r(nd))).toSeq
+        .toDF("node", "rank_ppb")
+    }
+
+    // ---- distributed Pregel loop ---------------------------------
     // N as a 1-row bounded relation (the 1-row crossJoin composition)
     val n1 = nodes.agg(count(lit(1)).as("n")).localCheckpoint(true)
     // Per-node teleport mass derives from the SAME damping parameter

@@ -318,12 +318,19 @@ private[sources] final class SqliteScanBuilder(path: String,
     case class Choice(attrs: Set[String], swallowed: Set[Filter],
                       p: SqlitePushedProbe)
 
-    def binaryLeading(a: String): Option[SqliteIndex.IndexDef] =
-      indexes.find(i =>
-        i.specs.headOption.exists(s => s.name == a && !s.nocase))
+    // candidates ordered FULL indexes first: a partial index is only
+    // eligible when the probe's interval is contained in its WHERE
+    // predicate (SqliteIndex.partialImplied — sqlite's own planner
+    // rule), so a full index always beats it when both exist
+    def binaryLeadings(a: String): Seq[SqliteIndex.IndexDef] =
+      indexes.filter(i =>
+          i.specs.headOption.exists(s => s.name == a && !s.nocase))
+        .sortBy(_.partial.isDefined)
     def nocaseLeading(a: String): Option[SqliteIndex.IndexDef] =
-      indexes.find(i =>
+      indexes.find(i => i.partial.isEmpty &&
         i.specs.headOption.exists(s => s.name == a && s.nocase))
+    def point(v: Any) = SqliteIndex.KeyRange(Some(v), loInc = true,
+      Some(v), hiInc = true)
 
     // rowid alias wins when both qualify (no index pages at all);
     // a composite bind beats a single-column fold (tighter descent);
@@ -355,20 +362,23 @@ private[sources] final class SqliteScanBuilder(path: String,
               .filter(byAttr.contains)
             rangedCol match {
               case Some(n) =>
-                foldKeyRange(byAttr(n).map(t => (t._2, t._3))).map { r =>
-                  val cols = eqCols :+ n
-                  Choice(cols.toSet,
-                    cols.flatMap(c => byAttr(c).map(_._2)).toSet,
-                    IndexCompositeRange(ix, eqVals, r))
-                }
-              case None if k >= 2 =>
+                foldKeyRange(byAttr(n).map(t => (t._2, t._3)))
+                  .filter(r => SqliteIndex.partialImplied(ix, eqVals, r))
+                  .map { r =>
+                    val cols = eqCols :+ n
+                    Choice(cols.toSet,
+                      cols.flatMap(c => byAttr(c).map(_._2)).toSet,
+                      IndexCompositeRange(ix, eqVals, r))
+                  }
+              case None if k >= 2 &&
+                  SqliteIndex.partialImplied(ix, eqVals.init,
+                    point(eqVals.last)) =>
                 // pure multi-column equality: the last eq column is
                 // the degenerate closed range
                 Some(Choice(eqCols.toSet,
                   eqCols.flatMap(c => byAttr(c).map(_._2)).toSet,
                   IndexCompositeRange(ix, eqVals.init,
-                    SqliteIndex.KeyRange(Some(eqVals.last), loInc = true,
-                      Some(eqVals.last), hiInc = true))))
+                    point(eqVals.last))))
               case None => None // single-col: cmpChoice's job
             }
           }
@@ -376,9 +386,12 @@ private[sources] final class SqliteScanBuilder(path: String,
 
       def cmpChoice: Option[Choice] =
         byAttr.keys.toSeq.sorted.iterator.flatMap { a =>
-          binaryLeading(a)
-            .flatMap(foldIndex(_, byAttr(a).map(t => (t._2, t._3))))
-            .map(p => Choice(Set(a), byAttr(a).map(_._2).toSet, p))
+          foldKeyRange(byAttr(a).map(t => (t._2, t._3))).flatMap { r =>
+            binaryLeadings(a)
+              .find(SqliteIndex.partialImplied(_, Nil, r))
+              .flatMap(foldIndex(_, byAttr(a).map(t => (t._2, t._3))))
+              .map(p => Choice(Set(a), byAttr(a).map(_._2).toSet, p))
+          }
         }.nextOption()
 
       def inChoice: Option[Choice] =
@@ -389,18 +402,21 @@ private[sources] final class SqliteScanBuilder(path: String,
           }
           .orElse {
             ins.iterator.flatMap { case (a, f, vs) =>
-              binaryLeading(a)
+              binaryLeadings(a)
+                .find(i => vs.forall(v =>
+                  SqliteIndex.partialImplied(i, Nil, point(v))))
                 .map(i => Choice(Set(a), Set(f), IndexIn(i, vs.distinct)))
             }.nextOption()
           }
 
       def prefixChoice: Option[Choice] =
         prefixes.iterator.flatMap { case (a, f, p) =>
-          binaryLeading(a).map { i =>
-            val hi = p.substring(0, p.length - 1) + (p.last + 1).toChar
-            Choice(Set(a), Set(f), IndexRange(i, SqliteIndex.KeyRange(
-              Some(p), loInc = true, Some(hi), hiInc = false)))
-          }
+          val hi = p.substring(0, p.length - 1) + (p.last + 1).toChar
+          val r = SqliteIndex.KeyRange(
+            Some(p), loInc = true, Some(hi), hiInc = false)
+          binaryLeadings(a)
+            .find(SqliteIndex.partialImplied(_, Nil, r))
+            .map(i => Choice(Set(a), Set(f), IndexRange(i, r)))
         }.nextOption()
 
       // NOCASE candidate probes (swallow nothing; see Choice doc).

@@ -791,9 +791,17 @@ object SqliteFile {
         val typeToks = rest.takeWhile(t =>
           !ConstraintStart(t.toUpperCase))
         val decl = typeToks.mkString(" ")
-        val up = d.toUpperCase
+        val up = toks.map(_.toUpperCase).mkString(" ")
         val inlinePk = up.contains("PRIMARY KEY")
-        val rowidAlias = inlinePk && decl.trim.toUpperCase == "INTEGER"
+        // The documented quirk (fileformat2 / lang_createtable §rowid,
+        // round-15 fix): column-level `INTEGER PRIMARY KEY DESC` is
+        // NOT a rowid alias — sqlite stores the column for real and
+        // keeps a separate rowid (verified empirically: rowid=1 while
+        // x=100). Only the ASC/unmodified column-level form aliases.
+        // (The TABLE-constraint form `PRIMARY KEY(x DESC)` DOES alias
+        // — the asymmetry is sqlite's, handled below.)
+        val rowidAlias = inlinePk && decl.trim.toUpperCase == "INTEGER" &&
+          !up.contains("PRIMARY KEY DESC")
         cols += ColumnDef(first, decl,
           if (inlinePk) 1 else 0, rowidAlias)
       }

@@ -40,11 +40,16 @@ import SqliteFile._
   * O(log n + matches) pages).
   *
   * Named refusals (loud, never silent garbage):
-  *  - expression / partial indexes — their key order is not any
-  *    column's;
+  *  - expression indexes — their key order is not any column's;
+  *  - partial indexes whose WHERE predicate is not one supported
+  *    comparison / IS NOT NULL, and any partial-index PROBE whose
+  *    interval is not contained in the predicate (rows outside it
+  *    are absent from the index — see [[partialImplied]]);
   *  - COLLATE other than BINARY / NOCASE (RTRIM and custom
   *    collations are not implemented);
-  *  - sqlite_autoindex internal indexes (no SQL to validate against);
+  *  - sqlite_autoindex entries whose constraint cannot be derived
+  *    from the CREATE TABLE text (round 15 serves UNIQUE / non-alias
+  *    PRIMARY KEY autoindexes — see [[deriveAutoSpecs]]);
   *  - non-UTF-8 databases for TEXT probes — collation is defined on
   *    the DATABASE encoding's bytes, and this comparator works on
   *    UTF-8;
@@ -61,71 +66,309 @@ object SqliteIndex {
   final case class ColSpec(name: String, desc: Boolean = false,
                            nocase: Boolean = false)
 
+  /** A supported partial-index predicate (round 15): one comparison
+    * on a single column, or IS NOT NULL. A partial index only holds
+    * the predicate's rows, so a probe may use it ONLY when the probed
+    * interval is CONTAINED in the predicate ([[partialImplied]]) —
+    * exactly sqlite's own planner rule.
+    */
+  final case class PartialPred(col: String, op: String, value: Any)
+
   /** One CREATE INDEX row from sqlite_master. `specs` carry the
     * per-column order/collation when the index is supported (`cols`
-    * is the name projection); `refusal` carries the named reason when
-    * it is not (parsed eagerly so listIndexes can show WHY an index
+    * is the name projection); `partial` the WHERE predicate when the
+    * index is partial; `refusal` carries the named reason when it is
+    * not usable (parsed eagerly so listIndexes can show WHY an index
     * is unusable).
     */
   final case class IndexDef(name: String, table: String, rootPage: Int,
                             specs: Seq[ColSpec], unique: Boolean,
-                            sql: String, refusal: Option[String]) {
+                            sql: String, refusal: Option[String],
+                            partial: Option[PartialPred] = None) {
     def supported: Boolean = refusal.isEmpty
     def cols: Seq[String] = specs.map(_.name)
   }
 
-  /** All indexes in the file (internal sqlite_autoindex entries
-    * included, marked refused — they exist and hiding them would make
-    * "why is my PK probe slow" undiagnosable).
+  /** All indexes in the file. Round 15: `sqlite_autoindex_<tbl>_<N>`
+    * entries (UNIQUE / non-alias PRIMARY KEY constraints) are no
+    * longer blanket refusals — their column specs DERIVE from the
+    * table's CREATE TABLE text, because sqlite numbers them by
+    * constraint appearance order (column-level constraints at their
+    * column position, then table constraints in order — empirically
+    * pinned against CPython in SqliteAutoIndexSpec) and their key
+    * order is the constraint's columns with the COLUMN's declared
+    * collation unless the constraint overrides it. Underivable
+    * shapes (expression terms, non-BINARY/NOCASE collations, WITHOUT
+    * ROWID tables whose entries end in PK columns) stay refused by
+    * name.
     */
   def listIndexes(path: String): Seq[IndexDef] = {
     val h = header(path)
     val w = new TableWalk(path, h, 1)
     try {
-      w.map(_._2).collect {
+      val rows = w.map(_._2).toList
+      val tableSql: Map[String, String] = rows.collect {
+        case vals if vals.headOption.contains("table") &&
+            vals(4).isInstanceOf[String] =>
+          vals(1).asInstanceOf[String] -> vals(4).asInstanceOf[String]
+      }.toMap
+      rows.collect {
         case vals if vals.headOption.contains("index") =>
           val name = vals(1).asInstanceOf[String]
           val tbl = vals(2).asInstanceOf[String]
           val root = vals(3).asInstanceOf[Long].toInt
           val sql = vals(4) match { case s: String => s; case _ => null }
-          if (sql == null)
-            IndexDef(name, tbl, root, Nil, unique = true, null,
-              Some("internal sqlite_autoindex (no SQL; use the table's " +
-                "declared PK access path instead)"))
-          else {
-            val (cols, unique, refusal) = parseCreateIndex(sql)
-            IndexDef(name, tbl, root, cols, unique, sql, refusal)
+          if (sql == null) {
+            val n = name.reverse.takeWhile(_.isDigit).reverse
+            val derived =
+              if (n.isEmpty || !name.startsWith("sqlite_autoindex_")) None
+              else tableSql.get(tbl).flatMap(ts =>
+                deriveAutoSpecs(ts).lift(n.toInt - 1))
+            derived match {
+              case Some(Right(specs)) =>
+                IndexDef(name, tbl, root, specs, unique = true, null, None)
+              case Some(Left(reason)) =>
+                IndexDef(name, tbl, root, Nil, unique = true, null,
+                  Some(s"autoindex constraint not derivable: $reason"))
+              case None =>
+                IndexDef(name, tbl, root, Nil, unique = true, null,
+                  Some("internal sqlite_autoindex (constraint #" +
+                    s"${if (n.isEmpty) "?" else n} not found in the " +
+                    "table's CREATE TABLE text)"))
+            }
+          } else {
+            val (cols, unique, partial, refusal) = parseCreateIndex(sql)
+            IndexDef(name, tbl, root, cols, unique, sql, refusal, partial)
           }
-      }.toList
+      }
     } finally w.close()
   }
 
-  /** Parse `CREATE [UNIQUE] INDEX ... ON tbl(colspec, ...)`; returns
-    * (column specs, unique, refusal). DESC and COLLATE NOCASE/BINARY
-    * modifiers are supported (round 15); anything else refuses by
-    * name.
+  /** Specs of each automatic index of a CREATE TABLE, in sqlite's
+    * numbering order (see [[listIndexes]]): autoindex N ↦ element
+    * N−1. Each slot is either the derived specs or a named reason it
+    * cannot be served. Rules, all empirically pinned:
+    *  - column-level UNIQUE → (col) with the column's collation;
+    *  - column-level PRIMARY KEY → (col), DESC when `PRIMARY KEY
+    *    DESC`; SKIPPED (no index exists) when it is the rowid alias
+    *    (`INTEGER PRIMARY KEY [ASC]`);
+    *  - table-level UNIQUE(...)/PRIMARY KEY(...) → the keyspec's
+    *    columns with per-column COLLATE/DESC overrides, defaulting to
+    *    each column's declared collation; a single-INTEGER-column
+    *    table-level PK is the rowid alias (even with DESC — sqlite's
+    *    asymmetric quirk) and creates no index;
+    *  - WITHOUT ROWID tables: every slot refuses (index entries end
+    *    in PK columns, not a rowid).
+    */
+  private[sources] def deriveAutoSpecs(
+      tableSql: String): Seq[Either[String, Seq[ColSpec]]] = {
+    val open = tableSql.indexOf('(')
+    val close = tableSql.lastIndexOf(')')
+    if (open < 0 || close < open) return Nil
+    if (tableSql.substring(close + 1).toUpperCase.contains("WITHOUT"))
+      return splitTopLevel(tableSql.substring(open + 1, close))
+        .map(_ => Left("WITHOUT ROWID table: autoindex entries end in " +
+          "PK columns, not a rowid"))
+    val items = splitTopLevel(tableSql.substring(open + 1, close))
+    val constraintStart = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN",
+      "CONSTRAINT")
+
+    // declared collation per column (column defs only)
+    val colColl: Map[String, Either[String, Boolean]] = items.flatMap { d =>
+      val parts = tokenize(d.trim)
+      if (parts.isEmpty || constraintStart(
+          parts.head.toUpperCase.takeWhile(_.isLetter))) None
+      else {
+        val name = unq(parts.head)
+        val i = parts.indexWhere(_.toUpperCase == "COLLATE")
+        val coll =
+          if (i < 0 || i + 1 >= parts.size) Right(false)
+          else unq(parts(i + 1)).toUpperCase match {
+            case "BINARY" => Right(false)
+            case "NOCASE" => Right(true)
+            case other => Left(s"COLLATE $other on column '$name'")
+          }
+        Some(name -> coll)
+      }
+    }.toMap
+
+    def specOf(name: String, desc: Boolean,
+               collOverride: Option[Either[String, Boolean]])
+        : Either[String, ColSpec] =
+      collOverride.getOrElse(colColl.getOrElse(name, Right(false))) match {
+        case Right(nc) => Right(ColSpec(name, desc, nc))
+        case Left(why) => Left(why)
+      }
+
+    /** keyspec list `a [COLLATE X] [ASC|DESC], …` → specs. */
+    def parseKeyList(body: String): Either[String, Seq[ColSpec]] = {
+      val specs = splitTopLevel(body).map { item =>
+        if (item.contains("("))
+          Left(s"expression term '$item'")
+        else {
+          val parts = tokenize(item.trim)
+          if (parts.isEmpty) Left("empty keyspec")
+          else {
+            val name = unq(parts.head)
+            var desc = false
+            var coll: Option[Either[String, Boolean]] = None
+            var i = 1
+            var bad: Option[String] = None
+            while (i < parts.size && bad.isEmpty) {
+              parts(i).toUpperCase match {
+                case "ASC" =>
+                case "DESC" => desc = true
+                case "COLLATE" if i + 1 < parts.size =>
+                  coll = Some(unq(parts(i + 1)).toUpperCase match {
+                    case "BINARY" => Right(false)
+                    case "NOCASE" => Right(true)
+                    case other => Left(s"COLLATE $other")
+                  })
+                  i += 1
+                case other => bad = Some(s"keyspec modifier '$other'")
+              }
+              i += 1
+            }
+            bad.toLeft(()).flatMap(_ => specOf(name, desc, coll))
+          }
+        }
+      }
+      specs.collectFirst { case Left(w) => w }
+        .toLeft(specs.collect { case Right(s) => s })
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[Either[String, Seq[ColSpec]]]
+    items.foreach { d0 =>
+      val d = d0.trim
+      val parts = tokenize(d)
+      if (parts.isEmpty) ()
+      else {
+        val up = parts.map(_.toUpperCase)
+        // letters-only prefix: `UNIQUE(y)` with no space lexes as ONE
+        // token, which must still read as a table constraint
+        val headUp = up.head.takeWhile(_.isLetter)
+        if (!constraintStart(headUp)) {
+          // column def: inline UNIQUE / PRIMARY KEY in appearance order
+          val name = unq(parts.head)
+          // token-index matching (a quoted DEFAULT literal containing
+          // the word UNIQUE must not count)
+          val pkAt = up.indexWhere(_ == "PRIMARY")
+          val uqAt = up.indexWhere(_ == "UNIQUE")
+          val declType = colCollDecl(items, name).getOrElse("")
+            .trim.toUpperCase
+          val pkDesc = pkAt >= 0 && pkAt + 2 < up.size &&
+            up(pkAt + 1) == "KEY" && up(pkAt + 2) == "DESC"
+          // rowid alias = column-level `INTEGER PRIMARY KEY [ASC]`
+          // (the DESC form stores a real column — the quirk)
+          val isAlias = pkAt >= 0 && declType == "INTEGER" && !pkDesc
+          val events = Seq(pkAt -> "pk", uqAt -> "uq")
+            .filter(_._1 >= 0).sortBy(_._1)
+          events.foreach {
+            case (_, "pk") if isAlias => () // rowid alias: no index
+            case (_, "pk") =>
+              out += specOf(name, pkDesc, None).map(Seq(_))
+            case (_, "uq") =>
+              out += specOf(name, desc = false, None).map(Seq(_))
+            case _ => ()
+          }
+        } else {
+          val afterConstraint =
+            if (headUp == "CONSTRAINT" && parts.size > 2)
+              parts.drop(2) else parts
+          // letters-only prefix again: `UNIQUE(y)` lexes as one token
+          val aUp = afterConstraint
+            .map(_.toUpperCase.takeWhile(_.isLetter))
+          val o = d.indexOf('('); val c = d.lastIndexOf(')')
+          if (o >= 0 && c > o) {
+            val keys = parseKeyList(d.substring(o + 1, c))
+            if (aUp.headOption.contains("PRIMARY")) {
+              // single-INTEGER table-level PK = rowid alias even with
+              // DESC (the asymmetric quirk) — no index
+              val alias = keys.toOption.exists(ks => ks.size == 1 &&
+                colCollDecl(items, ks.head.name).exists(
+                  _.toUpperCase.trim == "INTEGER"))
+              if (!alias) out += keys
+            } else if (aUp.headOption.contains("UNIQUE")) {
+              out += keys
+            } // CHECK/FOREIGN: no index
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Declared type of `name` among the column-def items (alias test). */
+  private def colCollDecl(items: Seq[String],
+                          name: String): Option[String] = {
+    val constraintStart = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN",
+      "CONSTRAINT")
+    items.iterator.map(_.trim).flatMap { d =>
+      val parts = tokenize(d)
+      if (parts.isEmpty || constraintStart(
+          parts.head.toUpperCase.takeWhile(_.isLetter))) None
+      else if (unq(parts.head) != name) None
+      else {
+        val stop = Set("PRIMARY", "UNIQUE", "CHECK", "NOT", "NULL",
+          "DEFAULT", "COLLATE", "REFERENCES", "GENERATED", "AS")
+        Some(parts.tail.takeWhile(t => !stop(t.toUpperCase))
+          .mkString(" "))
+      }
+    }.toSeq.headOption
+  }
+
+  /** Parse `CREATE [UNIQUE] INDEX ... ON tbl(colspec, ...) [WHERE
+    * pred]`; returns (column specs, unique, partial predicate,
+    * refusal). DESC and COLLATE NOCASE/BINARY modifiers are supported
+    * (round 15), as are partial indexes whose predicate is ONE
+    * comparison on one column or IS NOT NULL (round-15 continuation —
+    * probes must imply the predicate, see [[partialImplied]]);
+    * anything else refuses by name.
     */
   private[sources] def parseCreateIndex(
-      sql: String): (Seq[ColSpec], Boolean, Option[String]) = {
+      sql: String): (Seq[ColSpec], Boolean, Option[PartialPred],
+                     Option[String]) = {
     val unique = sql.toUpperCase.matches("(?s)\\s*CREATE\\s+UNIQUE\\s+INDEX.*")
     val open = sql.indexOf('(')
-    val close = sql.lastIndexOf(')')
+    // the KEYSPEC's matching close paren (a parenthesized WHERE
+    // predicate would fool lastIndexOf)
+    val close = {
+      var depth = 0; var i = open; var found = -1
+      while (i >= 0 && i < sql.length && found < 0) {
+        sql(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) found = i
+          case _ =>
+        }
+        i += 1
+      }
+      found
+    }
     if (open < 0 || close < open)
-      return (Nil, unique, Some("unparseable CREATE INDEX sql"))
-    val trailer = sql.substring(close + 1).trim.toUpperCase
-    if (trailer.startsWith("WHERE"))
-      return (Nil, unique, Some("partial index (WHERE clause): its " +
-        "entries cover only the predicate's rows"))
+      return (Nil, unique, None, Some("unparseable CREATE INDEX sql"))
+    val trailer = sql.substring(close + 1).trim
+    val partial: Either[String, Option[PartialPred]] =
+      if (!trailer.toUpperCase.startsWith("WHERE")) Right(None)
+      else parsePartialPred(trailer.substring(5))
+    partial match {
+      case Left(why) =>
+        return (Nil, unique, None, Some("partial index predicate not " +
+          s"derivable ($why): its entries cover only the predicate's " +
+          "rows, and an uncheckable predicate cannot prove a probe is " +
+          "contained"))
+      case Right(_) =>
+    }
     val specTexts = splitTopLevel(sql.substring(open + 1, close))
     val cols = scala.collection.mutable.ArrayBuffer.empty[ColSpec]
     for (spec0 <- specTexts) {
       val spec = spec0.trim
       if (spec.contains("("))
-        return (Nil, unique, Some(s"expression index term '$spec': key " +
-          "order is the expression's, not any column's"))
+        return (Nil, unique, None, Some(s"expression index term " +
+          s"'$spec': key order is the expression's, not any column's"))
       val parts = tokenize(spec)
       if (parts.isEmpty)
-        return (Nil, unique, Some("empty index column spec"))
+        return (Nil, unique, None, Some("empty index column spec"))
       val name = unq(parts.head)
       var desc = false
       var nocase = false
@@ -136,23 +379,24 @@ object SqliteIndex {
           case "DESC" => desc = true
           case "COLLATE" =>
             if (i + 1 >= parts.size)
-              return (Nil, unique, Some(s"dangling COLLATE on '$name'"))
+              return (Nil, unique, None,
+                Some(s"dangling COLLATE on '$name'"))
             unq(parts(i + 1)).toUpperCase match {
               case "BINARY" =>
               case "NOCASE" => nocase = true
-              case other => return (Nil, unique, Some(
+              case other => return (Nil, unique, None, Some(
                 s"COLLATE $other on index column '$name': only BINARY " +
                   "and NOCASE collations are implemented"))
             }
             i += 1
-          case other => return (Nil, unique, Some(
+          case other => return (Nil, unique, None, Some(
             s"unrecognized index column modifier on '$name': $other"))
         }
         i += 1
       }
       cols += ColSpec(name, desc, nocase)
     }
-    (cols.toSeq, unique, None)
+    (cols.toSeq, unique, partial.toOption.flatten, None)
   }
 
   private def tokenize(s: String): Seq[String] = {
@@ -317,6 +561,67 @@ object SqliteIndex {
         s"${hi.getOrElse("+inf")}${if (hiInc) "]" else ")"}"
   }
 
+  /** `WHERE` trailer of a partial CREATE INDEX → the one supported
+    * predicate shape: `col <op> <literal>` (op ∈ >, >=, <, <=, =) or
+    * `col IS NOT NULL`. Literals: integer, float, 'string'.
+    */
+  private def parsePartialPred(
+      predSql: String): Either[String, Option[PartialPred]] = {
+    val parts = tokenize(predSql.trim)
+    def lit(t: String): Either[String, Any] =
+      if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+        Right(t.substring(1, t.length - 1).replace("''", "'"))
+      else t.toLongOption.map(Right(_))
+        .orElse(t.toDoubleOption.map(Right(_)))
+        .getOrElse(Left(s"unsupported literal '$t'"))
+    parts.map(_.toUpperCase) match {
+      case Seq(_, "IS", "NOT", "NULL") =>
+        Right(Some(PartialPred(unq(parts.head), "NOTNULL", null)))
+      case Seq(_, op, _) if Set(">", ">=", "<", "<=", "=").contains(op) =>
+        lit(parts(2)).map(v =>
+          Some(PartialPred(unq(parts.head), op, v)))
+      case _ => Left(s"predicate '$predSql' is not a single " +
+        "comparison or IS NOT NULL")
+    }
+  }
+
+  /** Does a probe (equality prefix `eqPrefix` + `range` on the next
+    * column) IMPLY the index's partial predicate — i.e. is every key
+    * the probe can match guaranteed present in the partial index?
+    * True for non-partial indexes and IS-NOT-NULL predicates (probes
+    * never match NULL). For a comparison predicate the probed
+    * interval of the PREDICATE's column must be contained in the
+    * predicate; the predicate column must be the LEADING indexed
+    * column with BINARY collation (sqlite compares the predicate in
+    * the column's collation — only the binary case is implemented).
+    */
+  def partialImplied(idx: IndexDef, eqPrefix: Seq[Any],
+                     range: KeyRange): Boolean = idx.partial match {
+    case None => true
+    case Some(PartialPred(_, "NOTNULL", _)) => true
+    case Some(PartialPred(col, op, pv)) =>
+      val lead = idx.specs.headOption
+      if (!lead.exists(s => s.name == col && !s.nocase && !s.desc))
+        return false
+      // the probe's interval over the LEADING column
+      val (lo, loInc, hi, hiInc) = eqPrefix.headOption match {
+        case Some(v) => (Some(v), true, Some(v), true)
+        case None => (range.lo, range.loInc, range.hi, range.hiInc)
+      }
+      op match {
+        case ">" => lo.exists(v =>
+          cmpKey(v, pv) > 0 || (cmpKey(v, pv) == 0 && !loInc))
+        case ">=" => lo.exists(v => cmpKey(v, pv) >= 0)
+        case "<" => hi.exists(v =>
+          cmpKey(v, pv) < 0 || (cmpKey(v, pv) == 0 && !hiInc))
+        case "<=" => hi.exists(v => cmpKey(v, pv) <= 0)
+        case "=" =>
+          lo.exists(v => cmpKey(v, pv) == 0 && loInc) &&
+            hi.exists(v => cmpKey(v, pv) == 0 && hiInc)
+        case _ => false
+      }
+  }
+
   /** Rowids whose leading indexed column falls in `range`, plus the
     * pages-touched receipt. Degenerate composite walk (no equality
     * prefix); see [[compositeRangeRowids]].
@@ -351,6 +656,11 @@ object SqliteIndex {
       .foreach(v => checkProbe(path, h, idx, v))
     require(eqPrefix.nonEmpty || range.lo.nonEmpty || range.hi.nonEmpty,
       "unbounded range probe: scan the table instead")
+    require(partialImplied(idx, eqPrefix, range),
+      s"index ${idx.name} is PARTIAL (${idx.partial.get}) and the " +
+        s"probe ($eqPrefix, $range) is not contained in its predicate" +
+        " - rows outside the predicate are absent from the index; " +
+        "scan the table instead")
     val m = eqPrefix.length // position of the ranged column
     require(idx.specs.length > m,
       s"index ${idx.name} has ${idx.specs.length} columns; a " +

@@ -43,6 +43,25 @@ class PageRankSpec extends SparkFunSuite {
     assert(run(edges, iters = 8) == reference(edges, iters = 8))
   }
 
+  test("small-graph fast path == forced distributed loop, bit-exact " +
+      "(round-15 serving policy)") {
+    val edges = Seq(("a", "b", 3L), ("b", "c", 1L), ("c", "a", 2L),
+      ("a", "c", 1L), ("c", "b", 5L), ("d", "a", 7L))
+    val df = edges.toDF("src", "dst", "w")
+    def m(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fast = m(PageRank.ranks(df, iters = 12)) // default: fast path
+    val dist = m(PageRank.ranks(df, iters = 12, smallGraphEdges = 0))
+    assert(fast == dist)
+    // and for a NON-default damping (the round-15 teleport fix):
+    // teleport mass must track the parameter on BOTH paths
+    val fast70 = m(PageRank.ranks(df, damping100 = 70, iters = 6))
+    val dist70 = m(PageRank.ranks(df, damping100 = 70, iters = 6,
+      smallGraphEdges = 0))
+    assert(fast70 == dist70)
+    assert(fast70 != fast, "damping parameter must change the ranks")
+  }
+
   test("a symmetric cycle gives every node the identical rank") {
     val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
     val r = run(edges)

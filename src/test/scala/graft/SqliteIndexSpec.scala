@@ -26,7 +26,11 @@ class SqliteIndexSpec extends SparkFunSuite {
       byName("ix_multi").cols == Seq("k", "s"))
     assert(byName("ix_u").supported && byName("ix_u").unique)
     assert(byName("ix_expr").refusal.exists(_.contains("expression")))
-    assert(byName("ix_part").refusal.exists(_.contains("partial")))
+    // round 15: ix_part (WHERE k > 50) is SUPPORTED with its
+    // predicate parsed; probes must imply it (tested below)
+    assert(byName("ix_part").supported &&
+      byName("ix_part").partial ==
+        Some(SqliteIndex.PartialPred("k", ">", 50L)))
     // round 15: DESC and COLLATE NOCASE indexes are now SUPPORTED
     // (the walk runs in index order; NOCASE folds ASCII before memcmp)
     assert(byName("ix_desc").supported &&
@@ -34,8 +38,12 @@ class SqliteIndexSpec extends SparkFunSuite {
     assert(byName("ix_coll").supported &&
       byName("ix_coll").specs ==
         Seq(SqliteIndex.ColSpec("s", nocase = true)))
-    assert(byName("sqlite_autoindex_t_1").refusal
-      .exists(_.contains("autoindex")))
+    // round 15: the u TEXT UNIQUE autoindex DERIVES from the CREATE
+    // TABLE text instead of refusing (SqliteAutoIndexSpec pins the
+    // numbering/collation ground truth against CPython PRAGMAs)
+    assert(byName("sqlite_autoindex_t_1").supported &&
+      byName("sqlite_autoindex_t_1").specs ==
+        Seq(SqliteIndex.ColSpec("u")))
   }
 
   test("integer probe matches sqlite's own WHERE k = 42 (count 42, " +
@@ -126,9 +134,17 @@ class SqliteIndexSpec extends SparkFunSuite {
     val expect = SqliteFile.read(spark, db, table)
       .filter("k = 42 AND id > 2000").count()
     assert(mixed.length.toLong == expect && mixed.nonEmpty)
-    val noIdx = dsv2.filter("u = 'uniq-000500'")
+    // round 15: u's TEXT UNIQUE autoindex now SERVES this equality
+    val viaAuto = dsv2.filter("u = 'uniq-000500'")
+    assert(viaAuto.queryExecution.executedPlan.toString
+      .contains("probe=sqlite_autoindex_t_1:"))
+    assert(viaAuto.collect().map(_.getLong(0)).toSeq == Seq(500L))
+    // an EXPRESSION predicate is not a pushable attribute filter —
+    // the genuine full-scan fallback (k+0 would constant-fold back
+    // to the attribute; a function call does not)
+    val noIdx = dsv2.filter("length(u) = 11 AND k * 2 = 84")
     assert(!noIdx.queryExecution.executedPlan.toString.contains("probe="))
-    assert(noIdx.collect().map(_.getLong(0)).toSeq == Seq(500L))
+    assert(noIdx.count() == 42L)
   }
 
   test("DSv2 pushdown: a missing probe key returns zero rows without " +
@@ -142,8 +158,11 @@ class SqliteIndexSpec extends SparkFunSuite {
       intercept[IllegalArgumentException](f).getMessage
     assert(msg(SqliteIndex.indexRowids(db, idx("ix_expr"), 1L))
       .contains("expression"))
+    // a probe OUTSIDE the partial predicate refuses; inside it works
     assert(msg(SqliteIndex.indexRowids(db, idx("ix_part"), 1L))
-      .contains("partial"))
+      .contains("PARTIAL"))
+    assert(SqliteIndex.indexRowids(db, idx("ix_part"), 60L)._1.sorted ==
+      SqliteIndex.indexRowids(db, idx("ix_k"), 60L)._1.sorted)
     // round 15: ix_desc / ix_coll probe instead of refusing — the
     // DESC walk returns the same rowids as the ASC index on the same
     // column, and the NOCASE probe fold-matches regardless of probe
