@@ -135,16 +135,61 @@ private[sources] final class SqliteScanBuilder(path: String,
                                                tdef: SqliteFile.TableDef,
                                                maxPartitions: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
     GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 
   private var required: StructType = SqliteFile.schemaOf(tdef)
   private var accepted: Array[Filter] = Array.empty
   private var probe: Option[SqlitePushedProbe] = None
+  private var sawFilters = false
+  private var aggPushed: Option[Seq[Boolean]] = None // per-func isMax
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** MIN/MAX of the rowid-alias column answer from the b-tree SPINE —
+    * O(depth) pages instead of a full scan (`SELECT max(id) FROM t`
+    * is the CDC watermark probe; round 15 makes the SQL form as cheap
+    * as SqliteFile.maxRowid). Complete pushdown only with no filters
+    * at all (a probe or residual predicate invalidates a tree-spine
+    * extreme) and no grouping; anything else declines and Spark plans
+    * the normal scan.
+    */
+  private def aggSpine(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Option[Seq[Boolean]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
+    if (sawFilters || probe.nonEmpty || tdef.withoutRowid) return None
+    if (agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return None
+    val alias = tdef.columns.find(_.rowidAlias).map(_.name)
+      .getOrElse(return None)
+    def aliasRef(e: Any): Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames.length == 1 && r.fieldNames.head == alias
+      case _ => false
+    }
+    val flags = agg.aggregateExpressions.toSeq.map {
+      case m: Max if aliasRef(m.column) => Some(true)
+      case m: Min if aliasRef(m.column) => Some(false)
+      case _ => None
+    }
+    if (flags.forall(_.isDefined)) Some(flags.map(_.get)) else None
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = aggSpine(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    aggSpine(agg) match {
+      case Some(flags) => aggPushed = Some(flags); true
+      case None => false
+    }
 
   /** Accept the comparison conjunction on ONE attribute the file can
     * serve: on the rowid alias (bounded table-tree descent — sqlite's
@@ -158,6 +203,7 @@ private[sources] final class SqliteScanBuilder(path: String,
     * re-evaluated post-scan.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters = filters.nonEmpty
     def normalize(v: Any): Option[Any] = v match {
       case null => None // comparisons never match NULL
       case l: Long => Some(l)
@@ -478,8 +524,64 @@ private[sources] final class SqliteScanBuilder(path: String,
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
-    new SqliteScan(path, tdef, required, maxPartitions, probe)
+  override def build(): Scan = aggPushed match {
+    case Some(flags) => new SqliteAggScan(path, tdef, flags)
+    case None =>
+      new SqliteScan(path, tdef, required, maxPartitions, probe)
+  }
+}
+
+/** The pushed-aggregate scan (round 15): one row of MIN/MAX rowid
+  * extremes answered by the LEFTMOST/RIGHTMOST table-tree spine walks
+  * — O(depth) pages, never a scan. `flags` is per-output isMax.
+  */
+private[sources] final case class SqliteAggPartition(flags: Seq[Boolean])
+    extends InputPartition
+
+private[sources] final class SqliteAggScan(path: String,
+                                           tdef: SqliteFile.TableDef,
+                                           flags: Seq[Boolean])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    flags.zipWithIndex.map { case (isMax, i) =>
+      org.apache.spark.sql.types.StructField(
+        s"${if (isMax) "max" else "min"}_rowid_$i",
+        org.apache.spark.sql.types.LongType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"sqlite ${tdef.name} agg-spine=[${flags.map(f =>
+      if (f) "max" else "min").mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SqliteAggPartition(flags))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SqliteAggReaderFactory(path, tdef)
+}
+
+/** Serializable executor-side factory (a Scan object must not ship). */
+private[sources] final class SqliteAggReaderFactory(
+    path: String, tdef: SqliteFile.TableDef)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val flags = p.asInstanceOf[SqliteAggPartition].flags
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done && { done = true; true }
+      override def get(): InternalRow = {
+        val mx =
+          if (flags.contains(true)) SqliteFile.maxRowid(path, tdef)
+          else None
+        val mn =
+          if (flags.contains(false)) SqliteFile.minRowid(path, tdef)
+          else None
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(flags.map { isMax =>
+            (if (isMax) mx else mn).map(Long.box).orNull: Any
+          }.toArray)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** One task's work: a group of b-tree subtree roots, the rowid bound

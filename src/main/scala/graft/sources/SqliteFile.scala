@@ -576,6 +576,42 @@ object SqliteFile {
     } finally pf.close()
   }
 
+  /** Smallest rowid — the LEFTMOST spine walk, O(depth) pages (the
+    * mirror of [[maxRowid]]; round 15, serves the MIN(rowid-alias)
+    * aggregate pushdown).
+    */
+  def minRowid(path: String, table: TableDef): Option[Long] = {
+    require(!table.withoutRowid,
+      s"${table.name} is WITHOUT ROWID - no rowid exists")
+    val h = header(path)
+    val pf = new PageFile(path, h)
+    try {
+      var n = table.rootPage
+      while (true) {
+        val pg = pf.page(n)
+        val off = if (n == 1) 100 else 0
+        val tpe = pg(off) & 0xff
+        val k = be(pg, off + 3, 2).toInt
+        tpe match {
+          case 0x05 =>
+            // leftmost child: cell 0's child pointer (rightmost-only
+            // when the interior page is cell-less)
+            n = if (k == 0) be(pg, off + 8, 4).toInt
+                else be(pg, be(pg, off + 12, 2).toInt, 4).toInt
+          case 0x0d =>
+            if (k == 0) return None
+            val c = be(pg, off + 8, 2).toInt
+            val n1 = varint(pg, c)._2
+            return Some(varint(pg, c + n1)._1)
+          case other => throw new IllegalStateException(
+            s"${table.name}: page $n has b-tree type $other, not a " +
+              "table page - corrupt rootpage or an index tree")
+        }
+      }
+      None
+    } finally pf.close()
+  }
+
   /** Level-1 subtrees of a rowid table WITH their rowid intervals:
     * (root, lowExclusive, highInclusive). An interior root's cell keys
     * delimit the children ((key_{i-1}, key_i], rightmost unbounded);
