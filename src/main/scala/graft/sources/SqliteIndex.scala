@@ -137,7 +137,8 @@ object SqliteIndex {
                     "table's CREATE TABLE text)"))
             }
           } else {
-            val (cols, unique, partial, refusal) = parseCreateIndex(sql)
+            val (cols, unique, partial, refusal) =
+              parseCreateIndex(sql, tableSql.get(tbl))
             IndexDef(name, tbl, root, cols, unique, sql, refusal, partial)
           }
       }
@@ -173,32 +174,24 @@ object SqliteIndex {
     val constraintStart = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN",
       "CONSTRAINT")
 
-    // declared collation per column (column defs only)
-    val colColl: Map[String, Either[String, Boolean]] = items.flatMap { d =>
-      val parts = tokenize(d.trim)
-      if (parts.isEmpty || constraintStart(
-          parts.head.toUpperCase.takeWhile(_.isLetter))) None
-      else {
-        val name = unq(parts.head)
-        val i = parts.indexWhere(_.toUpperCase == "COLLATE")
-        val coll =
-          if (i < 0 || i + 1 >= parts.size) Right(false)
-          else unq(parts(i + 1)).toUpperCase match {
-            case "BINARY" => Right(false)
-            case "NOCASE" => Right(true)
-            case other => Left(s"COLLATE $other on column '$name'")
-          }
-        Some(name -> coll)
-      }
-    }.toMap
+    // declared (name, collation) per column, keyed ASCII-case-folded:
+    // sqlite identifier comparison is ASCII-case-insensitive, so a
+    // table constraint may spell a column in a different case than its
+    // def — PRIMARY KEY(a) over "A" INTEGER is still the rowid alias.
+    val colDefs = columnDefs(items)
 
     def specOf(name: String, desc: Boolean,
                collOverride: Option[Either[String, Boolean]])
-        : Either[String, ColSpec] =
-      collOverride.getOrElse(colColl.getOrElse(name, Right(false))) match {
-        case Right(nc) => Right(ColSpec(name, desc, nc))
+        : Either[String, ColSpec] = {
+      val (declName, declColl) =
+        colDefs.getOrElse(foldId(name), (name, Right(false)))
+      collOverride.getOrElse(declColl) match {
+        // emit the DECLARED case so downstream name matches (DSv2
+        // probe columns come from the table schema) stay exact
+        case Right(nc) => Right(ColSpec(declName, desc, nc))
         case Left(why) => Left(why)
       }
+    }
 
     /** keyspec list `a [COLLATE X] [ASC|DESC], …` → specs. */
     def parseKeyList(body: String): Either[String, Seq[ColSpec]] = {
@@ -299,7 +292,10 @@ object SqliteIndex {
     out.toSeq
   }
 
-  /** Declared type of `name` among the column-def items (alias test). */
+  /** Declared type of `name` among the column-def items (alias test).
+    * Name comparison is ASCII-case-insensitive — sqlite's identifier
+    * rule (round-16 ADVICE fix: `PRIMARY KEY(a)` must find `"A"`).
+    */
   private def colCollDecl(items: Seq[String],
                           name: String): Option[String] = {
     val constraintStart = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN",
@@ -308,7 +304,7 @@ object SqliteIndex {
       val parts = tokenize(d)
       if (parts.isEmpty || constraintStart(
           parts.head.toUpperCase.takeWhile(_.isLetter))) None
-      else if (unq(parts.head) != name) None
+      else if (foldId(unq(parts.head)) != foldId(name)) None
       else {
         val stop = Set("PRIMARY", "UNIQUE", "CHECK", "NOT", "NULL",
           "DEFAULT", "COLLATE", "REFERENCES", "GENERATED", "AS")
@@ -318,6 +314,41 @@ object SqliteIndex {
     }.toSeq.headOption
   }
 
+  /** sqlite identifier equality is ASCII-case-insensitive (its
+    * sqlite3StrICmp folds only A-Z) — fold identifiers through the
+    * same ASCII map the NOCASE collation uses before comparing.
+    */
+  private[sources] def foldId(s: String): String = foldAscii(s)
+
+  /** Column defs of a CREATE TABLE body: folded name → (declared
+    * name, declared collation — Right(nocase) or Left(reason) for
+    * collations this reader does not implement). Constraint items are
+    * skipped. Shared by [[deriveAutoSpecs]] (autoindex derivation)
+    * and [[listIndexes]] (explicit-index collation inheritance).
+    */
+  private def columnDefs(
+      items: Seq[String]): Map[String, (String, Either[String, Boolean])] = {
+    val constraintStart = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN",
+      "CONSTRAINT")
+    items.flatMap { d =>
+      val parts = tokenize(d.trim)
+      if (parts.isEmpty || constraintStart(
+          parts.head.toUpperCase.takeWhile(_.isLetter))) None
+      else {
+        val name = unq(parts.head)
+        val i = parts.indexWhere(_.toUpperCase == "COLLATE")
+        val coll =
+          if (i < 0 || i + 1 >= parts.size) Right(false)
+          else unq(parts(i + 1)).toUpperCase match {
+            case "BINARY" => Right(false)
+            case "NOCASE" => Right(true)
+            case other => Left(s"COLLATE $other on column '$name'")
+          }
+        Some(foldId(name) -> (name, coll))
+      }
+    }.toMap
+  }
+
   /** Parse `CREATE [UNIQUE] INDEX ... ON tbl(colspec, ...) [WHERE
     * pred]`; returns (column specs, unique, partial predicate,
     * refusal). DESC and COLLATE NOCASE/BINARY modifiers are supported
@@ -325,10 +356,20 @@ object SqliteIndex {
     * comparison on one column or IS NOT NULL (round-15 continuation —
     * probes must imply the predicate, see [[partialImplied]]);
     * anything else refuses by name.
+    *
+    * Round 16: an index column with NO explicit COLLATE inherits the
+    * COLUMN's declared collation (sqlite's rule — `CREATE INDEX ix ON
+    * u(x)` over `x TEXT COLLATE NOCASE` keys the tree in NOCASE
+    * order; a BINARY walk over it would return silent garbage), so
+    * `tableSql` resolves the inheritance; an inherited unsupported
+    * collation refuses by name. Column names are matched ASCII-case-
+    * insensitively and emitted in the DECLARED case (the case the
+    * Spark schema — and thus every DSv2 probe — carries).
     */
   private[sources] def parseCreateIndex(
-      sql: String): (Seq[ColSpec], Boolean, Option[PartialPred],
-                     Option[String]) = {
+      sql: String, tableSql: Option[String] = None)
+      : (Seq[ColSpec], Boolean, Option[PartialPred],
+         Option[String]) = {
     val unique = sql.toUpperCase.matches("(?s)\\s*CREATE\\s+UNIQUE\\s+INDEX.*")
     val open = sql.indexOf('(')
     // the KEYSPEC's matching close paren (a parenthesized WHERE
@@ -360,6 +401,13 @@ object SqliteIndex {
       case Right(_) =>
     }
     val specTexts = splitTopLevel(sql.substring(open + 1, close))
+    // declared columns of the owning table: inherited collation +
+    // canonical (declared-case) names
+    val colDefs = tableSql.map { ts =>
+      val o = ts.indexOf('('); val c = ts.lastIndexOf(')')
+      if (o < 0 || c < o) Map.empty[String, (String, Either[String, Boolean])]
+      else columnDefs(splitTopLevel(ts.substring(o + 1, c)))
+    }.getOrElse(Map.empty)
     val cols = scala.collection.mutable.ArrayBuffer.empty[ColSpec]
     for (spec0 <- specTexts) {
       val spec = spec0.trim
@@ -371,7 +419,7 @@ object SqliteIndex {
         return (Nil, unique, None, Some("empty index column spec"))
       val name = unq(parts.head)
       var desc = false
-      var nocase = false
+      var nocase: Option[Boolean] = None // None = inherit the column's
       var i = 1
       while (i < parts.size) {
         parts(i).toUpperCase match {
@@ -382,8 +430,8 @@ object SqliteIndex {
               return (Nil, unique, None,
                 Some(s"dangling COLLATE on '$name'"))
             unq(parts(i + 1)).toUpperCase match {
-              case "BINARY" =>
-              case "NOCASE" => nocase = true
+              case "BINARY" => nocase = Some(false)
+              case "NOCASE" => nocase = Some(true)
               case other => return (Nil, unique, None, Some(
                 s"COLLATE $other on index column '$name': only BINARY " +
                   "and NOCASE collations are implemented"))
@@ -394,7 +442,18 @@ object SqliteIndex {
         }
         i += 1
       }
-      cols += ColSpec(name, desc, nocase)
+      val (declName, declColl) =
+        colDefs.getOrElse(foldId(name), (name, Right(false)))
+      val resolved = nocase match {
+        case Some(nc) => nc
+        case None => declColl match {
+          case Right(nc) => nc
+          case Left(why) => return (Nil, unique, None, Some(
+            s"index column '$name' inherits its column's collation " +
+              s"($why): only BINARY and NOCASE are implemented"))
+        }
+      }
+      cols += ColSpec(declName, desc, resolved)
     }
     (cols.toSeq, unique, partial.toOption.flatten, None)
   }
@@ -601,7 +660,8 @@ object SqliteIndex {
     case Some(PartialPred(_, "NOTNULL", _)) => true
     case Some(PartialPred(col, op, pv)) =>
       val lead = idx.specs.headOption
-      if (!lead.exists(s => s.name == col && !s.nocase && !s.desc))
+      if (!lead.exists(s =>
+          foldId(s.name) == foldId(col) && !s.nocase && !s.desc))
         return false
       // the probe's interval over the LEADING column
       val (lo, loInc, hi, hiInc) = eqPrefix.headOption match {
