@@ -729,6 +729,58 @@ object AnalyticsQueries {
           sampleKey = Some("doc_id")))))
     },
 
+    // B20j (round 16): multi-array ARRAY JOIN — CH's positional ZIP
+    // of parallel arrays, the r15 verdict's #1 missing item — now
+    // translates to inline(arrays_zip(...)) with positional aliases
+    // instead of refusing. Equal-length arrays by construction (lens
+    // derives from toks); the explode stays in the scan stage.
+    "q_ch_dialect_array_zip" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      s.sql(graft.ChDialect.translate(
+        """SELECT doc_id, tok, len
+          |FROM (SELECT doc_id, splitByChar(' ', text) AS toks,
+          |        arrayMap(t -> CAST(length(t) AS BIGINT),
+          |                 splitByChar(' ', text)) AS lens
+          |      FROM documents)
+          |ARRAY JOIN toks AS tok, lens AS len
+          |WHERE len > 3
+          |ORDER BY doc_id, tok
+          |LIMIT 500""".stripMargin))
+    },
+
+    // B20k (round 16): bare ARRAY JOIN — CH SHADOWS the array column
+    // with its element. The adapter wraps the FROM table in a
+    // renaming subquery so the LATERAL VIEW alias can take the
+    // original column name; references after the clause see the
+    // ELEMENT, exactly CH's scoping.
+    "q_ch_dialect_array_shadow" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW docs_arr AS
+          |SELECT doc_id, split(text, ' ', -1) AS toks
+          |FROM documents""".stripMargin)
+      s.sql(graft.ChDialect.translate(
+        """SELECT doc_id, toks FROM docs_arr ARRAY JOIN toks
+          |WHERE length(toks) > 3
+          |ORDER BY doc_id, toks
+          |LIMIT 500""".stripMargin))
+    },
+
+    // B20l (round 16): FINAL SAMPLE composed — CH samples the
+    // post-FINAL state, so the portable md5 bucket predicate lands
+    // beside the rn=1 filter of the dedup subquery (refused in r15).
+    "q_ch_dialect_final_sample" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      s.sql(graft.ChDialect.translate(
+        """SELECT event_id, ts_us, user_id, event_type, value
+          |FROM events FINAL SAMPLE 0.5
+          |ORDER BY user_id, event_type""".stripMargin,
+        Map("events" -> graft.ChDialect.TableMeta(
+          finalKeys = Seq("user_id", "event_type"),
+          finalOrder = Seq("ts_us", "event_id"),
+          sampleKey = Some("user_id")))))
+    },
+
     "q_ch_dialect_totals" -> Q { (s, d) =>
       GraftCatalog.registerTables(s, d)
       // the totals row carries NULL keys (Spark's grouping-sets
@@ -3419,6 +3471,31 @@ object AnalyticsQueries {
          |WHERE ${graft.DedupQueries.md5BucketSql(
               "CAST(doc_id AS VARCHAR)", 42L)} < 200000
          |ORDER BY doc_id""".stripMargin,
+
+    "q_ch_dialect_array_zip" ->
+      """SELECT doc_id, tok, CAST(length(tok) AS BIGINT) AS len FROM (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        | FROM documents)
+        |WHERE length(tok) > 3
+        |ORDER BY doc_id, tok LIMIT 500""".stripMargin,
+
+    "q_ch_dialect_array_shadow" ->
+      """SELECT doc_id, toks FROM (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS toks
+        | FROM documents)
+        |WHERE length(toks) > 3
+        |ORDER BY doc_id, toks LIMIT 500""".stripMargin,
+
+    "q_ch_dialect_final_sample" ->
+      s"""SELECT event_id, ts_us, user_id, event_type, value FROM (
+         | SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+         |  value,
+         |  row_number() OVER (PARTITION BY user_id, event_type
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events)
+         |WHERE rn = 1 AND ${graft.DedupQueries.md5BucketSql(
+              "CAST(user_id AS VARCHAR)", 42L)} < 500000
+         |ORDER BY user_id, event_type""".stripMargin,
 
     "q_ch_dialect_totals" ->
       """SELECT coalesce(event_type, '__TOTALS__') AS event_type,

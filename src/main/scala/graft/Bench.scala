@@ -84,7 +84,10 @@ object Bench {
     // round 15: the CH dialect adapter gates + the timed matcher
     "q_ch_dialect_limit_by", "q_ch_dialect_array_join",
     "q_ch_dialect_totals", "q_ch_dialect_final", "q_ch_dialect_sample",
-    "q_sequence_match_timed")
+    "q_sequence_match_timed",
+    // round 16: the lifted ARRAY JOIN refusals + composed FINAL SAMPLE
+    "q_ch_dialect_array_zip", "q_ch_dialect_array_shadow",
+    "q_ch_dialect_final_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

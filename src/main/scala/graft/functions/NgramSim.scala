@@ -1,9 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftShim
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -168,6 +170,16 @@ object NgramSim {
     new GenericArrayData(Array(nGrams, inter))
   }
 
+  /** NULL text counts as zero grams — the semantics of the
+    * declarative tree this kernel replaced (`when(length >= 3, ...)
+    * .otherwise(array())`: a NULL length falls to the empty array)
+    * and of the DuckDB oracle's `CASE ... ELSE []` (round-16 ADVICE
+    * fix — UnaryExpression null propagation had made NULL text yield
+    * a NULL array, a latent gate divergence on NULL-bearing corpora).
+    */
+  def countsNullSafe(s: UTF8String, q: QuerySet): GenericArrayData =
+    if (s == null) new GenericArrayData(Array(0L, 0L)) else counts(s, q)
+
   /** `[n_grams, inter]` of `text` against the fixed `queryGrams`. */
   def counts(text: Column, queryGrams: Seq[String]): Column =
     graftShim.column(
@@ -187,13 +199,25 @@ case class NgramSimExpr(child: Expression, queryGrams: Seq[String])
       s"ngram_sim requires a string input, got ${child.dataType}")
   override def prettyName: String = "ngram_sim"
 
-  override protected def nullSafeEval(input: Any): Any =
-    NgramSim.counts(input.asInstanceOf[UTF8String], qset)
+  // NULL text counts as zero grams ([0, 0]) — never NULL out, matching
+  // the replaced declarative tree and the oracle (round-16 ADVICE fix)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    NgramSim.countsNullSafe(
+      child.eval(input).asInstanceOf[UTF8String], qset)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val q = ctx.addReferenceObj("ngramQuerySet", qset,
       classOf[NgramSim.QuerySet].getName)
-    defineCodeGen(ctx, ev, c => s"graft.functions.NgramSim.counts($c, $q)")
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $javaType ${ev.value} = graft.functions.NgramSim.countsNullSafe(
+          ${childGen.isNull} ? null : ${childGen.value}, $q);""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NgramSimExpr =

@@ -34,9 +34,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Offsets are a JSON map `{table -> max rowid}` (keys sorted). A
   * table CREATED mid-stream under `tables=*` enters the map at its
   * next batch and backfills from rowid 0; a table DROPPED mid-stream
-  * refuses loudly (its watermark cannot be honored). Per-table
-  * watermarks never regress (same shrunk/replaced-table law as the
-  * single-table stream).
+  * refuses loudly at the next micro-batch plan — the START offset is
+  * the witness, since the end offset is rebuilt from the live catalog
+  * and no longer names it. Per-table watermarks never regress (same
+  * shrunk/replaced-table law as the single-table stream). Honest
+  * limit: a DROP + CREATE of the same name whose new max rowid is
+  * already >= the old watermark is indistinguishable at the FILE
+  * level from legitimate appends (sqlite keeps no table generation
+  * counter); such a swap resumes past the watermark like the
+  * single-table stream's replaced-table rule.
   *
   * Scope: rowid tables. `tables=*` selects every rowid table
   * (WITHOUT ROWID tables have no file-level monotonic key and are
@@ -187,10 +193,15 @@ private[sources] final class SqliteCatalogCdcStream(path: String,
                                    end: StreamOffset): Array[InputPartition] = {
     val lo = start.asInstanceOf[MapOffset].marks
     val hi = end.asInstanceOf[MapOffset].marks
-    // a table with a recorded watermark must still exist
+    // EVERY table with a recorded watermark must still exist. The end
+    // offset is no witness: during live streaming latestOffset()
+    // rebuilds it from the current catalog, so a dropped table simply
+    // vanishes from `hi` — only the start offset still names it
+    // (round-16 ADVICE fix; the old `|| !hi.contains(t)` guard could
+    // therefore only ever fire on checkpoint replay).
     val live = SqliteFile.listTables(path).map(t => t.name -> t).toMap
     lo.keys.foreach { t =>
-      require(live.contains(t) || !hi.contains(t),
+      require(live.contains(t),
         s"$t: table vanished from the catalog mid-stream - its " +
           "watermark cannot be honored; restart from a fresh checkpoint")
     }

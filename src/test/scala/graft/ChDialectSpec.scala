@@ -122,8 +122,8 @@ class ChDialectSpec extends SparkFunSuite {
     assert(got == exp && got.nonEmpty)
   }
 
-  test("FINAL/SAMPLE without TableMeta, n-rows SAMPLE, and " +
-      "FINAL SAMPLE combinations refuse loudly") {
+  test("FINAL/SAMPLE without TableMeta and n-rows SAMPLE refuse " +
+      "loudly") {
     val meta = Map("events" -> ChDialect.TableMeta(
       finalKeys = Seq("user_id"), finalOrder = Seq("ts_us"),
       sampleKey = Some("user_id")))
@@ -136,10 +136,123 @@ class ChDialectSpec extends SparkFunSuite {
     }
     assert(e2.getMessage.contains("fraction") ||
       e2.getMessage.contains("granule"))
-    val e3 = intercept[IllegalArgumentException] {
-      translate("SELECT * FROM events FINAL SAMPLE 0.1", meta)
+  }
+
+  test("FINAL SAMPLE composes: the bucket predicate filters the " +
+      "POST-FINAL state (round 16; r15 refused this combination)") {
+    val meta = Map("events" -> ChDialect.TableMeta(
+      finalKeys = Seq("user_id", "event_type"),
+      finalOrder = Seq("ts_us", "event_id"),
+      sampleKey = Some("user_id")))
+    val t = translate(
+      """SELECT event_id, user_id, event_type FROM events FINAL SAMPLE 0.5
+        |ORDER BY user_id, event_type""".stripMargin, meta)
+    val dedup = graft.operators.ReplacingMerge.latestByKeyWindow(
+      Tables.events(spark, sf), Seq("user_id", "event_type"),
+      Seq(col("ts_us"), col("event_id")))
+    val exp = graft.operators.Sampling.deterministicSample(
+        dedup, col("user_id"), 0.5, portable = true)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("user_id", "event_type")
+    assert(ds.sql(t).collect().toSeq == exp.collect().toSeq)
+  }
+
+  test("multi-array ARRAY JOIN zips positionally via " +
+      "inline(arrays_zip(...)) (round 16; r15 refused)") {
+    val t = translate(
+      """SELECT doc_id, tok, len
+        |FROM (SELECT doc_id, splitByChar(' ', text) AS toks,
+        |        arrayMap(x -> CAST(length(x) AS BIGINT),
+        |                 splitByChar(' ', text)) AS lens
+        |      FROM documents)
+        |ARRAY JOIN toks AS tok, lens AS len
+        |WHERE len > 3 ORDER BY doc_id, tok""".stripMargin)
+    val base = Tables.documents(spark, sf).select(col("doc_id"),
+        split(col("text"), " ", -1).as("toks"))
+      .withColumn("lens", transform(col("toks"),
+        x => length(x).cast("long")))
+    val exp = base.select(col("doc_id"),
+        explode(arrays_zip(col("toks"), col("lens"))).as("z"))
+      .select(col("doc_id"), col("z.toks").as("tok"),
+        col("z.lens").as("len"))
+      .where(col("len") > 3).orderBy("doc_id", "tok")
+    assert(ds.sql(t).collect().toSeq == exp.collect().toSeq)
+  }
+
+  test("bare ARRAY JOIN shadows the array column with its element " +
+      "via a renaming FROM subquery (round 16; r15 refused)") {
+    ds.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW docs_arr_spec AS
+        |SELECT doc_id, split(text, ' ', -1) AS toks
+        |FROM documents""".stripMargin)
+    val t = translate(
+      """SELECT doc_id, toks FROM docs_arr_spec ARRAY JOIN toks
+        |WHERE length(toks) > 3 ORDER BY doc_id, toks""".stripMargin)
+    val exp = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(split(col("text"), " ", -1)).as("toks"))
+      .where(length(col("toks")) > 3).orderBy("doc_id", "toks")
+    assert(ds.sql(t).collect().toSeq == exp.collect().toSeq)
+    // the element type proves the shadow: toks is a STRING now
+    assert(ds.sql(t).schema("toks").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("scientific notation with a signed exponent lexes as ONE " +
+      "number (round-16 ADVICE fix: 1e-9 must not emit '1e - 9')") {
+    val t = translate(
+      "SELECT count(*) AS n FROM events WHERE value > 1e-9")
+    assert(t.contains("1e-9"), t)
+    assert(ds.sql(t).head.getLong(0) > 0)
+    val u = translate("SELECT 2.5E+10 AS x, 3e2 AS y FROM region")
+    assert(u.contains("2.5E+10") && u.contains("3e2"), u)
+    // a minus that is NOT an exponent sign stays an operator
+    val v = translate("SELECT count(*) AS n FROM events WHERE value > 5 - 9")
+    assert(v.contains("5 - 9"), v)
+  }
+
+  test("a column NAMED global in operand position survives " +
+      "stripGlobal (round-16 ADVICE fix)") {
+    val a = translate(
+      """SELECT count(*) AS n FROM
+        |(SELECT user_id AS global FROM events) t
+        |WHERE global IN (1, 2, 3)""".stripMargin)
+    assert(a.contains("global IN"), a)
+    assert(ds.sql(a).head.getLong(0) >= 0)
+    // qualified reference behind a dot is kept too
+    val b = translate(
+      """SELECT count(*) AS n FROM
+        |(SELECT user_id AS global FROM events) t
+        |WHERE t.global NOT IN (1, 2)""".stripMargin)
+    assert(b.contains("global NOT IN"), b)
+    assert(ds.sql(b).head.getLong(0) >= 0)
+    // operator position still strips
+    val c = translate(
+      "SELECT count(*) AS n FROM events WHERE user_id GLOBAL IN " +
+        "(SELECT user_id FROM events WHERE event_type = 'view')")
+    assert(!c.toUpperCase.split("[^A-Z]").contains("GLOBAL"), c)
+  }
+
+  test("per-SELECT SETTINGS in a UNION chain ALL strip (round-16 " +
+      "fix: one pass left the second clause for Spark's parser)") {
+    val t = translate(
+      "SELECT 1 AS x SETTINGS max_threads = 1 UNION ALL " +
+        "SELECT 2 AS x SETTINGS max_threads = 2, max_memory_usage = 1")
+    assert(!t.toUpperCase.contains("SETTINGS"), t)
+    assert(ds.sql(t).count() == 2)
+  }
+
+  test("untranslatable CH-isms refuse loudly") {
+    // a bare EXPRESSION (CH names the element after its text)
+    val e1 = intercept[IllegalArgumentException] {
+      translate("SELECT x FROM t ARRAY JOIN arrayMap(i -> i, xs)")
     }
-    assert(e3.getMessage.contains("combination"))
+    assert(e1.getMessage.contains("alias it"))
+    // bare-column shadowing under a complex FROM
+    val e2 = intercept[IllegalArgumentException] {
+      translate("SELECT x FROM t JOIN u ON t.k = u.k ARRAY JOIN xs")
+    }
+    assert(e2.getMessage.contains("directly after FROM"))
   }
 
   test("SETTINGS suffix strips (before or after FORMAT); GLOBAL " +
@@ -163,14 +276,4 @@ class ChDialectSpec extends SparkFunSuite {
     assert(c.contains("global"), c)
   }
 
-  test("untranslatable CH-isms refuse loudly") {
-    val e1 = intercept[IllegalArgumentException] {
-      translate("SELECT x FROM t ARRAY JOIN xs")
-    }
-    assert(e1.getMessage.contains("SHADOWS"))
-    val e2 = intercept[IllegalArgumentException] {
-      translate("SELECT x FROM t ARRAY JOIN a, b AS y")
-    }
-    assert(e2.getMessage.contains("zips"))
-  }
 }

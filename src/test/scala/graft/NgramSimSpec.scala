@@ -51,11 +51,19 @@ class NgramSimSpec extends SparkFunSuite {
     assert(a == b)
   }
 
-  test("null text yields null, not a crash") {
+  test("null text yields [0, 0] — the declarative tree's and the " +
+      "oracle's semantics (CASE ... ELSE []), never a NULL array") {
     val d = Seq(Some("abcd"), None).toDF("text")
     val got = d.select(NgramSim.counts(col("text"), qset).as("r"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
-    assert(got(0) == Seq(2L, 0L) && got(1) == null)
+    assert(got(0) == Seq(2L, 0L) && got(1) == Seq(0L, 0L))
+    // the declarative reference agrees on NULL input
+    val ref = d.select(declarative(qset).as("r"))
+      .collect().map(_.getSeq[Long](0))
+    assert(ref(1) == Seq(0L, 0L))
+    // and the expression declares itself non-nullable
+    assert(!d.select(NgramSim.counts(col("text"), qset).as("r"))
+      .schema.head.nullable)
   }
 
   test("exact hand-counts: distinct grams and intersection") {

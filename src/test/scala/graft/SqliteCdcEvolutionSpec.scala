@@ -165,6 +165,34 @@ class SqliteCdcEvolutionSpec extends SparkFunSuite {
       .head.getLong(0) === 650L, "restart must not re-read or dupe")
   }
 
+  test("catalog stream refuses a table DROPPED mid-stream LOUDLY " +
+      "during LIVE streaming (start offset is the witness — the end " +
+      "offset is rebuilt from the live catalog and no longer names it)") {
+    val dir = Files.createTempDirectory("graft-cdc-drop")
+    val db = dir.resolve("live.db")
+    copy(s"$res/cdc_multi_v1.db", db)
+    val q = spark.readStream.format("sqlite")
+      .option("path", db.toString).option("tables", "*").load()
+      .writeStream.format("memory").queryName("cdc_drop")
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc_drop").count() === 450L)
+      copy(s"$res/cdc_multi_v3_drop.db", db) // DROP TABLE b, a grows
+      val e = intercept[Exception] {
+        q.processAllAvailable()
+        q.awaitTermination(30000)
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("vanished from the catalog"),
+        s"unexpected failure: $msgs")
+    } finally q.stop()
+  }
+
   test("catalog selection: named WITHOUT ROWID table refuses; " +
       "* silently selects only rowid tables") {
     val fix = s"$res/fixture.db"
