@@ -225,8 +225,18 @@ private[sources] final class SqliteScanBuilder(path: String,
       case f @ LessThanOrEqual(a, raw) => normalize(raw).map((a, f, _))
       case _ => None
     }
+    // A WITHOUT ROWID table's b-tree IS a key-ordered index on its
+    // PRIMARY KEY (round 16, the r15 verdict's #2 item): surface it
+    // as a pseudo-IndexDef so the WHOLE choice machinery below —
+    // composite eq-prefix+range, point, IN, prefix, NOCASE candidate
+    // probes — serves pk probes on it unchanged. The planner maps the
+    // chosen probe to a direct table descent (no rowid fetches — the
+    // matching records ARE the rows).
     lazy val indexes =
-      if (tdef.withoutRowid) Nil
+      if (tdef.withoutRowid)
+        SqliteIndex.withoutRowidPkSpecs(tdef).toOption.map(specs =>
+          SqliteIndex.IndexDef(s"pk:${tdef.name}", tdef.name,
+            tdef.rootPage, specs, unique = true, null, None)).toSeq
       else SqliteIndex.listIndexes(path)
         .filter(i => i.supported && i.table == tdef.name)
 
@@ -533,10 +543,14 @@ private[sources] final class SqliteScanBuilder(path: String,
 
 /** The pushed-aggregate scan (round 15): one row of MIN/MAX rowid
   * extremes answered by the LEFTMOST/RIGHTMOST table-tree spine walks
-  * — O(depth) pages, never a scan. `flags` is per-output isMax.
+  * — O(depth) pages, never a scan. `flags` is per-output isMax; `h`
+  * is the PLAN-TIME header snapshot, so both extremes of the one
+  * result row come from the same committed WAL/journal overlay even
+  * under a concurrent writer (round-16 ADVICE fix — previously each
+  * walk re-read the live header at execution time).
   */
-private[sources] final case class SqliteAggPartition(flags: Seq[Boolean])
-    extends InputPartition
+private[sources] final case class SqliteAggPartition(
+    flags: Seq[Boolean], h: SqliteFile.Header) extends InputPartition
 
 private[sources] final class SqliteAggScan(path: String,
                                            tdef: SqliteFile.TableDef,
@@ -553,7 +567,7 @@ private[sources] final class SqliteAggScan(path: String,
     s"sqlite ${tdef.name} agg-spine=[${flags.map(f =>
       if (f) "max" else "min").mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SqliteAggPartition(flags))
+    Array(SqliteAggPartition(flags, SqliteFile.header(path)))
   override def createReaderFactory(): PartitionReaderFactory =
     new SqliteAggReaderFactory(path, tdef)
 }
@@ -563,16 +577,19 @@ private[sources] final class SqliteAggReaderFactory(
     path: String, tdef: SqliteFile.TableDef)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val flags = p.asInstanceOf[SqliteAggPartition].flags
+    val part = p.asInstanceOf[SqliteAggPartition]
+    val flags = part.flags
     new PartitionReader[InternalRow] {
       private var done = false
       override def next(): Boolean = !done && { done = true; true }
       override def get(): InternalRow = {
         val mx =
-          if (flags.contains(true)) SqliteFile.maxRowid(path, tdef)
+          if (flags.contains(true))
+            SqliteFile.maxRowid(path, part.h, tdef)
           else None
         val mn =
-          if (flags.contains(false)) SqliteFile.minRowid(path, tdef)
+          if (flags.contains(false))
+            SqliteFile.minRowid(path, part.h, tdef)
           else None
         new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(flags.map { isMax =>
@@ -612,6 +629,18 @@ private[sources] final case class SqliteRowidSetPartition(
 private[sources] final case class SqliteIndexInPartition(
     idx: SqliteIndex.IndexDef, values: Seq[Any], tableRoot: Int,
     h: SqliteFile.Header) extends InputPartition
+
+/** A WITHOUT ROWID pk probe as one task (round 16): the table
+  * b-tree's own key-ordered descent; matching records ARE the rows
+  * (pk-first record order — the reader permutes via recordIndex).
+  */
+private[sources] final case class SqliteWrProbePartition(
+    tdef: SqliteFile.TableDef, eqPrefix: Seq[Any],
+    range: SqliteIndex.KeyRange, h: SqliteFile.Header)
+    extends InputPartition
+private[sources] final case class SqliteWrInPartition(
+    tdef: SqliteFile.TableDef, values: Seq[Any], h: SqliteFile.Header)
+    extends InputPartition
 
 private[sources] final class SqliteScan(path: String,
                                         tdef: SqliteFile.TableDef,
@@ -658,6 +687,15 @@ private[sources] final class SqliteScan(path: String,
         else roots.grouped(
             math.max(1, (roots.size + maxPartitions - 1) / maxPartitions))
           .map(SqliteSubtrees(_, h, minEx, maxInc)).toArray
+      // WITHOUT ROWID: the "index" IS the table — descend it directly
+      case Some(IndexEq(_, v)) if tdef.withoutRowid =>
+        Array(SqliteWrProbePartition(tdef, Nil, point(v), h))
+      case Some(IndexRange(_, r)) if tdef.withoutRowid =>
+        Array(SqliteWrProbePartition(tdef, Nil, r, h))
+      case Some(IndexIn(_, vs)) if tdef.withoutRowid =>
+        Array(SqliteWrInPartition(tdef, vs, h))
+      case Some(IndexCompositeRange(_, eq, r)) if tdef.withoutRowid =>
+        Array(SqliteWrProbePartition(tdef, eq, r, h))
       case Some(IndexEq(idx, v)) =>
         Array(SqliteIndexProbePartition(idx, point(v), tdef.rootPage, h))
       case Some(IndexRange(idx, r)) =>
@@ -805,10 +843,26 @@ private[sources] final class SqliteReaderFactory(path: String,
       require(i >= 0, s"pruned column $n not in $table")
       (recIdx(i), cols(i))
     }
-    // each partition kind reduces to a sequence of bounded TableWalks:
-    // subtree groups walk their roots (optionally rowid-bounded); an
-    // index probe walks one (rowid−1, rowid] spine per matched rowid
-    val walkPlan: Iterator[SqliteFile.TableWalk] = p match {
+    // WITHOUT ROWID pk probes (round 16) produce the matching RECORDS
+    // directly — the table b-tree's entries ARE the rows, so there is
+    // no per-rowid fetch phase at all
+    val wrRecords: Option[Iterator[IndexedSeq[Any]]] = p match {
+      case wr: SqliteWrProbePartition =>
+        Some(SqliteIndex.withoutRowidRange(path, wr.h, wr.tdef,
+          wr.eqPrefix, wr.range)._1.iterator)
+      case wr: SqliteWrInPartition =>
+        Some(wr.values.iterator.flatMap(v =>
+          SqliteIndex.withoutRowidRange(path, wr.h, wr.tdef, Nil,
+            SqliteIndex.KeyRange(Some(v), loInc = true,
+              Some(v), hiInc = true))._1))
+      case _ => None
+    }
+
+    // every other partition kind reduces to a sequence of bounded
+    // TableWalks: subtree groups walk their roots (optionally
+    // rowid-bounded); an index probe walks one (rowid−1, rowid]
+    // spine per matched rowid
+    lazy val walkPlan: Iterator[SqliteFile.TableWalk] = p match {
       case part: SqliteSubtrees =>
         part.roots.iterator.map(r =>
           new SqliteFile.TableWalk(path, part.h, r, part.minEx, part.maxInc))
@@ -834,7 +888,7 @@ private[sources] final class SqliteReaderFactory(path: String,
         s"unknown sqlite partition ${other.getClass.getName}")
     }
     new PartitionReader[InternalRow] {
-      private val walks = walkPlan
+      private lazy val walks = walkPlan
       private var cur: SqliteFile.TableWalk = _
       private var row: InternalRow = _
 
@@ -844,31 +898,40 @@ private[sources] final class SqliteReaderFactory(path: String,
         case other => other // Long, Double, Array[Byte]
       }
 
-      override def next(): Boolean = {
-        while (true) {
-          if (cur == null) {
-            if (!walks.hasNext) return false
-            cur = walks.next()
-          }
-          if (cur.hasNext) {
-            val (rowid, vals) = cur.next()
-            val out = new Array[Any](slots.length)
-            var j = 0
-            while (j < slots.length) {
-              val (i, c) = slots(j)
-              out(j) = toCatalyst(
-                if (c.rowidAlias) rowid
-                else if (i < vals.size) SqliteFile.coerceValue(vals(i), c, table)
-                else null)
-              j += 1
-            }
-            row = new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(out)
-            return true
-          }
-          cur.close(); cur = null
+      private def materialize(rowid: Long,
+                              vals: IndexedSeq[Any]): InternalRow = {
+        val out = new Array[Any](slots.length)
+        var j = 0
+        while (j < slots.length) {
+          val (i, c) = slots(j)
+          out(j) = toCatalyst(
+            if (c.rowidAlias) rowid
+            else if (i < vals.size) SqliteFile.coerceValue(vals(i), c, table)
+            else null)
+          j += 1
         }
-        false
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(out)
+      }
+
+      override def next(): Boolean = wrRecords match {
+        case Some(it) =>
+          if (!it.hasNext) false
+          else { row = materialize(0L, it.next()); true }
+        case None =>
+          while (true) {
+            if (cur == null) {
+              if (!walks.hasNext) return false
+              cur = walks.next()
+            }
+            if (cur.hasNext) {
+              val (rowid, vals) = cur.next()
+              row = materialize(rowid, vals)
+              return true
+            }
+            cur.close(); cur = null
+          }
+          false
       }
       override def get(): InternalRow = row
       override def close(): Unit = if (cur != null) { cur.close(); cur = null }

@@ -546,11 +546,18 @@ object SqliteFile {
     * watermark — incremental sync there needs a monotonic declared
     * column, which is a query-level contract, not a file-level one).
     */
-  def maxRowid(path: String, table: TableDef): Option[Long] = {
+  def maxRowid(path: String, table: TableDef): Option[Long] =
+    maxRowid(path, header(path), table)
+
+  /** As above against a CALLER-snapshotted header, so two spine walks
+    * of one result row (MIN and MAX of the agg pushdown) read the
+    * same committed WAL/journal overlay even under a concurrent
+    * writer (round-16 ADVICE fix — the SqliteSubtrees discipline).
+    */
+  def maxRowid(path: String, h: Header, table: TableDef): Option[Long] = {
     require(!table.withoutRowid,
       s"${table.name} is WITHOUT ROWID - no rowid watermark exists; " +
         "incremental reads need a rowid table")
-    val h = header(path)
     val pf = new PageFile(path, h)
     try {
       var n = table.rootPage
@@ -580,10 +587,13 @@ object SqliteFile {
     * mirror of [[maxRowid]]; round 15, serves the MIN(rowid-alias)
     * aggregate pushdown).
     */
-  def minRowid(path: String, table: TableDef): Option[Long] = {
+  def minRowid(path: String, table: TableDef): Option[Long] =
+    minRowid(path, header(path), table)
+
+  /** Caller-snapshotted-header variant; see [[maxRowid]]. */
+  def minRowid(path: String, h: Header, table: TableDef): Option[Long] = {
     require(!table.withoutRowid,
       s"${table.name} is WITHOUT ROWID - no rowid exists")
-    val h = header(path)
     val pf = new PageFile(path, h)
     try {
       var n = table.rootPage

@@ -570,10 +570,7 @@ object SqliteIndex {
       case _ => cmpKey(a, b)
     }
 
-  private def checkProbe(path: String, h: Header, idx: IndexDef,
-                         value: Any): Unit = {
-    idx.refusal.foreach(r => throw new IllegalArgumentException(
-      s"index ${idx.name} is unusable: $r"))
+  private def checkProbeValue(h: Header, value: Any): Unit = {
     require(value != null,
       "NULL probe: SQL equality never matches NULL - filter IS NULL " +
         "via a table scan")
@@ -712,20 +709,46 @@ object SqliteIndex {
   def compositeRangeRowids(path: String, h: Header, idx: IndexDef,
                            eqPrefix: Seq[Any],
                            range: KeyRange): (Seq[Long], Int) = {
-    (eqPrefix ++ range.lo.toSeq ++ range.hi.toSeq)
-      .foreach(v => checkProbe(path, h, idx, v))
-    require(eqPrefix.nonEmpty || range.lo.nonEmpty || range.hi.nonEmpty,
-      "unbounded range probe: scan the table instead")
+    idx.refusal.foreach(r => throw new IllegalArgumentException(
+      s"index ${idx.name} is unusable: $r"))
     require(partialImplied(idx, eqPrefix, range),
       s"index ${idx.name} is PARTIAL (${idx.partial.get}) and the " +
         s"probe ($eqPrefix, $range) is not contained in its predicate" +
         " - rows outside the predicate are absent from the index; " +
         "scan the table instead")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val pages = keyRangeWalk(path, h, s"index ${idx.name}",
+      idx.rootPage, idx.specs.toIndexedSeq, eqPrefix, range,
+      rec => out += (rec.last match {
+        case l: Long => l
+        case other => throw new IllegalStateException(
+          s"index ${idx.name}: entry does not end in an integer rowid " +
+            s"(${if (other == null) "null" else other.getClass.getSimpleName}) " +
+            "- WITHOUT ROWID table indexes are not supported")
+      }))
+    (out.toSeq, pages)
+  }
+
+  /** The shared key-ordered b-tree descent (round 16 refactor): both
+    * a SECONDARY INDEX probe (entries end in a rowid —
+    * [[compositeRangeRowids]]) and a WITHOUT ROWID TABLE pk probe
+    * (entries ARE the rows — [[withoutRowidRange]]) walk the same
+    * index-format tree the same way; only what they do with a
+    * matching record differs. Calls `emit` per match, returns the
+    * pages-touched receipt.
+    */
+  private def keyRangeWalk(path: String, h: Header, what: String,
+                           rootPage: Int, specs: IndexedSeq[ColSpec],
+                           eqPrefix: Seq[Any], range: KeyRange,
+                           emit: IndexedSeq[Any] => Unit): Int = {
+    (eqPrefix ++ range.lo.toSeq ++ range.hi.toSeq)
+      .foreach(v => checkProbeValue(h, v))
+    require(eqPrefix.nonEmpty || range.lo.nonEmpty || range.hi.nonEmpty,
+      "unbounded range probe: scan the table instead")
     val m = eqPrefix.length // position of the ranged column
-    require(idx.specs.length > m,
-      s"index ${idx.name} has ${idx.specs.length} columns; a " +
+    require(specs.length > m,
+      s"$what has ${specs.length} key columns; a " +
         s"${m}-column equality prefix leaves no ranged column")
-    val specs = idx.specs.toIndexedSeq
     val eq = eqPrefix.toIndexedSeq
 
     // Index-order comparison of an entry's key prefix against a bound
@@ -782,15 +805,6 @@ object SqliteIndex {
 
     val pf = new PageFile(path, h)
     val cs = charsetOf(h.encoding)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-
-    def rowidOf(rec: IndexedSeq[Any]): Long = rec.last match {
-      case l: Long => l
-      case other => throw new IllegalStateException(
-        s"index ${idx.name}: entry does not end in an integer rowid " +
-          s"(${if (other == null) "null" else other.getClass.getSimpleName}) " +
-          "- WITHOUT ROWID table indexes are not supported")
-    }
 
     // Closed-hull descent tests in INDEX order (see scaladoc).
     def beforeStart(rec: IndexedSeq[Any]): Boolean =
@@ -811,7 +825,7 @@ object SqliteIndex {
             val c = be(pg, off + 8 + 2 * i, 2).toInt
             val (p, n1) = varint(pg, c)
             val rec = record(payload(pf, pg, c, p, c + n1, index = true), cs)
-            if (containsRec(rec)) out += rowidOf(rec)
+            if (containsRec(rec)) emit(rec)
             if (pastEnd(rec)) stop = true
             i += 1
           }
@@ -824,7 +838,7 @@ object SqliteIndex {
             val (p, n1) = varint(pg, c + 4)
             val rec = record(payload(pf, pg, c, p, c + 4 + n1, index = true), cs)
             if (!beforeStart(rec)) visit(child) // child max >= start hull
-            if (containsRec(rec)) out += rowidOf(rec)
+            if (containsRec(rec)) emit(rec)
             prevPastEnd = pastEnd(rec)
             i += 1
           }
@@ -832,14 +846,145 @@ object SqliteIndex {
           if (!prevPastEnd) visit(be(pg, off + 8, 4).toInt)
         case other => throw new IllegalStateException(
           s"page $pageNo: expected an index b-tree page, got type $other " +
-            "- the sqlite_master rootpage does not point at an index")
+            s"- the $what rootpage does not point at an index-format tree")
       }
     }
 
     try {
-      visit(idx.rootPage)
-      (out.toSeq, pf.reads)
+      visit(rootPage)
+      pf.reads
     } finally pf.close()
+  }
+
+  /** The pk ColSpecs of a WITHOUT ROWID table — its table b-tree IS a
+    * key-ordered index b-tree on the PRIMARY KEY (fileformat2 §2.3),
+    * so these specs drive the same descent a secondary index takes.
+    * Derived from the CREATE TABLE text: column-level `PRIMARY KEY
+    * [DESC]` or the table-level `PRIMARY KEY(keyspec, …)` with
+    * per-column COLLATE/DESC, defaulting to each column's declared
+    * collation (identifiers matched ASCII-case-insensitively).
+    * Left = a named reason the probe cannot be served (expression
+    * terms, unsupported collations).
+    */
+  def withoutRowidPkSpecs(
+      tdef: SqliteFile.TableDef): Either[String, Seq[ColSpec]] = {
+    val sql = tdef.sql
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    if (open < 0 || close < open)
+      return Left("unparseable CREATE TABLE sql")
+    val items = splitTopLevel(sql.substring(open + 1, close))
+    val colDefs = columnDefs(items)
+    val constraintStart = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN",
+      "CONSTRAINT")
+
+    def specOf(name: String, desc: Boolean,
+               collOverride: Option[Either[String, Boolean]])
+        : Either[String, ColSpec] = {
+      val (declName, declColl) =
+        colDefs.getOrElse(foldId(name), (name, Right(false)))
+      collOverride.getOrElse(declColl) match {
+        case Right(nc) => Right(ColSpec(declName, desc, nc))
+        case Left(why) => Left(why)
+      }
+    }
+
+    // table-level PRIMARY KEY(keyspec, ...) first
+    val tableLevel = items.map(_.trim).flatMap { d =>
+      val parts = tokenize(d)
+      val headUp = parts.headOption
+        .map(_.toUpperCase.takeWhile(_.isLetter)).getOrElse("")
+      val after =
+        if (headUp == "CONSTRAINT" && parts.size > 2) parts.drop(2)
+        else parts
+      val aHead = after.headOption
+        .map(_.toUpperCase.takeWhile(_.isLetter)).getOrElse("")
+      if (aHead != "PRIMARY") None
+      else {
+        val o = d.indexOf('('); val c = d.lastIndexOf(')')
+        if (o < 0 || c < o) None else Some(d.substring(o + 1, c))
+      }
+    }.headOption
+
+    tableLevel match {
+      case Some(body) =>
+        val specs = splitTopLevel(body).map { item =>
+          if (item.contains("(")) Left(s"expression pk term '$item'")
+          else {
+            val parts = tokenize(item.trim)
+            if (parts.isEmpty) Left("empty pk keyspec")
+            else {
+              val name = unq(parts.head)
+              var desc = false
+              var coll: Option[Either[String, Boolean]] = None
+              var i = 1
+              var bad: Option[String] = None
+              while (i < parts.size && bad.isEmpty) {
+                parts(i).toUpperCase match {
+                  case "ASC" =>
+                  case "DESC" => desc = true
+                  case "COLLATE" if i + 1 < parts.size =>
+                    coll = Some(unq(parts(i + 1)).toUpperCase match {
+                      case "BINARY" => Right(false)
+                      case "NOCASE" => Right(true)
+                      case other => Left(s"COLLATE $other")
+                    })
+                    i += 1
+                  case other => bad = Some(s"pk keyspec modifier '$other'")
+                }
+                i += 1
+              }
+              bad.toLeft(()).flatMap(_ => specOf(name, desc, coll))
+            }
+          }
+        }
+        specs.collectFirst { case Left(w) => w }
+          .toLeft(specs.collect { case Right(s) => s })
+      case None =>
+        // column-level `PRIMARY KEY [ASC|DESC]` (no rowid alias in a
+        // WITHOUT ROWID table — there is no rowid to alias)
+        items.map(_.trim).flatMap { d =>
+          val parts = tokenize(d)
+          if (parts.isEmpty || constraintStart(
+              parts.head.toUpperCase.takeWhile(_.isLetter))) None
+          else {
+            val up = parts.map(_.toUpperCase)
+            val pkAt = up.indexWhere(_ == "PRIMARY")
+            if (pkAt < 0) None
+            else {
+              val desc = pkAt + 2 < up.size && up(pkAt + 1) == "KEY" &&
+                up(pkAt + 2) == "DESC"
+              Some(specOf(unq(parts.head), desc, None).map(Seq(_)))
+            }
+          }
+        }.headOption.getOrElse(
+          Left("no PRIMARY KEY found in the CREATE TABLE text"))
+    }
+  }
+
+  /** WITHOUT ROWID pk probe (round 16, the r15 verdict's #2 item):
+    * `pk1 = ? [AND pk2 = ? …] AND pk_m <cmp> ?` descends the TABLE
+    * b-tree directly — the matching rows are one contiguous key
+    * segment, O(log n + matches) pages, and every matching record IS
+    * the full row (pk columns first; [[SqliteFile.TableDef
+    * .recordIndex]] maps them back to declared order). Returns
+    * (records in RECORD order, pages receipt).
+    */
+  def withoutRowidRange(path: String, h: Header,
+                        tdef: SqliteFile.TableDef, eqPrefix: Seq[Any],
+                        range: KeyRange): (Seq[IndexedSeq[Any]], Int) = {
+    require(tdef.withoutRowid,
+      s"${tdef.name} is a rowid table - pk probes there go through " +
+        "the rowid alias or a secondary index")
+    val specs = withoutRowidPkSpecs(tdef) match {
+      case Right(s) => s.toIndexedSeq
+      case Left(why) => throw new IllegalArgumentException(
+        s"${tdef.name}: WITHOUT ROWID pk probe not derivable - $why")
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Any]]
+    val pages = keyRangeWalk(path, h, s"table ${tdef.name} (pk)",
+      tdef.rootPage, specs, eqPrefix, range, out += _)
+    (out.toSeq, pages)
   }
 
   /** Rowids whose leading indexed column equals `value`, plus the
