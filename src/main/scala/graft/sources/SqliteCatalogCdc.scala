@@ -108,6 +108,63 @@ object SqliteCatalogCdc {
     sb.toString
   }
 
+  /** Demux the catalog envelope into ONE table's TYPED rows (round
+    * 16, the r15 verdict's #5 item): filter `tbl`, `from_json` the
+    * payload against the table's CURRENT resolved schema, decode
+    * BLOB columns from `{"$hex": "..."}` via unhex — so the catalog
+    * stream composes with every typed sink the single-table stream
+    * already feeds. Works identically on the live stream and on any
+    * batch frame of the envelope shape (from_json/filter/select are
+    * all streaming-safe). Output columns = [[SqliteFile.schemaOf]]
+    * exactly; a consumer needing the rowid keeps it from the
+    * envelope before demuxing.
+    *
+    * Schema evolution: the schema resolves at CALL time. A demux
+    * created before an ALTER TABLE ADD COLUMN keeps projecting the
+    * original columns (from_json ignores the new key); one created
+    * after it reads the new column — pre-ALTER envelope rows carry
+    * it as JSON null, the same answer sqlite gives for their rows.
+    */
+  def demux(envelope: org.apache.spark.sql.DataFrame, path: String,
+            table: String): org.apache.spark.sql.DataFrame = {
+    val tdef = SqliteFile.listTables(path).find(_.name == table)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table '$table' not found in $path"))
+    demux(envelope, tdef)
+  }
+
+  def demux(envelope: org.apache.spark.sql.DataFrame,
+            tdef: SqliteFile.TableDef): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val target = SqliteFile.schemaOf(tdef)
+    // parse-side types = what recordJson actually EMITS per column
+    // (bare integers, shortest-repr doubles, strings — booleans are
+    // stringified, blobs are {"$hex": ...}); the cast below lands on
+    // the exact schemaOf type
+    val parse = StructType(tdef.columns.map { c =>
+      val dt: DataType =
+        if (SqliteFile.isBlob(c))
+          StructType(Seq(StructField("$hex", StringType)))
+        else c.chType.spark match {
+          case LongType | IntegerType => LongType
+          case DoubleType | FloatType => DoubleType
+          case _ => StringType // Str, raw Date/DateTime, Bool (stringified)
+        }
+      StructField(c.name, dt)
+    }.toSeq)
+    val parsed = envelope.where(col("tbl") === tdef.name)
+      .select(from_json(col("json"), parse).as("__r"))
+    val outCols = tdef.columns.map { c =>
+      val raw =
+        if (SqliteFile.isBlob(c))
+          unhex(col("__r").getField(c.name).getField("$hex"))
+        else col("__r").getField(c.name)
+      raw.cast(target(c.name).dataType).as(c.name)
+    }
+    parsed.select(outCols.toSeq: _*)
+  }
+
   private[sources] def jsonStr(sb: StringBuilder, s: String): Unit = {
     sb.append('"')
     s.foreach {

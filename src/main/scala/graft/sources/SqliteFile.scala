@@ -878,7 +878,7 @@ object SqliteFile {
     * binary through str(); BinaryType preserves it for the multimodal
     * pipeline, which treats blobs as opaque binary columns anyway.
     */
-  private def isBlob(c: ColumnDef): Boolean = {
+  private[sources] def isBlob(c: ColumnDef): Boolean = {
     val d = c.decl.trim.toUpperCase
     d.isEmpty || d.contains("BLOB")
   }

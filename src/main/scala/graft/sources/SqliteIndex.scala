@@ -62,9 +62,16 @@ object SqliteIndex {
   /** One indexed column: name + the modifiers that change key order.
     * NOCASE equality is the COLLATION's equality ('Foo' = 'foo'), the
     * same semantics sqlite gives a probe served by a NOCASE index.
+    * `expr = true` (round 16) marks an EXPRESSION term from the
+    * closed supported set (`lower(col)` / `upper(col)` /
+    * `col ± n` / `col * n`) — `name` then carries the canonical
+    * expression text, which never matches a plain attribute, so the
+    * DSv2 choice machinery can never select it; probes go through
+    * the direct API with the EXPRESSION's value.
     */
   final case class ColSpec(name: String, desc: Boolean = false,
-                           nocase: Boolean = false)
+                           nocase: Boolean = false,
+                           expr: Boolean = false)
 
   /** A supported partial-index predicate (round 15): one comparison
     * on a single column, or IS NOT NULL. A partial index only holds
@@ -411,9 +418,25 @@ object SqliteIndex {
     val cols = scala.collection.mutable.ArrayBuffer.empty[ColSpec]
     for (spec0 <- specTexts) {
       val spec = spec0.trim
+      // expression terms (round 16, the closed supported set): the
+      // index STORES the expression's values, so the walk needs no
+      // evaluator at all — only the key's collation/direction. The
+      // expression's collation is BINARY unless the keyspec says
+      // otherwise (sqlite's rule for expressions — column collation
+      // inheritance applies to plain column references only).
+      val exprTerm: Option[Either[String, ColSpec]] = parseExprTerm(spec)
+      exprTerm match {
+        case Some(Right(cs)) => cols += cs
+        case Some(Left(why)) => return (Nil, unique, None, Some(why))
+        case None => // plain column term below
+      }
+      if (exprTerm.isDefined) {
+        // handled above
+      } else {
       if (spec.contains("("))
         return (Nil, unique, None, Some(s"expression index term " +
-          s"'$spec': key order is the expression's, not any column's"))
+          s"'$spec': only lower(col), upper(col) and col {+,-,*} n " +
+          "are in the supported set - key order is the expression's"))
       val parts = tokenize(spec)
       if (parts.isEmpty)
         return (Nil, unique, None, Some("empty index column spec"))
@@ -454,8 +477,58 @@ object SqliteIndex {
         }
       }
       cols += ColSpec(declName, desc, resolved)
+      }
     }
     (cols.toSeq, unique, partial.toOption.flatten, None)
+  }
+
+  private val FnExprRe =
+    """(?is)^(lower|upper)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*|"[^"]*")\s*\)\s*(.*)$""".r
+  private val ArithExprRe =
+    """(?s)^([A-Za-z_][A-Za-z0-9_]*|"[^"]*")\s*([+*-])\s*(\d+)\s*(.*)$""".r
+
+  /** One keyspec item as an EXPRESSION term of the closed supported
+    * set, or None when it is a plain column term. Canonical names:
+    * `lower(col)` / `upper(col)` / `col+n` / `col-n` / `col*n`.
+    * Trailing ASC/DESC/COLLATE modifiers apply as usual; collation
+    * defaults to BINARY (sqlite's rule for expression keys).
+    */
+  private def parseExprTerm(spec: String): Option[Either[String, ColSpec]] = {
+    def withMods(canon: String, trailer: String): Either[String, ColSpec] = {
+      var desc = false
+      var nocase = false
+      val parts = tokenize(trailer.trim)
+      var i = 0
+      while (i < parts.size) {
+        parts(i).toUpperCase match {
+          case "ASC" =>
+          case "DESC" => desc = true
+          case "COLLATE" if i + 1 < parts.size =>
+            unq(parts(i + 1)).toUpperCase match {
+              case "BINARY" =>
+              case "NOCASE" => nocase = true
+              case other => return Left(
+                s"COLLATE $other on expression term '$canon': only " +
+                  "BINARY and NOCASE collations are implemented")
+            }
+            i += 1
+          case other => return Left(
+            s"unrecognized modifier on expression term '$canon': $other")
+        }
+        i += 1
+      }
+      Right(ColSpec(canon, desc, nocase, expr = true))
+    }
+    spec match {
+      case FnExprRe(fn, col, trailer) =>
+        Some(withMods(s"${fn.toLowerCase}(${unq(col)})", trailer))
+      case ArithExprRe(col, op, n, trailer)
+          // a bare "col -1"-style item is not valid DDL anyway, but
+          // require a word head so quoted oddities don't slip in
+          =>
+        Some(withMods(s"${unq(col)}$op$n", trailer))
+      case _ => None
+    }
   }
 
   private def tokenize(s: String): Seq[String] = {

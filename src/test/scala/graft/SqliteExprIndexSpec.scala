@@ -1,0 +1,92 @@
+package graft
+
+import graft.sources.{SqliteFile, SqliteIndex}
+import SqliteIndex.{ColSpec, KeyRange}
+
+/** Round-16 expression indexes (the r15 verdict's #3 item, smallest
+  * honest slice): `lower(col)` / `upper(col)` / `col {+,-,*} n`
+  * keyspec terms parse into USABLE IndexDefs — the index b-tree
+  * STORES the expression's values, so the probe walk needs no
+  * evaluator at all, only the key's collation (BINARY unless the
+  * keyspec overrides — sqlite's rule for expression keys) and
+  * direction. Probes carry the EXPRESSION's value. Everything
+  * outside the closed set (other functions, nesting) refuses by
+  * name, and the DSv2 choice machinery can never select an
+  * expression spec (its canonical name is never a plain attribute).
+  * Ground truth: tools/make_exprindex_fixture.py (CPython).
+  */
+class SqliteExprIndexSpec extends SparkFunSuite {
+
+  private val db = "src/test/resources/sqlite/exprindex_fixture.db"
+  private lazy val indexes = SqliteIndex.listIndexes(db)
+  private def idx(name: String) = indexes.find(_.name == name).get
+  private lazy val h = SqliteFile.header(db)
+  private lazy val table = SqliteFile.listTables(db).find(_.name == "e").get
+
+  private def point(v: Any) =
+    KeyRange(Some(v), loInc = true, Some(v), hiInc = true)
+
+  test("supported expression terms parse with canonical names; " +
+      "out-of-set terms refuse by name") {
+    assert(idx("e_lower").supported &&
+      idx("e_lower").specs == Seq(ColSpec("lower(s)", expr = true)))
+    assert(idx("e_arith").supported &&
+      idx("e_arith").specs == Seq(ColSpec("n+1000", expr = true)))
+    assert(idx("e_upper_desc").supported &&
+      idx("e_upper_desc").specs ==
+        Seq(ColSpec("upper(s)", desc = true, expr = true)))
+    val bad = idx("e_substr")
+    assert(!bad.supported && bad.refusal.get.contains("supported set"),
+      bad.refusal.toString)
+  }
+
+  test("lower(s) point probe == scan (fixture pin: word-00777 -> " +
+      "id 777), O(log n) pages of a 323-page file") {
+    val (ids, pages) = SqliteIndex.indexRowids(db, h,
+      idx("e_lower"), "word-00777")
+    assert(ids == Seq(777L))
+    assert(pages < 12, s"expression point probe touched $pages pages")
+    val scan = SqliteFile.read(spark, db, table)
+      .filter("lower(s) = 'word-00777'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == scan)
+  }
+
+  test("lower(s) range == scan (fixture pin: [word-01000, " +
+      "word-01010) -> 10 rows, sum id 10045)") {
+    val (ids, _) = SqliteIndex.rangeRowids(db, h, idx("e_lower"),
+      KeyRange(Some("word-01000"), loInc = true,
+        Some("word-01010"), hiInc = false))
+    assert(ids.size == 10 && ids.sum == 10045L)
+    assert(ids.sorted == SqliteFile.read(spark, db, table)
+      .filter("lower(s) >= 'word-01000' AND lower(s) < 'word-01010'")
+      .collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("arithmetic key probe == scan (fixture pin: n+1000 = 2500 -> " +
+      "id 750)") {
+    val (ids, pages) = SqliteIndex.indexRowids(db, h,
+      idx("e_arith"), 2500L)
+    assert(ids == Seq(750L))
+    assert(pages < 12, s"arith probe touched $pages pages")
+  }
+
+  test("DESC expression range runs in index order (fixture pin: " +
+      "upper(s) in [WORD-02000, WORD-02005] -> 6 rows, sum id 12015)") {
+    val (ids, _) = SqliteIndex.rangeRowids(db, h, idx("e_upper_desc"),
+      KeyRange(Some("WORD-02000"), loInc = true,
+        Some("WORD-02005"), hiInc = true))
+    assert(ids.size == 6 && ids.sum == 12015L)
+  }
+
+  test("DSv2 never selects an expression index for an attribute " +
+      "filter (canonical names are not attributes)") {
+    val q = spark.read.format("sqlite")
+      .option("path", db).option("table", "e").load()
+      .filter("s = 'word-00777'")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("probe=e_lower") &&
+      !plan.contains("probe=e_upper_desc"),
+      s"expression index wrongly chosen for a column filter:\n$plan")
+  }
+}
