@@ -471,21 +471,86 @@ object Dedup {
   def connectedComponents(pairs: DataFrame,
                           aCol: String = "doc_a", bCol: String = "doc_b",
                           maxIter: Int = 50,
-                          persist: Persist = localPersist): DataFrame =
-    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter, persist)._1
+                          persist: Persist = localPersist,
+                          smallGraphEdges: Long = SmallGraphEdges): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter, persist,
+      smallGraphEdges)._1
+
+  /** Small-graph fast-path gate (round 16, the PageRank precedent):
+    * when the CANONICAL edge set and the node set both fit under this
+    * bound, the fixed point runs driver-side as union-find with
+    * min-id representatives — bit-identical labels (spec-pinned), a
+    * bounded collect of bare (long, long) pairs, and 2 Spark jobs
+    * instead of ~2-3 per large/small-star round. The r15 GateSweep
+    * profile attributed most of the dedup family's 8-9.5 s warm times
+    * to ~8 fixed-overhead CC jobs on tiny relations — this removes
+    * them. At 100 TB the candidate graph exceeds the bound and the
+    * distributed alternation runs exactly as before; pass 0 to FORCE
+    * the distributed path (the spec's bit-equality seam).
+    */
+  val SmallGraphEdges: Long = 100000L
 
   /** Test seam: also returns the number of large+small-star rounds the
-    * fixed point took, so the convergence sweep can assert the bound.
+    * fixed point took, so the convergence sweep can assert the bound
+    * (0 = the driver-side small-graph fast path answered).
     */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIter: Int = 50, persist: Persist = localPersist): (DataFrame, Int) = {
+      maxIter: Int = 50, persist: Persist = localPersist,
+      smallGraphEdges: Long = SmallGraphEdges): (DataFrame, Int) = {
     val nodes = persist(pairs.select(col(aCol).as("n"))
       .union(pairs.select(col(bCol).as("n"))).distinct())
     var edges = persist(pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct())
+
+    // driver-side union-find fast path: integral ids only (every
+    // dedup caller keys on long doc ids; other key types take the
+    // distributed loop untouched)
+    val integralIds = pairs.schema(aCol).dataType ==
+      org.apache.spark.sql.types.LongType &&
+      pairs.schema(bCol).dataType == org.apache.spark.sql.types.LongType
+    if (smallGraphEdges > 0 && integralIds) {
+      val edgeCount = edges.count()
+      if (edgeCount <= smallGraphEdges) {
+        val nodeCount = nodes.count()
+        if (nodeCount <= smallGraphEdges) {
+          val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val ns = nodes.collect().map(_.getLong(0))
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrDefault(r, r) != r)
+              r = parent.getOrDefault(r, r)
+            var c = x
+            while (parent.getOrDefault(c, c) != c) { // path compression
+              val nxt = parent.getOrDefault(c, c)
+              parent.put(c, r); c = nxt
+            }
+            r
+          }
+          es.foreach { case (u, v) =>
+            val (ru, rv) = (find(u), find(v))
+            if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+          }
+          // min id per component = the representative the distributed
+          // fixed point converges to (roots chase to the min because
+          // unions always point larger roots at smaller ones)
+          val out = ns.map(n => org.apache.spark.sql.Row(n, find(n)))
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("cluster_id",
+              org.apache.spark.sql.types.LongType, nullable = false)))
+          val spark = pairs.sparkSession
+          return (spark.createDataFrame(
+            spark.sparkContext.parallelize(out.toSeq,
+              math.max(1, math.min(32, out.length / 2000 + 1))),
+            schema), 0)
+        }
+      }
+    }
 
     // large-star: u's neighbors > u each link to min(closed nbhd of u).
     // Output stays canonical: v > u in sym, and m <= u < v.

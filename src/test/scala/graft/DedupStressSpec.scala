@@ -103,7 +103,10 @@ class DedupStressSpec extends SparkFunSuite {
     // round), bound asserted at 2*log2(10000)+2 = 28. maxIter=16 also
     // proves the loop THROWS rather than mislabeling if it were slower.
     val chain = (0L until 9999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (res, rounds) = Dedup.connectedComponentsWithRounds(chain, maxIter = 16)
+    // smallGraphEdges = 0 FORCES the distributed alternation (the
+    // round-16 fast path would answer this driver-side)
+    val (res, rounds) = Dedup.connectedComponentsWithRounds(chain,
+      maxIter = 16, smallGraphEdges = 0L)
     val labels = res.select("cluster_id").distinct().as[Long].collect()
     assert(labels.toSeq == Seq(0L), s"chain not fully labeled: ${labels.length} labels")
     assert(res.count() == 10000L)
@@ -143,6 +146,37 @@ class DedupStressSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("round-16 small-graph fast path is BIT-EQUAL to the forced-" +
+      "distributed fixed point (labels identical, rounds seam = 0)") {
+    import spark.implicits._
+    for (n <- Seq(300L, 2000L); density <- Seq(0.8, 3.0)) {
+      var s = n * 31 + (density * 10).toLong
+      def next(): Long = {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        (s >>> 33) % n
+      }
+      val es = Seq.fill((n * density).toInt)((next(), next()))
+        .filter { case (a, b) => a != b }
+      val df = es.toDF("doc_a", "doc_b").localCheckpoint(eager = true)
+      val (fast, fastRounds) = Dedup.connectedComponentsWithRounds(df)
+      val (dist, distRounds) = Dedup.connectedComponentsWithRounds(df,
+        smallGraphEdges = 0L)
+      assert(fastRounds == 0, s"fast path not taken at n=$n")
+      assert(distRounds > 0, s"forced-distributed escape broken at n=$n")
+      val a = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, s"n=$n density=$density fast/distributed disagree")
+    }
+    // self-pair-only singletons label themselves on BOTH paths
+    val selfs = Seq((7L, 7L), (9L, 9L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val f = Dedup.connectedComponents(selfs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = Dedup.connectedComponents(selfs, smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f == d && f == Map(7L -> 7L, 9L -> 7L))
+  }
+
   test("CC convergence sweep: densities x sizes agree with union-find within the round bound") {
     import spark.implicits._
     // VERDICT r6 item 2: the two existing tests cover only the
@@ -160,7 +194,8 @@ class DedupStressSpec extends SparkFunSuite {
       val es = Seq.fill((n * density).toInt)((next(), next()))
         .filter { case (a, b) => a != b }
       val df = es.toDF("doc_a", "doc_b")
-      val (res, rounds) = Dedup.connectedComponentsWithRounds(df)
+      val (res, rounds) = Dedup.connectedComponentsWithRounds(df,
+        smallGraphEdges = 0L) // force the distributed alternation
       val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = unionFind(es.map { case (a, b) => (math.min(a, b), math.max(a, b)) })
       assert(got == want, s"n=$n density=$density disagreement")
