@@ -32,6 +32,10 @@ object GateSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = args.lift(1).getOrElse("tools/bench_all_gates_latest.json")
+    // optional 3rd arg: comma-separated gate names to sweep (round 16
+    // — the sf1 scale-trend receipt sweeps a named subset)
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,6 +49,7 @@ object GateSweep {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir)
