@@ -516,8 +516,17 @@ object Dedup {
       if (edgeCount <= smallGraphEdges) {
         val nodeCount = nodes.count()
         if (nodeCount <= smallGraphEdges) {
+          // Null ids: a null endpoint never survives edge
+          // canonicalization (greatest/least return the non-null side,
+          // so u === v and the row is filtered), but a null NODE does
+          // reach `nodes` and the distributed path self-labels it
+          // (null fails the anti-join equi-condition, so it lands in
+          // `roots` as (null, null)). Mirror that here instead of
+          // letting getLong throw.
           val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-          val ns = nodes.collect().map(_.getLong(0))
+          val nsRaw = nodes.collect()
+          val hasNullNode = nsRaw.exists(_.isNullAt(0))
+          val ns = nsRaw.filterNot(_.isNullAt(0)).map(_.getLong(0))
           val parent = new java.util.HashMap[Long, Long]()
           def find(x: Long): Long = {
             var r = x
@@ -536,13 +545,21 @@ object Dedup {
           }
           // min id per component = the representative the distributed
           // fixed point converges to (roots chase to the min because
-          // unions always point larger roots at smaller ones)
-          val out = ns.map(n => org.apache.spark.sql.Row(n, find(n)))
+          // unions always point larger roots at smaller ones).
+          // Union-by-rank is INTENTIONALLY excluded: the min-id
+          // representative invariant depends on always pointing the
+          // larger root under the smaller one — a rank-based swap
+          // would silently pick a non-min representative. At the 100k
+          // bound the worst-case chain cost is microseconds and path
+          // compression amortizes it.
+          val labeled = ns.map(n => org.apache.spark.sql.Row(n, find(n)))
+          val out = if (hasNullNode) labeled :+
+            org.apache.spark.sql.Row(null, null) else labeled
           val schema = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("doc_id",
-              org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.LongType, nullable = hasNullNode),
             org.apache.spark.sql.types.StructField("cluster_id",
-              org.apache.spark.sql.types.LongType, nullable = false)))
+              org.apache.spark.sql.types.LongType, nullable = hasNullNode)))
           val spark = pairs.sparkSession
           return (spark.createDataFrame(
             spark.sparkContext.parallelize(out.toSeq,

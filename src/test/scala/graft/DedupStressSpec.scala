@@ -177,6 +177,26 @@ class DedupStressSpec extends SparkFunSuite {
     assert(f == d && f == Map(7L -> 7L, 9L -> 7L))
   }
 
+  test("fast path tolerates NULL ids like the distributed path: null " +
+      "edges drop, a null node self-labels (null, null) on BOTH paths") {
+    import spark.implicits._
+    // (null, 5) edge: canonicalization collapses it (greatest/least
+    // return the non-null side), but null still enters the node set
+    val rows = Seq[(Option[Long], Option[Long])](
+      (Some(1L), Some(2L)), (Some(2L), Some(3L)),
+      (None, Some(5L)), (Some(8L), Some(8L)))
+    val df = rows.toDF("doc_a", "doc_b").localCheckpoint(eager = true)
+    def labels(sg: Long) = Dedup
+      .connectedComponents(df, smallGraphEdges = sg).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val fast = labels(Dedup.SmallGraphEdges)
+    val dist = labels(0L)
+    assert(fast == dist, "null-id seam diverges fast vs distributed")
+    assert(fast(None) == None && fast(Some(5L)) == Some(5L) &&
+      fast(Some(3L)) == Some(1L) && fast(Some(8L)) == Some(8L))
+  }
+
   test("CC convergence sweep: densities x sizes agree with union-find within the round bound") {
     import spark.implicits._
     // VERDICT r6 item 2: the two existing tests cover only the

@@ -34,6 +34,20 @@ class SqliteCdcSpec extends SparkFunSuite {
   private val res = "src/test/resources/sqlite"
   private def v(n: Int) = s"$res/cdc_v$n.db"
 
+  /** Swap a LIVE-streamed file atomically. `Files.copy(REPLACE_EXISTING)`
+    * is delete-then-copy on Linux — a window where the target does not
+    * exist, racing the stream's `latestOffset` open (the r16 full-suite
+    * flake). Copy to a temp sibling, then ATOMIC_MOVE: the path always
+    * resolves to a complete file.
+    */
+  private def atomicSwap(src: String, dst: String): Unit = {
+    val d = Paths.get(dst)
+    val tmp = d.resolveSibling(d.getFileName.toString + ".swap")
+    Files.copy(Paths.get(src), tmp, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def events(path: String) =
     SqliteFile.listTables(path).find(_.name == "events").get
 
@@ -107,24 +121,21 @@ class SqliteCdcSpec extends SparkFunSuite {
   test("snapshot growth streams exactly-once and settles to the batch twin") {
     val dir = Files.createTempDirectory("graft-cdc")
     val db = dir.resolve("live.db").toString
-    Files.copy(Paths.get(v(1)), Paths.get(db),
-      StandardCopyOption.REPLACE_EXISTING)
+    atomicSwap(v(1), db)
     val q = streamInto(db, dir, "cdc_growth")
     try {
       q.processAllAvailable()
       val t1 = spark.table("cdc_growth")
       assert(t1.count() === 400L && t1.select(max("id")).head.getLong(0) === 400L)
 
-      Files.copy(Paths.get(v(2)), Paths.get(db),
-        StandardCopyOption.REPLACE_EXISTING)
+      atomicSwap(v(2), db)
       q.processAllAvailable()
       val t2 = spark.table("cdc_growth")
       assert(t2.count() === 700L)
       assert(t2.select(countDistinct("id")).head.getLong(0) === 700L,
         "exactly-once per rowid: no dupes across micro-batches")
 
-      Files.copy(Paths.get(v(3)), Paths.get(db),
-        StandardCopyOption.REPLACE_EXISTING)
+      atomicSwap(v(3), db)
       q.processAllAvailable()
       // settle-to-batch-twin: the streamed union equals one batch read
       val streamed = spark.table("cdc_growth")
@@ -146,18 +157,15 @@ class SqliteCdcSpec extends SparkFunSuite {
 
     val dir = Files.createTempDirectory("graft-cdc-wal")
     val db = dir.resolve("live.db").toString
-    Files.copy(Paths.get(s"$res/cdc_wal_v1.db"), Paths.get(db),
-      StandardCopyOption.REPLACE_EXISTING)
-    Files.copy(Paths.get(s"$res/cdc_wal_v1.db-wal"), Paths.get(db + "-wal"),
-      StandardCopyOption.REPLACE_EXISTING)
+    atomicSwap(s"$res/cdc_wal_v1.db", db)
+    atomicSwap(s"$res/cdc_wal_v1.db-wal", db + "-wal")
     val q = streamInto(db, dir, "cdc_wal_growth")
     try {
       q.processAllAvailable()
       assert(spark.table("cdc_wal_growth").count() === 360L)
 
       // the writer commits one more txn: ONLY the wal changes
-      Files.copy(Paths.get(s"$res/cdc_wal_v2.db-wal"), Paths.get(db + "-wal"),
-        StandardCopyOption.REPLACE_EXISTING)
+      atomicSwap(s"$res/cdc_wal_v2.db-wal", db + "-wal")
       q.processAllAvailable()
       val t = spark.table("cdc_wal_growth")
       assert(t.count() === 420L)
@@ -170,14 +178,12 @@ class SqliteCdcSpec extends SparkFunSuite {
       "loudly instead of double-reading") {
     val dir = Files.createTempDirectory("graft-cdc-shrink")
     val db = dir.resolve("live.db").toString
-    Files.copy(Paths.get(v(2)), Paths.get(db),
-      StandardCopyOption.REPLACE_EXISTING)
+    atomicSwap(v(2), db)
     val q = streamInto(db, dir, "cdc_shrink")
     try {
       q.processAllAvailable()
       assert(spark.table("cdc_shrink").count() === 700L)
-      Files.copy(Paths.get(v(1)), Paths.get(db),
-        StandardCopyOption.REPLACE_EXISTING)
+      atomicSwap(v(1), db)
       val e = intercept[Exception] {
         q.processAllAvailable()
         q.awaitTermination(30000)
