@@ -732,19 +732,39 @@ object AnalyticsQueries {
     // B20j (round 16): multi-array ARRAY JOIN — CH's positional ZIP
     // of parallel arrays, the r15 verdict's #1 missing item — now
     // translates to inline(arrays_zip(...)) with positional aliases
-    // instead of refusing. Equal-length arrays by construction (lens
-    // derives from toks); the explode stays in the scan stage.
+    // instead of refusing. Round 17 made the gate ALIGNMENT-sensitive
+    // (r16 verdict #4): the second array is the token's ORDINAL
+    // position — not derivable from the element value — so a zip
+    // that misaligned positions cannot hash green (the oracle
+    // re-derives pos by ordinality on the DuckDB side).
     "q_ch_dialect_array_zip" -> Q { (s, d) =>
       GraftCatalog.registerTables(s, d)
       s.sql(graft.ChDialect.translate(
-        """SELECT doc_id, tok, len
+        """SELECT doc_id, tok, pos
           |FROM (SELECT doc_id, splitByChar(' ', text) AS toks,
-          |        arrayMap(t -> CAST(length(t) AS BIGINT),
-          |                 splitByChar(' ', text)) AS lens
+          |        sequence(CAST(1 AS BIGINT),
+          |                 CAST(size(splitByChar(' ', text)) AS BIGINT))
+          |          AS poss
           |      FROM documents)
-          |ARRAY JOIN toks AS tok, lens AS len
-          |WHERE len > 3
-          |ORDER BY doc_id, tok
+          |ARRAY JOIN toks AS tok, poss AS pos
+          |WHERE length(tok) > 3
+          |ORDER BY doc_id, tok, pos
+          |LIMIT 500""".stripMargin))
+    },
+
+    // B20m (round 17): bare ARRAY JOIN under a SUBQUERY FROM — the
+    // r16 verdict's top remaining refusal. The renaming-subquery
+    // shadow rewrite now wraps ANY single top-level FROM relation;
+    // only multi-relation FROMs (join/comma) still refuse.
+    "q_ch_dialect_array_sub" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      s.sql(graft.ChDialect.translate(
+        """SELECT doc_id, toks
+          |FROM (SELECT doc_id, splitByChar(' ', text) AS toks
+          |      FROM documents WHERE doc_id % 2 = 0)
+          |ARRAY JOIN toks
+          |WHERE length(toks) > 3
+          |ORDER BY doc_id, toks
           |LIMIT 500""".stripMargin))
     },
 
@@ -3472,12 +3492,24 @@ object AnalyticsQueries {
               "CAST(doc_id AS VARCHAR)", 42L)} < 200000
          |ORDER BY doc_id""".stripMargin,
 
+    // alignment-sensitive (r17): pos is re-derived by ORDINALITY on
+    // this side (DuckDB zips parallel unnests positionally), so a
+    // positionally-misaligned zip cannot hash green
     "q_ch_dialect_array_zip" ->
-      """SELECT doc_id, tok, CAST(length(tok) AS BIGINT) AS len FROM (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      """SELECT doc_id, tok, pos FROM (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |  unnest(generate_series(CAST(1 AS BIGINT),
+        |    CAST(len(string_split(text, ' ')) AS BIGINT))) AS pos
         | FROM documents)
         |WHERE length(tok) > 3
-        |ORDER BY doc_id, tok LIMIT 500""".stripMargin,
+        |ORDER BY doc_id, tok, pos LIMIT 500""".stripMargin,
+
+    "q_ch_dialect_array_sub" ->
+      """SELECT doc_id, toks FROM (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS toks
+        | FROM documents WHERE doc_id % 2 = 0)
+        |WHERE length(toks) > 3
+        |ORDER BY doc_id, toks LIMIT 500""".stripMargin,
 
     "q_ch_dialect_array_shadow" ->
       """SELECT doc_id, toks FROM (

@@ -211,24 +211,38 @@ object ChDialect {
     * identical with the hint removed.
     *
     * Round-16 ADVICE fix: GLOBAL must sit in OPERATOR position —
-    * after the end of an expression (an identifier, literal, or
-    * closing paren) and not behind a '.'. A COLUMN named `global`
-    * (`WHERE global IN (…)`, `SELECT t.global NOT IN (…)`) follows an
-    * expression-START keyword or a dot and is kept verbatim.
+    * after the end of an expression — or it is a COLUMN named
+    * `global` (`WHERE global IN (…)`, `SELECT t.global NOT IN (…)`)
+    * and is kept verbatim. Round-17 ADVICE fix: the previous token is
+    * classified STRUCTURALLY (a closer `)`/`]`, a literal, or a
+    * non-reserved identifier ends an expression) instead of
+    * enumerating expression-start tokens — the allowlist missed `]`
+    * (map/array access) and string literals, which would have
+    * stripped a column named global after them.
     */
   private def stripGlobal(ts: Vector[Tok]): Vector[Tok] = {
     val followers = Set("IN", "NOT", "JOIN", "ANY", "ALL", "LEFT",
       "RIGHT", "INNER", "FULL", "SEMI", "ANTI", "CROSS")
-    // keywords/punct after which a word can only START an expression —
-    // `global` there is a column reference, not the CH modifier
-    val exprStart = Set("SELECT", "WHERE", "PREWHERE", "AND", "OR",
-      "NOT", "ON", "BY", "HAVING", "WHEN", "THEN", "ELSE", "CASE",
-      "IN", "AS", "=", "<", ">", "<=", ">=", "<>", "!=", "+", "-",
-      "*", "/", "%", ",", "(", ".", "||")
+    // reserved words that cannot END an expression — a word after
+    // them can only START one, so `global` there is a column
+    val reserved = Set("SELECT", "DISTINCT", "FROM", "WHERE",
+      "PREWHERE", "AND", "OR", "NOT", "ON", "BY", "HAVING", "WHEN",
+      "THEN", "ELSE", "CASE", "IN", "AS", "ALL", "ANY", "UNION",
+      "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "SEMI",
+      "ANTI", "USING", "BETWEEN", "LIKE", "ILIKE", "IS", "INTERVAL",
+      "EXISTS", "ARRAY", "GROUP", "ORDER", "LIMIT", "OFFSET", "WITH",
+      "OVER", "PARTITION", "ROWS", "RANGE", "FORMAT", "SETTINGS",
+      "GLOBAL")
+    // ends-an-expression: identifier (incl. quoted), literal, closer
+    def endsExpr(t: Tok): Boolean =
+      t.text == ")" || t.text == "]" ||
+        t.text.head.isDigit || t.text.head == '\'' ||
+        t.text.head == '"' || t.text.head == '`' ||
+        (t.isWord && !reserved.contains(t.up))
     ts.zipWithIndex.filterNot { case (t, i) =>
       t.up == "GLOBAL" && i + 1 < ts.length && ts(i + 1).isWord &&
         followers.contains(ts(i + 1).up) &&
-        i > 0 && !exprStart.contains(ts(i - 1).up)
+        i > 0 && endsExpr(ts(i - 1))
     }.map(_._1)
   }
 
@@ -373,15 +387,25 @@ object ChDialect {
     *    are bit-identical;
     *  - a BARE column `arr` — CH SHADOWS the array column with its
     *    element. LATERAL VIEW cannot alias over a live column, so the
-    *    FROM table is wrapped in a renaming subquery (`SELECT *
-    *    EXCEPT (arr), arr AS __shN FROM tbl`, aliased back to the
-    *    table name so qualified references keep resolving) and the
-    *    generator reads `__shN … AS arr`. Supported when the clause
-    *    directly follows `FROM <table>` (the idiomatic shape);
-    *    complex FROMs (joins, subqueries) still refuse loudly.
+    *    governing FROM expression is wrapped in a renaming subquery
+    *    (`SELECT * EXCEPT (arr), arr AS __shN FROM <from-expr>`,
+    *    aliased back to the original table/alias name so qualified
+    *    references keep resolving) and the generator reads
+    *    `__shN … AS arr`. Round 17 generalized this from `FROM
+    *    <table>` to ANY single top-level FROM relation — a
+    *    parenthesized subquery, an aliased subquery, a table + alias,
+    *    or the dedup/sample subquery FINAL/SAMPLE rewriting emits.
+    *    Only a multi-relation FROM (comma join or explicit JOIN,
+    *    where the array's source relation is ambiguous) still refuses
+    *    loudly.
     *
     * Bare EXPRESSIONS (`ARRAY JOIN f(x)` with no alias — CH names the
-    * element after the expression text) stay refused.
+    * element after the expression text) stay refused. Sibling clause
+    * items or qualified body references that still name a shadowed
+    * array refuse with the adapter's own message (round-17 ADVICE:
+    * they would otherwise die later as Spark unresolved-column
+    * errors — in CH those references see the PRE-shadow array, which
+    * the rename makes unreachable).
     */
   private def rewriteArrayJoin(ts0: Vector[Tok]): Vector[Tok] = {
     var ts = ts0
@@ -413,21 +437,87 @@ object ChDialect {
       var pre = ts.take(start)
       var shN = 0
       if (items.exists(_._3)) {
-        // shadowed columns: rename them away in a FROM subquery so
-        // the generator alias can take the original name
-        require(start >= 2 && ts(start - 2).up == "FROM" &&
-            ts(start - 1).isWord,
-          "bare ARRAY JOIN (column shadowing) is supported directly " +
-            "after FROM <table>; alias the element explicitly in " +
-            "more complex FROM clauses")
-        val tbl = ts(start - 1).text
-        val shadowed = items.filter(_._3).map(_._1.head.text)
-        val renames = shadowed.zipWithIndex.map { case (c, k) =>
+        val shadowedSeq = items.filter(_._3).map(_._1.head.text)
+        val shadowed = shadowedSeq.toSet
+        // sibling items referencing a shadowed array: in CH they see
+        // the PRE-shadow array; after the rename they would die as
+        // Spark unresolved columns — refuse with our own message
+        items.filterNot(_._3).foreach { case (expr, _, _) =>
+          expr.filter(t => t.isWord && shadowed.contains(t.text))
+            .foreach { t =>
+              throw new IllegalArgumentException(
+                s"ARRAY JOIN item '${emit(expr)}' references '${t.text}'" +
+                  ", which a bare item in the same clause shadows - " +
+                  "alias the bare item (arr AS elem) or pre-alias the " +
+                  "array in a subquery")
+            }
+        }
+        // locate the governing FROM at this clause's depth
+        var fromIdx = -1
+        var d = 0
+        var j = start - 1
+        while (j >= 0 && fromIdx < 0 && d >= 0) {
+          val t = ts(j).text
+          if (t == ")") d += 1
+          else if (t == "(") d -= 1
+          else if (d == 0 && ts(j).up == "FROM") fromIdx = j
+          j -= 1
+        }
+        require(fromIdx >= 0,
+          "bare ARRAY JOIN (column shadowing) needs a governing FROM " +
+            "clause to wrap in a renaming subquery")
+        val fromExpr = ts.slice(fromIdx + 1, start)
+        // a multi-relation FROM makes the array's source ambiguous
+        var fd = 0
+        fromExpr.foreach { t =>
+          if (t.text == "(") fd += 1
+          else if (t.text == ")") fd -= 1
+          else require(fd > 0 || (t.text != "," && t.up != "JOIN"),
+            "bare ARRAY JOIN (column shadowing) under a multi-" +
+              "relation FROM (join/comma list) is ambiguous - alias " +
+              "the element explicitly (arr AS elem)")
+        }
+        // relation + optional alias: `tbl` | `expr [AS] alias` | `(sub)`
+        val (inner, alias) =
+          if (fromExpr.length == 1 && fromExpr.head.isWord)
+            (fromExpr, fromExpr.head.text)
+          else if (fromExpr.length >= 2 && fromExpr.last.isWord &&
+              fromExpr(fromExpr.length - 2).up == "AS")
+            (fromExpr.dropRight(2), fromExpr.last.text)
+          else if (fromExpr.length >= 2 && fromExpr.last.isWord)
+            (fromExpr.dropRight(1), fromExpr.last.text)
+          else if (fromExpr.nonEmpty && fromExpr.head.text == "(" &&
+              fromExpr.last.text == ")")
+            (fromExpr, "")
+          else throw new IllegalArgumentException(
+            s"bare ARRAY JOIN: cannot isolate the FROM relation " +
+              s"'${emit(fromExpr)}' to wrap - alias it or alias the " +
+              "element explicitly (arr AS elem)")
+        // qualified references to a shadowed array OUTSIDE the inner
+        // relation (alias.arr in the body or the clause) would be
+        // unresolved after the rename — refuse loudly
+        if (alias.nonEmpty) {
+          val outside = ts.zipWithIndex.filter { case (_, k) =>
+            k < fromIdx || k >= end
+          }.map(_._1) ++ clause
+          outside.sliding(3).foreach {
+            case Seq(a, dot, c) if a.isWord && a.text == alias &&
+                dot.text == "." && c.isWord && shadowed.contains(c.text) =>
+              throw new IllegalArgumentException(
+                s"'${alias}.${c.text}' references an array shadowed by " +
+                  "a bare ARRAY JOIN item; the qualified pre-shadow " +
+                  "array is unreachable after the rewrite - alias the " +
+                  "bare item (arr AS elem) to keep both visible")
+            case _ => ()
+          }
+        }
+        val renames = shadowedSeq.zipWithIndex.map { case (c, k) =>
           s"$c AS __sh${n}_$k"
         }.mkString(" , ")
-        val sub = lex(s"( SELECT * EXCEPT ( ${shadowed.mkString(" , ")} )" +
-          s" , $renames FROM $tbl ) $tbl")
-        pre = ts.take(start - 2) ++ Vector(Tok("FROM")) ++ sub
+        val aliasSfx = if (alias.nonEmpty) s" $alias" else ""
+        val sub = lex(s"( SELECT * EXCEPT ( ${shadowedSeq.mkString(" , ")} )" +
+          s" , $renames FROM ${emit(inner)} )$aliasSfx")
+        pre = ts.take(fromIdx) ++ Vector(Tok("FROM")) ++ sub
       }
       val srcExprs = items.map { case (expr, _, bare) =>
         if (bare) { val e = Vector(Tok(s"__sh${n}_$shN")); shN += 1; e }
