@@ -435,8 +435,9 @@ object SqliteIndex {
       } else {
       if (spec.contains("("))
         return (Nil, unique, None, Some(s"expression index term " +
-          s"'$spec': only lower(col), upper(col) and col {+,-,*} n " +
-          "are in the supported set - key order is the expression's"))
+          s"'$spec': only lower(col), upper(col), substr(col, 1, n) " +
+          "and col {+,-,*} n are in the supported set - key order is " +
+          "the expression's"))
       val parts = tokenize(spec)
       if (parts.isEmpty)
         return (Nil, unique, None, Some("empty index column spec"))
@@ -486,10 +487,17 @@ object SqliteIndex {
     """(?is)^(lower|upper)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*|"[^"]*")\s*\)\s*(.*)$""".r
   private val ArithExprRe =
     """(?s)^([A-Za-z_][A-Za-z0-9_]*|"[^"]*")\s*([+*-])\s*(\d+)\s*(.*)$""".r
+  private val SubstrExprRe =
+    """(?is)^substr\s*\(\s*([A-Za-z_][A-Za-z0-9_]*|"[^"]*")\s*,\s*(-?\d+)\s*,\s*(-?\d+)\s*\)\s*(.*)$""".r
 
   /** One keyspec item as an EXPRESSION term of the closed supported
     * set, or None when it is a plain column term. Canonical names:
-    * `lower(col)` / `upper(col)` / `col+n` / `col-n` / `col*n`.
+    * `lower(col)` / `upper(col)` / `substr(col,1,n)` / `col+n` /
+    * `col-n` / `col*n` — round 17 added the prefix-substr form (the
+    * most common expression index after lower/upper in real schemas;
+    * the index stores the prefix values, so the walk still needs no
+    * evaluator, only canonical-name matching). Non-prefix substr
+    * (start ≠ 1, negative/zero length) refuses by name.
     * Trailing ASC/DESC/COLLATE modifiers apply as usual; collation
     * defaults to BINARY (sqlite's rule for expression keys).
     */
@@ -520,6 +528,13 @@ object SqliteIndex {
       Right(ColSpec(canon, desc, nocase, expr = true))
     }
     spec match {
+      case SubstrExprRe(col, start, len, trailer) =>
+        if (start != "1" || len.toLong <= 0)
+          Some(Left(s"expression index term 'substr(${unq(col)}, " +
+            s"$start, $len)': only the PREFIX form substr(col, 1, n) " +
+            "with n >= 1 is in the supported set (other start/length " +
+            "shapes change key order in ways the walk does not model)"))
+        else Some(withMods(s"substr(${unq(col)},1,$len)", trailer))
       case FnExprRe(fn, col, trailer) =>
         Some(withMods(s"${fn.toLowerCase}(${unq(col)})", trailer))
       case ArithExprRe(col, op, n, trailer)
