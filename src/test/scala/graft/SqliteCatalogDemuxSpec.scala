@@ -105,6 +105,39 @@ class SqliteCatalogDemuxSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("demuxAll fans a 3-table catalog out in ONE call: every live " +
+      "rowid table demuxed to batch parity (round 17, verdict #8)") {
+    val dir = Files.createTempDirectory("graft-demuxall")
+    val db = dir.resolve("live.db")
+    copy(s"$res/cdc_multi_v2.db", db) // a, b, and the BLOB table c
+    // batch envelope: stream the catalog once into memory
+    val envelope = spark.readStream.format("sqlite")
+      .option("path", db.toString).option("tables", "*").load()
+    val q = envelope.writeStream.format("memory").queryName("demuxall_env")
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val all = SqliteCatalogCdc.demuxAll(
+        spark.table("demuxall_env"), db.toString)
+      assert(all.keySet == Set("a", "b", "c"),
+        s"demuxAll selected ${all.keySet}")
+      all.foreach { case (name, df) =>
+        assert(normBin(df.collect().toSet) ==
+          normBin(batchRows(db.toString, name)), s"table $name diverges")
+        assert(df.schema.map(f => f.name -> f.dataType) ==
+          SqliteFile.schemaOf(SqliteFile.listTables(db.toString)
+            .find(_.name == name).get).map(f => f.name -> f.dataType),
+          s"table $name schema diverges")
+      }
+      // a named-list spec selects exactly the named subset
+      val sub = SqliteCatalogCdc.demuxAll(
+        spark.table("demuxall_env"), db.toString, "a,b")
+      assert(sub.keySet == Set("a", "b"))
+    } finally q.stop()
+  }
+
   test("demux of an unknown table refuses loudly") {
     val e = intercept[IllegalArgumentException] {
       SqliteCatalogCdc.demux(
