@@ -845,16 +845,25 @@ private[sources] final class SqliteReaderFactory(path: String,
     }
     // WITHOUT ROWID pk probes (round 16) produce the matching RECORDS
     // directly — the table b-tree's entries ARE the rows, so there is
-    // no per-rowid fetch phase at all
+    // no per-rowid fetch phase at all. Round 17 (ADVICE): records
+    // STREAM off the walk (withoutRowidIter) instead of materializing
+    // the match set at reader creation — an unselective pk range now
+    // holds one page path in memory, like the rowid TableWalk.
+    val wrWalkers = scala.collection.mutable.ArrayBuffer.empty[AutoCloseable]
     val wrRecords: Option[Iterator[IndexedSeq[Any]]] = p match {
       case wr: SqliteWrProbePartition =>
-        Some(SqliteIndex.withoutRowidRange(path, wr.h, wr.tdef,
-          wr.eqPrefix, wr.range)._1.iterator)
+        val w = SqliteIndex.withoutRowidIter(path, wr.h, wr.tdef,
+          wr.eqPrefix, wr.range)
+        wrWalkers += w
+        Some(w)
       case wr: SqliteWrInPartition =>
-        Some(wr.values.iterator.flatMap(v =>
-          SqliteIndex.withoutRowidRange(path, wr.h, wr.tdef, Nil,
+        Some(wr.values.iterator.flatMap { v =>
+          val w = SqliteIndex.withoutRowidIter(path, wr.h, wr.tdef, Nil,
             SqliteIndex.KeyRange(Some(v), loInc = true,
-              Some(v), hiInc = true))._1))
+              Some(v), hiInc = true))
+          wrWalkers += w
+          w
+        })
       case _ => None
     }
 
@@ -934,7 +943,12 @@ private[sources] final class SqliteReaderFactory(path: String,
           false
       }
       override def get(): InternalRow = row
-      override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+      override def close(): Unit = {
+        if (cur != null) { cur.close(); cur = null }
+        // WR walkers self-close at exhaustion; this covers early
+        // termination (close() is idempotent)
+        wrWalkers.foreach(_.close())
+      }
     }
   }
 }

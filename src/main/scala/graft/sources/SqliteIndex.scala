@@ -825,24 +825,37 @@ object SqliteIndex {
     * matching record differs. Calls `emit` per match, returns the
     * pages-touched receipt.
     */
-  private def keyRangeWalk(path: String, h: Header, what: String,
-                           rootPage: Int, specs: IndexedSeq[ColSpec],
-                           eqPrefix: Seq[Any], range: KeyRange,
-                           emit: IndexedSeq[Any] => Unit): Int = {
+  /** The shared descent as a STREAMING iterator (round 17, ADVICE:
+    * the WITHOUT ROWID probe partition previously materialized every
+    * matching record into a Seq at reader creation, so an
+    * unselective pk range buffered its whole match set in memory —
+    * unlike the rowid path's streaming TableWalk). An explicit-stack
+    * in-order machine over the same closed-hull descent: entries
+    * arrive lazily in index order, the page file closes itself at
+    * exhaustion, and `close()` is idempotent for early termination
+    * (e.g. a LIMIT). `pages` is the receipt so far — final once
+    * exhausted. The callback form [[keyRangeWalk]] drives this same
+    * iterator, so there is exactly ONE descent implementation.
+    */
+  private[sources] final class KeyRangeWalker(
+      path: String, h: Header, what: String, rootPage: Int,
+      specs: IndexedSeq[ColSpec], eqPrefix: Seq[Any], range: KeyRange)
+      extends Iterator[IndexedSeq[Any]] with AutoCloseable {
+
     (eqPrefix ++ range.lo.toSeq ++ range.hi.toSeq)
       .foreach(v => checkProbeValue(h, v))
     require(eqPrefix.nonEmpty || range.lo.nonEmpty || range.hi.nonEmpty,
       "unbounded range probe: scan the table instead")
-    val m = eqPrefix.length // position of the ranged column
+    private val m = eqPrefix.length // position of the ranged column
     require(specs.length > m,
       s"$what has ${specs.length} key columns; a " +
         s"${m}-column equality prefix leaves no ranged column")
-    val eq = eqPrefix.toIndexedSeq
+    private val eq = eqPrefix.toIndexedSeq
 
     // Index-order comparison of an entry's key prefix against a bound
-    // vector (≤ m+1 values): per-column collation compare, sign
-    // flipped for DESC columns, first nonzero wins; prefix-equal → 0.
-    def cmpVec(rec: IndexedSeq[Any], bound: IndexedSeq[Any]): Int = {
+    // vector (<= m+1 values): per-column collation compare, sign
+    // flipped for DESC columns, first nonzero wins; prefix-equal -> 0.
+    private def cmpVec(rec: IndexedSeq[Any], bound: IndexedSeq[Any]): Int = {
       var i = 0
       while (i < bound.length) {
         var c = cmpKeyColl(rec(i), bound(i), specs(i).nocase)
@@ -857,20 +870,20 @@ object SqliteIndex {
     // range end that comes FIRST/LAST in the ranged column's own
     // direction (a DESC column mirrors lo/hi). A missing end leaves
     // the prefix-only bound (every continuation of the prefix is in
-    // the hull); no prefix and no end → unbounded on that side.
-    val (startV, endV) =
+    // the hull); no prefix and no end -> unbounded on that side.
+    private val (startV, endV) =
       if (!specs(m).desc) (range.lo, range.hi) else (range.hi, range.lo)
-    def mkBound(v: Option[Any]): Option[IndexedSeq[Any]] = v match {
+    private def mkBound(v: Option[Any]): Option[IndexedSeq[Any]] = v match {
       case Some(x) => Some(eq :+ x)
       case None => if (eq.nonEmpty) Some(eq) else None
     }
-    val idxLo = mkBound(startV)
-    val idxHi = mkBound(endV)
+    private val idxLo = mkBound(startV)
+    private val idxHi = mkBound(endV)
 
     // Exact value-space membership: every eq column collation-equal,
     // the ranged column in `range` with its collation and exact
     // openness. NULL never matches a comparison (SQL semantics).
-    def containsRec(rec: IndexedSeq[Any]): Boolean = {
+    private def containsRec(rec: IndexedSeq[Any]): Boolean = {
       var i = 0
       while (i < m) {
         val v = rec(i)
@@ -891,57 +904,105 @@ object SqliteIndex {
       okLo && okHi
     }
 
-    val pf = new PageFile(path, h)
-    val cs = charsetOf(h.encoding)
+    private val pf = new PageFile(path, h)
+    private val cs = charsetOf(h.encoding)
 
     // Closed-hull descent tests in INDEX order (see scaladoc).
-    def beforeStart(rec: IndexedSeq[Any]): Boolean =
+    private def beforeStart(rec: IndexedSeq[Any]): Boolean =
       idxLo.exists(b => cmpVec(rec, b) < 0)
-    def pastEnd(rec: IndexedSeq[Any]): Boolean =
+    private def pastEnd(rec: IndexedSeq[Any]): Boolean =
       idxHi.exists(b => cmpVec(rec, b) > 0)
 
-    def visit(pageNo: Int): Unit = {
-      val pg = pf.page(pageNo)
-      val off = if (pageNo == 1) 100 else 0
-      val tpe = pg(off) & 0xff
-      val k = be(pg, off + 3, 2).toInt
-      tpe match {
-        case 0x0a => // leaf index: sorted cells, early stop past end
-          var i = 0
-          var stop = false
-          while (i < k && !stop) {
-            val c = be(pg, off + 8 + 2 * i, 2).toInt
-            val (p, n1) = varint(pg, c)
-            val rec = record(payload(pf, pg, c, p, c + n1, index = true), cs)
-            if (containsRec(rec)) emit(rec)
-            if (pastEnd(rec)) stop = true
-            i += 1
-          }
-        case 0x02 => // interior index: records AND children
-          var prevPastEnd = false // -inf before cell 0 is never past
-          var i = 0
-          while (i < k && !prevPastEnd) {
-            val c = be(pg, off + 12 + 2 * i, 2).toInt
-            val child = be(pg, c, 4).toInt
-            val (p, n1) = varint(pg, c + 4)
-            val rec = record(payload(pf, pg, c, p, c + 4 + n1, index = true), cs)
-            if (!beforeStart(rec)) visit(child) // child max >= start hull
-            if (containsRec(rec)) emit(rec)
-            prevPastEnd = pastEnd(rec)
-            i += 1
-          }
-          // rightmost child covers (lastKey, +inf) in index order
-          if (!prevPastEnd) visit(be(pg, off + 8, 4).toInt)
-        case other => throw new IllegalStateException(
-          s"page $pageNo: expected an index b-tree page, got type $other " +
-            s"- the $what rootpage does not point at an index-format tree")
+    // One frame per open page; an interior frame holds the cell
+    // record PENDING emit until its child subtree drains (in-order:
+    // child first, then the cell's own record — identical to the
+    // recursive walk's visit order).
+    private final class Frame(val pageNo: Int) {
+      var pg: Array[Byte] = _
+      var off = 0; var tpe = 0; var k = 0
+      var i = 0
+      var pending: IndexedSeq[Any] = _
+      var stopped = false // past end: skip remaining cells + rightmost
+      var rightDone = false
+    }
+    private val stack = new scala.collection.mutable.ArrayDeque[Frame]()
+    stack.append(new Frame(rootPage))
+    private var nextRec: IndexedSeq[Any] = _
+    private var closed = false
+
+    /** Pages-touched receipt so far; final once the walk exhausts. */
+    def pages: Int = pf.reads
+
+    override def close(): Unit = if (!closed) { closed = true; pf.close() }
+
+    private def advance(): Unit = {
+      while (nextRec == null && stack.nonEmpty) {
+        val f = stack.last
+        if (f.pg == null) {
+          f.pg = pf.page(f.pageNo)
+          f.off = if (f.pageNo == 1) 100 else 0
+          f.tpe = f.pg(f.off) & 0xff
+          f.k = be(f.pg, f.off + 3, 2).toInt
+          if (f.tpe != 0x0a && f.tpe != 0x02)
+            throw new IllegalStateException(
+              s"page ${f.pageNo}: expected an index b-tree page, got " +
+                s"type ${f.tpe} - the $what rootpage does not point at " +
+                "an index-format tree")
+        }
+        if (f.tpe == 0x0a) { // leaf index: sorted cells, stop past end
+          if (f.i < f.k && !f.stopped) {
+            val c = be(f.pg, f.off + 8 + 2 * f.i, 2).toInt
+            f.i += 1
+            val (p, n1) = varint(f.pg, c)
+            val rec = record(payload(pf, f.pg, c, p, c + n1, index = true), cs)
+            if (pastEnd(rec)) f.stopped = true
+            if (containsRec(rec)) nextRec = rec
+          } else stack.removeLast()
+        } else { // interior index: records AND children
+          if (f.pending != null) {
+            val rec = f.pending; f.pending = null
+            if (pastEnd(rec)) f.stopped = true
+            if (containsRec(rec)) nextRec = rec
+          } else if (f.i < f.k && !f.stopped) {
+            val c = be(f.pg, f.off + 12 + 2 * f.i, 2).toInt
+            f.i += 1
+            val child = be(f.pg, c, 4).toInt
+            val (p, n1) = varint(f.pg, c + 4)
+            val rec =
+              record(payload(pf, f.pg, c, p, c + 4 + n1, index = true), cs)
+            f.pending = rec
+            if (!beforeStart(rec)) // child max >= start hull
+              stack.append(new Frame(child))
+          } else if (!f.stopped && !f.rightDone) {
+            // rightmost child covers (lastKey, +inf) in index order
+            f.rightDone = true
+            stack.append(new Frame(be(f.pg, f.off + 8, 4).toInt))
+          } else stack.removeLast()
+        }
       }
+      if (nextRec == null) close()
     }
 
-    try {
-      visit(rootPage)
-      pf.reads
-    } finally pf.close()
+    override def hasNext: Boolean = {
+      if (nextRec == null && !closed) advance()
+      nextRec != null
+    }
+    override def next(): IndexedSeq[Any] = {
+      if (!hasNext) throw new NoSuchElementException(what)
+      val r = nextRec
+      nextRec = null
+      r
+    }
+  }
+
+  private def keyRangeWalk(path: String, h: Header, what: String,
+                           rootPage: Int, specs: IndexedSeq[ColSpec],
+                           eqPrefix: Seq[Any], range: KeyRange,
+                           emit: IndexedSeq[Any] => Unit): Int = {
+    val w = new KeyRangeWalker(path, h, what, rootPage, specs,
+      eqPrefix, range)
+    try { while (w.hasNext) emit(w.next()); w.pages }
+    finally w.close()
   }
 
   /** The pk ColSpecs of a WITHOUT ROWID table — its table b-tree IS a
@@ -1064,15 +1125,31 @@ object SqliteIndex {
     require(tdef.withoutRowid,
       s"${tdef.name} is a rowid table - pk probes there go through " +
         "the rowid alias or a secondary index")
+    val out = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Any]]
+    val w = withoutRowidIter(path, h, tdef, eqPrefix, range)
+    try { while (w.hasNext) out += w.next(); (out.toSeq, w.pages) }
+    finally w.close()
+  }
+
+  /** Streaming [[withoutRowidRange]] (round 17, ADVICE): the DSv2
+    * probe partitions consume this so an unselective pk range never
+    * buffers its match set — rows stream off the walk like the rowid
+    * path's TableWalk. Self-closes at exhaustion; callers that may
+    * stop early (LIMIT) close it explicitly.
+    */
+  def withoutRowidIter(path: String, h: Header,
+                       tdef: SqliteFile.TableDef, eqPrefix: Seq[Any],
+                       range: KeyRange): KeyRangeWalker = {
+    require(tdef.withoutRowid,
+      s"${tdef.name} is a rowid table - pk probes there go through " +
+        "the rowid alias or a secondary index")
     val specs = withoutRowidPkSpecs(tdef) match {
       case Right(s) => s.toIndexedSeq
       case Left(why) => throw new IllegalArgumentException(
         s"${tdef.name}: WITHOUT ROWID pk probe not derivable - $why")
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Any]]
-    val pages = keyRangeWalk(path, h, s"table ${tdef.name} (pk)",
-      tdef.rootPage, specs, eqPrefix, range, out += _)
-    (out.toSeq, pages)
+    new KeyRangeWalker(path, h, s"table ${tdef.name} (pk)",
+      tdef.rootPage, specs, eqPrefix, range)
   }
 
   /** Rowids whose leading indexed column equals `value`, plus the
