@@ -786,6 +786,24 @@ object AnalyticsQueries {
           |LIMIT 500""".stripMargin))
     },
 
+    // B20n (round 17): bare-EXPRESSION ARRAY JOIN — CH names the
+    // element after the expression's text and resolves same-text
+    // references query-wide to the element. The adapter aliases the
+    // element to the normalized source text (backticked) and rewrites
+    // same-text references outside subqueries, so WHERE/SELECT/ORDER
+    // BY all see the element exactly like CH.
+    "q_ch_dialect_array_expr" -> Q { (s, d) =>
+      GraftCatalog.registerTables(s, d)
+      s.sql(graft.ChDialect.translate(
+        """SELECT doc_id, splitByChar(' ', text) AS tok,
+          |  CAST(length(splitByChar(' ', text)) AS BIGINT) AS tok_len
+          |FROM documents
+          |ARRAY JOIN splitByChar(' ', text)
+          |WHERE length(splitByChar(' ', text)) > 3
+          |ORDER BY doc_id, splitByChar(' ', text)
+          |LIMIT 500""".stripMargin))
+    },
+
     // B20l (round 16): FINAL SAMPLE composed — CH samples the
     // post-FINAL state, so the portable md5 bucket predicate lands
     // beside the rn=1 filter of the dedup subquery (refused in r15).
@@ -3503,6 +3521,14 @@ object AnalyticsQueries {
         | FROM documents)
         |WHERE length(tok) > 3
         |ORDER BY doc_id, tok, pos LIMIT 500""".stripMargin,
+
+    "q_ch_dialect_array_expr" ->
+      """SELECT doc_id, tok, CAST(length(tok) AS BIGINT) AS tok_len
+        |FROM (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        | FROM documents)
+        |WHERE length(tok) > 3
+        |ORDER BY doc_id, tok LIMIT 500""".stripMargin,
 
     "q_ch_dialect_array_sub" ->
       """SELECT doc_id, toks FROM (

@@ -399,13 +399,18 @@ object ChDialect {
     *    where the array's source relation is ambiguous) still refuses
     *    loudly.
     *
-    * Bare EXPRESSIONS (`ARRAY JOIN f(x)` with no alias — CH names the
-    * element after the expression text) stay refused. Sibling clause
-    * items or qualified body references that still name a shadowed
-    * array refuse with the adapter's own message (round-17 ADVICE:
-    * they would otherwise die later as Spark unresolved-column
-    * errors — in CH those references see the PRE-shadow array, which
-    * the rename makes unreachable).
+    * Bare EXPRESSIONS (`ARRAY JOIN f(x)` with no alias) translate
+    * since round 17: CH names the element after the expression's
+    * canonicalized text and resolves same-text references query-wide
+    * to the element — we alias the element to the NORMALIZED SOURCE
+    * text (backtick-quoted) and rewrite same-text references outside
+    * subqueries to that alias. Documented deviation: the output
+    * column's name is our normalized source text, not CH's canonical
+    * AST text. Sibling clause items or qualified body references that
+    * still name a shadowed array refuse with the adapter's own
+    * message (round-17 ADVICE: they would otherwise die later as
+    * Spark unresolved-column errors — in CH those references see the
+    * PRE-shadow array, which the rename makes unreachable).
     */
   private def rewriteArrayJoin(ts0: Vector[Tok]): Vector[Tok] = {
     var ts = ts0
@@ -418,18 +423,31 @@ object ChDialect {
         "LIMIT", "LEFT", "ARRAY", "INNER", "JOIN", "UNION", "FORMAT")
       val end = boundary(ts, i + 2, stops)
       val clause = ts.slice(i + 2, end)
-      // item = expr AS alias | bare column name
+      // item = expr AS alias | bare column name | bare EXPRESSION
+      // (round 17): CH names a bare expression's element after the
+      // expression's canonicalized text and resolves same-text
+      // references query-wide to the element. We alias the element to
+      // the NORMALIZED SOURCE text (single-spaced tokens, backtick-
+      // quoted — deterministic; documented deviation: CH's schema
+      // shows its canonical AST text, e.g. lambdas expanded) and
+      // rewrite same-text references OUTSIDE subqueries to the alias,
+      // so WHERE/SELECT/ORDER BY items see the element exactly like
+      // CH. A consumer naming the output column matches our
+      // normalized text instead of CH's canonical form.
+      val exprNamed = scala.collection.mutable.ArrayBuffer
+        .empty[(Vector[Tok], Tok)]
       val items = splitTopCommas(clause).map { item =>
         val asIdx = topIndexWhere(item, _.up == "AS")
         if (asIdx > 0 && asIdx == item.length - 2)
           (item.take(asIdx), item.last, false) // (expr, alias, bare?)
-        else {
-          require(item.length == 1 && item.head.isWord,
-            s"ARRAY JOIN item '${emit(item)}' is neither 'expr AS " +
-              "alias' nor a bare column: ClickHouse names a bare " +
-              "EXPRESSION's element after its text, which has no " +
-              "faithful Spark name - alias it")
+        else if (item.length == 1 && item.head.isWord)
           (item, item.head, true) // shadow: element takes the col name
+        else {
+          require(item.nonEmpty, "empty ARRAY JOIN item")
+          val alias =
+            Tok("`" + emit(item).replace("`", "``") + "`")
+          exprNamed += ((item, alias))
+          (item, alias, false)
         }
       }
       require(items.nonEmpty, "empty ARRAY JOIN clause")
@@ -543,7 +561,36 @@ object ChDialect {
         }
       val repl = Vector(Tok("LATERAL"), Tok("VIEW")) ++
         (if (left) Vector(Tok("OUTER")) else Vector.empty) ++ gen
-      ts = pre ++ repl ++ ts.drop(end)
+      // same-text references to a bare-EXPRESSION item become the
+      // element alias (CH name resolution). Subqueries keep their own
+      // scope — the identical text there names THEIR columns.
+      def substitute(seg: Vector[Tok]): Vector[Tok] = {
+        if (exprNamed.isEmpty) return seg
+        val out = Vector.newBuilder[Tok]
+        var j = 0
+        while (j < seg.length) {
+          if (seg(j).text == "(" && j + 1 < seg.length &&
+              seg(j + 1).up == "SELECT") {
+            var d = 0
+            var go = true
+            while (j < seg.length && go) {
+              if (seg(j).text == "(") d += 1
+              else if (seg(j).text == ")") { d -= 1; if (d == 0) go = false }
+              out += seg(j); j += 1
+            }
+          } else {
+            exprNamed.find { case (e, _) =>
+              e.length <= seg.length - j &&
+                e.indices.forall(k => seg(j + k).text == e(k).text)
+            } match {
+              case Some((e, alias)) => out += alias; j += e.length
+              case None => out += seg(j); j += 1
+            }
+          }
+        }
+        out.result()
+      }
+      ts = substitute(pre) ++ repl ++ substitute(ts.drop(end))
       n += 1
     }
     ts

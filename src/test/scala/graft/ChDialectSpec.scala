@@ -243,11 +243,6 @@ class ChDialectSpec extends SparkFunSuite {
   }
 
   test("untranslatable CH-isms refuse loudly") {
-    // a bare EXPRESSION (CH names the element after its text)
-    val e1 = intercept[IllegalArgumentException] {
-      translate("SELECT x FROM t ARRAY JOIN arrayMap(i -> i, xs)")
-    }
-    assert(e1.getMessage.contains("alias it"))
     // bare-column shadowing under a MULTI-RELATION FROM: the array's
     // source relation is ambiguous (round 17 narrowed the refusal to
     // exactly this boundary — single-relation FROMs now rewrite)
@@ -297,6 +292,37 @@ class ChDialectSpec extends SparkFunSuite {
         "WHERE toks != 'b' ORDER BY id")
     val r3 = spark.sql(t3).collect().map(r => (r.getLong(0), r.getString(1)))
     assert(r3.toSeq == Seq((1L, "a"), (2L, "c")))
+  }
+
+  test("round 17: bare-EXPRESSION ARRAY JOIN names the element after " +
+      "the expression text; same-text references see the ELEMENT " +
+      "(CH name resolution), subqueries keep their own scope") {
+    import spark.implicits._
+    Seq((1L, Seq("aa", "b")), (2L, Seq("ccc")))
+      .toDF("id", "xs").createOrReplaceTempView("aje_t")
+    val t = translate(
+      """SELECT id, upper(arrayMap(i -> i, xs)) AS u,
+        |  CAST(length(arrayMap(i -> i, xs)) AS BIGINT) AS l
+        |FROM aje_t
+        |ARRAY JOIN arrayMap(i -> i, xs)
+        |WHERE length(arrayMap(i -> i, xs)) >= 1
+        |ORDER BY id, arrayMap(i -> i, xs)""".stripMargin)
+    // every body reference was rewritten to the element alias
+    assert(t.contains("`arrayMap(i -> i, xs)`"), t)
+    val got = spark.sql(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq ==
+      Seq((1L, "AA", 2L), (1L, "B", 1L), (2L, "CCC", 3L)))
+    // the same text INSIDE a subquery still names the subquery's own
+    // expression over its own scope (array, not element)
+    val t2 = translate(
+      """SELECT id, arrayMap(i -> i, xs) AS e
+        |FROM (SELECT id, xs FROM aje_t WHERE size(arrayMap(i -> i, xs)) > 0)
+        |ARRAY JOIN arrayMap(i -> i, xs)
+        |ORDER BY id, arrayMap(i -> i, xs)""".stripMargin)
+    val got2 = spark.sql(t2).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got2.toSeq == Seq((1L, "aa"), (1L, "b"), (2L, "ccc")))
   }
 
   test("the zip gate's ordinality oracle is ALIGNMENT-sensitive: a " +
