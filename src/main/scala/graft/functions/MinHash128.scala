@@ -40,21 +40,64 @@ object MinHash128 {
     graft.operators.Dedup.coeffs(NumHashes).map(_._2).toArray
   private val P: Long = graft.operators.Dedup.MinhashPrime
 
-  /** Runtime kernel shared by interpreted eval and generated code. */
+  /** Runtime kernel shared by interpreted eval and generated code.
+    *
+    * Round 17 (optimization): two changes to the same arithmetic.
+    *  - The shingle window walks BYTE offsets incrementally (one
+    *    `numBytesForFirstByte` step per char) and hashes the slice
+    *    zero-copy via `XXH64.hashUnsafeBytes` — the previous
+    *    `substringSQL(i + 1, 5)` re-walked the string from char 0 on
+    *    every shingle (O(n²) per document) and copied each 5-char
+    *    window into a fresh UTF8String. Identical bytes reach XXH64
+    *    (hashUTF8String is hashUnsafeBytes over the string's own
+    *    base/offset/len), so hashes are bit-identical.
+    *  - `x mod (2^32+15)` uses the special form of the prime:
+    *    t = q·2^32 + lo ≡ lo − 15q (mod P) since 2^32 ≡ −15 (mod P).
+    *    With a ≤ 2^29 and x32 < 2^32, t < 2^61, so q < 2^29,
+    *    lo − 15q ∈ (−2·P, P) and at most two conditional adds land it
+    *    in [0, P) — integer-exact, no 64-bit division. Bit-equality
+    *    with the declarative form stays spec-enforced
+    *    (DedupStressSpec / CoercionPropertySpec).
+    */
   def sig(s: UTF8String): GenericArrayData = {
-    val nShingles = math.max(1, s.numChars() - 4)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes
     val mins = Array.fill(NumHashes)(Long.MaxValue)
-    var i = 0
-    while (i < nShingles) {
-      val h = XXH64.hashUTF8String(s.substringSQL(i + 1, 5), 42L)
+    // endB = byte offset just past the window's last char; the first
+    // window spans chars [0, 5) (the whole string when shorter).
+    var startB = 0
+    var endB = 0
+    var k = 0
+    while (k < 5 && endB < nb) {
+      endB += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + endB))
+      k += 1
+    }
+    if (endB > nb) endB = nb // malformed-UTF8 clamp (substringSQL clamps too)
+    var more = true
+    while (more) {
+      val h = XXH64.hashUnsafeBytes(base, off + startB, endB - startB, 42L)
       val x32 = ((h >>> 32) ^ h) & 0xFFFFFFFFL
       var j = 0
       while (j < NumHashes) {
-        val m = (as(j) * x32 + bs(j)) % P
+        val t = as(j) * x32 + bs(j)
+        val q = t >>> 32
+        var m = (t & 0xFFFFFFFFL) - 15L * q
+        if (m < 0L) { m += P; if (m < 0L) m += P }
         if (m < mins(j)) mins(j) = m
         j += 1
       }
-      i += 1
+      // one more shingle exists iff the window end hasn't hit the end
+      more = endB < nb
+      if (more) {
+        startB += UTF8String.numBytesForFirstByte(
+          org.apache.spark.unsafe.Platform.getByte(base, off + startB))
+        endB += UTF8String.numBytesForFirstByte(
+          org.apache.spark.unsafe.Platform.getByte(base, off + endB))
+        if (endB > nb) endB = nb
+        if (startB > endB) startB = endB
+      }
     }
     new GenericArrayData(mins)
   }

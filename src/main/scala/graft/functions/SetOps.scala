@@ -88,12 +88,87 @@ case class SortedIntersectCountExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Codegen'd positional-agreement count with threshold early-abort —
+  * the MinHash signature-estimate kernel (round 17, optimization).
+  *
+  * Contract: `left` and `right` are long arrays of equal length (the
+  * 128-long MinHash signatures); `need` is the agreement count the
+  * caller's `est >= threshold` filter requires. Replaces the
+  * declarative `aggregate(zip_with(a, b, (x,y) -> if(x=y,1,0)), ...)`
+  * pair, which allocates the zipped intermediate array and runs two
+  * lambda interpreters per candidate pair — on the ~10⁵-10⁶ candidate
+  * pairs a low-entropy band join emits, that is the dominant estimate
+  * cost. The merge aborts once `cnt + remaining < need` (the pair
+  * provably fails the threshold), so the count is exact whenever the
+  * filter can keep the row.
+  */
+case class SigAgreeCountExpr(first: Expression, second: Expression,
+                             third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+  override def prettyName: String = "sig_agree_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"sig_agree_count requires (array<long>, array<long>, long), got $a / $b / $c")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any, t: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val need = t.asInstanceOf[Long]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var cnt = 0L
+    while (i < n && cnt + (n - i) >= need) {
+      if (a.getLong(i) == b.getLong(i)) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, t) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $i = 0; long $cnt = 0L;
+         |while ($i < $n && $cnt + ($n - $i) >= $t) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { $cnt++; }
+         |  $i++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): SigAgreeCountExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object SetOps {
   /** |A∩B| for sorted distinct long arrays, exact whenever the result
     * is >= `need`, early-aborted (still provably < `need`) otherwise.
     */
   def sortedIntersectCount(a: Column, b: Column, need: Column): Column =
     graftShim.column(SortedIntersectCountExpr(
+      graftShim.expression(a), graftShim.expression(b),
+      graftShim.expression(need)))
+
+  /** Count of positions where two equal-length long arrays agree,
+    * exact whenever the result is >= `need`, early-aborted (still
+    * provably < `need`) otherwise.
+    */
+  def sigAgreeCount(a: Column, b: Column, need: Column): Column =
+    graftShim.column(SigAgreeCountExpr(
       graftShim.expression(a), graftShim.expression(b),
       graftShim.expression(need)))
 }

@@ -192,11 +192,18 @@ object Dedup {
         substring(lower(trim(col(textCol))), 1, preLen).as("pre"))
       .withColumn("blk", substring(col("pre"), 1, blkLen))
     val a = p.as("a"); val b = p.as("b")
+    // THRESHOLDED levenshtein (round 17, guide §4: cheapest equivalent
+    // built-in): the 3-arg form early-aborts the DP once the distance
+    // provably exceeds maxDist — O(maxDist·preLen) per pair instead of
+    // O(preLen²) — returning -1 for the pairs the old
+    // `filter(dist <= maxDist)` dropped and the EXACT distance for
+    // every pair it kept, so the output rows are bit-identical
+    // (spec-pinned against the unbounded form).
     a.join(b, col(s"a.blk") === col(s"b.blk") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        levenshtein(col("a.pre"), col("b.pre")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("a.pre"), col("b.pre"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
   // -------------------------------------------------------------- minhash
@@ -305,11 +312,17 @@ object Dedup {
     // banding bounds it. The prediction is one exact agg over the
     // persisted band table; past the bound refuse LOUDLY with the
     // escapes named rather than melt down in the join.
-    val predicted = banded.groupBy("band", "bh")
+    // one action yields BOTH the pair prediction and the doc count the
+    // sideJoin sizing needs (every doc emits exactly `bands` band rows,
+    // so Σg / bands = |sigs| — round 17: folds the separate
+    // sigs.count() job into this aggregate)
+    val guardRow = banded.groupBy("band", "bh")
       .agg(count(lit(1)).as("g"))
       // integer `div`: Column / is ALWAYS double division
-      .agg(coalesce(sum(expr("g * (g - 1) div 2")), lit(0L)).as("p"))
-      .head().getLong(0)
+      .agg(coalesce(sum(expr("g * (g - 1) div 2")), lit(0L)).as("p"),
+        coalesce(sum(col("g")), lit(0L)).as("rows"))
+      .head()
+    val predicted = guardRow.getLong(0)
     if (predicted > maxCandidates)
       throw new IllegalStateException(
         s"minhash band join predicts $predicted candidate pairs " +
@@ -329,16 +342,24 @@ object Dedup {
     // bare id pairs; past [[MaxSideBroadcastBytesKey]] (~250k docs)
     // the same join runs shuffled, co-partitioned on doc id — chosen
     // per run from the persisted signature count, never hard-coded
-    val sigBytes = sigs.count() * SigRowBytes
+    val sigBytes = (guardRow.getLong(1) / bands) * SigRowBytes
+    // fused agreement kernel (round 17): exact count whenever the
+    // filter can keep the pair, early-aborted (provably < need)
+    // otherwise — replaces the zip_with+aggregate lambda pair that
+    // allocated an intermediate array per candidate. The ε keeps a
+    // last-ulp error in threshold·nHashes from rounding `need` UP past
+    // the true ceiling (which could abort a borderline survivor);
+    // rounding down merely counts a few extra positions (ADVICE-r9
+    // epsilon discipline).
+    val need = lit(math.ceil(threshold * nHashes - 1e-9).toLong)
     sideJoin(sideJoin(cand,
         sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
         "doc_a", sigBytes),
       sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
       "doc_b", sigBytes)
       .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / nHashes).as("est_jaccard"))
+        (graft.functions.SetOps.sigAgreeCount(col("sig_a"), col("sig_b"),
+          need).cast("double") / nHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -365,7 +386,7 @@ object Dedup {
     // text), materialized together; the selects below hit the blocks
     val both = persist(docs.select(col(idCol).as("doc_id"),
       graft.functions.MinHash128.signature(col(textCol)).as("sig"),
-      array_sort(array_distinct(shingleHashes(col(textCol)))).as("ngs")))
+      graft.functions.ShingleSet.sorted(col(textCol)).as("ngs")))
     val cand = minhashPairsFromSigs(both.select("doc_id", "sig"), threshold,
       persist = persist, maxCandidates = maxCandidates)
     val sets = both.select("doc_id", "ngs")
@@ -426,15 +447,16 @@ object Dedup {
       .dropDuplicates("doc_id", "store_id")
     val incBytes = incomingSigs.count() * SigRowBytes
     val storeBytes = storeSigs.count() * SigRowBytes
+    // fused agreement kernel — see minhashPairsFromSigs for the ε
+    val need = lit(math.ceil(threshold * nHashes - 1e-9).toLong)
     sideJoin(sideJoin(cand,
         incomingSigs.select(col("doc_id"), col("sig").as("sa")),
         "doc_id", incBytes),
       storeSigs.select(col("doc_id").as("store_id"), col("sig").as("sb")),
       "store_id", storeBytes)
       .select(col("doc_id"), col("store_id"),
-        (aggregate(zip_with(col("sa"), col("sb"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / nHashes).as("est_jaccard"))
+        (graft.functions.SetOps.sigAgreeCount(col("sa"), col("sb"),
+          need).cast("double") / nHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -498,13 +520,6 @@ object Dedup {
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 50, persist: Persist = localPersist,
       smallGraphEdges: Long = SmallGraphEdges): (DataFrame, Int) = {
-    val nodes = persist(pairs.select(col(aCol).as("n"))
-      .union(pairs.select(col(bCol).as("n"))).distinct())
-    var edges = persist(pairs
-      .select(greatest(col(aCol), col(bCol)).as("u"),
-        least(col(aCol), col(bCol)).as("v"))
-      .filter(col("u") =!= col("v")).distinct())
-
     // driver-side union-find fast path: integral ids only (every
     // dedup caller keys on long doc ids; other key types take the
     // distributed loop untouched)
@@ -512,62 +527,91 @@ object Dedup {
       org.apache.spark.sql.types.LongType &&
       pairs.schema(bCol).dataType == org.apache.spark.sql.types.LongType
     if (smallGraphEdges > 0 && integralIds) {
-      val edgeCount = edges.count()
-      if (edgeCount <= smallGraphEdges) {
-        val nodeCount = nodes.count()
-        if (nodeCount <= smallGraphEdges) {
-          // Null ids: a null endpoint never survives edge
-          // canonicalization (greatest/least return the non-null side,
-          // so u === v and the row is filtered), but a null NODE does
-          // reach `nodes` and the distributed path self-labels it
-          // (null fails the anti-join equi-condition, so it lands in
-          // `roots` as (null, null)). Mirror that here instead of
-          // letting getLong throw.
-          val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-          val nsRaw = nodes.collect()
-          val hasNullNode = nsRaw.exists(_.isNullAt(0))
-          val ns = nsRaw.filterNot(_.isNullAt(0)).map(_.getLong(0))
-          val parent = new java.util.HashMap[Long, Long]()
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.getOrDefault(r, r) != r)
-              r = parent.getOrDefault(r, r)
-            var c = x
-            while (parent.getOrDefault(c, c) != c) { // path compression
-              val nxt = parent.getOrDefault(c, c)
-              parent.put(c, r); c = nxt
-            }
-            r
+      // Round 17: ONE bounded take over the RAW pair list replaces the
+      // previous probe (materialize nodes + edges, two counts, two
+      // collects — 6 jobs). take(bound+1) stops scanning as soon as
+      // the bound is provably exceeded, so the big-graph case pays one
+      // partial limit scan before the distributed loop, and the
+      // small-graph case never materializes nodes/edges at all —
+      // canonicalization, distinct and the node set all happen inside
+      // the union-find below. Gating on raw pairs (instead of distinct
+      // edges AND nodes separately) only changes WHICH path runs for
+      // graphs whose duplicate pairs collapse under the bound — label
+      // bit-equality across the seam stays spec-pinned
+      // (DedupStressSpec), and the raw bound keeps driver memory
+      // strictly tighter than the old two-sided bound.
+      val bound = math.min(smallGraphEdges, (Int.MaxValue - 2).toLong).toInt
+      val raw = pairs.select(col(aCol), col(bCol)).take(bound + 1)
+      if (raw.length <= bound) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r)
+            r = parent.getOrDefault(r, r)
+          var c = x
+          while (parent.getOrDefault(c, c) != c) { // path compression
+            val nxt = parent.getOrDefault(c, c)
+            parent.put(c, r); c = nxt
           }
-          es.foreach { case (u, v) =>
-            val (ru, rv) = (find(u), find(v))
-            if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
-          }
-          // min id per component = the representative the distributed
-          // fixed point converges to (roots chase to the min because
-          // unions always point larger roots at smaller ones).
-          // Union-by-rank is INTENTIONALLY excluded: the min-id
-          // representative invariant depends on always pointing the
-          // larger root under the smaller one — a rank-based swap
-          // would silently pick a non-min representative. At the 100k
-          // bound the worst-case chain cost is microseconds and path
-          // compression amortizes it.
-          val labeled = ns.map(n => org.apache.spark.sql.Row(n, find(n)))
-          val out = if (hasNullNode) labeled :+
-            org.apache.spark.sql.Row(null, null) else labeled
-          val schema = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("doc_id",
-              org.apache.spark.sql.types.LongType, nullable = hasNullNode),
-            org.apache.spark.sql.types.StructField("cluster_id",
-              org.apache.spark.sql.types.LongType, nullable = hasNullNode)))
-          val spark = pairs.sparkSession
-          return (spark.createDataFrame(
-            spark.sparkContext.parallelize(out.toSeq,
-              math.max(1, math.min(32, out.length / 2000 + 1))),
-            schema), 0)
+          r
         }
+        // Null ids: a null endpoint never survives edge
+        // canonicalization (greatest/least return the non-null side,
+        // so u === v and the row is filtered), but a null NODE does
+        // reach the node set and the distributed path self-labels it
+        // (null fails the anti-join equi-condition, so it lands in
+        // `roots` as (null, null)). Mirror that here.
+        val nodeSet = new java.util.TreeSet[java.lang.Long]()
+        var hasNullNode = false
+        raw.foreach { r =>
+          val aN = r.isNullAt(0); val bN = r.isNullAt(1)
+          if (aN || bN) hasNullNode = true
+          if (!aN) nodeSet.add(r.getLong(0))
+          if (!bN) nodeSet.add(r.getLong(1))
+          if (!aN && !bN) {
+            val a = r.getLong(0); val b = r.getLong(1)
+            if (a != b) {
+              val ru = find(math.max(a, b)); val rv = find(math.min(a, b))
+              // min id per component = the representative the
+              // distributed fixed point converges to (roots chase to
+              // the min because unions always point larger roots at
+              // smaller ones). Union-by-rank is INTENTIONALLY
+              // excluded: the min-id representative invariant depends
+              // on always pointing the larger root under the smaller
+              // one — a rank-based swap would silently pick a non-min
+              // representative. At the 100k bound the worst-case chain
+              // cost is microseconds and path compression amortizes it.
+              if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+            }
+          }
+        }
+        val labeled = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        val it = nodeSet.iterator()
+        while (it.hasNext) {
+          val n: Long = it.next()
+          labeled += org.apache.spark.sql.Row(n, find(n))
+        }
+        if (hasNullNode) labeled += org.apache.spark.sql.Row(null, null)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = hasNullNode),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType, nullable = hasNullNode)))
+        val spark = pairs.sparkSession
+        return (spark.createDataFrame(
+          spark.sparkContext.parallelize(labeled.toSeq,
+            math.max(1, math.min(32, labeled.length / 2000 + 1))),
+          schema), 0)
       }
     }
+
+    val nodes = persist(pairs.select(col(aCol).as("n"))
+      .union(pairs.select(col(bCol).as("n"))).distinct())
+    var edges = persist(pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
 
     // large-star: u's neighbors > u each link to min(closed nbhd of u).
     // Output stays canonical: v > u in sym, and m <= u < v.
@@ -809,7 +853,7 @@ object Dedup {
                             maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sets = persist(docs.select(col(idCol).as("doc_id"),
-      array_sort(array_distinct(shingleHashes(col(textCol)))).as("ngs")))
+      graft.functions.ShingleSet.sorted(col(textCol)).as("ngs")))
     val inverted = sets.select(col("doc_id"), size(col("ngs")).as("sz"),
       explode(col("ngs")).as("ng"))
     val dfs = inverted.groupBy("ng").agg(count(lit(1)).as("df"))

@@ -39,12 +39,84 @@ class DedupStressSpec extends SparkFunSuite {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .union(corpus.limit(200)) // mixed real + synthetic shapes
-      .union(Seq((9000001L, ""), (9000002L, "ab"), (9000003L, "exact"))
+      .union(Seq((9000001L, ""), (9000002L, "ab"), (9000003L, "exact"),
+        // multi-byte UTF-8 edges: the r17 byte-offset walk must agree
+        // with the char-indexed substringSQL form on 2/3/4-byte chars
+        (9000004L, "héllo wörld ßtraße"), (9000005L, "中文分词测试句子"),
+        (9000006L, "mixé中ab🙂x yz🙂🙂"), (9000007L, "éé"))
         .toDF("doc_id", "text")) // shorter-than-shingle edges
     val both = docs.select(
       graft.functions.MinHash128.signature(col("text")).as("fused"),
       Dedup.minhashSignature(Dedup.shingleHashes(col("text"))).as("ref"))
     assert(both.filter(col("fused") =!= col("ref")).count() == 0)
+  }
+
+  test("fused ShingleSet kernel is bit-identical to " +
+      "array_sort(array_distinct(shingleHashes)) — incl. multi-byte UTF-8") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .union(corpus.limit(200))
+      .union(Seq((9000001L, ""), (9000002L, "ab"), (9000003L, "exact"),
+        (9000004L, "héllo wörld ßtraße"), (9000005L, "中文分词测试句子"),
+        (9000006L, "mixé中ab🙂x yz🙂🙂"), (9000007L, "éé"),
+        (9000008L, "aaaaaaaaaaaaaaaa")) // duplicate shingles collapse
+        .toDF("doc_id", "text"))
+    val both = docs.select(
+      graft.functions.ShingleSet.sorted(col("text")).as("fused"),
+      array_sort(array_distinct(Dedup.shingleHashes(col("text")))).as("ref"))
+    assert(both.filter(col("fused") =!= col("ref")).count() == 0)
+  }
+
+  test("sigAgreeCount kernel agrees with the declarative zip_with " +
+      "estimate at the filter seam (exact for every keepable pair)") {
+    val t = 0.5; val need = math.ceil(t * 128 - 1e-9).toLong
+    val sigs = DedupQueries.corpus(spark, sf).limit(300)
+      .select(col("doc_id"),
+        graft.functions.MinHash128.signature(col("text")).as("sig"))
+      .localCheckpoint(eager = true)
+    val both = sigs.as("l").join(sigs.as("r"),
+        col("l.doc_id") < col("r.doc_id"))
+      .select(
+        graft.functions.SetOps.sigAgreeCount(col("l.sig"), col("r.sig"),
+          lit(need)).as("kern"),
+        aggregate(zip_with(col("l.sig"), col("r.sig"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("long").as("decl"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (kern, decl) = (r.getLong(0), r.getLong(1))
+      // same verdict on both sides of the threshold...
+      assert((kern >= need) == (decl >= need))
+      // ...and the exact count whenever the filter could keep the row
+      if (decl >= need) assert(kern == decl)
+    }
+  }
+
+  test("thresholded editDistancePairs is row-identical to the unbounded form") {
+    // the r17 swap to levenshtein(a, b, maxDist) must keep every pair
+    // the old filter(dist <= maxDist) kept, with the same exact dist
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .union(Seq( // planted block-mates: within, at, and beyond maxDist
+        (8000001L, "prefixab hello world from the fuzzy dedup spec"),
+        (8000002L, "prefixab hello w0rld from the fuzzy dedup spec"),
+        (8000003L, "prefixab hello world from the fuzzy dedup spev"),
+        (8000004L, "prefixab zzz qqq entirely different tail text here"))
+        .toDF("doc_id", "text"))
+    val bounded = Dedup.editDistancePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val p = docs.select(col("doc_id"),
+        substring(lower(trim(col("text"))), 1, 64).as("pre"))
+      .withColumn("blk", substring(col("pre"), 1, 8))
+    val unbounded = p.as("a").join(p.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.pre"), col("b.pre")).cast("long").as("dist"))
+      .filter(col("dist") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bounded == unbounded)
+    assert(bounded.nonEmpty) // a vacuous equality proves nothing
   }
 
   test("incremental minhashPairsAgainst agrees with the symmetric operator") {
