@@ -153,7 +153,12 @@ object DedupQueries {
     // oracle reproduces decisions bit-identically (no ln/pow).
     "sample_weighted" -> Q { (s, d) =>
       import graft.functions.{TextFunctions => T}
-      val base = Tables.documents(s, d).select(
+      // spread + checkpoint (r17): the weight-gate filter otherwise
+      // collapses into the single-row-group scan task and evaluates
+      // the count-regex tree serially there, twice (once for the
+      // filter, once for the projected quality). The checkpointed rows
+      // are (doc_id, quality) — tiny.
+      val base = Tables.spread(Tables.documents(s, d)).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         T.alphaCount(col("text")).as("n_alpha"),
@@ -164,6 +169,7 @@ object DedupQueries {
         T.ratio(col("n_alpha"), col("n_chars")),
         T.ratio(col("n_chars") - col("n_ws"), col("n_tokens")),
         T.ratio(col("n_stop"), col("n_tokens"))).as("quality"))
+        .localCheckpoint(true)
       graft.operators.Sampling.weightedSample(
           scored, col("doc_id"), col("quality"), 1.0, seed = 7L, portable = true)
         .orderBy("doc_id")

@@ -189,7 +189,9 @@ object EtlQueries {
     // DECIMAL (raw double rendering is not cross-engine portable); the
     // HLL sketch family is the documented 100 TB distinct swap-in.
     "q_profile" -> Q { (s, d) =>
-      graft.operators.Profiler.profile(Tables.orders(s, d), Seq(
+      // spread: the Expand×6 multi-distinct aggregation otherwise eats
+      // the whole table through one scan task (r17; identity at scale)
+      graft.operators.Profiler.profile(Tables.spread(Tables.orders(s, d)), Seq(
         "o_orderkey" -> col("o_orderkey"),
         "o_custkey" -> col("o_custkey"),
         "o_orderstatus" -> col("o_orderstatus"),

@@ -37,7 +37,9 @@ object OlapQueries {
     // partial aggregation for free: at 100 TB only (flag,status) pairs
     // cross the shuffle, not rows.
     "q1_pricing_summary" -> Q { (s, d) =>
-      Tables.lineitem(s, d)
+      // spread: the 8 decimal aggregates otherwise run serially in the
+      // single-row-group scan task (r17; identity at scale)
+      Tables.spread(Tables.lineitem(s, d))
         .filter(col("l_shipdate") <= lit("2000-12-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(

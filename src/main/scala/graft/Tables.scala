@@ -18,6 +18,81 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Round 17 (optimization, guide §2.5 "input skew — one huge
+    * unsplittable file"): a parquet ROW GROUP is the unit of scan
+    * parallelism, and the driver-generated test tables are each ONE
+    * row group — so every scan stage runs on a single task no matter
+    * how small `maxPartitionBytes` is set, serializing all scan-side
+    * expression work (regex counts, shingle kernels, decimal casts) on
+    * one core of 32. Job-level receipt: q1's main job ran at
+    * parallelism ~1.7 (wall 0.97 s vs 1.67 s summed task time).
+    *
+    * [[spread]] is the guide's remedy — "repartition immediately after
+    * the read" — applied SELECTIVELY at the operators whose downstream
+    * per-row work dominates the exchange cost (signature kernels,
+    * regex counting, profiling aggregates); a blanket spread in
+    * [[apply]] measurably regressed light scan→agg queries
+    * (dedup_exact 0.67 → 0.82 s), so each call site is an explicit,
+    * measured decision. Scale-adaptive by construction: the decision
+    * derives from the source files' own footers (row-group count +
+    * byte size, bounded driver-side metadata reads cached per path),
+    * so a production table — many files, many row groups — passes
+    * through untouched and no exchange is added. The partition count
+    * derives from bytes/64 KB clamped to [2, defaultParallelism],
+    * never a hard-coded cluster constant. Filters and column pruning
+    * still reach the scan (Catalyst pushes both through Repartition;
+    * plan receipts in plans/r17). Round-robin placement is
+    * deterministic under retries (sortBeforeRepartition, on by
+    * default since SPARK-23207) and every gate is hash-checked over
+    * the spread path at sf0.01/sf0.1.
+    */
+  val SpreadPartitionsKey = "graft.input.spreadPartitions"
+  val SpreadMinBytesKey = "graft.input.spreadMinBytes"
+  val SpreadMaxBytesKey = "graft.input.spreadMaxBytes"
+  private val DefaultSpreadMinBytes = 16L << 10
+  private val DefaultSpreadMaxBytes = 256L << 20
+  private val SpreadTargetBytesPerPartition = 64L << 10
+
+  /** (row groups, bytes) summed over files — footer metadata, cached. */
+  private val layoutCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Long)]
+
+  /** Repartition `df` for parallel downstream expression work iff its
+    * source files are under-split (fewer row groups than the session's
+    * parallelism) and small enough that the exchange is trivially
+    * cheap. Identity otherwise — including on every realistically
+    * sized production table.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val files = df.inputFiles
+    if (files.isEmpty) return df
+    val cores = spark.sparkContext.defaultParallelism
+    val cap = spark.conf.getOption(SpreadPartitionsKey).map(_.toInt)
+      .orElse(sys.env.get("GRAFT_SPREAD_PARTITIONS").map(_.toInt))
+      .getOrElse(cores)
+    if (cap <= 1) return df
+    val minB = spark.conf.getOption(SpreadMinBytesKey).map(_.toLong)
+      .getOrElse(DefaultSpreadMinBytes)
+    val maxB = spark.conf.getOption(SpreadMaxBytesKey).map(_.toLong)
+      .getOrElse(DefaultSpreadMaxBytes)
+    val key = files.sorted.mkString(";")
+    val (rowGroups, bytes) = layoutCache.getOrElseUpdate(key, {
+      val conf = spark.sessionState.newHadoopConf()
+      files.foldLeft((0, 0L)) { case ((rg, b), f) =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val len = p.getFileSystem(conf).getFileStatus(p).getLen
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try (rg + reader.getRowGroups.size, b + len) finally reader.close()
+      }
+    })
+    val n = math.min(cap.toLong,
+      math.max(2L, bytes / SpreadTargetBytesPerPartition)).toInt
+    if (rowGroups < n && bytes >= minB && bytes <= maxB) df.repartition(n)
+    else df
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")

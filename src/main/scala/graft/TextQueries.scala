@@ -15,6 +15,14 @@ object TextQueries {
 
   private def Q(f: (SparkSession, String) => DataFrame) = f
 
+  /** documents read for the kernel-dense text gates: spread under-split
+    * single-row-group inputs so regex/tokenize/shingle expression work
+    * parallelizes past the one scan task (r17, guide §2.5; identity on
+    * any realistically-split source — see Tables.spread).
+    */
+  private def docsIn(s: SparkSession, d: String) =
+    Tables.spread(Tables.documents(s, d))
+
   /** Corpus-LEARNED BPE merges, memoized per data dir (the ivfModel
     * pattern: the gate's query run and the oracle build must see the
     * identical table; training is deterministic anyway — count desc,
@@ -25,7 +33,7 @@ object TextQueries {
   private[graft] def bpeTrainedMerges(s: SparkSession,
                                       d: String): Seq[(String, String)] =
     bpeTrainedTables.getOrElseUpdate(d,
-      graft.functions.Bpe.train(Tables.documents(s, d), "text", 48))
+      graft.functions.Bpe.train(docsIn(s, d), "text", 48))
 
   /** Fixed needle list for C47 `text_multisearch` (CH
     * multiSearchFirstIndex / multiSearchAny) — list ORDER is part of
@@ -114,7 +122,7 @@ object TextQueries {
       // array_min over (pos, idx) structs of the HITS: smallest
       // position wins, earlier needle on ties — a total order
       val hits = filter(array(pos: _*), e => e.getField("pos") > 0L)
-      Tables.documents(s, d).select(
+      docsIn(s, d).select(
           col("doc_id"),
           size(filter(array(MultiNeedles.map(p =>
             locate(p, t).cast("long")): _*), x => x > 0L)).cast("long")
@@ -138,7 +146,7 @@ object TextQueries {
     // AND ran interpreted (the round-14 weak flag, 11 s at sf0.1);
     // the kernel is the MinHash128 fused-pass precedent.
     "text_ngram_sim" -> Q { (s, d) =>
-      Tables.documents(s, d)
+      docsIn(s, d)
         .select(col("doc_id"),
           graft.functions.NgramSim.counts(col("text"), NgramQuerySet)
             .as("nc"))
@@ -202,7 +210,7 @@ object TextQueries {
     "text_bpe_trained" -> Q { (s, d) =>
       val merges = bpeTrainedMerges(s, d)
       val t = lower(trim(col("text")))
-      Tables.documents(s, d)
+      docsIn(s, d)
         .where(length(t) > 0)
         .select(col("doc_id"),
           graft.functions.Bpe.tokenCount(col("text"), merges).as("n_bpe"))
@@ -211,7 +219,7 @@ object TextQueries {
 
     // C8: token / char / BPE-ish unit counting.
     "text_tokens" -> Q { (s, d) =>
-      Tables.documents(s, d).select(
+      docsIn(s, d).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         T.tokenCount(col("text")).as("n_tokens"),
@@ -229,7 +237,7 @@ object TextQueries {
     // replay bit-exactly. One scan, no shuffle.
     "text_readability" -> Q { (s, d) =>
       val t = lower(trim(col("text")))
-      Tables.documents(s, d)
+      docsIn(s, d)
         .where(length(t) > 0)
         .select(col("doc_id"),
           size(split(t, "\\s+")).cast("long").as("n_words"),
@@ -255,7 +263,7 @@ object TextQueries {
 
     // C9: quality scoring from length/alpha/punct/stopword ratios.
     "text_quality" -> Q { (s, d) =>
-      val base = Tables.documents(s, d).select(
+      val base = docsIn(s, d).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         T.alphaCount(col("text")).as("n_alpha"),
@@ -278,7 +286,7 @@ object TextQueries {
 
     // C10: stopword-scoring language ID with deterministic tie-break.
     "text_langid" -> Q { (s, d) =>
-      val scored = Tables.documents(s, d).select(
+      val scored = docsIn(s, d).select(
         col("doc_id") +: T.stopwords.map { case (lang, words) =>
           T.stopwordHits(col("text"), words).as(s"s_$lang")
         }: _*)
@@ -296,6 +304,8 @@ object TextQueries {
     // DuckDB reimplementation (hex-decoded UTF-8 bytes folded with
     // list_reduce in HUGEINT, mod 2^64).
     "text_fingerprint" -> Q { (s, d) =>
+      // unspread: one FNV pass per row is cheaper than the exchange
+      // (measured +0.07 s under spread — the one light text gate)
       Tables.documents(s, d).select(
         col("doc_id"),
         Fnv1a64.fingerprint(col("text")).as("fp64"))
@@ -315,7 +325,7 @@ object TextQueries {
           transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
           .otherwise(typedlit(Seq.empty[String]))
       }
-      Tables.documents(s, d)
+      docsIn(s, d)
         .select(explode(grams).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("gram"))
@@ -330,8 +340,14 @@ object TextQueries {
     // the text; everything before it is codegen'd column math in the
     // scan stage; the sample filter is a pure function of doc_id.
     "pipeline_clean" -> Q { (s, d) =>
+      // materialize the scored projection (r17): the quality filter
+      // otherwise pushes through the spread exchange to the scan task,
+      // evaluating the whole scrub-regex tree serially there (and a
+      // second time above for the projection). The checkpoint is a
+      // plan barrier: scrub runs once, parallel, post-exchange; the
+      // stored rows are (doc_id, n_tokens, quality, h) - tiny.
       val scored = graft.operators.CleanPipeline.scored(
-        Tables.documents(s, d).select("doc_id", "text"))
+        docsIn(s, d).select("doc_id", "text")).localCheckpoint(true)
       val w = Window.partitionBy("h").orderBy("doc_id")
       val deduped = scored
         .filter(col("quality") >= 0.3)
@@ -350,7 +366,7 @@ object TextQueries {
     // STRINGS, so the hash-bucketed operator is also proven collision-
     // free on this corpus.
     "text_contaminate" -> Q { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = docsIn(s, d)
       val eval = docs.where(col("doc_id") % 7 === 0)
       val train = docs.where(col("doc_id") % 7 =!= 0)
       graft.operators.Contamination.report(train, eval, "doc_id", "text", 5)
@@ -373,7 +389,7 @@ object TextQueries {
     // integer cross-multiplications. Pure codegen scan, zero shuffle.
     "text_gopher_rules" -> Q { (s, d) =>
       graft.operators.QualityRules.ruleFlags(
-          Tables.documents(s, d), "doc_id", "text")
+          docsIn(s, d), "doc_id", "text")
         .orderBy("doc_id")
     },
 
@@ -446,7 +462,7 @@ object TextQueries {
     // lowest-rank merge per recursion step — the exact kernel loop.
     "text_bpe_tokens" -> Q { (s, d) =>
       val t = lower(trim(col("text")))
-      Tables.documents(s, d)
+      docsIn(s, d)
         .where(length(t) > 0)
         .select(col("doc_id"),
           size(split(t, "\\s+")).cast("long").as("n_words"),
@@ -460,7 +476,7 @@ object TextQueries {
     // model actually consumes. The oracle composes the BPE recursive
     // CTE with the packing prefix-sum SQL.
     "pack_sequences_bpe" -> Q { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = docsIn(s, d)
         .select(col("doc_id"),
           graft.functions.Bpe.tokenCount(col("text")).as("n_bpe"))
       graft.operators.SequencePacker.pack(docs, "doc_id", "n_bpe", 32, 2048)
@@ -472,7 +488,7 @@ object TextQueries {
     // tokens of context. Pure executor-side array work in the scan
     // stage, zero shuffle.
     "docs_chunk" -> Q { (s, d) =>
-      graft.operators.Chunker.chunk(Tables.documents(s, d),
+      graft.operators.Chunker.chunk(docsIn(s, d),
           "doc_id", "text", 64, 16)
         .orderBy("doc_id", "chunk_id")
     },
@@ -495,7 +511,7 @@ object TextQueries {
     // every instance — counts AND the rewritten text are gated.
     "text_pii_scrub" -> Q { (s, d) =>
       val P = graft.operators.PiiScrub
-      val planted = Tables.documents(s, d).select(col("doc_id"), concat(
+      val planted = docsIn(s, d).select(col("doc_id"), concat(
         col("text"),
         when(col("doc_id") % 3 === 0,
           concat(lit(" contact user"), col("doc_id").cast("string"),
@@ -640,7 +656,7 @@ object TextQueries {
     // shuffles.
     "text_dsir" -> Q { (s, d) =>
       val scored = graft.operators.Dsir.scores(
-        Tables.documents(s, d), "doc_id", "text",
+        docsIn(s, d), "doc_id", "text",
         col("lang") === "en", seed = 7L, nBuckets = 4096)
       graft.operators.Dsir.selectTopK(scored, "doc_id", 50)
     }

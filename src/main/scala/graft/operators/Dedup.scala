@@ -384,7 +384,7 @@ object Dedup {
     // signatures for the candidate stage, sorted gram sets for the
     // exact verify; separately they each re-read and re-parsed the
     // text), materialized together; the selects below hit the blocks
-    val both = persist(docs.select(col(idCol).as("doc_id"),
+    val both = persist(graft.Tables.spread(docs).select(col(idCol).as("doc_id"),
       graft.functions.MinHash128.signature(col(textCol)).as("sig"),
       graft.functions.ShingleSet.sorted(col(textCol)).as("ngs")))
     val cand = minhashPairsFromSigs(both.select("doc_id", "sig"), threshold,
@@ -413,7 +413,10 @@ object Dedup {
     * at 100 TB this table is what survives between pipeline runs).
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    // spread under-split inputs first: the fused kernel otherwise runs
+    // inside the (single-row-group) scan task — serial on one core
+    // (r17; identity on any realistically-split source)
+    graft.Tables.spread(docs).select(col(idCol).as("doc_id"),
       graft.functions.MinHash128.signature(col(textCol)).as("sig"))
 
   /** INCREMENTAL near-dup candidates: new documents against a
@@ -852,7 +855,7 @@ object Dedup {
                             persist: Persist, strategy: String,
                             maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = persist(docs.select(col(idCol).as("doc_id"),
+    val sets = persist(graft.Tables.spread(docs).select(col(idCol).as("doc_id"),
       graft.functions.ShingleSet.sorted(col(textCol)).as("ngs")))
     val inverted = sets.select(col("doc_id"), size(col("ngs")).as("sz"),
       explode(col("ngs")).as("ng"))

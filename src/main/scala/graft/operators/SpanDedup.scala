@@ -38,7 +38,7 @@ object SpanDedup {
     */
   def report(docs: DataFrame, idCol: String, textCol: String, w: Int,
              persist: Dedup.Persist = Dedup.localPersist): DataFrame = {
-    val pairs = persist(docs
+    val pairs = persist(graft.Tables.spread(docs)
       .select(col(idCol),
         explode(Contamination.wordShingles(col(textCol), w)).as("_win"))
       .select(col(idCol), xxhash64(col("_win")).as("_wh")))
@@ -118,7 +118,10 @@ object SpanDedup {
   /** Whitespace tokenization shared by [[scrub]] and [[runs]]. */
   private def tokenized(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame =
-    docs.select(col(idCol),
+    // spread under-split inputs: tokenize + window-hash otherwise run
+    // serially inside the single-row-group scan task (r17; identity on
+    // any realistically-split source)
+    graft.Tables.spread(docs).select(col(idCol),
         split(lower(trim(col(textCol))), "\\s+").as("_tk"))
       .filter(length(trim(col(textCol))) > 0)
 
