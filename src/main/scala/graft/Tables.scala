@@ -76,16 +76,31 @@ object Tables {
       .getOrElse(DefaultSpreadMinBytes)
     val maxB = spark.conf.getOption(SpreadMaxBytesKey).map(_.toLong)
       .getOrElse(DefaultSpreadMaxBytes)
-    val key = files.sorted.mkString(";")
+    // bounded cache key (hash of the file list, not the multi-MB list
+    // itself) INCLUDING the decision confs, so a partial early-exited
+    // scan is only ever reused under the confs it was valid for
+    // (ADVICE r17)
+    val key = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      files.sorted.foreach(f => md.update(f.getBytes("UTF-8")))
+      java.util.Base64.getEncoder.encodeToString(md.digest()) + s":$cap:$maxB"
+    }
     val (rowGroups, bytes) = layoutCache.getOrElseUpdate(key, {
       val conf = spark.sessionState.newHadoopConf()
-      files.foldLeft((0, 0L)) { case ((rg, b), f) =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val len = p.getFileSystem(conf).getFileStatus(p).getLen
+      // early exit (ADVICE r17): once rg >= cap or b > maxB the
+      // decision is identity whatever the remaining files hold, so a
+      // many-file production table costs O(few) footer reads, not
+      // O(#files)
+      var rg = 0; var b = 0L
+      val it = files.iterator
+      while (it.hasNext && rg < cap && b <= maxB) {
+        val p = new org.apache.hadoop.fs.Path(it.next())
+        b += p.getFileSystem(conf).getFileStatus(p).getLen
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-        try (rg + reader.getRowGroups.size, b + len) finally reader.close()
+        try rg += reader.getRowGroups.size finally reader.close()
       }
+      (rg, b)
     })
     val n = math.min(cap.toLong,
       math.max(2L, bytes / SpreadTargetBytesPerPartition)).toInt

@@ -174,6 +174,174 @@ case class SqDistExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd PREFIX squared-L2 — ||a[0..m) − b[0..m)||² without the
+  * per-pair `slice` allocations (round 18): bit-identical to
+  * `sqDist(slice(a, 1, m), slice(b, 1, m))` (slice truncates at the
+  * array end; sqDist then nulls on a length mismatch and folds dd²
+  * left-to-right), but the loop reads the input arrays directly —
+  * on an n×p candidate sweep that removes two array materializations
+  * per pair.
+  */
+case class PrefixSqDistExpr(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "prefix_sq_dist"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+        if (m >= 0) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"prefix length must be >= 0, got $m")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"prefix_sq_dist requires two array<float|double> inputs, got $l / $r")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = math.min(m, a.numElements())
+    val nb = math.min(m, b.numElements())
+    if (na != nb) return null
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      val dd = x - y
+      acc += dd * dd
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("dd")
+      s"""
+         |int $na = java.lang.Math.min($m, $a.numElements());
+         |int $nb = java.lang.Math.min($m, $b.numElements());
+         |if ($na != $nb) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $na; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $dd = (double) $a.$lGet($i) - (double) $b.$rGet($i);
+         |    $acc += $dd * $dd;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PrefixSqDistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd SQ8 asymmetric distance (round 18) — the fused form of
+  * `sqDist(probe, reconstruct(codes, model))`: per element,
+  * recon = mins(i) + ((double) code + 0.5) * widths(i), then the
+  * sqDist fold dd = x − recon, acc += dd·dd, left to right. Each IEEE
+  * operation is performed in the same order as the declarative
+  * `transform` + sqDist pair it replaces, so every distance (and every
+  * rank decision downstream) is bit-identical — but the per-candidate
+  * reconstruction array and its two interpreted lambda walks are gone.
+  *
+  * NULL contract mirrors the composition: null arrays or elements →
+  * NULL; a probe/codes length mismatch → NULL (sqDist's rule); a code
+  * index past the trained dims → NULL (element_at out of range).
+  */
+case class SqAdcDistExpr(left: Expression, right: Expression,
+                         mins: Array[Double], widths: Array[Double])
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq_adc_dist"
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if (lt == FloatType || lt == DoubleType) && rt == IntegerType =>
+        if (mins.length == widths.length) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"sq_adc_dist model arrays disagree: ${mins.length} mins vs ${widths.length} widths")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sq_adc_dist requires (array<float|double>, array<int>), got $l / $r")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val c = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != c.numElements() || n > mins.length) return null
+    val lf = isFloat
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || c.isNullAt(i)) return null
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val recon = mins(i) + (c.getInt(i).toDouble + 0.5) * widths(i)
+      val dd = x - recon
+      acc += dd * dd
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val mn = ctx.addReferenceObj("mins", mins, "double[]")
+    val w = ctx.addReferenceObj("widths", widths, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, c) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val recon = ctx.freshName("recon")
+      val dd = ctx.freshName("dd")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $c.numElements() || $n > $mn.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $c.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $recon = $mn[$i] + (((double) $c.getInt($i)) + 0.5) * $w[$i];
+         |    double $dd = (double) $a.$get($i) - $recon;
+         |    $acc += $dd * $dd;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqAdcDistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 
@@ -552,6 +720,22 @@ object VectorOps {
   /** ||a - b||²: fused codegen kernel, bit-identical to the HOF fold. */
   def sqDist(a: Column, b: Column): Column =
     graftShim.column(SqDistExpr(graftShim.expression(a), graftShim.expression(b)))
+
+  /** ||a[0..m) - b[0..m)||² without the slice allocations —
+    * bit-identical to `sqDist(slice(a,1,m), slice(b,1,m))` (round 18).
+    */
+  def prefixSqDist(a: Column, b: Column, m: Int): Column =
+    graftShim.column(PrefixSqDistExpr(
+      graftShim.expression(a), graftShim.expression(b), m))
+
+  /** SQ8 asymmetric distance — fused `sqDist(probe,
+    * reconstruct(codes))`, every IEEE op in the same order (round 18).
+    */
+  def sqAdcDist(probe: Column, codes: Column,
+                mins: Array[Double], widths: Array[Double]): Column =
+    graftShim.column(SqAdcDistExpr(
+      graftShim.expression(probe), graftShim.expression(codes),
+      mins, widths))
 
   /** Distances to every row of a constant centroid matrix, as one
     * array<double> — the k-scalable form of `array(sqDist(v, c_j)…)`.

@@ -118,6 +118,15 @@ object Dedup {
     */
   val DefaultMaxCandidates: Long = 300000000L
 
+  /** Vocabulary-size ceiling for the dense-bitset verify of the
+    * all-pairs sweep (round 18): past 2¹⁶ distinct grams the collected
+    * vocabulary / per-doc bitset (8 KB at the cap) stops being "bounded
+    * driver metadata", and an OPEN vocabulary regime is exactly where
+    * `auto` picks prefix filtering instead — the bitset only ever
+    * fires where the sweep already won on cost.
+    */
+  val MaxBitmapVocab: Long = 1L << 16
+
   /** The `auto` probe's three-way verdict, as a pure function the
     * regime spec pins: compare the prefix join's enumeration estimate
     * (Σ dfp² ≈ (1-t)²·Σ df² unordered, Σ dfp·df ≈ (1-t)·Σ df²
@@ -870,16 +879,23 @@ object Dedup {
     }
     lazy val setBytes = setStats._1 * 32L + setStats._2 * 8L
 
+    // (Σ df², |vocab|) in ONE bounded action off the dfs agg the
+    // prefix plan needs anyway — Σ df² drives the auto strategy probe,
+    // |vocab| the dense-bitmap verify decision (round 18).
+    // coalesce: sum over an EMPTY corpus is NULL — getDouble would
+    // throw instead of returning an empty pair set (ADVICE r9)
+    lazy val dfStats: (Double, Long) = {
+      val r = dfs.agg(coalesce(
+          sum(col("df").cast("double") * col("df")), lit(0.0)),
+        count(lit(1))).head()
+      (r.getDouble(0), r.getLong(1))
+    }
+
     val resolved = strategy match {
       case "allpairs" | "prefix" | "lsh" => strategy
       case "auto" =>
         val n = setStats._1.toDouble
-        // coalesce: sum over an EMPTY corpus is NULL — getDouble would
-        // throw instead of returning an empty pair set (ADVICE r9)
-        val sumDf2 = dfs.agg(coalesce(
-            sum(col("df").cast("double") * col("df")), lit(0.0)))
-          .head().getDouble(0)
-        chooseCandidateStrategy(n, sumDf2, threshold, ordered, maxCandidates)
+        chooseCandidateStrategy(n, dfStats._1, threshold, ordered, maxCandidates)
       case other => throw new IllegalArgumentException(
         s"unknown candidate strategy '$other' (auto|prefix|allpairs|lsh)")
     }
@@ -898,8 +914,42 @@ object Dedup {
       else least(sa, sb) >= floor(lit(threshold) * greatest(sa, sb))
     def idCond(a: Column, b: Column): Column =
       if (ordered) a =!= b else a < b
+    // overlap the caller's threshold requires, floor'd down so the
+    // double product's last-ulp error can only send a borderline pair
+    // through full (exact) verification
+    def needOf(szA: Column, szB: Column): Column =
+      if (ordered) floor(lit(threshold) * szA).cast("long")
+      else floor(lit(threshold / (1.0 + threshold)) *
+        (szA + szB).cast("double")).cast("long")
+    // sorted-merge verify of a candidate relation carrying ngs_a/ngs_b
+    // — the (doc_a, doc_b, szA, szB, icnt) shape all strategies share
+    def mergeVerify(withSets: DataFrame): DataFrame = {
+      val szA = size(col("ngs_a")); val szB = size(col("ngs_b"))
+      withSets.select(col("doc_a"), col("doc_b"),
+        szA.as("szA"), szB.as("szB"),
+        graft.functions.SetOps.sortedIntersectCount(
+          col("ngs_a"), col("ngs_b"), needOf(szA, szB)).as("icnt"))
+    }
 
-    val withSets: DataFrame =
+    // Dense-vocabulary bitset verify (round 18, guide §4): in the
+    // closed-vocabulary regime that makes `allpairs` win, the per-pair
+    // sorted-merge (O(|A|+|B|) branchy steps) is replaced by
+    // Σ popcount(a&b) over |V|/64 packed words — branch-free and
+    // allocation-free, with the broadcast side shrinking from |A|
+    // longs/doc to |V|/64 words/doc. Fires only when the bitset is no
+    // larger than the gram array it replaces (nWords <= avg set size)
+    // and the vocabulary is small enough to collect (bounded driver
+    // metadata, like the auto probe). Intersection counts are exact
+    // (bit j ⇔ vocab(j) ∈ set), so the emitted pairs are IDENTICAL.
+    val denseBitmapVerify = resolved == "allpairs" && {
+      val (nDocs, totGrams) = setStats
+      val avgSz = if (nDocs > 0) totGrams / nDocs else 0L
+      val vocabN = dfStats._2
+      val nWords = (vocabN + 63L) >>> 6
+      vocabN > 0 && vocabN <= MaxBitmapVocab && nWords <= avgSz
+    }
+
+    val scored: DataFrame =
       if (resolved == "allpairs") {
         // the sweep is a broadcast nested-loop join whose parallelism
         // is the LEFT side's partition count — a small corpus arrives
@@ -912,15 +962,35 @@ object Dedup {
         // quadratic opt-in
         val shufflePartitions =
           docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-        la.repartition(shufflePartitions).join(broadcast(rb),
-          idCond(col("doc_a"), col("doc_b")) &&
-            szFilter(size(col("ngs_a")), size(col("ngs_b"))))
+        if (denseBitmapVerify) {
+          val vocab = dfs.select(col("ng")).orderBy("ng")
+            .collect().map(_.getLong(0))
+          val bsets = sets.select(col("doc_id"), size(col("ngs")).as("sz"),
+            graft.functions.SetOps.vocabBitmap(col("ngs"), vocab).as("bm"))
+          val la2 = bsets.select(col("doc_id").as("doc_a"),
+            col("sz").as("sz_a"), col("bm").as("bm_a"))
+          val rb2 = bsets.select(col("doc_id").as("doc_b"),
+            col("sz").as("sz_b"), col("bm").as("bm_b"))
+          la2.repartition(shufflePartitions).join(broadcast(rb2),
+              idCond(col("doc_a"), col("doc_b")) &&
+                szFilter(col("sz_a"), col("sz_b")))
+            .select(col("doc_a"), col("doc_b"),
+              col("sz_a").as("szA"), col("sz_b").as("szB"),
+              graft.functions.SetOps.bitmapAndCount(col("bm_a"), col("bm_b"),
+                needOf(col("sz_a"), col("sz_b"))).as("icnt"))
+        } else {
+          val swept = la.repartition(shufflePartitions).join(broadcast(rb),
+            idCond(col("doc_a"), col("doc_b")) &&
+              szFilter(size(col("ngs_a")), size(col("ngs_b"))))
+          mergeVerify(swept)
+        }
       }
       else if (resolved == "lsh") {
         val cand = minhashPairs(docs, idCol, textCol, threshold,
             persist = persist, maxCandidates = maxCandidates)
           .select("doc_a", "doc_b")
-        sideJoin(sideJoin(cand, la, "doc_a", setBytes), rb, "doc_b", setBytes)
+        mergeVerify(
+          sideJoin(sideJoin(cand, la, "doc_a", setBytes), rb, "doc_b", setBytes))
       }
       else {
         // prefix bound: |A| - ceil(t*|A|) + 1. The epsilon keeps the
@@ -947,20 +1017,15 @@ object Dedup {
               idCond(col("l.doc_id"), col("r.rid")) &&
               szFilter(col("l.sz"), col("r.rsz")))
           .select(col("l.doc_id").as("doc_a"), col("r.rid").as("doc_b"))
-        sideJoin(sideJoin(pairs, la, "doc_a", setBytes), rb, "doc_b", setBytes)
+        mergeVerify(
+          sideJoin(sideJoin(pairs, la, "doc_a", setBytes), rb, "doc_b", setBytes))
       }
 
-    val szA = size(col("ngs_a")); val szB = size(col("ngs_b"))
-    val need =
-      if (ordered) floor(lit(threshold) * szA).cast("long")
-      else floor(lit(threshold / (1.0 + threshold)) *
-        (szA + szB).cast("double")).cast("long")
-    val icnt = graft.functions.SetOps.sortedIntersectCount(
-      col("ngs_a"), col("ngs_b"), need)
     val (scoreName, score) =
-      if (ordered) ("containment", icnt.cast("double") / szA)
-      else ("jaccard", icnt.cast("double") / (szA + szB - icnt))
-    withSets
+      if (ordered) ("containment", col("icnt").cast("double") / col("szA"))
+      else ("jaccard",
+        col("icnt").cast("double") / (col("szA") + col("szB") - col("icnt")))
+    scored
       .select(col("doc_a"), col("doc_b"), score.as(scoreName))
       .filter(col(scoreName) >= threshold)
       .dropDuplicates("doc_a", "doc_b")

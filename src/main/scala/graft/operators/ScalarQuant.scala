@@ -107,13 +107,18 @@ object ScalarQuant {
 
   /** Shared asymmetric-distance scoring + (ad2 asc, vec_id) ranking:
     * exact probe vs bucket-midpoint reconstruction, folded in the
-    * bit-exact SqDistExpr element order.
+    * bit-exact SqDistExpr element order. The fused [[
+    * graft.functions.SqAdcDistExpr]] kernel (round 18) performs the
+    * identical per-element recon + fold without materializing the
+    * reconstruction array per candidate (the interpreted `transform`
+    * lambda dominated the sweep at 10× scale) — distances, and so
+    * ranks, are bit-identical to sqDist ∘ [[reconstruct]].
     */
   private def rank(cand: DataFrame, model: SqModel, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     cand.select(col("probe_id"), col("vec_id"),
-        graft.functions.VectorOps.sqDist(col("_pv"),
-          reconstruct(col("codes"), model)).as("ad2"))
+        graft.functions.VectorOps.sqAdcDist(col("_pv"),
+          col("codes"), model.mins, model.widths).as("ad2"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("ad2").asc, col("vec_id"))))
       .filter(col("rk") <= k)
@@ -127,8 +132,12 @@ object ScalarQuant {
     */
   def topK(corpus: DataFrame, probes: DataFrame, model: SqModel, k: Int,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val coded = materializeIndex(corpus.select(col(idCol).as("vec_id"),
-      encode(col(vecCol), model).as("codes")))
+    // spread (round 18): the coded index inherits the scan's partition
+    // count through the checkpoint; an under-split corpus file would
+    // serialize the n×p ADC sweep onto one core. Identity at scale.
+    val coded = materializeIndex(graft.Tables.spread(corpus)
+      .select(col(idCol).as("vec_id"),
+        encode(col(vecCol), model).as("codes")))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("_pv"))
     rank(coded.join(broadcast(p), col("vec_id") =!= col("probe_id")), model, k)
   }
@@ -144,9 +153,10 @@ object ScalarQuant {
   def topKIvf(corpus: DataFrame, probes: DataFrame, ivf: IvfIndex.Model,
               model: SqModel, k: Int, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val coded = materializeIndex(corpus.select(col(idCol).as("vec_id"),
-      encode(col(vecCol), model).as("codes"),
-      IvfIndex.assignCell(col(vecCol), ivf).as("cell")))
+    val coded = materializeIndex(graft.Tables.spread(corpus)
+      .select(col(idCol).as("vec_id"),
+        encode(col(vecCol), model).as("codes"),
+        IvfIndex.assignCell(col(vecCol), ivf).as("cell")))
     val pc = probes.select(col(idCol).as("probe_id"),
       explode(IvfIndex.probeCells(col(vecCol), ivf, nProbe)).as("cell"))
     val pv = probes.select(col(idCol).as("probe_id"), col(vecCol).as("_pv"))

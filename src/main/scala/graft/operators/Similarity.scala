@@ -100,12 +100,18 @@ object Similarity {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     require(mrlDim >= 1, s"mrlDim must be >= 1, got $mrlDim")
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    // spread (round 18): the BNLJ sweep's parallelism is the corpus
+    // side's partition count; an under-split corpus file serializes
+    // the n×p prefix-distance pass onto one core (sf1 JobProfile:
+    // wall ≈ Σtask). Identity on any realistically-written table.
+    val c = graft.Tables.spread(corpus)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    // prefixSqDist (round 18): bit-identical to sqDist over the two
+    // slices, minus two array materializations per candidate pair
     val pre = c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        graft.functions.VectorOps.sqDist(
-          slice(col("probe_vec"), 1, mrlDim),
-          slice(col("vec"), 1, mrlDim)).as("pd2"))
+        graft.functions.VectorOps.prefixSqDist(
+          col("probe_vec"), col("vec"), mrlDim).as("pd2"))
     // TopK orders by (-score, id): score = −pd2 → pd2 asc, vec_id asc
     val sl = pre.groupBy("probe_id")
       .agg(graft.functions.TopK.topk(shortlist)(-col("pd2"), col("vec_id"))

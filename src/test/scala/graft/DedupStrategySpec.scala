@@ -156,6 +156,26 @@ class DedupStrategySpec extends SparkFunSuite {
     assert(px == ap)
   }
 
+  test("dense-bitset sweep: plan uses bitmap_and_count, scores bit-equal prefix's merge") {
+    // the planted corpus is closed-vocabulary (few distinct grams,
+    // short docs), so the round-18 dense-bitset verify must fire on
+    // the allpairs sweep…
+    val ap = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.5,
+      strategy = "allpairs")
+    assert(finalPlan(ap).contains("bitmap_and_count"),
+      "allpairs on a closed vocabulary should verify via the bitset kernel")
+    // …and its jaccard doubles must be BIT-identical to the sorted-
+    // merge verify (prefix strategy): same exact intersection counts,
+    // same one IEEE divide
+    def exact(df: DataFrame): Map[(Long, Long), Long] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(2))).toMap
+    val px = exact(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.5,
+      strategy = "prefix"))
+    val bm = exact(ap)
+    assert(bm.nonEmpty && bm == px)
+  }
+
   test("lsh strategy: exact verdicts on sketch-bounded candidates match the exact sweep") {
     // the planted corpus's qualifying pairs at t=0.5 are exact copies
     // (j=1) and two-word-dropped near copies (j >> 0.7): LSH band
