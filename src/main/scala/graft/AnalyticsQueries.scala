@@ -1359,12 +1359,44 @@ object AnalyticsQueries {
         .where(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(sum((col("value").cast(d2) * 100).cast(LongType)).as("x"))
-      val ranked = perUser.select(col("x"),
-        row_number().over(Window.orderBy(col("x"), col("user_id")))
-          .cast(LongType).as("i")) // user-grain bounded relation
-      ranked.agg(count(lit(1)).as("n_users"),
-          sum(col("x")).as("total_cents"),
-          sum(col("i") * col("x")).as("_ix"))
+      // Distributed rank (round 18, guide §2): the old global
+      // `row_number() over (order by x, user_id)` sorted the whole
+      // user-grain relation on ONE task (the bench's "No Partition
+      // Defined" warning). Σi·x is TIE-INVARIANT (equal x under
+      // permuted ranks — the envelope comment below), so aggregate to
+      // unique spend values first (x, c), range-partition by x, and
+      // reconstruct each x-group's rank block B+1..B+c from
+      // per-partition offsets: Σranks over the group = c·B + c(c+1)/2.
+      // The checkpoint pins the sampled range boundaries so the
+      // bounded per-partition-count collect (≤ shuffle partitions
+      // rows) and the main pass see the SAME partitioning. Integer
+      // arithmetic throughout; every group term equals the sum of its
+      // old per-user terms, so _ix (and the one IEEE divide) are
+      // bit-identical.
+      import s.implicits._
+      val dist = perUser.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      val shufflePartitions =
+        s.conf.get("spark.sql.shuffle.partitions").toInt
+      val ranged = dist.repartitionByRange(shufflePartitions, col("x"))
+        .localCheckpoint(true)
+      val withPid = ranged.withColumn("pid", spark_partition_id())
+      val pidCounts = withPid.groupBy("pid")
+        .agg(sum(col("c")).as("pc"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets = {
+        var acc = 0L
+        pidCounts.map { case (pid, pc) => val o = acc; acc += pc; (pid, o) }
+      }.toSeq.toDF("pid", "off")
+      val w = Window.partitionBy("pid").orderBy(col("x"))
+      withPid.withColumn("runc", sum(col("c")).over(w))
+        .join(broadcast(offsets), "pid")
+        // rank block of this x-group: B+1 .. B+c with B = off+runc−c
+        .select(col("x"), col("c"),
+          (col("x") * ((col("off") + col("runc") - col("c")) * col("c") +
+            shiftright(col("c") * (col("c") + 1L), 1))).as("gx"))
+        .agg(sum(col("c")).as("n_users"),
+          sum(col("x") * col("c")).as("total_cents"),
+          sum(col("gx")).as("_ix"))
         .select(col("n_users"), col("total_cents"),
           ((lit(2L) * col("_ix") - (col("n_users") + 1L) *
             col("total_cents")).cast("double") /
@@ -1734,7 +1766,13 @@ object AnalyticsQueries {
     // much total traffic fell inside their first-2h window. Each pair
     // meets in exactly the point's bucket — no dedup pass.
     "q_interval_join" -> Q { (s, d) =>
-      val ev = Tables.events(s, d).select(col("user_id"), col("ts_us"))
+      // spread (round 18): the join probes with the POINTS side (the
+      // operator broadcasts its dimension-sized intervals), so probe
+      // parallelism is this scan's partition count — an under-split
+      // events file serialized the ~42M-pair sweep at 10× data
+      // (JobProfile: 4 tasks, Σtask 96 s). Identity at scale.
+      val ev = Tables.spread(Tables.events(s, d)
+        .select(col("user_id"), col("ts_us")))
       val win = ev.groupBy(col("user_id").as("w_user"))
         .agg(min(col("ts_us")).as("w_lo"))
         .withColumn("w_hi", col("w_lo") + 7200000000L)

@@ -47,7 +47,10 @@ object Bench {
     "multimodal_export_manifest",
     // round-14 continuation: PCA projection (ann_hybrid_rrf is
     // tracked in the analytics section)
-    "vec_pca_project")
+    "vec_pca_project",
+    // round 18 (additions-only, VERDICT r17 #7): the r17 barrier wins
+    // get cross-round driver history
+    "pipeline_clean", "sample_weighted")
 
   /** The round-12 ClickHouse-analytics widening — tracked as its own
     * section (same reasoning as `pipeline`: new ops get wall-clock

@@ -153,11 +153,12 @@ object DedupQueries {
     // oracle reproduces decisions bit-identically (no ln/pow).
     "sample_weighted" -> Q { (s, d) =>
       import graft.functions.{TextFunctions => T}
-      // spread + checkpoint (r17): the weight-gate filter otherwise
+      // spread + barrier (r17): the weight-gate filter otherwise
       // collapses into the single-row-group scan task and evaluates
       // the count-regex tree serially there, twice (once for the
-      // filter, once for the projected quality). The checkpointed rows
-      // are (doc_id, quality) — tiny.
+      // filter, once for the projected quality). The barriered rows
+      // are (doc_id, quality) — ~16 B/row; mode + scale notes:
+      // Tables.barrier (conf graft.pipeline.barrier, r18).
       val base = Tables.spread(Tables.documents(s, d)).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -165,11 +166,10 @@ object DedupQueries {
         T.whitespaceCount(col("text")).as("n_ws"),
         T.tokenCount(col("text")).as("n_tokens"),
         T.stopwordHits(col("text"), T.stopwords.head._2).as("n_stop"))
-      val scored = base.select(col("doc_id"), T.qualityScore(
+      val scored = Tables.barrier(base.select(col("doc_id"), T.qualityScore(
         T.ratio(col("n_alpha"), col("n_chars")),
         T.ratio(col("n_chars") - col("n_ws"), col("n_tokens")),
-        T.ratio(col("n_stop"), col("n_tokens"))).as("quality"))
-        .localCheckpoint(true)
+        T.ratio(col("n_stop"), col("n_tokens"))).as("quality")))
       graft.operators.Sampling.weightedSample(
           scored, col("doc_id"), col("quality"), 1.0, seed = 7L, portable = true)
         .orderBy("doc_id")

@@ -445,19 +445,35 @@ object GraftExtensions {
     two("subtractYears")((t, n) => new TimestampAdd("YEAR", UnaryMinus(n), t)),
     // --- CH URL function family (all return '' on a missing part,
     // CH's default-value contract, vs parse_url's NULL) ---
-    one("protocol")(u => orEmpty(urlPart(u, "PROTOCOL"))),
-    one("domain")(u => orEmpty(urlPart(u, "HOST"))),
+    // Every function reads a field of the fused single-parse
+    // [[graft.functions.UrlPartsExpr]] struct (round 18): N URL
+    // functions over the same url expression share one identical
+    // url_parts(u) subtree, which codegen subexpression elimination
+    // evaluates ONCE per row instead of N `new URI(u)` parses. Field
+    // values replay parse_url's exact semantics (spec-pinned).
+    one("protocol")(u => orEmpty(urlField(u, graft.functions.UrlParts.Protocol))),
+    one("domain")(u => orEmpty(urlField(u, graft.functions.UrlParts.Host))),
     one("domainWithoutWWW")(u =>
-      orEmpty(RegExpReplace(urlPart(u, "HOST"), Literal("^www\\."), Literal("")))),
+      orEmpty(RegExpReplace(urlField(u, graft.functions.UrlParts.Host),
+        Literal("^www\\."), Literal("")))),
     // TLD of the host, without the dot; '' when the host has none
     one("topLevelDomain")(u =>
-      orEmpty(RegExpExtract(urlPart(u, "HOST"),
+      orEmpty(RegExpExtract(urlField(u, graft.functions.UrlParts.Host),
         Literal("\\.([^.]+)$"), Literal(1)))),
-    one("path")(u => orEmpty(urlPart(u, "PATH"))),
-    one("queryString")(u => orEmpty(urlPart(u, "QUERY"))),
-    one("fragment")(u => orEmpty(urlPart(u, "REF"))),
-    two("extractURLParameter")((u, k) =>
-      orEmpty(ParseUrl(Seq(u, Literal("QUERY"), k), failOnError = false))),
+    one("path")(u => orEmpty(urlField(u, graft.functions.UrlParts.Path))),
+    one("queryString")(u => orEmpty(urlField(u, graft.functions.UrlParts.Query))),
+    one("fragment")(u => orEmpty(urlField(u, graft.functions.UrlParts.Ref))),
+    // literal key: the exact ParseUrlEvaluator pattern ("(&|^)" + key +
+    // "=([^&]*)", group 2, raw unquoted key) over the fused query
+    // field; regexp_extract's ''-on-no-match and parse_url's
+    // null-on-no-match converge under the orEmpty wrapper. Non-literal
+    // keys keep the stock parse_url form.
+    two("extractURLParameter")((u, k) => k match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        orEmpty(RegExpExtract(urlField(u, graft.functions.UrlParts.Query),
+          Literal("(&|^)" + s.toString + "=([^&]*)"), Literal(2)))
+      case _ => orEmpty(ParseUrl(Seq(u, Literal("QUERY"), k), failOnError = false))
+    }),
     // --- CH string functions ---
     // position(haystack, needle) — CH argument order; 1-based, 0 = miss
     two("position")((h, n) => new StringLocate(n, h)),
@@ -493,10 +509,12 @@ object GraftExtensions {
   private def toDoubleVec(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
 
-  // failOnError=false: a malformed URL yields NULL -> '' via orEmpty
-  // (CH's contract), instead of ANSI's INVALID_URL error
-  private def urlPart(u: Expression, part: String): Expression =
-    ParseUrl(Seq(u, Literal(part)), failOnError = false)
+  // failOnError=false semantics: a malformed URL yields a NULL struct
+  // -> NULL field -> '' via orEmpty (CH's contract), instead of ANSI's
+  // INVALID_URL error
+  private def urlField(u: Expression, idx: Int): Expression =
+    GetStructField(graft.functions.UrlPartsExpr(u), idx,
+      Some(graft.functions.UrlParts.schema(idx).name))
 
   private def orEmpty(e: Expression): Expression =
     Coalesce(Seq(e, Literal("")))
@@ -520,33 +538,26 @@ object GraftExtensions {
     }
 
   /** Running double sums of an array (the arrayCumSum body, shared by
-    * the groupArrayMoving* aggregates).
+    * the groupArrayMoving* aggregates). Round 18: the declarative
+    * `aggregate(..., concat(acc, [last + x]))` fold rebuilt the
+    * accumulator array per element — O(n²) copies through an
+    * interpreted lambda; [[graft.functions.CumSumDoubleExpr]] is the
+    * linear fused kernel with the identical per-element IEEE adds and
+    * NULL propagation.
     */
-  private def cumSumExpr(arr: Expression): Expression = {
-    val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
-    val x = UnresolvedNamedLambdaVariable(Seq("x"))
-    val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
-    val last = If(EqualTo(Size(acc), Literal(0)), Literal(0.0),
-      ElementAt(acc, Literal(-1)))
-    ArrayAggregate(arr,
-      Literal.create(Array.empty[Double], ArrayType(DoubleType)),
-      LambdaFunction(Concat(Seq(acc,
-        CreateArray(Seq(Add(last, Cast(x, DoubleType)))))), Seq(acc, x)),
-      LambdaFunction(fin, Seq(fin)))
-  }
+  private def cumSumExpr(arr: Expression): Expression =
+    graft.functions.CumSumDoubleExpr(arr)
 
   /** Left-to-right double sum fold over an array — the one fixed
     * accumulation order every sum-like compat function shares (and the
     * DuckDB oracles mirror).
     */
-  private def doubleFold(arr: Expression): Expression = {
-    val acc  = UnresolvedNamedLambdaVariable(Seq("acc"))
-    val x    = UnresolvedNamedLambdaVariable(Seq("x"))
-    val acc2 = UnresolvedNamedLambdaVariable(Seq("acc2"))
-    ArrayAggregate(arr, Literal(0.0),
-      LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)),
-      LambdaFunction(acc2, Seq(acc2)))
-  }
+  private def doubleFold(arr: Expression): Expression =
+    // round 18: fused linear kernel, bit-identical to
+    // `aggregate(arr, 0d, (acc, x) -> acc + double(x))` (same adds,
+    // same order, NULL element nulls the sum) without the interpreted
+    // per-element lambda — see [[graft.functions.DoubleFoldExpr]]
+    graft.functions.DoubleFoldExpr(arr)
 
   private def two(name: String)(f: (Expression, Expression) => Expression): FunctionDescriptor =
     d(name) { children =>
@@ -585,12 +596,22 @@ object GraftCatalog {
     * whenever the dir changes, so warm-up at sf0.001 and timed runs at
     * sf0.1 each see their own tables.
     */
+  // WEAK session keys (ADVICE r17): a strong map would retain every
+  // short-lived session forever; synchronizedMap because WeakHashMap
+  // is not thread-safe
   private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   def registerTables(spark: SparkSession, dir: String): Unit = {
     GraftExtensions.install(spark)
-    if (registeredDir.get(spark) != dir) {
+    // re-register when the dir changed OR a caller dropped/shadowed a
+    // canonical view since the memo was taken (ADVICE r17 — the old
+    // always-restore behavior, at the cost of one catalog lookup per
+    // table on the memo hit)
+    val allPresent = registeredDir.get(spark) == dir &&
+      Tables.all.forall(t => spark.catalog.tableExists(t))
+    if (!allPresent) {
       Tables.all.foreach { t =>
         val df = t match {
           case "events" => Tables.events(spark, dir)

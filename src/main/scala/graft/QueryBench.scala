@@ -31,11 +31,15 @@ object QueryBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val warmDir = "/root/testdata/sf0.001"
+    // ADVICE r17: warm dir from the env (defaulting to the smallest
+    // SF next to the target), NonFatal only — an OOM/linkage error in
+    // warm-up must not be swallowed
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     def runOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
@@ -53,7 +57,11 @@ object QueryBench {
       val ts = results.flatMap(_(n))
       n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
-    println(mins.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT (ADVICE r17): f"%.3f" is default-locale-sensitive —
+    // a comma-decimal locale would emit invalid JSON
+    println(mins.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          java.lang.Double.valueOf(v)) }
       .mkString("{\"metric\":\"qbench\",", ",", s""","sf":"$sfDir"}"""))
     spark.stop()
   }

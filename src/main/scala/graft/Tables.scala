@@ -108,6 +108,40 @@ object Tables {
     else df
   }
 
+  /** Conf key for [[barrier]]: `checkpoint` (default) | `persist` |
+    * `off`.
+    */
+  val BarrierModeKey = "graft.pipeline.barrier"
+
+  /** Plan barrier for a computed heavy projection that a pushed-down
+    * filter would otherwise re-evaluate below the exchange (the r17
+    * pipeline_clean pathology — guide §4's double-evaluation over a
+    * computed column). Three modes (VERDICT r17 #8), all
+    * ROW-IDENTICAL (spec-pinned in BarrierModeSpec):
+    *
+    *  - `checkpoint` (default): `localCheckpoint(eager)` — cheapest
+    *    barrier, but it TRUNCATES LINEAGE (a lost executor past the
+    *    barrier fails the query instead of recomputing) and pins the
+    *    projection in executor block storage. Sizing: callers pass
+    *    ID-plus-scalars projections (~16-40 B/row), so even 10¹⁰ docs
+    *    checkpoint ~400 GB cluster-wide — real but bounded; at that
+    *    scale prefer `persist`.
+    *  - `persist`: StorageLevel.MEMORY_AND_DISK persist — keeps
+    *    lineage (fault-tolerant) and spills instead of pinning, at
+    *    the cost of possible recomputation under memory pressure.
+    *  - `off`: no barrier — correct, but the pushed-down filter may
+    *    re-evaluate the heavy expression tree below the exchange.
+    */
+  def barrier(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(BarrierModeKey).getOrElse("checkpoint") match {
+      case "checkpoint" => df.localCheckpoint(eager = true)
+      case "persist" =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case "off" => df
+      case other => throw new IllegalArgumentException(
+        s"$BarrierModeKey must be checkpoint|persist|off, got '$other'")
+    }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")

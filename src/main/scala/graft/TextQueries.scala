@@ -343,11 +343,12 @@ object TextQueries {
       // materialize the scored projection (r17): the quality filter
       // otherwise pushes through the spread exchange to the scan task,
       // evaluating the whole scrub-regex tree serially there (and a
-      // second time above for the projection). The checkpoint is a
-      // plan barrier: scrub runs once, parallel, post-exchange; the
-      // stored rows are (doc_id, n_tokens, quality, h) - tiny.
-      val scored = graft.operators.CleanPipeline.scored(
-        docsIn(s, d).select("doc_id", "text")).localCheckpoint(true)
+      // second time above for the projection). The barrier makes scrub
+      // run once, parallel, post-exchange; the stored rows are
+      // (doc_id, n_tokens, quality, h) — ~32 B/row. Mode + scale
+      // notes: Tables.barrier (conf graft.pipeline.barrier, r18).
+      val scored = Tables.barrier(graft.operators.CleanPipeline.scored(
+        docsIn(s, d).select("doc_id", "text")))
       val w = Window.partitionBy("h").orderBy("doc_id")
       val deduped = scored
         .filter(col("quality") >= 0.3)

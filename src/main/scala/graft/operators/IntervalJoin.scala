@@ -42,9 +42,15 @@ object IntervalJoin {
            bucketWidth: Long,
            maxBucketsPerInterval: Long = 4096L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // The intervals relation is dimension-sized by assumption, but it
+    // is consumed TWICE (the worst-interval guard below, then the
+    // broadcast build) — without a barrier its whole upstream plan
+    // (often an aggregate over the fact table) executes twice. The
+    // eager checkpoint materializes the bounded rows once (round 18).
     val iv = intervals.withColumn("__lo", lo.cast("long"))
       .withColumn("__hi", hi.cast("long"))
       .where(col("__lo") <= col("__hi"))
+      .localCheckpoint(true)
     val worst = iv.agg(
       max(expr(s"(__hi div $bucketWidth) - (__lo div $bucketWidth)")))
       .collect()(0)
@@ -59,7 +65,16 @@ object IntervalJoin {
         expr(s"__hi div $bucketWidth"))))
     val pB = points.withColumn("__t", t.cast("long"))
       .withColumn("__bkt", expr(s"__t div $bucketWidth"))
-    pB.join(ivB, Seq("__bkt"))
+    // broadcast the INTERVALS side explicitly (round 18, guide §3.1):
+    // it is dimension-sized by this operator's own assumption (the
+    // worst-interval guard above bounds its explosion), while the
+    // points side is the corpus. Left to the planner, a points
+    // relation that happens to fit the 10 MB estimate gets broadcast
+    // instead, and the join's parallelism collapses to the exploded
+    // intervals side's (small, AQE-coalesced) partition count — at
+    // 10× data that serialized the ~42M-pair probe onto 4 tasks
+    // (JobProfile receipt in OPTIMIZATION_r18.md).
+    pB.join(broadcast(ivB), Seq("__bkt"))
       .where(col("__t") >= col("__lo") && col("__t") <= col("__hi"))
       .drop("__bkt", "__lo", "__hi", "__t")
   }
