@@ -84,6 +84,12 @@ object PqIndex {
     */
   private def materializeIndex(coded: DataFrame): DataFrame =
     coded.localCheckpoint(true)
+  // Callers wrap the corpus in Tables.spread BEFORE the encode
+  // projection (round 18): the checkpoint pins the scan's partition
+  // count, so an under-split corpus file would both encode serially
+  // AND serve the whole candidate sweep from one task (the
+  // ScalarQuant/mrl finding — sf1 JobProfile: wall ≈ Σtask). Identity
+  // on any realistically-written table.
 
   /** Exhaustive ADC top-k over the coded corpus: probes broadcast with
     * their LUTs; every candidate costs m element_at reads and a fixed
@@ -92,8 +98,9 @@ object PqIndex {
     */
   def topK(corpus: DataFrame, probes: DataFrame, model: PqModel, k: Int,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val coded = materializeIndex(corpus.select(col(idCol).as("vec_id"),
-      encode(col(vecCol), model).as("codes")))
+    val coded = materializeIndex(graft.Tables.spread(corpus)
+      .select(col(idCol).as("vec_id"),
+        encode(col(vecCol), model).as("codes")))
     val p = probes.select(col(idCol).as("probe_id"),
       lut(col(vecCol), model).as("lut"))
     rank(coded.join(broadcast(p), col("vec_id") =!= col("probe_id")), model, k)
@@ -132,9 +139,10 @@ object PqIndex {
   def topKIvf(corpus: DataFrame, probes: DataFrame, ivf: IvfIndex.Model,
               model: PqModel, k: Int, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val coded = materializeIndex(corpus.select(col(idCol).as("vec_id"),
-      encode(col(vecCol), model).as("codes"),
-      IvfIndex.assignCell(col(vecCol), ivf).as("cell")))
+    val coded = materializeIndex(graft.Tables.spread(corpus)
+      .select(col(idCol).as("vec_id"),
+        encode(col(vecCol), model).as("codes"),
+        IvfIndex.assignCell(col(vecCol), ivf).as("cell")))
     rank(cellCandidates(coded, probes,
       IvfIndex.probeCells(col(vecCol), ivf, nProbe),
       lut(col(vecCol), model), idCol), model, k)
@@ -153,9 +161,10 @@ object PqIndex {
   def topKIvf2(corpus: DataFrame, probes: DataFrame, ivf2: IvfIndex.Model2,
                model: PqModel, k: Int, nProbe1: Int = 2, nProbe: Int = 4,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val coded = materializeIndex(corpus.select(col(idCol).as("vec_id"),
-      encode(col(vecCol), model).as("codes"),
-      IvfIndex.assignCell2(col(vecCol), ivf2).as("cell")))
+    val coded = materializeIndex(graft.Tables.spread(corpus)
+      .select(col(idCol).as("vec_id"),
+        encode(col(vecCol), model).as("codes"),
+        IvfIndex.assignCell2(col(vecCol), ivf2).as("cell")))
     rank(cellCandidates(coded, probes,
       IvfIndex.probeCells2(col(vecCol), ivf2, nProbe1, nProbe),
       lut(col(vecCol), model), idCol), model, k)
@@ -240,7 +249,7 @@ object PqIndex {
                       ivf: IvfIndex.Model, model: PqModel, k: Int,
                       nProbe: Int = 4, idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
-    val coded = materializeIndex(corpus
+    val coded = materializeIndex(graft.Tables.spread(corpus)
       .withColumn("cell", IvfIndex.assignCell(col(vecCol), ivf))
       .select(col(idCol).as("vec_id"), col("cell"),
         encode(residual(col(vecCol), ivf, col("cell")), model).as("codes")))
